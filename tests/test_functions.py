@@ -1,0 +1,147 @@
+"""Unit tests for extract/geocode/hashing/fixtures pure functions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rio_cogeo_ray import fixtures
+from rio_cogeo_ray.functions.extract import extract_text
+from rio_cogeo_ray.functions.geocode import (
+    GeoSpec,
+    fnv1a64,
+    geocode_id,
+    geocode_url,
+    url_doc_id,
+)
+from rio_cogeo_ray.functions.hashing import splitmix64, weighted_pick
+
+
+def test_extract_text_semantics():
+    html = pa.array(
+        [
+            "<html><head><title>A B</title></head><body><p>hello world</p></body></html>",
+            "<html><head><title>T</title><script>var x=1;</script></head>"
+            "<body><style>p{}</style><p>keep &amp; this &lt;tag&gt;</p></body></html>",
+            "<p>  spaced   </p><p>lines</p>",
+            "",
+        ]
+    )
+    out = extract_text(html).to_pylist()
+    assert out[0] == "A B\nhello world"
+    assert out[1] == "T\nkeep & this <tag>"
+    assert out[2] == "spaced\nlines"
+    assert out[3] == ""
+
+
+def test_extract_text_binary_input():
+    b = pa.array([b"<p>x</p>"], type=pa.binary())
+    assert extract_text(b).to_pylist() == ["x"]
+
+
+def test_extract_entity_order():
+    # &amp;lt; decodes to the literal text "&lt;", not "<"
+    out = extract_text(pa.array(["<p>&amp;lt;</p>"])).to_pylist()
+    assert out == ["&lt;"]
+
+
+def test_fnv1a64_known_vectors():
+    # public FNV-1a test vectors
+    h = fnv1a64(pa.array(["", "a", "hello"]))
+    assert h[0] == np.uint64(14695981039346656037)
+    assert h[1] == np.uint64(0xAF63DC4C8601EC8C)
+    # vectorized equals per-row reference implementation
+    def ref(s):
+        x = 14695981039346656037
+        for c in s.encode():
+            x = ((x ^ c) * 1099511628211) % (1 << 64)
+        return x
+
+    assert h[2] == np.uint64(ref("hello"))
+
+
+def test_fnv1a64_sliced_array():
+    arr = pa.array(["aa", "bb", "cc", "dd"])
+    full = fnv1a64(arr)
+    sl = fnv1a64(arr.slice(1, 2))
+    np.testing.assert_array_equal(sl, full[1:3])
+
+
+def test_geocode_id_bounds_and_sql_parity():
+    ids = np.arange(5000)
+    lon, lat, valid = geocode_id(ids)
+    assert lon.min() >= -180 and lon.max() < 180
+    assert lat.min() >= -85 and lat.max() < 85
+    # ~1/97 invalid
+    assert 0.003 < (1 - valid.mean()) < 0.03
+    # parity with the documented SQL formula evaluated in DuckDB
+    import duckdb
+
+    rows = duckdb.sql(
+        """
+        SELECT ((id * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0 AS lon,
+               (((id + 1) * 2246822519) % 4294967296) / 4294967296.0 * 170.0 - 85.0 AS lat,
+               (((id * 2654435761) % 4294967296) % 97 <> 0) AS valid
+        FROM range(5000) t(id) ORDER BY id
+        """
+    ).fetchnumpy()
+    np.testing.assert_array_equal(rows["lon"], lon)
+    np.testing.assert_array_equal(rows["lat"], lat)
+    np.testing.assert_array_equal(rows["valid"], valid)
+
+
+def test_geocode_url_spec():
+    t = fixtures.gen_pages(0, 2000)
+    urls = t["url"].combine_chunks()
+    spec = GeoSpec(boxes=[(0.0, 40.0, 10.0, 50.0, 1)], invalid_per_65536=6553)
+    lon, lat, valid = geocode_url(urls, spec)
+    assert lon[valid].min() >= 0.0 and lon[valid].max() <= 10.0
+    assert lat[valid].min() >= 40.0 and lat[valid].max() <= 50.0
+    assert 0.05 < (1 - valid.mean()) < 0.15
+    # pure function of url: independent of table order
+    perm = np.random.default_rng(0).permutation(len(urls))
+    lon2, _, _ = geocode_url(urls.take(pa.array(perm)), spec)
+    np.testing.assert_array_equal(lon2, lon[perm])
+
+
+def test_url_doc_id():
+    t = fixtures.gen_pages(7, 10, sort_by_url=False)
+    ids = url_doc_id(t["url"].combine_chunks())
+    np.testing.assert_array_equal(ids, np.arange(7, 17))
+    assert url_doc_id(pa.array(["https://x/nope"])) is None
+
+
+def test_weighted_pick_distribution():
+    h = splitmix64(np.arange(20000))
+    idx = weighted_pick(h, [45, 10, 10, 8, 7, 5, 5, 4, 3, 3])
+    frac = np.bincount(idx, minlength=10) / 20000
+    assert abs(frac[0] - 0.45) < 0.02
+    assert (idx >= 0).all() and (idx <= 9).all()
+
+
+def test_gen_pages_invariants():
+    t = fixtures.gen_pages(0, 300)
+    assert t.schema.equals(fixtures.PAGES_SCHEMA)
+    # byte-identical extraction invariant (the input_hint contract)
+    assert extract_text(t["html"].combine_chunks()).equals(t["text"].combine_chunks())
+    # urls unique + sorted
+    urls = t["url"].to_pylist()
+    assert urls == sorted(urls) and len(set(urls)) == len(urls)
+    # shard-parallel determinism
+    a = fixtures.gen_pages(0, 50, sort_by_url=False)
+    b = fixtures.gen_pages(50, 50, sort_by_url=False)
+    assert pa.concat_tables([a, b]).equals(fixtures.gen_pages(0, 100, sort_by_url=False))
+
+
+def test_scenario_tables():
+    for name in ("pages_rgb", "pages_skew"):
+        t = fixtures.scenario_table(name, n=200)
+        assert t.num_rows == 200
+        spec = fixtures.scenario_spec(name)
+        lon, lat, valid = geocode_url(t["url"].combine_chunks(), spec)
+        assert np.isfinite(lon).all()
+
+
+def test_aois_table():
+    t = fixtures.aois_table(fixtures.RECT_AOIS + fixtures.HEX_AOIS)
+    assert t.num_rows == 8
+    assert t.schema.names == ["aoi_id", "name", "ring_lon", "ring_lat"]
