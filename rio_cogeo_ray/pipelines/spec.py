@@ -1,0 +1,194 @@
+"""TilingSpec — the pure planning product driving every tiler stage.
+
+The engine analog of the reference's setup + warp-plan phases
+(rio_cogeo/cogeo.py:189-298 + utils.py:88-147): everything the
+distributed stages need is computed up-front on the driver from cheap
+aggregate statistics, then broadcast (it is a small frozen dataclass
+shipped in actor constructor args / task closures — never per batch).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+from rio_cogeo_ray import errors
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.functions.geocode import GeoSpec, GLOBAL_UNIFORM
+
+RESAMPLINGS = ("sum", "average", "nearest", "mode")
+#: full reference enum (cogeo.py:48-72) — the subset above is implemented
+#: for density grids; the rest raise NotImplementedError at plan time.
+RIO_RESAMPLINGS = (
+    "nearest",
+    "bilinear",
+    "cubic",
+    "cubic_spline",
+    "lanczos",
+    "average",
+    "mode",
+    "gauss",
+    "sum",
+)
+
+INVALID_POLICIES = ("mask", "drop")
+
+
+@dataclass(frozen=True)
+class TilingSpec:
+    """Plan for one create run.
+
+    - ``zoom``: base (max) zoom — the main-IFD analog.
+    - ``min_zoom``: coarsest pyramid level (inclusive).
+    - ``aligned_levels``: web-optimized alignment depth (utils.py:120-140).
+    - ``tile_px``: G — per-tile density-grid resolution (blocksize analog;
+      profiles default 512, web default 256 — profiles.py:8-151).
+    - ``decimation_base``: overview decimation base (cogeo.py:196-203).
+    - ``resampling``: density-grid downsample kernel (cogeo.py:48-60).
+    - ``geocode``: spatial distribution spec for url-hash geocoding.
+    - ``invalid_policy``: nodata analog — 'mask' counts geocode-invalid
+      pages in the manifest; 'drop' silently discards (cogeo.py:276-279).
+    """
+
+    zoom: int
+    min_zoom: int
+    aligned_levels: int = 0
+    tile_px: int = 256
+    decimation_base: int = 2
+    resampling: str = "sum"
+    geocode: GeoSpec = field(default_factory=lambda: GLOBAL_UNIFORM)
+    invalid_policy: str = "mask"
+    #: inclusive (min_x, min_y, max_x, max_y) cover at ``zoom``; None = world.
+    tile_cover: Optional[Tuple[int, int, int, int]] = None
+
+    def __post_init__(self):
+        if self.decimation_base < 2:
+            # cogeo.py:196-203: base must be >= 2
+            raise errors.IncompatibleOptions(
+                f"decimation_base must be >= 2, got {self.decimation_base}"
+            )
+        if self.aligned_levels and self.decimation_base != 2:
+            # web-optimized alignment assumes power-of-two pyramids
+            raise errors.IncompatibleOptions(
+                "aligned_levels requires decimation_base=2 "
+                "(web-optimized grids are power-of-two)"
+            )
+        if self.resampling not in RESAMPLINGS:
+            if self.resampling in RIO_RESAMPLINGS:
+                raise NotImplementedError(
+                    f"resampling {self.resampling!r} is a valid reference "
+                    "algorithm (cogeo.py:48-60) but has no density-grid "
+                    f"kernel yet; implemented: {RESAMPLINGS}"
+                )
+            raise errors.IncompatibleOptions(
+                f"unknown resampling {self.resampling!r}; choose from {RESAMPLINGS}"
+            )
+        if self.invalid_policy not in INVALID_POLICIES:
+            raise errors.IncompatibleOptions(
+                f"invalid_policy must be one of {INVALID_POLICIES}"
+            )
+        if not (0 <= self.min_zoom <= self.zoom <= 29):
+            raise errors.IncompatibleOptions(
+                f"need 0 <= min_zoom <= zoom <= 29, got {self.min_zoom}..{self.zoom}"
+            )
+        if self.tile_px < 1 or self.tile_px & (self.tile_px - 1):
+            raise errors.IncompatibleOptions("tile_px must be a power of two")
+
+    # ------------------------------------------------------------------
+    @property
+    def n_levels(self) -> int:
+        """Number of overview levels below the base zoom."""
+        return self.zoom - self.min_zoom
+
+    @property
+    def decimations(self) -> list:
+        """[base**j for j in 1..L] (cogeo.py:389)."""
+        return tms.overview_decimations(self.n_levels, self.decimation_base)
+
+    @property
+    def zooms(self) -> list:
+        """All pyramid zooms, base first (IFD order: main, then overviews)."""
+        return list(range(self.zoom, self.min_zoom - 1, -1))
+
+    def cover_size_px(self) -> Tuple[int, int]:
+        """Cover extent in grid cells at base zoom (width, height)."""
+        if self.tile_cover is None:
+            n = 1 << self.zoom
+            return n * self.tile_px, n * self.tile_px
+        min_x, min_y, max_x, max_y = self.tile_cover
+        return (max_x - min_x + 1) * self.tile_px, (max_y - min_y + 1) * self.tile_px
+
+
+def plan(
+    bounds_mercator: Optional[Tuple[float, float, float, float]] = None,
+    zoom: Optional[int] = None,
+    resolution: Optional[float] = None,
+    zoom_level_strategy: str = "auto",
+    aligned_levels: int = 0,
+    overview_levels: Optional[int] = None,
+    tile_px: int = 256,
+    decimation_base: int = 2,
+    resampling: str = "sum",
+    geocode: GeoSpec = GLOBAL_UNIFORM,
+    invalid_policy: str = "mask",
+) -> TilingSpec:
+    """Build a TilingSpec — the planning composite of get_web_optimized_params
+    (utils.py:88-147), get_zooms (utils.py:48-85) and overview-level
+    inference (cogeo.py:381-390).
+
+    ``zoom`` wins over ``resolution``; with neither, bounds are required
+    and zoom defaults so the cover is ~4x4 tiles (a sensible page-density
+    default). ``overview_levels`` overrides the auto ladder depth.
+    """
+    if zoom is None and resolution is not None:
+        zoom = tms.zoom_for_res(resolution, zoom_level_strategy=zoom_level_strategy)
+    if zoom is None:
+        raise errors.IncompatibleOptions("plan() needs zoom or resolution")
+
+    cover = None
+    if bounds_mercator is not None:
+        p = tms.web_optimized_params(
+            bounds_mercator,
+            zoom_level=zoom,
+            aligned_levels=aligned_levels,
+        )
+        cover = p.tile_cover
+
+    # ladder depth: explicit, else smallest overview fits one tile
+    # (get_maximum_overview_level semantics, cogeo.py:381-384)
+    if overview_levels is None:
+        if cover is not None:
+            w_px = (cover[2] - cover[0] + 1) * tile_px
+            h_px = (cover[3] - cover[1] + 1) * tile_px
+            overview_levels = tms.get_maximum_overview_level(w_px, h_px, minsize=tile_px)
+        else:
+            overview_levels = zoom  # world cover: pyramid to z=0
+    min_zoom = max(0, zoom - overview_levels)
+
+    if cover is not None and (cover[2] - cover[0] < 1) and (cover[3] - cover[1] < 1):
+        warnings.warn(
+            "extent smaller than one tile — pyramid degenerates "
+            "(IncompatibleBlockRasterSize analog)",
+            errors.IncompatibleBlockRasterSize,
+        )
+
+    return TilingSpec(
+        zoom=zoom,
+        min_zoom=min_zoom,
+        aligned_levels=aligned_levels,
+        tile_px=tile_px,
+        decimation_base=decimation_base,
+        resampling=resampling,
+        geocode=geocode,
+        invalid_policy=invalid_policy,
+        tile_cover=cover,
+    )
+
+
+def with_cover_from_bounds(spec: TilingSpec, bounds_mercator) -> TilingSpec:
+    """Derive the aligned tile cover for a spec from measured data bounds."""
+    p = tms.web_optimized_params(
+        bounds_mercator, zoom_level=spec.zoom, aligned_levels=spec.aligned_levels
+    )
+    return replace(spec, tile_cover=p.tile_cover)
