@@ -133,6 +133,17 @@ def gen_pages(
     exact. ``text`` = extract_text(html) by construction.
     """
     ids = np.arange(start_id, start_id + n, dtype=np.int64)
+    return gen_pages_ids(ids, seed=seed, sort_by_url=sort_by_url)
+
+
+def gen_pages_ids(
+    ids: np.ndarray,
+    seed: int = 42,
+    sort_by_url: bool = True,
+) -> pa.Table:
+    """Generate rows for an arbitrary id array (shard-parallel source)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
     h0 = hash2(ids, seed)
     h1 = splitmix64(h0)
     h2 = splitmix64(h1)

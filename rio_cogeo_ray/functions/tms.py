@@ -49,17 +49,27 @@ def tile_span(z: ArrayLike) -> ArrayLike:
     return WORLD_SPAN / np.power(2.0, z)
 
 
+#: EARTH_RADIUS * pi / 180 as an exact literal — the same literal appears
+#: in the oracle SQL templates (stages/assign.py MERCATOR_MX_SQL) so the
+#: one-multiply lon path is bit-identical across engines.
+DEG_TO_MERC = 111319.49079327358
+
+
 def lonlat_to_mercator(lon: ArrayLike, lat: ArrayLike) -> Tuple[ArrayLike, ArrayLike]:
     """Project WGS84 lon/lat (degrees) to web-mercator meters.
 
-    ``my = R * ln(tan(pi/4 + lat_rad/2))``; latitudes are clamped to
-    ±MAX_LAT first so the projection stays finite.
+    Exact op order (mirrored by MERCATOR_*_SQL, bit-for-bit):
+    ``mx = lon * DEG_TO_MERC``;
+    ``my = R * ln(tan(pi/4 + (lat * pi / 180) / 2))``.
+    Latitudes are clamped to ±MAX_LAT first so the projection stays
+    finite (fixture/geocode latitudes never exceed ±85, so the clamp is
+    a no-op on real inputs and absent from the SQL).
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     lat = np.clip(lat, -MAX_LAT, MAX_LAT)
-    mx = EARTH_RADIUS * np.radians(lon)
-    my = EARTH_RADIUS * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    mx = lon * DEG_TO_MERC
+    my = EARTH_RADIUS * np.log(np.tan(np.pi / 4.0 + (lat * np.pi / 180.0) / 2.0))
     return mx, my
 
 

@@ -1,0 +1,272 @@
+"""``create`` — the distributed cog_translate analog (cogeo.py:75-467).
+
+Pipeline shape (Ray-Data-first; no raw page row ever enters a shuffle):
+
+1. planning on the driver (TilingSpec; optional one-column bounds pass)
+2. base level: ``read_parquet(pruned columns)`` → ``map_batches``
+   (extract/geocode/assign, stateless, zero-copy Arrow) →
+   ``map_batches(density_partials)`` (≤1 partial row per tile per batch)
+   → ``groupby(tile_key).map_groups(merge)`` → level parquet + marker
+3. pyramid: per level, read the previous level (checkpointed parquet) →
+   ``map_batches(pyramid_partials)`` → ``groupby.map_groups(merge)`` →
+   level parquet + marker  (the overview build, cogeo.py:381-390)
+4. manifest: per-level stats read back over PRUNED columns of the small
+   tile tables + tile index sorted (z desc, y, x) — the IFD-ordered
+   final copy analog (cogeo.py:442-467)
+
+Every level directory is written to a temp dir and atomically renamed
+(TemporaryRasterFile analog, cogeo.py:29-43); a rerun verifies each
+level's done-marker against disk and skips completed levels
+(checkpoint-resume with per-partition lineage).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import asdict
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from rio_cogeo_ray import errors
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.functions.geocode import GeoSpec
+from rio_cogeo_ray.pipelines.spec import TilingSpec, with_cover_from_bounds
+from rio_cogeo_ray.stages import assign, rasterize
+from rio_cogeo_ray.state import manifest as mani
+
+
+def _read_input(
+    src: Union[str, Sequence[str], rd.Dataset],
+    columns: Optional[List[str]],
+) -> rd.Dataset:
+    if isinstance(src, rd.Dataset):
+        return src
+    return rd.read_parquet(src, columns=columns)
+
+
+def measure_bounds(
+    src: Union[str, Sequence[str], rd.Dataset],
+    spec: TilingSpec,
+    source: str = "pages",
+) -> tuple:
+    """Mercator bounds of the corpus via a ONE-column scan (url/doc_id)
+    + a tiny aggregate — the stats pass feeding web-optimized alignment
+    (get_web_optimized_params input, utils.py:88-147)."""
+    cols = ["url"] if source == "pages" else ["doc_id"]
+    ds = _read_input(src, cols)
+    prepare = assign.make_prepare_fn(spec.geocode, spec.zoom, extract=False, source=source)
+    prepared = ds.map_batches(prepare, batch_format="pyarrow")
+    row = prepared.aggregate(Min("mx"), Max("mx"), Min("my"), Max("my"))
+    return (row["min(mx)"], row["min(my)"], row["max(mx)"], row["max(my)"])
+
+
+def _write_level(ds: rd.Dataset, out_dir: str, z: int) -> None:
+    """Atomic level sink: write to tiles/.tmp-z={z}, rename into place."""
+    final = mani.level_dir(out_dir, z)
+    tmp = os.path.join(out_dir, "tiles", f".tmp-z={z}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    ds.write_parquet(tmp)
+    os.replace(tmp, final)
+
+
+#: Below this many bytes of level parquet, manifest bookkeeping runs
+#: driver-side with plain pyarrow (a Ray job's fixed overhead dominates);
+#: above it, the same logic runs as a pruned Ray read + aggregate.
+_DRIVER_SIDE_BYTES = 64 * 1024 * 1024
+
+
+def _level_stats(out_dir: str, z: int, decimation: int) -> mani.LevelEntry:
+    """Per-level manifest entry; stats from a PRUNED read of the (small)
+    tile table, never from the raw corpus."""
+    files = mani.scan_level_files(out_dir, z)
+    total_bytes = sum(f.bytes for f in files)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        ncells = t["cells"].combine_chunks()
+        lens = int(np.sum(np.diff(ncells.offsets.to_numpy(zero_copy_only=False))))
+        pages = int(np.sum(t["page_count"].combine_chunks().to_numpy(zero_copy_only=False)))
+        return pa.table({"tiles": [len(t)], "pages": [pages], "ncells": [lens]})
+
+    if total_bytes < _DRIVER_SIDE_BYTES:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(mani.level_dir(out_dir, z), columns=["page_count", "cells"])
+        s = _stats(t)
+        tiles, pages, ncells = (s[c][0].as_py() for c in ("tiles", "pages", "ncells"))
+    else:
+        ds = rd.read_parquet(mani.level_dir(out_dir, z), columns=["page_count", "cells"])
+        agg = ds.map_batches(_stats, batch_format="pyarrow").aggregate(
+            Sum("tiles"), Sum("pages"), Sum("ncells")
+        )
+        tiles = int(agg["sum(tiles)"] or 0)
+        pages = int(agg["sum(pages)"] or 0)
+        ncells = int(agg["sum(ncells)"] or 0)
+    return mani.LevelEntry(
+        z=z, decimation=decimation, tiles=tiles, pages=pages, cells=ncells,
+        files=files,
+    )
+
+
+def read_level(out_dir: str, z: int, columns: Optional[List[str]] = None) -> rd.Dataset:
+    return rd.read_parquet(mani.level_dir(out_dir, z), columns=columns)
+
+
+def create(
+    src: Union[str, Sequence[str], rd.Dataset],
+    out_dir: str,
+    spec: TilingSpec,
+    source: str = "pages",
+    weight_col: Optional[str] = None,
+    extract: bool = False,
+    resume: bool = True,
+    batch_size: int = 8192,
+    tags: Optional[Dict[str, str]] = None,
+) -> mani.Manifest:
+    """Build the full tile pyramid for a corpus. Returns the manifest.
+
+    ``source``: 'pages' (url-hash geocode over the input_hint shape) or
+    'documents' (SQL-reproducible id geocode over the driver testdata
+    shape). ``extract`` additionally runs the html→text extractor in the
+    prepare stage (the byte-identical-text invariant path) — off by
+    default because the density pipeline only needs ``url``.
+    ``weight_col``: optional integer column accumulated into the grids
+    instead of page counts (band-value analog).
+    """
+    if spec.aligned_levels and spec.tile_cover is None:
+        bounds = measure_bounds(src, spec, source=source)
+        spec = with_cover_from_bounds(spec, bounds)
+
+    os.makedirs(out_dir, exist_ok=True)
+    step = spec.zoom_step
+    zooms = spec.zooms  # base first
+    levels_done: Dict[int, mani.LevelEntry] = {}
+    if resume:
+        for z in zooms:
+            try:
+                entry = mani.verify_level_marker(out_dir, z)
+            except errors.ResumeMismatch:
+                entry = None  # rebuild this level (and below, via chain)
+            if entry is not None:
+                levels_done[z] = entry
+
+    # ---- base level ------------------------------------------------------
+    base_z = spec.zoom
+    total_rows = None
+    if base_z not in levels_done:
+        id_col = "url" if source == "pages" else "doc_id"
+        cols = [id_col] + ([weight_col] if weight_col else [])
+        if extract and source == "pages":
+            cols += ["html"]
+        ds = _read_input(src, cols)
+        total_rows = ds.count()
+        prepare = assign.make_prepare_fn(
+            spec.geocode, base_z, extract=extract, source=source
+        )
+        prepared = ds.map_batches(prepare, batch_format="pyarrow", batch_size=batch_size)
+        if spec.tile_cover is not None:
+            min_x, min_y, max_x, max_y = spec.tile_cover
+
+            def _clip(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                keep = pc.and_(
+                    pc.and_(pc.greater_equal(t["x"], min_x), pc.less_equal(t["x"], max_x)),
+                    pc.and_(pc.greater_equal(t["y"], min_y), pc.less_equal(t["y"], max_y)),
+                )
+                return t.filter(pc.fill_null(keep, False))
+
+            prepared = prepared.map_batches(_clip, batch_format="pyarrow")
+        partials = prepared.map_batches(
+            lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
+            batch_format="pyarrow",
+        )
+        merged = partials.groupby("tile_key").map_groups(
+            lambda g: rasterize.merge_tile_group(g, spec.resampling, level=0),
+            batch_format="pyarrow",
+        )
+        _write_level(merged, out_dir, base_z)
+        entry = _level_stats(out_dir, base_z, decimation=1)
+        mani.write_level_marker(out_dir, entry)
+        levels_done[base_z] = entry
+
+    # ---- pyramid ---------------------------------------------------------
+    for j, z in enumerate(zooms[1:], start=1):
+        if z in levels_done:
+            continue
+        child = read_level(out_dir, z + step)
+        partials = child.map_batches(
+            lambda t: rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, step),
+            batch_format="pyarrow",
+        )
+        merged = partials.groupby("tile_key").map_groups(
+            lambda g: rasterize.merge_tile_group(g, spec.resampling, level=j, step=step),
+            batch_format="pyarrow",
+        )
+        _write_level(merged, out_dir, z)
+        entry = _level_stats(out_dir, z, decimation=spec.decimation_base**j)
+        mani.write_level_marker(out_dir, entry)
+        levels_done[z] = entry
+
+    # ---- manifest (IFD analog: base level first) -------------------------
+    base_pages = levels_done[base_z].pages
+    if total_rows is None:
+        src_for_count = _read_input(src, ["url" if source == "pages" else "doc_id"])
+        total_rows = src_for_count.count()
+    m = mani.Manifest(
+        spec={
+            **{
+                k: v
+                for k, v in asdict(spec).items()
+                if k not in ("geocode",)
+            },
+            "geocode_boxes": list(map(list, spec.geocode.boxes)),
+            "geocode_invalid_per_65536": spec.geocode.invalid_per_65536,
+            "source": source,
+            "weight_col": weight_col,
+        },
+        levels=[levels_done[z] for z in zooms],
+        tags=dict(tags or {}),
+        total_pages=int(total_rows),
+        invalid_pages=int(total_rows) - base_pages,
+    )
+    mani.write_manifest(out_dir, m)
+    _write_tile_index(out_dir, m)
+    return m
+
+
+def _write_tile_index(out_dir: str, m: mani.Manifest) -> None:
+    """Tile index sorted (z desc, y, x) — the ordered-layout analog the
+    validator asserts (cogeo.py:586-679). Uses a Ray sort over the small
+    per-tile rows (grids excluded)."""
+    zooms = [lv.z for lv in m.levels]
+    cols = ["tile_key", "z", "x", "y", "page_count"]
+    idx_dir = os.path.join(mani.manifest_dir(out_dir), "tiles_index")
+    tmp = idx_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    total_bytes = sum(f.bytes for lv in m.levels for f in lv.files)
+    if total_bytes < _DRIVER_SIDE_BYTES:
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables(
+            [pq.read_table(mani.level_dir(out_dir, z), columns=cols) for z in zooms]
+        )
+        t = t.sort_by([("z", "descending"), ("y", "ascending"), ("x", "ascending")])
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(t, os.path.join(tmp, "index.parquet"))
+    else:
+        parts = [read_level(out_dir, z, columns=cols) for z in zooms]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        ds = ds.sort(["z", "y", "x"], descending=[True, False, False])
+        ds.write_parquet(tmp)
+    os.replace(tmp, idx_dir)

@@ -68,6 +68,14 @@ class TilingSpec:
             raise errors.IncompatibleOptions(
                 f"decimation_base must be >= 2, got {self.decimation_base}"
             )
+        if self.decimation_base & (self.decimation_base - 1):
+            # Divergence from the reference (which allows any base >= 2):
+            # TMS zoom grids are power-of-two, so a pyramid level must
+            # step an integer number of zooms (base = 2**step).
+            raise errors.IncompatibleOptions(
+                f"decimation_base must be a power of two for TMS-aligned "
+                f"pyramids, got {self.decimation_base}"
+            )
         if self.aligned_levels and self.decimation_base != 2:
             # web-optimized alignment assumes power-of-two pyramids
             raise errors.IncompatibleOptions(
@@ -97,9 +105,14 @@ class TilingSpec:
 
     # ------------------------------------------------------------------
     @property
+    def zoom_step(self) -> int:
+        """Zoom levels per pyramid step: log2(decimation_base)."""
+        return self.decimation_base.bit_length() - 1
+
+    @property
     def n_levels(self) -> int:
         """Number of overview levels below the base zoom."""
-        return self.zoom - self.min_zoom
+        return (self.zoom - self.min_zoom) // self.zoom_step
 
     @property
     def decimations(self) -> list:
@@ -109,7 +122,7 @@ class TilingSpec:
     @property
     def zooms(self) -> list:
         """All pyramid zooms, base first (IFD order: main, then overviews)."""
-        return list(range(self.zoom, self.min_zoom - 1, -1))
+        return list(range(self.zoom, self.min_zoom - 1, -self.zoom_step))
 
     def cover_size_px(self) -> Tuple[int, int]:
         """Cover extent in grid cells at base zoom (width, height)."""
@@ -164,7 +177,10 @@ def plan(
             overview_levels = tms.get_maximum_overview_level(w_px, h_px, minsize=tile_px)
         else:
             overview_levels = zoom  # world cover: pyramid to z=0
-    min_zoom = max(0, zoom - overview_levels)
+    step = decimation_base.bit_length() - 1
+    min_zoom = max(0, zoom - overview_levels * step)
+    # keep the ladder on whole steps
+    min_zoom = zoom - ((zoom - min_zoom) // step) * step
 
     if cover is not None and (cover[2] - cover[0] < 1) and (cover[3] - cover[1] < 1):
         warnings.warn(

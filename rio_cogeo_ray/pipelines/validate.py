@@ -1,0 +1,181 @@
+"""``validate`` — structural validation of a tile-pyramid output.
+
+The engine analog of cog_validate (rio_cogeo/cogeo.py:470-703): a
+single pass over the output's manifest + tile index (small metadata,
+like the reference's tag/IFD reads — no grid payload is touched except
+optional spot checks), returning ``(is_valid, errors, warnings)`` with
+the same strict-mode semantics (strict ⇒ warnings are errors,
+cogeo.py:701).
+
+Check → reference-analog map:
+
+- manifest present/parseable            → "is a GTiff" (cogeo.py:513-519)
+- no unlisted files under tiles/        → external .ovr ban (cogeo.py:521-524)
+- level zs strictly decreasing, base first → IFD offset chain increasing
+  main→smallest (cogeo.py:586-608)
+- decimations == base**j, each >1, ascending → overview checks
+  (cogeo.py:573-584)
+- ladder depth ≥ expected for the cover → "image has overviews"
+  recommendation warning (cogeo.py:533-537)
+- extent spans >1 tile at base zoom     → tiled-ness check
+  (cogeo.py:526-531): base level must actually be tile-partitioned
+- tile index sorted (z desc, y, x), keys unique → data-block offset
+  ordering (cogeo.py:610-679)
+- cells within [0, G²), counts > 0      → block structure sanity
+- page conservation across levels (sum/average kernels) → decimation
+  correctness
+- manifest stats == index stats         → ghost-header consistency
+  (cogeo.py:563-571 analog: metadata must match the bytes on disk)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.state import manifest as mani
+
+
+def _index_table(out_dir: str):
+    p = os.path.join(mani.manifest_dir(out_dir), "tiles_index")
+    if not os.path.isdir(p):
+        return None
+    return pq.read_table(p)
+
+
+def validate(
+    out_dir: str, strict: bool = False, spot_check: bool = True
+) -> Tuple[bool, List[str], List[str]]:
+    errors: List[str] = []
+    warnings: List[str] = []
+
+    try:
+        m = mani.load_manifest(out_dir)
+    except Exception as e:  # noqa: BLE001 - any load failure = not an output
+        return False, [f"The following is not a rio_cogeo_ray output: {e}"], []
+
+    spec = m.spec
+    base = spec.get("zoom")
+    step = int(spec.get("decimation_base", 2)).bit_length() - 1
+
+    # ---- level chain (IFD order analog) ---------------------------------
+    zs = [lv.z for lv in m.levels]
+    if not zs:
+        errors.append("manifest lists no levels")
+        return False, errors, warnings
+    if zs[0] != base:
+        errors.append(f"base level first expected z={base}, manifest starts at z={zs[0]}")
+    if any(a - b != step for a, b in zip(zs[:-1], zs[1:])):
+        errors.append(f"level zooms not strictly decreasing by {step}: {zs}")
+
+    decims = [lv.decimation for lv in m.levels]
+    expect = [int(spec.get("decimation_base", 2)) ** j for j in range(len(zs))]
+    if decims != expect:
+        errors.append(f"decimations {decims} != expected ladder {expect}")
+    if any(d <= 1 for d in decims[1:]):
+        # cogeo.py:576-584: each overview decimation must be > 1
+        errors.append(f"overview decimations must be > 1: {decims[1:]}")
+    if decims[1:] != sorted(decims[1:]):
+        # cogeo.py:573-574: overviews sorted ascending
+        errors.append(f"decimations not sorted: {decims[1:]}")
+
+    # ---- files on disk == manifest (external-overview ban) --------------
+    for lv in m.levels:
+        on_disk = {f.path for f in mani.scan_level_files(out_dir, lv.z)}
+        listed = {f.path for f in lv.files}
+        extra = on_disk - listed
+        missing = listed - on_disk
+        if extra:
+            errors.append(f"z={lv.z}: unlisted (external) files {sorted(extra)[:3]}")
+        if missing:
+            errors.append(f"z={lv.z}: manifest files missing on disk {sorted(missing)[:3]}")
+    tiles_root = os.path.join(out_dir, "tiles")
+    if os.path.isdir(tiles_root):
+        known = {f"z={lv.z}" for lv in m.levels}
+        for d in os.listdir(tiles_root):
+            if d not in known and not d.startswith("."):
+                errors.append(f"external level directory tiles/{d} not in manifest")
+
+    # ---- ladder depth recommendation (overview warning analog) ----------
+    cover = spec.get("tile_cover")
+    if cover:
+        w_px = (cover[2] - cover[0] + 1) * int(spec["tile_px"])
+        h_px = (cover[3] - cover[1] + 1) * int(spec["tile_px"])
+        want = tms.get_maximum_overview_level(w_px, h_px, minsize=int(spec["tile_px"]))
+        have = len(zs) - 1
+        if have == 0 and want > 0:
+            warnings.append(
+                "The pyramid has no overview levels but its extent warrants "
+                f"{want} (image-without-overviews analog)"
+            )
+        # tiled-ness: extent >1 tile but base level single-tile output
+        if (cover[2] > cover[0] or cover[3] > cover[1]) and m.levels[0].tiles <= 1:
+            errors.append(
+                "extent spans multiple tiles but base level is not tiled "
+                "(greater-than-512px-not-tiled analog)"
+            )
+
+    # ---- tile index ordering (block offset ordering analog) -------------
+    idx = _index_table(out_dir)
+    if idx is None:
+        errors.append("missing manifest/tiles_index")
+    else:
+        z = idx["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = idx["x"].to_numpy(zero_copy_only=False)
+        y = idx["y"].to_numpy(zero_copy_only=False)
+        key = idx["tile_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, y, -z))
+        if not (np.array_equal(z, z[order]) and np.array_equal(y, y[order]) and np.array_equal(x, x[order])):
+            errors.append("tile index not sorted (z desc, y, x) — ordering invariant")
+        if len(np.unique(key)) != len(key):
+            errors.append("duplicate tile keys in index")
+        # manifest stats vs index stats (ghost-header consistency analog)
+        for lv in m.levels:
+            sel = z == lv.z
+            n = int(sel.sum())
+            pages = int(idx["page_count"].to_numpy(zero_copy_only=False)[sel].sum())
+            if n != lv.tiles:
+                errors.append(f"z={lv.z}: manifest tiles={lv.tiles} but index has {n}")
+            if pages != lv.pages:
+                errors.append(f"z={lv.z}: manifest pages={lv.pages} but index sums {pages}")
+        if cover:
+            sel = z == base
+            if sel.any():
+                if (
+                    x[sel].min() < cover[0] or x[sel].max() > cover[2]
+                    or y[sel].min() < cover[1] or y[sel].max() > cover[3]
+                ):
+                    errors.append("base-level tiles outside the aligned cover")
+
+    # ---- page conservation across summable kernels ----------------------
+    resampling = spec.get("resampling", "sum")
+    if resampling in ("sum", "average") and len(m.levels) > 1:
+        base_pages = m.levels[0].pages
+        for lv in m.levels[1:]:
+            if lv.pages != base_pages:
+                errors.append(
+                    f"z={lv.z}: page_count {lv.pages} != base {base_pages} "
+                    f"(decimation must conserve pages under {resampling})"
+                )
+
+    # ---- spot check grid payloads ---------------------------------------
+    if spot_check and not errors:
+        G2 = int(spec["tile_px"]) ** 2
+        for lv in m.levels[:2]:
+            t = pq.read_table(mani.level_dir(out_dir, lv.z), columns=["cells", "counts"])
+            cells = t["cells"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            counts = t["counts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            limit = G2 if not (resampling == "mode") else G2  # cells always pixel ids at rest
+            if len(cells) and (cells.min() < 0 or cells.max() >= limit):
+                errors.append(f"z={lv.z}: cell index outside [0, G²)")
+            if len(counts) and counts.min() <= 0 and resampling in ("sum", "average"):
+                errors.append(f"z={lv.z}: non-positive grid count")
+
+    if strict:
+        errors.extend(warnings)
+        warnings = []
+    return (len(errors) == 0, errors, warnings)

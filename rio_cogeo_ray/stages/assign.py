@@ -1,0 +1,165 @@
+"""Prepare/assign stages — extract, geocode, tile assignment.
+
+The engine analog of the reference's warp + windowed-copy phases
+(rio_cogeo/cogeo.py:261-298,362-379): stateless ``map_batches``
+transforms over zero-copy Arrow batches that turn raw page rows into
+georeferenced, tile-keyed rows ready for the density shuffle.
+
+Determinism contract: every derived value is a pure IEEE-754 float64 /
+int64 function of the row content with a fixed operation order, so the
+distributed run, the single-node oracle, and (for the documents-table
+variant) the DuckDB oracle SQL agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.functions.extract import extract_text
+from rio_cogeo_ray.functions.geocode import GeoSpec, geocode_id, geocode_url
+
+# SQL templates mirroring tms.lonlat_to_mercator EXACTLY (same
+# literals/op order). my uses ln(tan(..)) — bit-identical here because
+# DuckDB and numpy call the same libm on this machine; tests pin the
+# agreement.
+MERCATOR_MX_SQL = "({lon} * 111319.49079327358)"
+MERCATOR_MY_SQL = "(6378137.0 * LN(TAN(PI() / 4.0 + ({lat} * PI() / 180.0) / 2.0)))"
+# tile index at zoom z: floor((mx + O) / span), clamped to [0, 2^z - 1]
+TILE_X_SQL = (
+    "LEAST(GREATEST(CAST(FLOOR(({mx} + 20037508.342789244) / ({span})) "
+    "AS BIGINT), 0), {nmax})"
+)
+TILE_Y_SQL = (
+    "LEAST(GREATEST(CAST(FLOOR((20037508.342789244 - ({my})) / ({span})) "
+    "AS BIGINT), 0), {nmax})"
+)
+
+
+def mercator_cols(lon: np.ndarray, lat: np.ndarray):
+    """lon/lat → web-mercator meters (canonical projection; alias of
+    tms.lonlat_to_mercator, whose op order the SQL templates mirror)."""
+    return tms.lonlat_to_mercator(lon, lat)
+
+
+def geocode_pages(
+    batch: pa.Table,
+    spec: GeoSpec,
+    extract: bool = True,
+) -> pa.Table:
+    """Pages batch → + (text, lon, lat, geo_valid).
+
+    When ``extract`` is set and ``html`` is present the ``text`` column
+    is REPLACED by the engine's deterministic extraction (the per-row
+    byte-identical invariant from BASELINE.json input_hint — tests
+    assert it equals the stored column).
+    """
+    if extract and "html" in batch.column_names:
+        text = extract_text(batch["html"].combine_chunks())
+        if "text" in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index("text"), "text", text
+            )
+        else:
+            batch = batch.append_column("text", text)
+    lon, lat, valid = geocode_url(batch["url"].combine_chunks(), spec)
+    batch = batch.append_column("lon", pa.array(lon, pa.float64(), mask=~valid))
+    batch = batch.append_column("lat", pa.array(lat, pa.float64(), mask=~valid))
+    batch = batch.append_column("geo_valid", pa.array(valid))
+    return batch
+
+
+def geocode_documents(batch: pa.Table) -> pa.Table:
+    """Documents batch (driver testdata shape) → + (lon, lat, geo_valid)
+    via the SQL-reproducible integer-hash geocode (geocode.GEOCODE_*_SQL)."""
+    ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    lon, lat, valid = geocode_id(ids)
+    batch = batch.append_column("lon", pa.array(lon, pa.float64(), mask=~valid))
+    batch = batch.append_column("lat", pa.array(lat, pa.float64(), mask=~valid))
+    batch = batch.append_column("geo_valid", pa.array(valid))
+    return batch
+
+
+def assign_tiles(batch: pa.Table, zoom: int) -> pa.Table:
+    """+ (mx, my, x, y, tile_key) at ``zoom``; geo-invalid rows get nulls
+    (the nodata analog, cogeo.py:276-279).
+
+    Tile rule (pinned by tests + TILE_X/Y_SQL): pure floor of
+    mercator / tile_span, right/bottom boundary belongs to the next
+    tile, world edge clamps into [0, 2^z - 1].
+    """
+    valid = batch["geo_valid"].combine_chunks().to_numpy(zero_copy_only=False)
+    lon = batch["lon"].combine_chunks().fill_null(0.0).to_numpy(zero_copy_only=False)
+    lat = batch["lat"].combine_chunks().fill_null(0.0).to_numpy(zero_copy_only=False)
+    mx, my = mercator_cols(lon, lat)
+    x, y = tms.mercator_tile(mx, my, zoom)
+    key = tms.pack_tile_key(zoom, x, y)
+    inv = ~valid
+    batch = batch.append_column("mx", pa.array(mx, pa.float64(), mask=inv))
+    batch = batch.append_column("my", pa.array(my, pa.float64(), mask=inv))
+    batch = batch.append_column("x", pa.array(x, pa.int64(), mask=inv))
+    batch = batch.append_column("y", pa.array(y, pa.int64(), mask=inv))
+    batch = batch.append_column("tile_key", pa.array(key, pa.int64(), mask=inv))
+    return batch
+
+
+def add_cell(batch: pa.Table, level: int, column: str = "cell") -> pa.Table:
+    """+ S2-style Morton cell id at ``level`` (functions.tms.cell_encode)."""
+    valid = batch["geo_valid"].combine_chunks().to_numpy(zero_copy_only=False)
+    lon = batch["lon"].combine_chunks().fill_null(0.0).to_numpy(zero_copy_only=False)
+    lat = batch["lat"].combine_chunks().fill_null(0.0).to_numpy(zero_copy_only=False)
+    cell = tms.cell_encode(lon, lat, level)
+    return batch.append_column(column, pa.array(cell, pa.int64(), mask=~valid))
+
+
+def drop_invalid(batch: pa.Table) -> pa.Table:
+    """Filter out geo-invalid rows (nodata 'drop' policy)."""
+    return batch.filter(pc.field("geo_valid"))
+
+
+def project(batch: pa.Table, columns: Sequence[str]) -> pa.Table:
+    """Column projection (band selection analog, cogeo.py:207-219).
+    Drop wide columns (html!) BEFORE any shuffle."""
+    return batch.select(list(columns))
+
+
+def verify_extract_invariant(batch: pa.Table) -> pa.Table:
+    """Per-batch check of the per-row invariant: extract_text(html) must
+    equal the stored ``text`` byte-for-byte. Returns one count row per
+    batch (aggregate downstream)."""
+    text = extract_text(batch["html"].combine_chunks())
+    eq = pc.equal(text, batch["text"].combine_chunks())
+    bad = len(batch) - pc.sum(pc.cast(eq, pa.int64())).as_py()
+    return pa.table({"rows": [len(batch)], "mismatches": [bad]})
+
+
+def make_prepare_fn(
+    spec: GeoSpec,
+    zoom: int,
+    extract: bool = True,
+    keep: Optional[Sequence[str]] = None,
+    cell_level: Optional[int] = None,
+    source: str = "pages",
+):
+    """Compose the full prepare stage as ONE stateless map_batches fn
+    (single pass over the batch; html dropped before return unless kept)."""
+
+    def _prepare(batch: pa.Table) -> pa.Table:
+        if source == "pages":
+            batch = geocode_pages(batch, spec, extract=extract)
+        else:
+            batch = geocode_documents(batch)
+        batch = assign_tiles(batch, zoom)
+        if cell_level is not None:
+            batch = add_cell(batch, cell_level)
+        if keep is not None:
+            batch = batch.select([c for c in keep if c in batch.column_names])
+        elif "html" in batch.column_names:
+            batch = batch.drop_columns(["html"])
+        return batch
+
+    return _prepare

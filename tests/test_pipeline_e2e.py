@@ -1,0 +1,160 @@
+"""End-to-end: distributed create() vs single-node oracle, bit-for-bit.
+
+The engine analog of the reference's byte-identical internal-tile checks
+(tests/test_web.py:158-238) and GDAL cross-validation
+(tests/test_web.py:303-405): every pyramid level produced by the Ray
+pipeline must equal the oracle tiler exactly — same tile set, same
+sparse cells, same int64 counts, same page counts.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rio_cogeo_ray import fixtures, oracle
+from rio_cogeo_ray.pipelines import create as create_mod
+from rio_cogeo_ray.pipelines.spec import TilingSpec, plan
+from rio_cogeo_ray.state import manifest as mani
+
+
+def _spec_for(name: str, zoom: int = 7, **kw) -> TilingSpec:
+    return plan(zoom=zoom, geocode=fixtures.scenario_spec(name), **kw)
+
+
+def _load_level(out_dir: str, z: int):
+    t = pq.read_table(mani.level_dir(out_dir, z))
+    rows = {}
+    for i in range(t.num_rows):
+        rows[t["tile_key"][i].as_py()] = (
+            np.array(t["cells"][i].as_py(), dtype=np.int64),
+            np.array(t["counts"][i].as_py(), dtype=np.int64),
+            t["page_count"][i].as_py(),
+        )
+    return rows
+
+
+def _assert_levels_equal(out_dir: str, spec, oracle_levels):
+    for z, otiles in oracle_levels.items():
+        etiles = _load_level(out_dir, z)
+        assert set(etiles) == set(otiles), f"tile set mismatch at z={z}"
+        for k in otiles:
+            oc, ow, op = otiles[k]
+            ec, ew, ep = etiles[k]
+            np.testing.assert_array_equal(ec, oc, err_msg=f"cells z={z} key={k}")
+            np.testing.assert_array_equal(ew, ow, err_msg=f"counts z={z} key={k}")
+            assert ep == op, f"page_count z={z} key={k}"
+
+
+@pytest.mark.parametrize(
+    "scenario,resampling",
+    [
+        ("pages_rgb", "sum"),
+        ("pages_nodata", "sum"),
+        ("pages_web", "average"),
+        ("pages_skew", "sum"),
+        ("pages_tiny", "nearest"),
+        ("pages_north", "mode"),
+    ],
+)
+def test_create_matches_oracle(ray_session, tmp_path, scenario, resampling):
+    path = fixtures.scenario_path(scenario)
+    spec = _spec_for(scenario, zoom=7, resampling=resampling, overview_levels=4)
+    out = str(tmp_path / f"out_{scenario}")
+
+    m = create_mod.create(path, out, spec, source="pages", batch_size=512)
+    table = pq.read_table(path)
+    oracle_levels = oracle.pyramid(table, spec, source="pages")
+    _assert_levels_equal(out, spec, oracle_levels)
+
+    # manifest bookkeeping
+    base = m.levels[0]
+    assert base.z == spec.zoom
+    assert m.total_pages == table.num_rows
+    assert base.pages == sum(p for (_, _, p) in oracle_levels[spec.zoom].values())
+    assert m.invalid_pages == m.total_pages - base.pages
+    # pyramid conservation for summable kernels: pages identical per level
+    for lv in m.levels[1:]:
+        assert lv.pages == base.pages
+
+
+def test_create_aligned_cover(ray_session, tmp_path):
+    """Web-optimized alignment: measured bounds snapped at base_zoom
+    (utils.py:88-147 analog); all tiles inside the aligned cover."""
+    path = fixtures.scenario_path("pages_web")
+    spec = plan(
+        zoom=8, geocode=fixtures.scenario_spec("pages_web"),
+        aligned_levels=2, overview_levels=3,
+    )
+    out = str(tmp_path / "out_aligned")
+    m = create_mod.create(path, out, spec, source="pages", batch_size=512)
+    # spec in manifest got a cover; cover is aligned to base_zoom grid
+    cover = m.spec["tile_cover"]
+    assert cover is not None
+    min_x, min_y, max_x, max_y = cover
+    factor = 1 << 2
+    assert min_x % factor == 0 and min_y % factor == 0
+    assert (max_x + 1) % factor == 0 and (max_y + 1) % factor == 0
+    idx = pq.read_table(os.path.join(mani.manifest_dir(out), "tiles_index"))
+    base_rows = idx.filter(
+        np.equal(idx["z"].to_numpy(zero_copy_only=False), 8)
+    ) if False else None
+    xs = idx["x"].to_numpy(zero_copy_only=False)
+    ys = idx["y"].to_numpy(zero_copy_only=False)
+    zs = idx["z"].to_numpy(zero_copy_only=False)
+    at_base = zs == 8
+    assert xs[at_base].min() >= min_x and xs[at_base].max() <= max_x
+    assert ys[at_base].min() >= min_y and ys[at_base].max() <= max_y
+
+
+def test_resume_skips_completed_levels(ray_session, tmp_path):
+    """Checkpoint-resume: a second run with intact markers recomputes
+    nothing (level dirs untouched); a corrupted level is detected."""
+    path = fixtures.scenario_path("pages_rgb")
+    spec = _spec_for("pages_rgb", zoom=6, overview_levels=3)
+    out = str(tmp_path / "out_resume")
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+
+    mtimes = {
+        z: os.path.getmtime(mani.level_dir(out, z)) for z in spec.zooms
+    }
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+    for z in spec.zooms:
+        assert os.path.getmtime(mani.level_dir(out, z)) == mtimes[z], z
+
+    # corrupt one level → that level (only) is rebuilt
+    victim = spec.zooms[1]
+    d = mani.level_dir(out, victim)
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+    t = pq.read_table(d)
+    assert t.num_rows > 0
+
+
+def test_extract_invariant_on_fixture():
+    """Per-row invariant: stored text == extract_text(html) everywhere."""
+    t = fixtures.scenario_table("pages_rgb")
+    assert oracle.verify_text_invariant(t) == 0
+
+
+def test_weighted_density_matches_oracle(ray_session, tmp_path):
+    """Integer weight channel (band-value analog) through the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    path = fixtures.scenario_path("pages_rgb")
+    table = pq.read_table(path)
+    # weight = text length in bytes (int64, deterministic)
+    w = pc.binary_length(table["text"]).cast(pa.int64())
+    table = table.append_column("text_len", w)
+    wpath = str(tmp_path / "pages_w.parquet")
+    pq.write_table(table, wpath)
+
+    spec = _spec_for("pages_rgb", zoom=6, overview_levels=2)
+    out = str(tmp_path / "out_w")
+    create_mod.create(wpath, out, spec, source="pages", weight_col="text_len", batch_size=512)
+    oracle_levels = oracle.pyramid(table, spec, source="pages", weight_col="text_len")
+    _assert_levels_equal(out, spec, oracle_levels)
