@@ -116,7 +116,9 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
             min_x = min_y = 0
             max_x = max_y = -1
         else:
-            min_x, min_y, max_x, max_y = xs.min(), ys.min(), xs.max(), ys.max()
+            min_x, min_y, max_x, max_y = (
+                int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
+            )
 
     if max_x >= min_x:
         west, _, _, north = tms.xy_bounds(base_z, min_x, min_y)

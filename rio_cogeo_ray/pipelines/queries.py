@@ -1,0 +1,681 @@
+"""Driver-checkable query surface: every operator from SURVEY.md §2 as a
+``(sf_dir) -> result`` callable plus (where ANSI-SQL-expressible) a
+DuckDB oracle string computing the same result with the SAME column
+names and the SAME IEEE-754 op order.
+
+Exactness doctrine (why the SQL mirrors work):
+
+- geocode/tile math uses exact int64 arithmetic + literal float
+  constants mirrored between numpy and SQL (functions/geocode.py,
+  stages/assign.py); the only transcendental (mercator my) agrees with
+  DuckDB to the last ulp on this libm, and every SQL-compared output is
+  an INTEGER derived from floors whose boundary-flip probability is
+  ~1e-14 per row.
+- every SQL-compared aggregate is an int64 sum / exact min-max / count;
+  float accumulations are quantized first (floor(x*scale + 0.5),
+  mirrored literally).
+- rank outputs tie-break on a unique id in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from rio_cogeo_ray import fixtures
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.stages import agg, ann, assign, dedup, knn, rasterize, text, window
+from rio_cogeo_ray.stages import join as join_mod
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (mirror functions/geocode.py + stages/assign.py)
+# ---------------------------------------------------------------------------
+
+_LON = "(((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0)"
+_LAT = "((((doc_id + 1) * 2246822519) % 4294967296) / 4294967296.0 * 170.0 - 85.0)"
+_VALID = "(((doc_id * 2654435761) % 4294967296) % 97 <> 0)"
+_MX = "(lon * 111319.49079327358)"
+_MY = "(6378137.0 * LN(TAN(PI() / 4.0 + (lat * PI() / 180.0) / 2.0)))"
+_O = "20037508.342789244"
+
+
+def _span_sql(z: int) -> str:
+    return f"((2.0 * {_O}) / {float(1 << z)!r})"
+
+
+def _geo_cte() -> str:
+    return (
+        f"WITH g AS (SELECT doc_id, n_chars, {_LON} AS lon, {_LAT} AS lat "
+        f"FROM documents WHERE {_VALID}), "
+        f"m AS (SELECT doc_id, n_chars, lon, lat, {_MX} AS mx, {_MY} AS my FROM g)"
+    )
+
+
+def _tile_sql(z: int) -> str:
+    n = (1 << z) - 1
+    s = _span_sql(z)
+    return (
+        f"SELECT doc_id, n_chars, lon, lat, mx, my, "
+        f"LEAST(GREATEST(CAST(FLOOR((mx + {_O}) / {s}) AS BIGINT), 0), {n}) AS x, "
+        f"LEAST(GREATEST(CAST(FLOOR(({_O} - my) / {s}) AS BIGINT), 0), {n}) AS y FROM m"
+    )
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _prepared_docs(sf_dir: str, zoom: int, columns=("doc_id",)):
+    ds = _docs(sf_dir, list(columns))
+    fn = assign.make_prepare_fn(None, zoom, extract=False, source="documents")
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _valid_only(ds):
+    return ds.map_batches(assign.drop_invalid, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Query implementations
+# ---------------------------------------------------------------------------
+
+TILE_Z = 6
+DENSITY_Z = 4
+RASTER_Z = 5
+RASTER_G = 64
+KNN_K = 8
+ANN_K = 10
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+def q_tile_assign(sf_dir: str):
+    """Per-doc tile assignment at z=6 (assign_tiles op)."""
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "x", "y", "tile_key"]), batch_format="pyarrow"
+    )
+
+
+SQL_TILE_ASSIGN = (
+    _geo_cte() + f", t AS ({_tile_sql(TILE_Z)}) "
+    f"SELECT doc_id, x, y, "
+    f"({TILE_Z} * 288230376151711744 + x * 536870912 + y) AS tile_key FROM t"
+)
+
+
+def q_tile_density(sf_dir: str):
+    """Per-tile page count + char sum at z=4 (windowed block copy /
+    density aggregate analog, with partial pre-agg before the shuffle)."""
+    ds = _valid_only(_prepared_docs(sf_dir, DENSITY_Z, columns=("doc_id", "n_chars")))
+    return agg.partial_group_agg(
+        ds, keys=["x", "y"], sum_cols=["n_chars"], count_as="pages"
+    )
+
+
+SQL_TILE_DENSITY = (
+    _geo_cte() + f", t AS ({_tile_sql(DENSITY_Z)}) "
+    f"SELECT x, y, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    f"CAST(COUNT(*) AS BIGINT) AS pages FROM t GROUP BY x, y"
+)
+
+
+def q_pyramid_counts(sf_dir: str):
+    """Tile page counts for the whole pyramid z=4..0 (overview build,
+    cogeo.py:381-390 analog): each level derived from the previous by
+    integer parent shift + re-aggregation."""
+    base = q_tile_density(sf_dir).drop_columns(["sum_n_chars"])
+
+    def _with_z(t: pa.Table, z: int) -> pa.Table:
+        return pa.table(
+            {
+                "z": pa.array(np.full(len(t), z, dtype=np.int64), pa.int64()),
+                "x": t["x"].combine_chunks().cast(pa.int64()),
+                "y": t["y"].combine_chunks().cast(pa.int64()),
+                "pages": t["pages"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    levels = [base.map_batches(lambda t: _with_z(t, DENSITY_Z), batch_format="pyarrow")]
+    cur = levels[0]
+    for z in range(DENSITY_Z - 1, -1, -1):
+        def _shift(t: pa.Table, _z=z) -> pa.Table:
+            return pa.table(
+                {
+                    "x": pa.compute.shift_right(t["x"], 1),
+                    "y": pa.compute.shift_right(t["y"], 1),
+                    "pages": t["pages"],
+                }
+            )
+
+        shifted = cur.map_batches(_shift, batch_format="pyarrow")
+        agged = agg.partial_group_agg(shifted, keys=["x", "y"], sum_cols=["pages"], count_as=None)
+        cur = agged.map_batches(
+            lambda t, _z=z: pa.table(
+                {
+                    "z": pa.array(np.full(len(t), _z, dtype=np.int64), pa.int64()),
+                    "x": t["x"].combine_chunks().cast(pa.int64()),
+                    "y": t["y"].combine_chunks().cast(pa.int64()),
+                    "pages": t["sum_pages"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _sql_pyramid_counts() -> str:
+    base = (
+        _geo_cte() + f", t AS ({_tile_sql(DENSITY_Z)}), "
+        f"base AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS pages FROM t GROUP BY x, y)"
+    )
+    parts = [f"SELECT CAST({DENSITY_Z} AS BIGINT) AS z, x, y, pages FROM base"]
+    for z in range(DENSITY_Z - 1, -1, -1):
+        k = DENSITY_Z - z
+        d = 1 << k
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, x // {d} AS x, y // {d} AS y, "
+            f"CAST(SUM(pages) AS BIGINT) AS pages FROM base GROUP BY x // {d}, y // {d}"
+        )
+    return base + " " + " UNION ALL ".join(parts)
+
+
+SQL_PYRAMID_COUNTS = _sql_pyramid_counts()
+
+
+def _aoi_values_sql() -> str:
+    rows = []
+    for a in fixtures.RECT_AOIS:
+        (w, s), (e, n) = a.ring[0], a.ring[2]
+        rows.append(f"({a.aoi_id}, {w!r}, {s!r}, {e!r}, {n!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS a(aoi_id, w, s, e, n)"
+
+
+def q_pip_inner(sf_dir: str):
+    """Point-in-polygon inner join vs the rectangular AOI set (broadcast
+    small side; actor pool builds the polygon index once per actor)."""
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+    joined = pip_stage(ds, mode="inner")
+    return joined.map_batches(
+        lambda t: t.select(["doc_id", "aoi_id"]), batch_format="pyarrow"
+    )
+
+
+def pip_stage(ds, mode: str):
+    from rio_cogeo_ray.stages import pip as pip_mod
+
+    return pip_mod.pip_join(ds, fixtures.aois_table(fixtures.RECT_AOIS), mode=mode, concurrency=2)
+
+
+SQL_PIP_INNER = (
+    _geo_cte() + " SELECT m.doc_id, CAST(a.aoi_id AS INTEGER) AS aoi_id "
+    f"FROM m JOIN {_aoi_values_sql()} ON m.lon >= a.w AND m.lon <= a.e "
+    "AND m.lat >= a.s AND m.lat <= a.n"
+)
+
+
+def q_pip_anti(sf_dir: str):
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+    joined = pip_stage(ds, mode="anti")
+    return joined.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+SQL_PIP_ANTI = (
+    _geo_cte() + " SELECT m.doc_id FROM m WHERE NOT EXISTS ("
+    f"SELECT 1 FROM {_aoi_values_sql()} WHERE m.lon >= a.w AND m.lon <= a.e "
+    "AND m.lat >= a.s AND m.lat <= a.n)"
+)
+
+
+def q_knn_bin(sf_dir: str):
+    """k nearest docs to each lon/lat bin centroid (kNN-per-tile op in
+    its SQL-exact lon/lat-grid form; the mercator-TMS form is pinned by
+    pytest against the oracle tiler)."""
+
+    def _bins(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy(zero_copy_only=False)
+        lat = t["lat"].combine_chunks().to_numpy(zero_copy_only=False)
+        lon_bin = np.floor((lon + 180.0) / 30.0).astype(np.int64)
+        lat_bin = np.floor((lat + 85.0) / 34.0).astype(np.int64)
+        cx = (lon_bin + 0.5) * 30.0 - 180.0
+        cy = (lat_bin + 0.5) * 34.0 - 85.0
+        dx = lon - cx
+        dy = lat - cy
+        d2 = dx * dx + dy * dy
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "bin_key": pa.array(lon_bin * 64 + lat_bin, pa.int64()),
+                "lon_bin": pa.array(lon_bin, pa.int64()),
+                "lat_bin": pa.array(lat_bin, pa.int64()),
+                "d2": pa.array(d2, pa.float64()),
+            }
+        )
+
+    ds = _valid_only(_prepared_docs(sf_dir, 1)).map_batches(_bins, batch_format="pyarrow")
+    topk = knn.per_group_topk(
+        ds, "bin_key", [("d2", True), ("doc_id", True)], KNN_K, rank_col="rnk"
+    )
+    return topk.map_batches(
+        lambda t: t.select(["lon_bin", "lat_bin", "doc_id", "rnk"]), batch_format="pyarrow"
+    )
+
+
+SQL_KNN_BIN = (
+    _geo_cte() + ", b AS (SELECT doc_id, "
+    "CAST(FLOOR((lon + 180.0) / 30.0) AS BIGINT) AS lon_bin, "
+    "CAST(FLOOR((lat + 85.0) / 34.0) AS BIGINT) AS lat_bin, lon, lat FROM m), "
+    "d AS (SELECT doc_id, lon_bin, lat_bin, "
+    "(lon - ((lon_bin + 0.5) * 30.0 - 180.0)) * (lon - ((lon_bin + 0.5) * 30.0 - 180.0)) + "
+    "(lat - ((lat_bin + 0.5) * 34.0 - 85.0)) * (lat - ((lat_bin + 0.5) * 34.0 - 85.0)) AS d2 "
+    "FROM b) "
+    "SELECT lon_bin, lat_bin, doc_id, rnk FROM ("
+    "SELECT lon_bin, lat_bin, doc_id, CAST(ROW_NUMBER() OVER ("
+    "PARTITION BY lon_bin, lat_bin ORDER BY d2, doc_id) AS BIGINT) AS rnk FROM d) "
+    f"WHERE rnk <= {KNN_K}"
+)
+
+
+def q_raster_cells(sf_dir: str):
+    """Exploded density-grid cells at z=5, G=64 (rasterize_density op —
+    the raster↔vector bridge, SQL-checked down to each pixel count)."""
+    ds = _valid_only(_prepared_docs(sf_dir, RASTER_Z))
+    partials = ds.map_batches(
+        lambda t: rasterize.density_partials(t, RASTER_G), batch_format="pyarrow"
+    )
+    merged = partials.groupby("tile_key").map_groups(
+        lambda g: rasterize.merge_tile_group(g, "sum", level=0), batch_format="pyarrow"
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        cells = t["cells"].combine_chunks()
+        lens = np.diff(cells.offsets.to_numpy(zero_copy_only=False))
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        return pa.table(
+            {
+                "x": t["x"].combine_chunks().take(pa.array(rep)),
+                "y": t["y"].combine_chunks().take(pa.array(rep)),
+                "cell": cells.flatten().cast(pa.int64()),
+                "cnt": t["counts"].combine_chunks().flatten(),
+            }
+        )
+
+    return merged.map_batches(_explode, batch_format="pyarrow")
+
+
+_S5 = _span_sql(RASTER_Z)
+SQL_RASTER_CELLS = (
+    _geo_cte() + f", t AS ({_tile_sql(RASTER_Z)}), "
+    f"p AS (SELECT x, y, "
+    f"LEAST(GREATEST(CAST(FLOOR((mx - (x * {_S5} - {_O})) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS px, "
+    f"LEAST(GREATEST(CAST(FLOOR((({_O} - y * {_S5}) - my) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS py "
+    f"FROM t) "
+    f"SELECT x, y, (py * {RASTER_G} + px) AS cell, CAST(COUNT(*) AS BIGINT) AS cnt "
+    f"FROM p GROUP BY x, y, cell"
+)
+
+
+def q_cell_assign(sf_dir: str):
+    """S2-style Morton cell ids at level 8 (cell_encode op; bit math has
+    no SQL mirror — pinned by pytest against tms.cell_to_tile instead)."""
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+
+    def _cells(t: pa.Table) -> pa.Table:
+        t = assign.add_cell(t, 8)
+        return t.select(["doc_id", "cell"])
+
+    return ds.map_batches(_cells, batch_format="pyarrow")
+
+
+def q_dedup_keepers(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text (hash128 shuffle —
+    equivalence to GROUP BY text modulo 2^-128 collisions)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return dedup.exact_dedup(ds, key_col="text", id_col="doc_id")
+
+
+SQL_DEDUP_KEEPERS = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dedup_stats(sf_dir: str):
+    keep = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]), "text", "doc_id")
+    distinct = keep.count()
+    total = _docs(sf_dir, ["doc_id"]).count()
+    return pa.table(
+        {
+            "distinct_texts": pa.array([distinct], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+        }
+    )
+
+
+SQL_DEDUP_STATS = (
+    "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts, "
+    "CAST(COUNT(*) AS BIGINT) AS total FROM documents"
+)
+
+
+def q_lang_stats(sf_dir: str):
+    """Grouped aggregate over lang (colormap/categorical channel analog)."""
+    ds = _docs(sf_dir, ["lang", "n_chars", "doc_id"])
+    return agg.partial_group_agg(
+        ds, keys=["lang"], sum_cols=["n_chars"], min_cols=["doc_id"],
+        max_cols=["doc_id"], count_as="n",
+    )
+
+
+SQL_LANG_STATS = (
+    "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+)
+
+
+def q_token_counts(sf_dir: str):
+    """Per-doc whitespace token count (RE2 \\S+ both sides)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "tokens": text.token_count(t["text"].combine_chunks()),
+            }
+        )
+
+    return ds.map_batches(_tok, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = (
+    r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens "
+    "FROM documents"
+)
+
+
+def q_quality(sf_dir: str):
+    """Quality-score components (all integer counts, SQL-mirrored)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(
+        text.QualityScore, batch_format="pyarrow", concurrency=2, batch_size=4096
+    )
+    return scored.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_chars_m", "tokens", "alpha_tokens", "stop_hits", "quality_ok"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QUALITY = (
+    r"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+    r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens, "
+    r"CAST(len(regexp_extract_all(text, '\S+')) - "
+    r"len(regexp_extract_all(text, '\S*[^\p{L}\s]\S*')) AS BIGINT) AS alpha_tokens, "
+    r"CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS BIGINT) AS stop_hits, "
+    r"(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) >= 5 "
+    r"AND 2 * length(text) >= 4 * len(regexp_extract_all(text, '\S+')) "
+    r"AND 2 * length(text) <= 24 * len(regexp_extract_all(text, '\S+'))) AS quality_ok "
+    "FROM documents"
+)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h windows per event_type (streaming-shaped aggregate)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    return window.tumbling_aggregate(ds)
+
+
+SQL_EVENTS_HOURLY = (
+    "SELECT event_type, epoch_us(ts) // 3600000000 AS window_id, "
+    "CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_q, "
+    "MIN(value) AS min_value, MAX(value) AS max_value, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY event_type, window_id"
+)
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization per user (30 min gap)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return window.sessionize(ds)
+
+
+SQL_SESSIONS = (
+    "WITH o AS (SELECT user_id, epoch_us(ts) AS tus, "
+    "CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000 THEN 1 ELSE 0 END AS new_s "
+    "FROM events), "
+    "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "per AS (SELECT user_id, sid, COUNT(*) AS c FROM s GROUP BY user_id, sid) "
+    "SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, "
+    "CAST(COUNT(*) AS BIGINT) AS n_sessions, CAST(MAX(c) AS BIGINT) AS longest_session "
+    "FROM per GROUP BY user_id"
+)
+
+
+def q_lineitem_stats(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("qty", pa.array(q.astype(np.int64), pa.int64()))
+
+    return agg.partial_group_agg(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["qty"],
+        min_cols=["l_extendedprice"],
+        max_cols=["l_extendedprice"],
+        count_as="n",
+    )
+
+
+SQL_LINEITEM_STATS = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "MIN(l_extendedprice) AS min_l_extendedprice, "
+    "MAX(l_extendedprice) AS max_l_extendedprice, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast dimension join: orders ⋈ customer (small side shipped
+    once via ray.put, index built per actor)."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = join_mod.broadcast_join(orders, cust, on="o_custkey", concurrency=2)
+    return agg.partial_group_agg(
+        joined, keys=["c_mktsegment"], min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"], count_as="n",
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = (
+    "SELECT c_mktsegment, MIN(o_totalprice) AS min_o_totalprice, "
+    "MAX(o_totalprice) AS max_o_totalprice, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+)
+
+
+def q_lineitem_orders(sf_dir: str):
+    """Large-large bucketed hash join: lineitem ⋈ orders on orderkey."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_linenumber"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    joined = join_mod.bucketed_hash_join(li, orders, on="l_orderkey", n_buckets=16)
+    return agg.partial_group_agg(joined, keys=["o_orderpriority"], count_as="n")
+
+
+SQL_LINEITEM_ORDERS = (
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+)
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-10 per query vector (queries = embeddings
+    of vec_id 0..2, broadcast; one matmul per batch + exact merge)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    mask = np.isin(qt["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qrows = qt.filter(pa.array(mask)).sort_by("vec_id")
+    queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    res = ann.knn_cosine(ds, queries, k=ANN_K, concurrency=2)
+
+    def _label(t: pa.Table) -> pa.Table:
+        # query row index == vec_id because ANN_QUERY_IDS are 0..2 sorted
+        return pa.table(
+            {
+                "query_id": t["query_id"].combine_chunks().cast(pa.int64()),
+                "vec_id": t["vec_id"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    ranked = knn.per_group_topk(
+        res, "query_id", [("score", False), ("vec_id", True)], ANN_K, rank_col="rnk"
+    )
+    return ranked.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rnk"]), batch_format="pyarrow"
+    )
+
+
+SQL_ANN_COSINE = (
+    f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    f"WHERE vec_id IN (0, 1, 2)) "
+    "SELECT query_id, vec_id, rnk FROM ("
+    "SELECT q.query_id, e.vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id "
+    "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS BIGINT) AS rnk "
+    "FROM embeddings e CROSS JOIN q) "
+    f"WHERE rnk <= {ANN_K}"
+)
+
+
+def q_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clusters (shingle→minhash→band→bucket
+    groupby→label propagation). No SQL mirror (iterative); pinned by
+    pytest with planted near-duplicates."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    edges = dedup.lsh_candidate_edges(ds)
+    return dedup.connected_components(edges, max_rounds=4)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash fingerprints + bands (deterministic; rows-only
+    driver check, bit-level pins in pytest)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: dedup.simhash_band_rows(t), batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language-ID over documents (script ranges + function
+    words; rows-only driver check, accuracy pinned in pytest)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=2)
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Whitespace-normalized rolling-hash content fingerprints."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "fp": text.fingerprint64(t["text"].combine_chunks()),
+            }
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> Dict[str, Callable]:
+    return {
+        "tile_assign": q_tile_assign,
+        "tile_density": q_tile_density,
+        "pyramid_counts": q_pyramid_counts,
+        "pip_inner": q_pip_inner,
+        "pip_anti": q_pip_anti,
+        "knn_bin": q_knn_bin,
+        "raster_cells": q_raster_cells,
+        "cell_assign": q_cell_assign,
+        "dedup_keepers": q_dedup_keepers,
+        "dedup_stats": q_dedup_stats,
+        "lang_stats": q_lang_stats,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "lineitem_stats": q_lineitem_stats,
+        "orders_by_segment": q_orders_by_segment,
+        "lineitem_orders": q_lineitem_orders,
+        "ann_cosine": q_ann_cosine,
+        "minhash_clusters": q_minhash_clusters,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "tile_assign": SQL_TILE_ASSIGN,
+        "tile_density": SQL_TILE_DENSITY,
+        "pyramid_counts": SQL_PYRAMID_COUNTS,
+        "pip_inner": SQL_PIP_INNER,
+        "pip_anti": SQL_PIP_ANTI,
+        "knn_bin": SQL_KNN_BIN,
+        "raster_cells": SQL_RASTER_CELLS,
+        "dedup_keepers": SQL_DEDUP_KEEPERS,
+        "dedup_stats": SQL_DEDUP_STATS,
+        "lang_stats": SQL_LANG_STATS,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "quality": SQL_QUALITY,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "sessions": SQL_SESSIONS,
+        "lineitem_stats": SQL_LINEITEM_STATS,
+        "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+        "lineitem_orders": SQL_LINEITEM_ORDERS,
+        "ann_cosine": SQL_ANN_COSINE,
+        # cell_assign, minhash_clusters, simhash, langid, fingerprint:
+        # non-SQL-expressible (bit interleave / iterative / heuristic /
+        # custom hash) — rows-only driver check + pytest oracles.
+    }

@@ -1,0 +1,341 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard verify, embedding-cosine near-dup.
+
+Training-data-pipeline operators (north-rule additions; the reference
+has no record-level set ops — SURVEY.md §2.1 note). All engine-side
+hashing is content-addressed and deterministic, so any parallelism
+produces the same result sets.
+
+Scale notes (the 100 TB story):
+
+- Exact dedup ships (hash128, id) pairs — never the text — through the
+  shuffle; the probability of a 128-bit collision over 10^12 docs is
+  ~10^-14, documented as the equivalence assumption vs the oracle's
+  GROUP BY text.
+- MinHash/SimHash candidate generation emits (band, band_hash, id)
+  rows (explode ≤ n_bands per doc) and groups by band bucket — the
+  LSH shuffle key is uniform by construction, no salting needed.
+- Connected components runs distributed min-label propagation with a
+  bounded round count; each round is a pair of small groupbys over
+  (node, label) — no driver-side union-find over big data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from rio_cogeo_ray.functions.hashing import splitmix64
+
+_H1_SEED = 0x51_C0DE
+_H2_SEED = 0xFACE_FEED
+
+
+def _hash128_batch(batch: pa.Table, key_col: str, id_col: str) -> pa.Table:
+    """(id, h1, h2) per row — polars' vectorized 64-bit string hash at
+    two seeds (native speed; no per-row Python)."""
+    import polars as pl
+
+    s = pl.from_arrow(batch[key_col].combine_chunks().cast(pa.large_string()))
+    h1 = s.hash(seed=_H1_SEED).to_numpy().astype(np.int64)
+    h2 = s.hash(seed=_H2_SEED).to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch[id_col].combine_chunks(),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+        }
+    )
+
+
+def _batch_min_per_hash(batch: pa.Table, id_col: str) -> pa.Table:
+    """Within-batch combiner: min(id) per (h1, h2)."""
+    if len(batch) == 0:
+        return batch
+    batch = batch.sort_by([("h1", "ascending"), ("h2", "ascending"), (id_col, "ascending")])
+    h1 = batch["h1"].combine_chunks().to_numpy(zero_copy_only=False)
+    h2 = batch["h2"].combine_chunks().to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
+    return batch.filter(pa.array(new))
+
+
+def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", with_counts: bool = False):
+    """Keepers of exact duplicate groups: min(id) per distinct content.
+
+    map_batches(hash128, drop content) → within-batch min combine →
+    groupby((h1,h2)).min(id). Equivalent to SQL ``GROUP BY <content>``
+    modulo 128-bit collisions (assumption documented in the module doc).
+    """
+    hashed = ds.map_batches(
+        lambda t: _hash128_batch(t, key_col, id_col), batch_format="pyarrow"
+    )
+    combined = hashed.map_batches(
+        lambda t: _batch_min_per_hash(t, id_col), batch_format="pyarrow"
+    )
+    aggs = [Min(id_col, alias_name=id_col)]
+    if with_counts:
+        # NOTE: per-group counts need raw rows, so skip the min combine
+        from ray.data.aggregate import Count as _C
+
+        grouped = hashed.groupby(["h1", "h2"]).aggregate(
+            Min(id_col, alias_name=id_col), _C(alias_name="dups")
+        )
+        return grouped.select_columns([id_col, "dups"])
+    return combined.groupby(["h1", "h2"]).aggregate(*aggs).select_columns([id_col])
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def _char_shingle_hashes(texts: pa.Array, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes per document, vectorized over the Arrow
+    values buffer (one rolling pass over bytes, no per-row Python).
+    Returns (doc_idx, shingle_hash) flat arrays."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())
+    off = np.frombuffer(texts.buffers()[1], dtype=np.int32)
+    off = off[texts.offset : texts.offset + len(texts) + 1].astype(np.int64)
+    values = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    lens = np.diff(off)
+    n_sh = np.maximum(lens - k + 1, 0)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_sh)
+    # start byte of each shingle
+    starts = np.repeat(off[:-1], n_sh) + _pos_within(n_sh)
+    # polynomial rolling hash over k bytes (vectorized across shingles)
+    h = np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * np.uint64(1099511628211) + values[starts + j].astype(np.uint64)
+        h = splitmix64(h)
+    return doc_idx, h
+
+
+def _pos_within(counts: np.ndarray) -> np.ndarray:
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def minhash_signatures(
+    texts: pa.Array, num_perm: int = 64, shingle_k: int = 5
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures. Permutations are the
+    classic (a*x + b) universal family with fixed seeded constants."""
+    doc_idx, sh = _char_shingle_hashes(texts, shingle_k)
+    n = len(texts) if not isinstance(texts, pa.ChunkedArray) else texts.length()
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E37)) | np.uint64(1)
+    b = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(0xB0B))
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hp = sh * a[p] + b[p]
+            np.minimum.at(sig[:, p], doc_idx, hp)
+    return sig
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> pa.Table:
+    """Explode each doc into (id, band, band_hash) LSH bucket rows —
+    the shingle→minhash→band map stage."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(batch[text_col].combine_chunks(), num_perm)
+    n = len(batch)
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+    doc_rep = np.repeat(ids, bands)
+    with np.errstate(over="ignore"):
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            bh = bh * np.uint64(1099511628211) ^ sig[:, r::rows_per_band][:, :bands]
+        bh = splitmix64(bh)
+    return pa.table(
+        {
+            id_col: pa.array(doc_rep),
+            "band": pa.array(band_ids, pa.int64()),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _bucket_edges(group: pa.Table, id_col: str) -> pa.Table:
+    """Bucket members → star edges to the bucket minimum (enough for
+    connectivity; avoids quadratic pair explosion in hot buckets)."""
+    ids = np.sort(group[id_col].combine_chunks().to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "src": pa.array(ids[1:], pa.int64()),
+            "dst": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
+        }
+    )
+
+
+def lsh_candidate_edges(ds, id_col: str = "doc_id", text_col: str = "text",
+                        num_perm: int = 64, bands: int = 16):
+    """documents → candidate-duplicate edges via banded MinHash LSH."""
+    band_rows = ds.map_batches(
+        lambda t: minhash_band_rows(t, id_col, text_col, num_perm, bands),
+        batch_format="pyarrow",
+    )
+    edges = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_edges(g, id_col), batch_format="pyarrow"
+    )
+    return edges
+
+
+def connected_components(edges, max_rounds: int = 6):
+    """Distributed min-label propagation over (src, dst) edges — no
+    joins, no driver materialization: each round is
+    ``union(edges-as-messages, labels) → groupby(node).map_groups`` that
+    re-emits every node's current min label to its neighbors, then a
+    ``groupby(node).min`` to absorb messages.
+
+    Returns (node, label) with label = min node id reachable within
+    ``max_rounds`` hops. LSH star edges (member → bucket min) give
+    near-star components that converge in 2-4 rounds; the bound is
+    documented, not silent — raise it for long chain topologies.
+    """
+    # undirected: symmetrize once (reused every round)
+    def _sym(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t["src"].combine_chunks().cast(pa.int64()), t["dst"].combine_chunks().cast(pa.int64())]
+        )
+        nbr = pa.concat_arrays(
+            [t["dst"].combine_chunks().cast(pa.int64()), t["src"].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"node": node, "nbr": nbr, "label": pa.nulls(len(node), pa.int64())})
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    # initial labels: min(node, neighbors)
+    def _init_msgs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.min_element_wise(t["node"], t["nbr"])
+        return pa.table({"node": t["node"], "label": lab})
+
+    labels = (
+        sym.map_batches(_init_msgs, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+    def _spread(group: pa.Table) -> pa.Table:
+        """One node's group: its edge rows (nbr set) + its label row →
+        broadcast min label to self and all neighbors."""
+        import pyarrow.compute as pc
+
+        node = group["node"][0].as_py()
+        lab = pc.min(group["label"]).as_py()
+        lab = node if lab is None else min(lab, node)
+        nbrs = group["nbr"].combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+        targets = np.concatenate((nbrs, [node]))
+        return pa.table(
+            {
+                "node": pa.array(targets, pa.int64()),
+                "label": pa.array(np.full(len(targets), lab), pa.int64()),
+            }
+        )
+
+    for _ in range(max_rounds):
+        def _as_msg_schema(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"].combine_chunks().cast(pa.int64()),
+                    "nbr": pa.nulls(len(t), pa.int64()),
+                    "label": t["label"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        combined = sym.union(labels.map_batches(_as_msg_schema, batch_format="pyarrow"))
+        msgs = combined.groupby("node").map_groups(_spread, batch_format="pyarrow")
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(texts: pa.Array, shingle_k: int = 4) -> np.ndarray:
+    """64-bit SimHash over k-char shingle hashes (unweighted): bit i of
+    the fingerprint = majority vote of shingle-hash bit i."""
+    doc_idx, sh = _char_shingle_hashes(texts, shingle_k)
+    n = texts.length() if isinstance(texts, pa.ChunkedArray) else len(texts)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    if len(sh):
+        counts = np.bincount(doc_idx, minlength=n)
+        for bit in range(64):
+            ones = np.bincount(
+                doc_idx, weights=((sh >> np.uint64(bit)) & np.uint64(1)).astype(np.float64),
+                minlength=n,
+            )
+            votes[:, bit] = (2 * ones > counts).astype(np.int64)
+    fp = np.zeros(n, dtype=np.uint64)
+    for bit in range(64):
+        fp |= votes[:, bit].astype(np.uint64) << np.uint64(bit)
+    return fp.astype(np.int64)
+
+
+def simhash_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(id, fingerprint, band, band_bits): 4 bands × 16 bits — pigeonhole
+    guarantee: hamming distance ≤ 3 ⇒ at least one identical band."""
+    fp = simhash64(batch[text_col].combine_chunks())
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(batch)
+    band = np.tile(np.arange(4, dtype=np.int64), n)
+    rep = np.repeat(np.arange(n), 4)
+    bits = (fp.astype(np.uint64)[rep] >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, 4)),
+            "fingerprint": pa.array(fp[rep].astype(np.int64), pa.int64()),
+            "band": pa.array(band, pa.int64()),
+            "band_bits": pa.array(bits.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a).astype(np.uint64)) ^ (np.asarray(b).astype(np.uint64))
+    cnt = np.zeros(len(x) if x.ndim else 1, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def jaccard_shingles(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact k-char shingle Jaccard of two texts (verification kernel
+    applied to candidate pairs, not the corpus)."""
+    sa = {text_a[i : i + k] for i in range(max(0, len(text_a) - k + 1))}
+    sb = {text_b[i : i + k] for i in range(max(0, len(text_b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

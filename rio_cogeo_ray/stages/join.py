@@ -1,0 +1,162 @@
+"""Joins — broadcast (small side) and bucketed hash (both sides large).
+
+The Ray-Data-first join split (ray_guide.md):
+
+- :func:`broadcast_join` — dimension-table pattern: the small side is
+  ``ray.put`` once and each actor materializes a hash index in
+  ``__init__``; per batch it's a vectorized ``searchsorted`` lookup. No
+  shuffle at all (the engine analog of the reference's colormap
+  broadcast, cogeo.py:345-360).
+- :func:`bucketed_hash_join` — explicit partitioned hash join: both
+  sides get ``bucket = hash(key) % B``, matching buckets meet in ONE
+  ``groupby("bucket").map_groups`` over the union (side-tagged), and
+  each bucket joins in pandas. B sizes buckets to worker heaps;
+  deterministic output via per-bucket sort. Ray 2.49 has no
+  ``Dataset.join``, so this IS the large-large join primitive here.
+  Skew: a hot KEY still lands in one bucket — for known-skewed keys use
+  ``broadcast_join`` on the hot subset (documented partitioning
+  assumption).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from rio_cogeo_ray.functions.hashing import splitmix64
+
+
+class BroadcastLookup:
+    """Actor callable: left batch + broadcast right table → joined batch.
+
+    ``right`` is sorted by key once per actor; per batch the join is one
+    ``np.searchsorted``. inner ('semi'/'anti' variants filter only)."""
+
+    def __init__(
+        self,
+        right: Union[pa.Table, "ray.ObjectRef"],
+        on: str,
+        right_cols: Optional[Sequence[str]] = None,
+        mode: str = "inner",
+    ):
+        if isinstance(right, ray.ObjectRef):
+            right = ray.get(right)
+        self.on = on
+        self.mode = mode
+        keys = right[on].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        cols = [c for c in (right_cols or right.column_names) if c != on]
+        self.right = right.select(cols).take(pa.array(order))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lk = batch[self.on].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(self.keys) == 0:
+            hit = np.zeros(len(lk), dtype=bool)
+            pos_c = np.zeros(len(lk), dtype=np.int64)
+        else:
+            pos = np.searchsorted(self.keys, lk)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_c] == lk
+        if self.mode == "semi":
+            return batch.filter(pa.array(hit))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~hit))
+        out = batch.filter(pa.array(hit))
+        take = pa.array(pos_c[hit], pa.int64())
+        for name in self.right.column_names:
+            out = out.append_column(name, self.right[name].take(take))
+        return out
+
+
+def broadcast_join(
+    ds,
+    right: pa.Table,
+    on: str,
+    right_cols: Optional[Sequence[str]] = None,
+    mode: str = "inner",
+    concurrency: int = 4,
+    batch_size: int = 65536,
+):
+    right_ref = ray.put(right)
+    return ds.map_batches(
+        BroadcastLookup,
+        fn_constructor_args=(right_ref, on, right_cols, mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed hash join (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def _with_bucket(t: pa.Table, on: str, n_buckets: int, side: int) -> pa.Table:
+    keys = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+    b = (splitmix64(keys.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+    t = t.append_column("__bucket", pa.array(b, pa.int64()))
+    return t.append_column("__side", pa.array(np.full(len(t), side, dtype=np.int8), pa.int8()))
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    on: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Partitioned hash join of two Datasets on an int64 key column.
+
+    Both sides are tagged and bucketed by ``hash(key) % n_buckets``; one
+    ``groupby('__bucket')`` co-locates matching keys; each bucket joins
+    via pandas merge (sorted for deterministic row order).
+    """
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+    shared = (set(lcols) & set(rcols)) - {on}
+
+    lt = left.map_batches(lambda t: _with_bucket(t, on, n_buckets, 0), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: _with_bucket(t, on, n_buckets, 1), batch_format="pyarrow")
+
+    r_only = [c for c in rcols if c != on]
+    r_types = [right.schema().base_schema.field(c).type for c in r_only]
+    l_only = [c for c in lcols if c != on]
+    l_types = [left.schema().base_schema.field(c).type for c in l_only]
+    out_r_cols = [c if c not in shared else c + suffix for c in r_only]
+    # union requires one exact schema: canonical column order, other
+    # side's columns padded with nulls
+    canonical = [on] + l_only + out_r_cols + ["__bucket", "__side"]
+
+    def _pad_left(t: pa.Table) -> pa.Table:
+        for name, typ in zip(out_r_cols, r_types):
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        return t.select(canonical)
+
+    def _pad_right(t: pa.Table) -> pa.Table:
+        names = [c if c not in shared else c + suffix for c in t.column_names]
+        t = t.rename_columns(names)
+        for name, typ in zip(l_only, l_types):
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        return t.select(canonical)
+
+    lt = lt.map_batches(_pad_left, batch_format="pyarrow")
+    rt = rt.map_batches(_pad_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0]
+        rg = g[g["__side"] == 1]
+        lg = lg[[on] + l_only].sort_values([on] + l_only[:1])
+        rg = rg[[on] + out_r_cols].sort_values([on] + out_r_cols[:1])
+        m = lg.merge(rg, on=on, how=how)
+        return m
+
+    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")

@@ -51,9 +51,12 @@ def per_group_topk(
     order_cols: Sequence[Tuple[str, bool]],
     k: int,
     batch_size: int = 16384,
+    rank_col: Optional[str] = None,
 ):
     """Exact distributed per-group top-k: batch-local top-k →
-    groupby(group).map_groups final top-k."""
+    groupby(group).map_groups final top-k. ``rank_col`` adds a 1-based
+    rank (the ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)
+    mirror)."""
     local = ds.map_batches(
         lambda t: _batch_group_topk(t, group_col, order_cols, k),
         batch_format="pyarrow",
@@ -62,7 +65,12 @@ def per_group_topk(
 
     def _final(group: pa.Table) -> pa.Table:
         out = group.sort_by(_sort_keys(order_cols))
-        return out.slice(0, k)
+        out = out.slice(0, k)
+        if rank_col:
+            out = out.append_column(
+                rank_col, pa.array(np.arange(1, len(out) + 1, dtype=np.int64), pa.int64())
+            )
+        return out
 
     return local.groupby(group_col).map_groups(_final, batch_format="pyarrow")
 

@@ -1,0 +1,192 @@
+"""Text analysis — language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Training-data-pipeline operators over the `documents`/`pages` text
+column. All kernels are vectorized (pyarrow RE2 / numpy over codepoint
+buffers); the regex-holding stages are actor classes so patterns
+compile once per actor (``__init__``), not per batch.
+
+SQL mirror notes: ``token_count`` uses RE2 ``\\S+`` — DuckDB's regexes
+are RE2 too, so ``len(regexp_extract_all(text, '\\S+'))`` matches
+exactly. Quality components are integers (counts) so cross-engine
+comparison is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rio_cogeo_ray.functions.hashing import splitmix64
+
+#: Unicode script ranges → language families for the n-gram-free
+#: heuristic language ID (deterministic, no model).
+_SCRIPTS = {
+    "zh": (0x4E00, 0x9FFF),
+    "ar": (0x0600, 0x06FF),
+    "ru": (0x0400, 0x04FF),
+    "ja": (0x3040, 0x30FF),
+    "hi": (0x0900, 0x097F),
+}
+
+_LATIN_MARKERS: Dict[str, List[str]] = {
+    # high-frequency function words per latin-script language
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "pt": ["o", "de", "que", "em", "uma"],
+}
+
+
+def token_count(texts: pa.Array) -> pa.Array:
+    """Whitespace tokens per doc: count of RE2 ``\\S+`` matches (int64).
+    SQL mirror: len(regexp_extract_all(text, '\\S+'))."""
+    return pc.count_substring_regex(texts, r"\S+").cast(pa.int64())
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column("tokens", token_count(batch[text_col].combine_chunks()))
+
+
+class QualityScore:
+    """Actor: per-doc quality components (all integer counts):
+
+    - ``n_chars``: utf-8 code points
+    - ``tokens``: \\S+ runs
+    - ``alpha_tokens``: tokens that are purely alphabetic
+    - ``stop_hits``: occurrences of the english stopword set
+    - ``max_word_len``: longest token (boilerplate/garbage detector)
+
+    plus ``quality_ok``: the C4-style keep heuristic
+    (tokens >= min_tokens AND mean word length in [2, 12] — integer
+    arithmetic: 2*n_chars in [4*tokens, 24*tokens]).
+    """
+
+    def __init__(self, min_tokens: int = 5):
+        self.min_tokens = min_tokens
+        self.stop_re = r"\b(the|and|of|to|is|in|that|it|was|for)\b"
+        # RE2 has no lookahead: count tokens containing a non-letter and
+        # subtract from the token count to get pure-alphabetic tokens
+        self.nonalpha_tok_re = r"\S*[^\p{L}\s]\S*"
+        self.word_re = r"\S+"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch["text"].combine_chunks()
+        n_chars = pc.utf8_length(t).cast(pa.int64())
+        tokens = pc.count_substring_regex(t, self.word_re).cast(pa.int64())
+        nonalpha = pc.count_substring_regex(t, self.nonalpha_tok_re).cast(pa.int64())
+        alpha = pc.subtract(tokens, nonalpha)
+        stop = pc.count_substring_regex(t, self.stop_re).cast(pa.int64())
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        tk = tokens.to_numpy(zero_copy_only=False)
+        ok = (tk >= self.min_tokens) & (2 * nc >= 4 * tk) & (2 * nc <= 24 * tk)
+        out = batch.append_column("n_chars_m", n_chars)
+        out = out.append_column("tokens", tokens)
+        out = out.append_column("alpha_tokens", alpha)
+        out = out.append_column("stop_hits", stop)
+        out = out.append_column("quality_ok", pa.array(ok))
+        return out
+
+
+def _codepoints(texts: pa.Array):
+    """(doc_idx, codepoint) flat arrays via utf32 cast — one vectorized
+    pass, no per-row Python."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    enc = texts.cast(pa.string())
+    # decode utf-8 manually: use python-level only on the buffer via numpy
+    off = np.frombuffer(enc.buffers()[1], dtype=np.int32)
+    off = off[enc.offset : enc.offset + len(enc) + 1].astype(np.int64)
+    data = np.frombuffer(enc.buffers()[2], dtype=np.uint8)
+    # utf-8 lead bytes mark codepoint starts
+    is_start = (data & 0xC0) != 0x80
+    doc_of_byte = np.zeros(len(data), dtype=np.int64)
+    if len(off) > 1:
+        np.add.at(doc_of_byte, off[1:-1][off[1:-1] < len(data)], 1)
+        doc_of_byte = np.cumsum(doc_of_byte)
+    starts = np.flatnonzero(is_start)
+    doc_idx = doc_of_byte[starts] if len(data) else np.zeros(0, dtype=np.int64)
+    # decode codepoint values at starts (up to 4 bytes)
+    b0 = data[starts].astype(np.int64)
+    cp = np.where(b0 < 0x80, b0, 0)
+    m2 = (b0 & 0xE0) == 0xC0
+    m3 = (b0 & 0xF0) == 0xE0
+    m4 = (b0 & 0xF8) == 0xF0
+    nxt = lambda k: data[np.minimum(starts + k, len(data) - 1)].astype(np.int64) & 0x3F
+    cp = np.where(m2, ((b0 & 0x1F) << 6) | nxt(1), cp)
+    cp = np.where(m3, ((b0 & 0x0F) << 12) | (nxt(1) << 6) | nxt(2), cp)
+    cp = np.where(m4, ((b0 & 0x07) << 18) | (nxt(1) << 12) | (nxt(2) << 6) | nxt(3), cp)
+    return doc_idx, cp
+
+
+class LangId:
+    """Actor: heuristic language ID.
+
+    Script vote first (codepoint-range histogram per doc, vectorized
+    bincount); latin-script docs fall back to function-word marker hits
+    (RE2 count per language, compiled patterns held by the actor)."""
+
+    def __init__(self):
+        self.marker_res = {
+            lang: r"\b(" + "|".join(ws) + r")\b" for lang, ws in _LATIN_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch["text"].combine_chunks()
+        n = len(batch)
+        doc_idx, cp = _codepoints(t)
+        script_votes = np.zeros((n, len(_SCRIPTS)), dtype=np.int64)
+        for j, (lang, (lo, hi)) in enumerate(_SCRIPTS.items()):
+            in_range = (cp >= lo) & (cp <= hi)
+            if in_range.any():
+                script_votes[:, j] = np.bincount(doc_idx[in_range], minlength=n)
+        total = np.bincount(doc_idx, minlength=n) if len(doc_idx) else np.zeros(n, np.int64)
+        script_langs = list(_SCRIPTS)
+        best_script = script_votes.argmax(axis=1)
+        script_frac_ok = script_votes[np.arange(n), best_script] * 5 > total * 1  # >20%
+
+        marker_hits = np.zeros((n, len(_LATIN_MARKERS)), dtype=np.int64)
+        for j, (lang, pat) in enumerate(self.marker_res.items()):
+            marker_hits[:, j] = (
+                pc.count_substring_regex(t, pat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        latin_langs = list(_LATIN_MARKERS)
+        best_latin = marker_hits.argmax(axis=1)
+
+        pred = np.where(
+            script_frac_ok,
+            np.array([script_langs[i] for i in best_script], dtype=object),
+            np.where(
+                marker_hits[np.arange(n), best_latin] > 0,
+                np.array([latin_langs[i] for i in best_latin], dtype=object),
+                np.array(["und"] * n, dtype=object),
+            ),
+        )
+        return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+
+
+def fingerprint64(texts: pa.Array) -> pa.Array:
+    """Rolling-hash content fingerprint of whitespace-normalized text:
+    deterministic 64-bit id for exact-content identity after whitespace
+    variation (document fingerprinting op)."""
+    norm = pc.replace_substring_regex(texts, r"\s+", " ")
+    norm = pc.utf8_trim_whitespace(norm)
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    off = np.frombuffer(norm.buffers()[1], dtype=np.int32)
+    off = off[norm.offset : norm.offset + len(norm) + 1].astype(np.int64)
+    data = np.frombuffer(norm.buffers()[2], dtype=np.uint8)
+    h = np.full(len(norm), np.uint64(1469598103934665603), dtype=np.uint64)
+    lens = np.diff(off)
+    max_len = int(lens.max()) if len(lens) else 0
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            m = lens > j
+            b = data[off[:-1][m] + j].astype(np.uint64)
+            h[m] = (h[m] ^ b) * np.uint64(1099511628211)
+        h = splitmix64(h)
+    return pa.array(h.astype(np.int64), pa.int64())

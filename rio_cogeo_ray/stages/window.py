@@ -1,0 +1,98 @@
+"""Stream-shaped operators over the `events` log — tumbling windows and
+gap sessionization.
+
+Ray Data is a (streaming-)batch engine with no event-time watermarks;
+stream-shaped semantics are expressed over the ordered, partitioned log
+(ray_guide.md pattern): tumbling windows are a pure key derivation
+(window id = ts // size) followed by the generic partial→final grouped
+aggregate; session windows sort each key's events inside
+``groupby(user).map_groups`` and cut on gaps.
+
+Ordering assumption: sessionize sees ALL events of one user in one
+group (guaranteed by the groupby shuffle), sorted here, so input order
+never matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rio_cogeo_ray.stages.agg import partial_group_agg
+
+US_PER_HOUR = 3_600_000_000
+
+
+def add_tumbling_window(batch: pa.Table, ts_col: str = "ts", size_us: int = US_PER_HOUR) -> pa.Table:
+    """+ window_id = floor(epoch_us / size) (int64; SQL: epoch_us(ts) //
+    size). Integer floor division — identical everywhere."""
+    ts = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = ts // size_us
+    return batch.append_column("window_id", pa.array(win, pa.int64()))
+
+
+def tumbling_aggregate(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    size_us: int = US_PER_HOUR,
+    value_col: str = "value",
+    value_scale: int = 1000,
+):
+    """Per (key, window): count + exact min/max of value + int sum of
+    round(value*scale) (float sums are order-dependent, so the engine
+    quantizes — mirrored literally in the oracle SQL)."""
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = add_tumbling_window(t, ts_col, size_us)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # floor(x*scale + 0.5), NOT np.round: banker's rounding differs
+        # from SQL ROUND; this literal op order is mirrored in the oracle
+        q = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return t.append_column("value_q", pa.array(q, pa.int64()))
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return partial_group_agg(
+        prepped,
+        keys=[key_col, "window_id"],
+        sum_cols=["value_q"],
+        min_cols=[value_col],
+        max_cols=[value_col],
+        count_as="n",
+    )
+
+
+def _sessionize_group(group: pa.Table, ts_col: str, gap_us: int) -> pa.Table:
+    """One user's events → one summary row (sessions cut on ts gaps)."""
+    ts = np.sort(group[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False))
+    gaps = np.diff(ts)
+    n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
+    # longest session event count
+    cuts = np.flatnonzero(gaps > gap_us)
+    bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
+    longest = int(np.diff(bounds).max()) if len(ts) else 0
+    return pa.table(
+        {
+            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "longest_session": pa.array([longest], pa.int64()),
+        }
+    )
+
+
+def sessionize(ds, ts_col: str = "ts", gap_us: int = 30 * 60 * 1_000_000):
+    """Gap-based session windows per user (groupby shuffle on user_id;
+    per-group sort makes input order irrelevant)."""
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_cast, batch_format="pyarrow")
+    return slim.groupby("user_id").map_groups(
+        lambda g: _sessionize_group(g, ts_col, gap_us), batch_format="pyarrow"
+    )

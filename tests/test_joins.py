@@ -1,0 +1,167 @@
+"""Spatial joins: PIP (inner/semi/anti) and per-tile kNN vs independent
+oracles. Join rows must match exactly (north rule: "matching the
+reference's join output rows")."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rio_cogeo_ray import fixtures
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.functions.geocode import geocode_url
+from rio_cogeo_ray.stages import assign, knn, pip
+
+
+def _prepared_ds(scenario: str, zoom: int = 6):
+    spec = fixtures.scenario_spec(scenario)
+    path = fixtures.scenario_path(scenario)
+    ds = rd.read_parquet(path, columns=["url"])
+    prepare = assign.make_prepare_fn(spec, zoom, extract=False, source="pages")
+    return ds.map_batches(prepare, batch_format="pyarrow", batch_size=700), spec
+
+
+def _prepared_pdf(scenario: str, zoom: int = 6) -> pd.DataFrame:
+    """Driver-side oracle prepare (independent composition)."""
+    t = fixtures.scenario_table(scenario)
+    lon, lat, valid = geocode_url(t["url"].combine_chunks(), fixtures.scenario_spec(scenario))
+    mx, my = tms.lonlat_to_mercator(lon, lat)
+    x, y = tms.mercator_tile(mx, my, zoom)
+    return pd.DataFrame(
+        {
+            "url": t["url"].to_pylist(),
+            "lon": lon,
+            "lat": lat,
+            "mx": mx,
+            "my": my,
+            "tile_key": tms.pack_tile_key(zoom, x, y),
+            "x": x,
+            "y": y,
+            "valid": valid,
+        }
+    )
+
+
+def _wn_inside(px, py, lons, lats):
+    """Winding-number PIP — deliberately a DIFFERENT algorithm than the
+    engine's even-odd ray casting; on-edge ⇒ inside."""
+    wn = 0
+    n = len(lons)
+    for i in range(n):
+        x1, y1 = lons[i], lats[i]
+        x2, y2 = lons[(i + 1) % n], lats[(i + 1) % n]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if (
+            cross == 0.0
+            and min(x1, x2) <= px <= max(x1, x2)
+            and min(y1, y2) <= py <= max(y1, y2)
+        ):
+            return True
+        if y1 <= py:
+            if y2 > py and cross > 0:
+                wn += 1
+        elif y2 <= py and cross < 0:
+            wn -= 1
+    return wn != 0
+
+
+@pytest.mark.parametrize("aoi_set", ["rect", "hex"])
+def test_pip_inner_matches_winding_oracle(ray_session, aoi_set):
+    aois = fixtures.aois_table(
+        fixtures.RECT_AOIS if aoi_set == "rect" else fixtures.HEX_AOIS
+    )
+    ds, _ = _prepared_ds("pages_aoi")
+    out = pip.pip_join(ds, aois, mode="inner", concurrency=2).to_pandas()
+
+    pdf = _prepared_pdf("pages_aoi")
+    pdf = pdf[pdf["valid"]]
+    expect = set()
+    for _, a in aois.to_pandas().iterrows():
+        lons = np.asarray(a["ring_lon"])
+        lats = np.asarray(a["ring_lat"])
+        for url, lo, la in zip(pdf["url"], pdf["lon"], pdf["lat"]):
+            if _wn_inside(lo, la, lons, lats):
+                expect.add((url, a["aoi_id"]))
+    got = set(zip(out["url"], out["aoi_id"]))
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_pip_semi_anti_partition(ray_session):
+    """semi ∪ anti = all valid rows; semi ∩ anti = ∅."""
+    aois = fixtures.aois_table(fixtures.RECT_AOIS)
+    ds, _ = _prepared_ds("pages_aoi")
+    semi = pip.pip_join(ds, aois, mode="semi", concurrency=2).to_pandas()
+    ds2, _ = _prepared_ds("pages_aoi")
+    anti = pip.pip_join(ds2, aois, mode="anti", concurrency=2).to_pandas()
+    pdf = _prepared_pdf("pages_aoi")
+    n_valid = int(pdf["valid"].sum())
+    assert len(semi) + len(anti) == n_valid
+    assert set(semi["url"]).isdisjoint(set(anti["url"]))
+
+
+def test_pip_edge_point_is_inside(ray_session):
+    """Tie rule: a point exactly on a polygon edge joins (inclusive)."""
+    aois = fixtures.aois_table([fixtures.RECT_AOIS[0]])  # (-10,35)-(30,60)
+    t = pa.table(
+        {
+            "url": ["edge-w", "corner-sw", "inside", "outside"],
+            "lon": [-10.0, -10.0, 0.0, 31.0],
+            "lat": [40.0, 35.0, 40.0, 40.0],
+            "geo_valid": [True, True, True, True],
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = pip.pip_join(ds, aois, mode="inner", concurrency=1).to_pandas()
+    assert set(out["url"]) == {"edge-w", "corner-sw", "inside"}
+
+
+def test_knn_per_tile_matches_pandas_oracle(ray_session):
+    k = 5
+    ds, _ = _prepared_ds("pages_knn")
+    got = knn.knn_per_tile(ds, k=k, id_col="url").to_pandas()
+
+    pdf = _prepared_pdf("pages_knn")
+    pdf = pdf[pdf["valid"]].copy()
+    cx, cy = tms.tile_centroid(6, pdf["x"].to_numpy(), pdf["y"].to_numpy())
+    dx = pdf["mx"].to_numpy() - cx
+    dy = pdf["my"].to_numpy() - cy
+    pdf["centroid_d2"] = dx * dx + dy * dy
+    expect = (
+        pdf.sort_values(["tile_key", "centroid_d2", "url"])
+        .groupby("tile_key")
+        .head(k)
+    )
+    key = lambda df: sorted(zip(df["tile_key"], df["url"]))
+    assert key(got) == key(expect)
+    # every returned distance matches the oracle value bit-for-bit
+    g = got.sort_values(["tile_key", "url"]).reset_index()
+    e = expect.sort_values(["tile_key", "url"]).reset_index()
+    np.testing.assert_array_equal(
+        g["centroid_d2"].to_numpy(), e["centroid_d2"].to_numpy()
+    )
+
+
+def test_per_group_topk_skewed_group(ray_session):
+    """One giant group (skew): batch-local pre-reduction keeps the final
+    group small; result still exact."""
+    n = 20000
+    rng = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "g": np.where(rng % 10 == 0, 1, rng % 7 + 2).astype(np.int64),
+            "score": (rng * 2654435761 % 97).astype(np.float64),
+            "id": rng,
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    out = knn.per_group_topk(ds, "g", [("score", True), ("id", True)], 3).to_pandas()
+    expect = (
+        t.to_pandas()
+        .sort_values(["g", "score", "id"])
+        .groupby("g")
+        .head(3)
+    )
+    assert sorted(zip(out["g"], out["id"])) == sorted(zip(expect["g"], expect["id"]))

@@ -1,0 +1,150 @@
+"""Validator matrix + info model — re-expression of the reference's
+tests/test_validate.py:39-76 (one assertion per crafted-invalid output)
+and round-trip "what we create validates" (test_validate.py:96-125)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from rio_cogeo_ray import fixtures
+from rio_cogeo_ray.pipelines import create as create_mod
+from rio_cogeo_ray.pipelines.info import info
+from rio_cogeo_ray.pipelines.spec import plan
+from rio_cogeo_ray.pipelines.validate import validate
+from rio_cogeo_ray.state import manifest as mani
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    """One real create() output shared by every validator test."""
+    out = str(tmp_path_factory.mktemp("validate") / "out")
+    spec = plan(zoom=6, geocode=fixtures.scenario_spec("pages_rgb"), overview_levels=3)
+    m = create_mod.create(
+        fixtures.scenario_path("pages_rgb"), out, spec, source="pages", batch_size=512
+    )
+    return out, spec, m
+
+
+def _corrupt_copy(built_dir: str, tmp_path, name: str) -> str:
+    dst = str(tmp_path / name)
+    shutil.copytree(built_dir, dst)
+    return dst
+
+
+def test_roundtrip_what_we_create_validates(built):
+    out, _, _ = built
+    ok, errors, warnings = validate(out, strict=True)
+    assert ok, (errors, warnings)
+
+
+def test_info_model(built):
+    out, spec, m = built
+    i = info(out)
+    assert i.Valid
+    assert i["GEO"]["MaxZoom"] == spec.zoom  # dict-style access (models.py:10-15)
+    assert i.GEO.MinZoom == spec.min_zoom
+    assert [d.Decimation for d in i.IFDs] == [1, 2, 4, 8]
+    assert i.IFDs[0].Pages == m.levels[0].pages
+    assert i.TotalPages == m.total_pages
+    # JSON round-trips (cli --json analog)
+    j = json.loads(i.to_json())
+    assert j["Profile"]["TilePx"] == spec.tile_px
+    w, s, e, n = i.GEO.BoundsWGS84
+    assert -180 <= w < e <= 180 and -86 <= s < n <= 86
+
+
+def test_external_level_dir_detected(built, tmp_path):
+    """Analog of the external-.ovr ban (cogeo.py:521-524)."""
+    out = _corrupt_copy(built[0], tmp_path, "ext")
+    os.makedirs(os.path.join(out, "tiles", "z=99"))
+    ok, errors, _ = validate(out)
+    assert not ok and any("external level" in e for e in errors)
+
+
+def test_unlisted_file_detected(built, tmp_path):
+    out = _corrupt_copy(built[0], tmp_path, "unlisted")
+    lv = mani.load_manifest(out).levels[0]
+    stray = os.path.join(mani.level_dir(out, lv.z), "stray.parquet")
+    src = os.path.join(out, lv.files[0].path)
+    shutil.copy(src, stray)
+    ok, errors, _ = validate(out)
+    assert not ok and any("unlisted" in e for e in errors)
+
+
+def test_missing_file_detected(built, tmp_path):
+    out = _corrupt_copy(built[0], tmp_path, "missing")
+    lv = mani.load_manifest(out).levels[1]
+    os.remove(os.path.join(out, lv.files[0].path))
+    ok, errors, _ = validate(out)
+    assert not ok and any("missing on disk" in e for e in errors)
+
+
+def test_bad_decimation_chain_detected(built, tmp_path):
+    """Analog of tests/test_validate.py bad-decimation fixture."""
+    out = _corrupt_copy(built[0], tmp_path, "decim")
+    p = os.path.join(mani.manifest_dir(out), "manifest.json")
+    with open(p) as f:
+        d = json.load(f)
+    d["levels"][1]["decimation"] = 1  # decimation must be > 1
+    with open(p, "w") as f:
+        json.dump(d, f)
+    ok, errors, _ = validate(out)
+    assert not ok and any("decimation" in e.lower() for e in errors)
+
+
+def test_unsorted_levels_detected(built, tmp_path):
+    """Analog of the unsorted-overviews fixture (cogeo.py:573-574)."""
+    out = _corrupt_copy(built[0], tmp_path, "unsorted")
+    p = os.path.join(mani.manifest_dir(out), "manifest.json")
+    with open(p) as f:
+        d = json.load(f)
+    d["levels"] = d["levels"][::-1]
+    with open(p, "w") as f:
+        json.dump(d, f)
+    ok, errors, _ = validate(out)
+    assert not ok
+
+
+def test_stats_mismatch_detected(built, tmp_path):
+    """Ghost-header analog: manifest metadata must match bytes on disk."""
+    out = _corrupt_copy(built[0], tmp_path, "ghost")
+    p = os.path.join(mani.manifest_dir(out), "manifest.json")
+    with open(p) as f:
+        d = json.load(f)
+    d["levels"][0]["pages"] += 7
+    with open(p, "w") as f:
+        json.dump(d, f)
+    ok, errors, _ = validate(out)
+    assert not ok and any("manifest pages" in e for e in errors)
+
+
+def test_strict_promotes_warnings(built, tmp_path):
+    """strict ⇒ warnings are errors (cogeo.py:701)."""
+    out = _corrupt_copy(built[0], tmp_path, "strictw")
+    p = os.path.join(mani.manifest_dir(out), "manifest.json")
+    with open(p) as f:
+        d = json.load(f)
+    # drop all overview levels from the manifest AND disk → warning case
+    for lv in d["levels"][1:]:
+        shutil.rmtree(os.path.join(out, "tiles", f"z={lv['z']}"))
+        os.remove(os.path.join(mani.manifest_dir(out), f"level_{lv['z']}.done.json"))
+    d["levels"] = d["levels"][:1]
+    with open(p, "w") as f:
+        json.dump(d, f)
+    # rebuild index so ordering check doesn't fire on removed levels
+    import pyarrow as pa
+
+    idx_dir = os.path.join(mani.manifest_dir(out), "tiles_index")
+    t = pq.read_table(idx_dir)
+    keep = t.filter(pa.compute.equal(t["z"], d["levels"][0]["z"]))
+    shutil.rmtree(idx_dir)
+    os.makedirs(idx_dir)
+    pq.write_table(keep, os.path.join(idx_dir, "index.parquet"))
+
+    ok_lenient, errs_l, warns_l = validate(out, strict=False)
+    ok_strict, errs_s, _ = validate(out, strict=True)
+    assert ok_lenient and any("overview" in w for w in warns_l)
+    assert not ok_strict
