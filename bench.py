@@ -1,0 +1,251 @@
+"""Headline benchmark — prints ONE JSON line the driver records.
+
+Pipelines benched (over $GRAFT_SF_DIR tables + a cached synthetic pages
+corpus at the same scale, since the input_hint pages shape is not among
+the driver tables):
+
+- create_pyramid:   full tiler (geocode → assign → density partials →
+                    groupby merge → pyramid to z0 → manifest)
+- extract_assign:   html→text extraction + geocode + tile assign (the
+                    byte-identical-text invariant path; map-heavy)
+- pip_join:         point-in-polygon inner join vs the AOI set
+- knn_tile:         k nearest pages per tile centroid
+- dedup_exact:      exact dedup keepers over page text
+- minhash_bands:    shingle→minhash→LSH band rows + bucket groupby
+- token_quality:    quality scoring over page text
+- lineitem_agg:     TPC-H Q1-shaped partial→final aggregate (sf tables)
+- hash_join:        bucketed lineitem ⋈ orders (sf tables)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), RCR_BENCH_QUERIES (comma filter), RCR_BENCH_PAGES (corpus
+rows, default 600000).
+
+--scaling: runs the headline subset twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the two-cluster-size criterion,
+evidenced via parallelism levels per the sandbox rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("RCR_BENCH_PAGES", "600000"))
+PAGES_DIR = f"/tmp/rcr_bench/pages_{N_PAGES}"
+
+SCALING_QUERIES = "create_pyramid,extract_assign,pip_join"
+
+
+def ensure_pages_corpus() -> str:
+    """Generate the bench pages corpus once (shard-parallel, untimed)."""
+    done = os.path.join(PAGES_DIR, ".done")
+    if os.path.exists(done):
+        return PAGES_DIR
+    import shutil
+
+    from rio_cogeo_ray.sources.pages import synth_pages
+
+    shutil.rmtree(PAGES_DIR, ignore_errors=True)
+    synth_pages(N_PAGES).write_parquet(PAGES_DIR)
+    with open(done, "w") as f:
+        f.write("ok")
+    return PAGES_DIR
+
+
+def _prepared_pages(zoom: int, columns=("url",), extract: bool = False):
+    import ray.data as rd
+
+    from rio_cogeo_ray.functions.geocode import GLOBAL_UNIFORM
+    from rio_cogeo_ray.stages import assign
+
+    ds = rd.read_parquet(PAGES_DIR, columns=list(columns))
+    fn = assign.make_prepare_fn(GLOBAL_UNIFORM, zoom, extract=extract, source="pages")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def bench_create_pyramid():
+    import shutil
+
+    from rio_cogeo_ray.pipelines import create as create_mod
+    from rio_cogeo_ray.pipelines.spec import plan
+
+    out = "/tmp/rcr_bench/pyramid_out"
+    shutil.rmtree(out, ignore_errors=True)
+    spec = plan(zoom=7, overview_levels=7, tile_px=256)
+    m = create_mod.create(PAGES_DIR, out, spec, source="pages", resume=False)
+    return m.total_pages
+
+
+def bench_extract_assign():
+    import pyarrow as pa
+
+    ds = _prepared_pages(7, columns=("url", "html"), extract=True)
+
+    def _len(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"n": [int(pc.sum(pc.utf8_length(t["text"])).as_py() or 0)]})
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(_len, batch_format="pyarrow").aggregate(Sum("n"))["sum(n)"]
+
+
+def bench_pip_join():
+    from rio_cogeo_ray import fixtures
+    from rio_cogeo_ray.stages import pip
+
+    ds = _prepared_pages(7)
+    aois = fixtures.aois_table(fixtures.RECT_AOIS + fixtures.HEX_AOIS)
+    return pip.pip_join(ds, aois, mode="inner", concurrency=max(2, NUM_CPUS // 2)).count()
+
+
+def bench_knn_tile():
+    from rio_cogeo_ray.stages import knn
+
+    ds = _prepared_pages(6)
+    return knn.knn_per_tile(ds, k=5, id_col="url").count()
+
+
+def bench_dedup_exact():
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import dedup
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"])
+    return dedup.exact_dedup(ds, key_col="text", id_col="url").count()
+
+
+def bench_minhash_bands():
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import dedup
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"])
+    bands = ds.map_batches(
+        lambda t: dedup.minhash_band_rows(t, id_col="url", num_perm=32, bands=8),
+        batch_format="pyarrow",
+    )
+    return bands.groupby(["band", "band_hash"]).aggregate(Count()).count()
+
+
+def bench_token_quality():
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages.text import QualityScore
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"])
+    scored = ds.map_batches(
+        QualityScore, batch_format="pyarrow", batch_size=8192,
+        concurrency=max(2, NUM_CPUS // 2),
+    )
+    return scored.count()
+
+
+def bench_lineitem_agg():
+    from rio_cogeo_ray.pipelines import queries as q
+
+    return q.q_lineitem_stats(SF_DIR).count()
+
+
+def bench_hash_join():
+    from rio_cogeo_ray.pipelines import queries as q
+
+    return q.q_lineitem_orders(SF_DIR).count()
+
+
+BENCHES = {
+    "create_pyramid": bench_create_pyramid,
+    "extract_assign": bench_extract_assign,
+    "pip_join": bench_pip_join,
+    "knn_tile": bench_knn_tile,
+    "dedup_exact": bench_dedup_exact,
+    "minhash_bands": bench_minhash_bands,
+    "token_quality": bench_token_quality,
+    "lineitem_agg": bench_lineitem_agg,
+    "hash_join": bench_hash_join,
+}
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_pages_corpus()
+    only = os.environ.get("RCR_BENCH_QUERIES")
+    names = [n.strip() for n in only.split(",")] if only else list(BENCHES)
+
+    results = {}
+    for name in names:
+        t0 = time.time()
+        BENCHES[name]()
+        results[name] = round(time.time() - t0, 3)
+    ray.shutdown()
+
+    total = round(sum(results.values()), 3)
+    return {
+        "metric": "tiler+join pipeline wall time over synthetic CC-style pages + sf tables",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": N_PAGES,
+        "pages_per_sec_create": round(N_PAGES / results["create_pyramid"], 1)
+        if "create_pyramid" in results
+        else None,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RCR_BENCH_QUERIES=os.environ.get("RCR_SCALING_QUERIES", SCALING_QUERIES),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_corpus_proc = run(8)  # also warms the page cache / corpus
+    lo = ensure_corpus_proc
+    hi = run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency N=8 vs 4N=32 cpus (same input, fresh processes)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8_pages_per_sec": lo.get("pages_per_sec_create"),
+        "throughput_32_pages_per_sec": hi.get("pages_per_sec_create"),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,178 @@
+"""CLI — ``python -m rio_cogeo_ray.cli {create,validate,info}``.
+
+Mirrors the reference's click CLI (rio_cogeo/scripts/cli.py:91-480):
+same subcommand surface, same option semantics re-expressed for the
+engine (profile presets, zoom/alignment knobs, strict validation,
+``info --json``), plus the param-parser behaviors pinned by the
+reference's tests (nodata-style 'nil/none/nada' tokens → cli.py:46-63,
+threads 'all_cpus' → cli.py:66-81).
+
+The CLI owns the Ray session (scripts own ray.init; the library never
+calls it — driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parse_threads(value: str) -> int:
+    """'all_cpus'/'ALL_CPUS' or a positive int (ThreadsParamType analog,
+    cli.py:66-81)."""
+    if value.lower() == "all_cpus":
+        return os.cpu_count() or 1
+    n = int(value)
+    if n <= 0:
+        raise argparse.ArgumentTypeError("threads must be positive or 'all_cpus'")
+    return n
+
+
+def _parse_boxes(value: str):
+    """'w,s,e,n[,weight];...' → GeoSpec boxes (BdxParamType-style comma
+    list parsing, cli.py:27-43)."""
+    boxes = []
+    for part in value.split(";"):
+        nums = [float(v) for v in part.split(",")]
+        if len(nums) == 4:
+            nums.append(1.0)
+        if len(nums) != 5:
+            raise argparse.ArgumentTypeError(
+                f"box must be 'w,s,e,n[,weight]', got {part!r}"
+            )
+        boxes.append((nums[0], nums[1], nums[2], nums[3], int(nums[4])))
+    return boxes
+
+
+def _ray_init(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_create(args) -> int:
+    from rio_cogeo_ray.functions.geocode import GLOBAL_UNIFORM, GeoSpec
+    from rio_cogeo_ray.pipelines import create as create_mod
+    from rio_cogeo_ray.pipelines.profiles import cog_profiles
+    from rio_cogeo_ray.pipelines.spec import plan
+
+    profile = cog_profiles.get(args.profile)
+    tile_px = args.blocksize or profile["tile_px"]
+    geocode = GeoSpec(boxes=_parse_boxes(args.geocode_boxes)) if args.geocode_boxes else GLOBAL_UNIFORM
+    spec = plan(
+        zoom=args.zoom,
+        aligned_levels=args.aligned_levels,
+        overview_levels=args.overview_level,
+        tile_px=tile_px,
+        decimation_base=args.decimation_base,
+        resampling=args.overview_resampling,
+        geocode=geocode,
+    )
+    _ray_init(args.threads)
+    m = create_mod.create(
+        args.src,
+        args.dst,
+        spec,
+        source=args.source,
+        extract=args.extract,
+        resume=not args.no_resume,
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.dst,
+                "levels": [(lv.z, lv.tiles, lv.pages) for lv in m.levels],
+                "total_pages": m.total_pages,
+                "invalid_pages": m.invalid_pages,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Thin verdict wrapper (cli.py:334-357 analog)."""
+    from rio_cogeo_ray.pipelines.validate import validate
+
+    ok, errors, warnings = validate(args.src, strict=args.strict)
+    for w in warnings:
+        print(f"WARNING: {w}", file=sys.stderr)
+    for e in errors:
+        print(f"ERROR: {e}", file=sys.stderr)
+    if ok:
+        print(f"{args.src} is a valid tile pyramid")
+        return 0
+    print(f"{args.src} is NOT a valid tile pyramid")
+    return 1
+
+
+def cmd_info(args) -> int:
+    """Pretty or --json info dump (cli.py:360-480 analog)."""
+    from rio_cogeo_ray.pipelines.info import info
+
+    i = info(args.src)
+    if args.json:
+        print(i.to_json())
+        return 0
+    print(f"Path: {i.Path}\nEngine: {i.Engine}\nValid: {i.Valid}")
+    g = i.GEO
+    print(f"CRS: {g.CRS}\nBounds(WGS84): {g.BoundsWGS84}\nZoom: {g.MinZoom}..{g.MaxZoom}")
+    print("IFDs (level, zoom, decimation, tiles, pages):")
+    for d in i.IFDs:
+        print(f"  {d.Level} z={d.Zoom} dec={d.Decimation} tiles={d.Tiles} pages={d.Pages}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rio_cogeo_ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="build a tile pyramid from a pages/documents corpus")
+    c.add_argument("src", help="input parquet file/dir")
+    c.add_argument("dst", help="output pyramid dir")
+    c.add_argument("--zoom", type=int, default=7)
+    c.add_argument("--source", choices=["pages", "documents"], default="pages")
+    c.add_argument("-p", "--cog-profile", dest="profile", default="deflate",
+                   help="named creation profile (profiles.py analog)")
+    c.add_argument("--blocksize", type=int, default=None, help="tile grid px (G)")
+    c.add_argument("--overview-level", type=int, default=None)
+    c.add_argument("--decimation-base", type=int, default=2)
+    c.add_argument("--overview-resampling", default="sum",
+                   choices=["sum", "average", "nearest", "mode"])
+    c.add_argument("--aligned-levels", type=int, default=0)
+    c.add_argument("--geocode-boxes", default=None,
+                   help="'w,s,e,n[,weight];...' spatial distribution")
+    c.add_argument("--extract", action="store_true", help="run html→text extraction")
+    c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--threads", type=_parse_threads, default="all_cpus",
+                   help="CPUs for ray.init ('all_cpus' or int)")
+    c.set_defaults(fn=cmd_create)
+
+    v = sub.add_parser("validate", help="validate a pyramid output")
+    v.add_argument("src")
+    v.add_argument("--strict", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    i = sub.add_parser("info", help="pyramid metadata")
+    i.add_argument("src")
+    i.add_argument("--json", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

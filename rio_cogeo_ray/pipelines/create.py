@@ -128,6 +128,7 @@ def create(
     extract: bool = False,
     resume: bool = True,
     batch_size: int = 8192,
+    n_buckets: int = 64,
     tags: Optional[Dict[str, str]] = None,
 ) -> mani.Manifest:
     """Build the full tile pyramid for a corpus. Returns the manifest.
@@ -188,9 +189,9 @@ def create(
             lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
             batch_format="pyarrow",
         )
-        merged = partials.groupby("tile_key").map_groups(
-            lambda g: rasterize.merge_tile_group(g, spec.resampling, level=0),
-            batch_format="pyarrow",
+        merged = rasterize.merge_sparse_tiles(
+            partials, spec.resampling, level=0, step=step,
+            tile_px=spec.tile_px, n_buckets=n_buckets,
         )
         _write_level(merged, out_dir, base_z)
         entry = _level_stats(out_dir, base_z, decimation=1)
@@ -206,9 +207,9 @@ def create(
             lambda t: rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, step),
             batch_format="pyarrow",
         )
-        merged = partials.groupby("tile_key").map_groups(
-            lambda g: rasterize.merge_tile_group(g, spec.resampling, level=j, step=step),
-            batch_format="pyarrow",
+        merged = rasterize.merge_sparse_tiles(
+            partials, spec.resampling, level=j, step=step,
+            tile_px=spec.tile_px, n_buckets=n_buckets,
         )
         _write_level(merged, out_dir, z)
         entry = _level_stats(out_dir, z, decimation=spec.decimation_base**j)

@@ -292,9 +292,7 @@ def q_raster_cells(sf_dir: str):
     partials = ds.map_batches(
         lambda t: rasterize.density_partials(t, RASTER_G), batch_format="pyarrow"
     )
-    merged = partials.groupby("tile_key").map_groups(
-        lambda g: rasterize.merge_tile_group(g, "sum", level=0), batch_format="pyarrow"
-    )
+    merged = rasterize.merge_sparse_tiles(partials, "sum", level=0, tile_px=RASTER_G)
 
     def _explode(t: pa.Table) -> pa.Table:
         cells = t["cells"].combine_chunks()

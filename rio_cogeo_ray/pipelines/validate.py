@@ -102,9 +102,18 @@ def validate(
 
     # ---- ladder depth recommendation (overview warning analog) ----------
     cover = spec.get("tile_cover")
-    if cover:
-        w_px = (cover[2] - cover[0] + 1) * int(spec["tile_px"])
-        h_px = (cover[3] - cover[1] + 1) * int(spec["tile_px"])
+    idx = _index_table(out_dir)
+    extent = cover
+    if extent is None and idx is not None:
+        zcol = idx["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = zcol == base
+        if sel.any():
+            xs = idx["x"].to_numpy(zero_copy_only=False)[sel]
+            ys = idx["y"].to_numpy(zero_copy_only=False)[sel]
+            extent = (int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max()))
+    if extent:
+        w_px = (extent[2] - extent[0] + 1) * int(spec["tile_px"])
+        h_px = (extent[3] - extent[1] + 1) * int(spec["tile_px"])
         want = tms.get_maximum_overview_level(w_px, h_px, minsize=int(spec["tile_px"]))
         have = len(zs) - 1
         if have == 0 and want > 0:
@@ -113,14 +122,13 @@ def validate(
                 f"{want} (image-without-overviews analog)"
             )
         # tiled-ness: extent >1 tile but base level single-tile output
-        if (cover[2] > cover[0] or cover[3] > cover[1]) and m.levels[0].tiles <= 1:
+        if (extent[2] > extent[0] or extent[3] > extent[1]) and m.levels[0].tiles <= 1:
             errors.append(
                 "extent spans multiple tiles but base level is not tiled "
                 "(greater-than-512px-not-tiled analog)"
             )
 
     # ---- tile index ordering (block offset ordering analog) -------------
-    idx = _index_table(out_dir)
     if idx is None:
         errors.append("missing manifest/tiles_index")
     else:

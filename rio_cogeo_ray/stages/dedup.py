@@ -140,10 +140,14 @@ def minhash_signatures(
         return sig
     a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E37)) | np.uint64(1)
     b = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(0xB0B))
+    # doc_idx is sorted (shingles laid out doc by doc) → per-doc minima
+    # via minimum.reduceat, far faster than np.minimum.at scatter
+    run_starts = np.flatnonzero(np.concatenate(([True], doc_idx[1:] != doc_idx[:-1])))
+    docs_with = doc_idx[run_starts]
     with np.errstate(over="ignore"):
         for p in range(num_perm):
             hp = sh * a[p] + b[p]
-            np.minimum.at(sig[:, p], doc_idx, hp)
+            sig[docs_with, p] = np.minimum.reduceat(hp, run_starts)
     return sig
 
 

@@ -32,17 +32,24 @@ def _batch_group_topk(
     group_col: str,
     order_cols: Sequence[Tuple[str, bool]],
     k: int,
+    rank_col: Optional[str] = None,
 ) -> pa.Table:
     """Vectorized within-batch per-group top-k (rank via cumcount after
     a lexsort — no Python per group)."""
     if len(batch) == 0:
+        if rank_col:
+            batch = batch.append_column(rank_col, pa.array([], pa.int64()))
         return batch
     batch = batch.sort_by([(group_col, "ascending")] + _sort_keys(order_cols))
     g = batch[group_col].combine_chunks().to_numpy(zero_copy_only=False)
     new_group = np.concatenate(([True], g[1:] != g[:-1]))
     starts = np.flatnonzero(new_group)
     pos = np.arange(len(g), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(g))))
-    return batch.filter(pa.array(pos < k))
+    keep = pos < k
+    out = batch.filter(pa.array(keep))
+    if rank_col:
+        out = out.append_column(rank_col, pa.array(pos[keep] + 1, pa.int64()))
+    return out
 
 
 def per_group_topk(
@@ -52,27 +59,35 @@ def per_group_topk(
     k: int,
     batch_size: int = 16384,
     rank_col: Optional[str] = None,
+    n_buckets: int = 64,
 ):
-    """Exact distributed per-group top-k: batch-local top-k →
-    groupby(group).map_groups final top-k. ``rank_col`` adds a 1-based
-    rank (the ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)
+    """Exact distributed per-group top-k: batch-local top-k (bounds each
+    group's shuffled rows to k per batch) → BUCKETED final top-k: groups
+    hash into ``n_buckets``, one vectorized map_groups call per bucket —
+    per-group Python overhead is O(buckets), independent of group count
+    (same pattern as rasterize.merge_sparse_tiles). ``rank_col`` adds a
+    1-based rank (ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)
     mirror)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
     local = ds.map_batches(
         lambda t: _batch_group_topk(t, group_col, order_cols, k),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
 
-    def _final(group: pa.Table) -> pa.Table:
-        out = group.sort_by(_sort_keys(order_cols))
-        out = out.slice(0, k)
-        if rank_col:
-            out = out.append_column(
-                rank_col, pa.array(np.arange(1, len(out) + 1, dtype=np.int64), pa.int64())
-            )
-        return out
+    def _bucket(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (splitmix64(g.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
 
-    return local.groupby(group_col).map_groups(_final, batch_format="pyarrow")
+    bucketed = local.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: _batch_group_topk(
+            g.drop_columns(["__bucket"]), group_col, order_cols, k, rank_col
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def add_centroid_distance(batch: pa.Table, col: str = "centroid_d2") -> pa.Table:

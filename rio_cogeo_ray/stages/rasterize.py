@@ -208,6 +208,111 @@ def merge_tile_group(
     )
 
 
+def _merge_bucket_table(
+    group: pa.Table, resampling: str, level: int, step: int, tile_px: int
+) -> pa.Table:
+    """Vectorized merge of the partial rows of MANY tiles (one hash
+    bucket): one lexsort + reduceat over all (tile, cell) pairs — no
+    per-tile Python. This is the final combiner behind
+    :func:`merge_sparse_tiles`."""
+    if len(group) == 0:
+        return TILE_SCHEMA.empty_table()
+    keys = group["tile_key"].combine_chunks().to_numpy(zero_copy_only=False)
+    cells_list = group["cells"].combine_chunks()
+    lens = np.diff(cells_list.offsets.to_numpy(zero_copy_only=False))
+    row_idx = np.repeat(np.arange(len(group), dtype=np.int64), lens)
+    cells = cells_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = group["counts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    t_of_entry = keys[row_idx]
+
+    # per-tile page counts (independent of the cell kernel)
+    u_keys, kinv = np.unique(keys, return_inverse=True)
+    pc_counts = group["page_count"].combine_chunks().to_numpy(zero_copy_only=False)
+    pages = np.bincount(kinv, weights=pc_counts.astype(np.float64)).astype(np.int64)
+
+    if len(cells) == 0:
+        # every partial in the bucket has an empty grid (nearest/mode can
+        # drop all pixels) — emit the tiles as empty sparse rows
+        out_t = np.zeros(0, dtype=np.int64)
+        out_c = np.zeros(0, dtype=np.int64)
+        out_v = np.zeros(0, dtype=np.int64)
+    elif resampling == "mode" and level > 0:
+        nsub2 = (1 << step) ** 2
+        pix = cells // nsub2
+        order = np.lexsort((vals, pix, t_of_entry))
+        t, p, v = t_of_entry[order], pix[order], vals[order]
+        # runs of identical (t, p, v)
+        new_run = np.concatenate(
+            ([True], (t[1:] != t[:-1]) | (p[1:] != p[:-1]) | (v[1:] != v[:-1]))
+        )
+        run_start = np.flatnonzero(new_run)
+        run_cnt = np.diff(np.append(run_start, len(t)))
+        rt, rp, rv = t[run_start], p[run_start], v[run_start]
+        # segments of identical (t, p) over the run array
+        new_seg = np.concatenate(([True], (rt[1:] != rt[:-1]) | (rp[1:] != rp[:-1])))
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_max = np.maximum.reduceat(run_cnt, seg_start)
+        seg_total = np.add.reduceat(run_cnt, seg_start)
+        # winning run per segment: first (smallest v, runs sorted by v)
+        # run whose count equals the segment max
+        cand = run_cnt == seg_max[seg_id]
+        _, first_idx = np.unique(seg_id[cand], return_index=True)
+        win = np.flatnonzero(cand)[first_idx]
+        # zero-majority rule: empty subpixels (nsub2 - total) win ties
+        keep = seg_max > (nsub2 - seg_total)
+        keep_seg = keep[seg_id[win]]
+        win = win[keep_seg]
+        out_t, out_c, out_v = rt[win], rp[win], rv[win]
+    else:
+        order = np.lexsort((cells, t_of_entry))
+        t, c, v = t_of_entry[order], cells[order], vals[order]
+        new = np.concatenate(([True], (t[1:] != t[:-1]) | (c[1:] != c[:-1])))
+        starts = np.flatnonzero(new)
+        out_t = t[starts]
+        out_c = c[starts]
+        out_v = np.add.reduceat(v, starts) if len(starts) else np.zeros(0, np.int64)
+
+    # per-tile list offsets over the (sorted-by-tile) unique pairs;
+    # tiles with zero surviving cells still get a (sparse, empty) row
+    ncells = np.zeros(len(u_keys), dtype=np.int64)
+    if len(out_t):
+        pos = np.searchsorted(u_keys, out_t)
+        ncells = np.bincount(pos, minlength=len(u_keys)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(ncells)))
+    return _tiles_table(u_keys, offsets, out_c, out_v, pages)
+
+
+def merge_sparse_tiles(
+    partials,
+    resampling: str = "sum",
+    level: int = 0,
+    step: int = 1,
+    tile_px: int = 256,
+    n_buckets: int = 64,
+):
+    """Partial tile rows → final tiles via BUCKETED aggregation: tiles
+    hash into ``n_buckets`` groups, so the groupby makes n_buckets
+    map_groups calls (each merged vectorized), not one per tile —
+    per-group Python overhead is O(buckets), independent of tile count.
+    Size n_buckets so one bucket's tiles fit a worker heap
+    (~tiles/n_buckets rows each; raise it for deep zooms)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        k = t["tile_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (splitmix64(k.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    bucketed = partials.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: _merge_bucket_table(
+            g.drop_columns(["__bucket"]), resampling, level, step, tile_px
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def pyramid_partials(
     batch: pa.Table, tile_px: int, resampling: str = "sum", step: int = 1
 ) -> pa.Table:

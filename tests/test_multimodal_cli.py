@@ -1,0 +1,99 @@
+"""Multimodal plumbing (stubbed decode, real Ray wiring) + CLI e2e
+(tests/test_cli.py analog, argparse instead of click)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rio_cogeo_ray.stages import multimodal
+
+
+def test_synth_media_deterministic():
+    a = multimodal.synth_media(50)
+    b = multimodal.synth_media(50)
+    assert a.equals(b)
+    assert a.schema.equals(multimodal.MEDIA_SCHEMA)
+
+
+def test_image_features_pipeline(ray_session):
+    t = multimodal.synth_media(100)
+    ds = rd.from_arrow(t).repartition(4)
+    out = multimodal.image_features(ds, concurrency=2, batch_size=32).to_pandas()
+    assert len(out) == 100
+    feats = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    assert feats.shape == (100, 16)
+    # deterministic across runs
+    out2 = multimodal.image_features(
+        rd.from_arrow(t).repartition(2), concurrency=1, batch_size=64
+    ).to_pandas()
+    feats2 = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    np.testing.assert_array_equal(feats, feats2)
+
+
+def test_audio_frames_explode(ray_session):
+    t = multimodal.synth_media(30)
+    ds = rd.from_arrow(t)
+    out = multimodal.audio_frames(ds, concurrency=1, batch_size=16).to_pandas()
+    assert (out["frame_idx"] >= 0).all()
+    assert set(out["media_id"]).issubset(set(t["media_id"].to_pylist()))
+    assert out["frame"].map(len).max() <= 512
+
+
+def _run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "rio_cogeo_ray.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+@pytest.mark.slow
+def test_cli_create_validate_info(tmp_path):
+    from rio_cogeo_ray import fixtures
+
+    src = fixtures.scenario_path("pages_rgb")
+    out = str(tmp_path / "cli_out")
+    r = _run_cli(
+        "create", src, out, "--zoom", "6", "--overview-level", "2",
+        "--geocode-boxes", "0,40,11.25,48", "--threads", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    created = json.loads(r.stdout.strip().splitlines()[-1])
+    assert created["total_pages"] == 4000
+
+    r = _run_cli("validate", out, "--strict")
+    assert r.returncode == 0, r.stderr
+    assert "valid tile pyramid" in r.stdout
+
+    r = _run_cli("info", out, "--json")
+    assert r.returncode == 0
+    info = json.loads(r.stdout)
+    assert info["GEO"]["MaxZoom"] == 6
+    assert len(info["IFDs"]) == 3
+
+    # corrupt → validate fails
+    import os
+    import shutil
+
+    os.makedirs(os.path.join(out, "tiles", "z=42"))
+    r = _run_cli("validate", out)
+    assert r.returncode == 1
+
+
+def test_cli_param_parsers():
+    from rio_cogeo_ray.cli import _parse_boxes, _parse_threads
+
+    assert _parse_threads("all_cpus") >= 1
+    assert _parse_threads("3") == 3
+    with pytest.raises(Exception):
+        _parse_threads("-1")
+    boxes = _parse_boxes("0,40,11.25,48;1,2,3,4,7")
+    assert boxes[0] == (0.0, 40.0, 11.25, 48.0, 1)
+    assert boxes[1][4] == 7
+    with pytest.raises(Exception):
+        _parse_boxes("1,2,3")

@@ -1,0 +1,283 @@
+"""Operator tests: dedup family, windows, joins plumbing, ANN, text
+analysis, cell encoding — each vs an independent driver-side oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rio_cogeo_ray.functions import tms
+from rio_cogeo_ray.stages import agg, ann, dedup, text, window
+from rio_cogeo_ray.stages import join as join_mod
+
+
+def _docs_with_dups(n=400, dup_every=7):
+    """Synthetic docs where id % dup_every == 0 duplicates doc 0's text."""
+    texts = [
+        "base duplicate text content here" if i % dup_every == 0
+        else f"unique document number {i} with words {i * 17 % 97}"
+        for i in range(n)
+    ]
+    return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
+
+
+def test_exact_dedup_matches_groupby_oracle(ray_session):
+    t = _docs_with_dups()
+    got = sorted(
+        dedup.exact_dedup(rd.from_arrow(t).repartition(4)).to_pandas()["doc_id"]
+    )
+    expect = sorted(
+        t.to_pandas().groupby("text")["doc_id"].min().tolist()
+    )
+    assert got == expect
+
+
+def test_minhash_identical_and_near_duplicates(ray_session):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-20] + "and then it slept soundly"  # high jaccard
+    far = "completely different content about distributed systems " * 6
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [base, base, near, far],
+        }
+    )
+    edges = dedup.lsh_candidate_edges(rd.from_arrow(t), num_perm=64, bands=16)
+    labels = dedup.connected_components(edges, max_rounds=4).to_pandas()
+    lab = dict(zip(labels["node"], labels["label"]))
+    # identical docs always bucket together
+    assert lab.get(1, 1) == lab.get(0, 0) == 0
+    # near-dup joins the cluster with these band settings
+    assert lab.get(2, 2) == 0
+    # far doc never links to the cluster
+    assert lab.get(3, 3) != 0
+
+
+def test_minhash_jaccard_estimate_sane():
+    a = "abcdefghij" * 30
+    b = a[:-50] + "X" * 50
+    sig = dedup.minhash_signatures(pa.array([a, b]), num_perm=128)
+    est = float((sig[0] == sig[1]).mean())
+    true = dedup.jaccard_shingles(a, b)
+    assert abs(est - true) < 0.2
+
+
+def test_simhash_hamming_properties():
+    t = pa.array(
+        [
+            "the quick brown fox jumps over the lazy dog " * 4,
+            "the quick brown fox jumps over the lazy dog " * 4,
+            "the quick brown fox jumped over a lazy dog " * 4,
+            "entirely unrelated text about parquet files and arrow " * 4,
+        ]
+    )
+    fp = dedup.simhash64(t)
+    assert fp[0] == fp[1]
+    d_near = dedup.hamming64(fp[2:3], fp[0:1])[0]
+    d_far = dedup.hamming64(fp[3:4], fp[0:1])[0]
+    assert d_near < d_far
+
+
+def test_connected_components_chain(ray_session):
+    """Chain topology 0-1-2-3-4 converges to label 0 everywhere."""
+    e = pa.table(
+        {"src": pa.array([1, 2, 3, 4], pa.int64()), "dst": pa.array([0, 1, 2, 3], pa.int64())}
+    )
+    labels = dedup.connected_components(rd.from_arrow(e), max_rounds=6).to_pandas()
+    assert set(labels["label"]) == {0}
+    assert len(labels) == 5
+
+
+def test_tumbling_matches_pandas(ray_session):
+    rng = np.random.RandomState(3)
+    n = 5000
+    t = pa.table(
+        {
+            "event_type": pa.array(np.take(["a", "b", "c"], rng.randint(0, 3, n))),
+            "ts": pa.array(
+                rng.randint(0, 86400_000_000 * 3, n).astype("datetime64[us]")
+            ),
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+    got = window.tumbling_aggregate(rd.from_arrow(t).repartition(5)).to_pandas()
+    pdf = t.to_pandas()
+    pdf["window_id"] = pdf["ts"].astype("int64") // window.US_PER_HOUR
+    pdf["value_q"] = np.floor(pdf["value"] * 1000 + 0.5).astype(np.int64)
+    expect = (
+        pdf.groupby(["event_type", "window_id"])
+        .agg(
+            sum_value_q=("value_q", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+            n=("value", "size"),
+        )
+        .reset_index()
+    )
+    key = ["event_type", "window_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False
+    )
+
+
+def test_sessionize_matches_pandas(ray_session):
+    rng = np.random.RandomState(4)
+    n = 2000
+    gap = 30 * 60 * 1_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, 50, n).astype(np.int64)),
+            "ts": pa.array(
+                rng.randint(0, 86400_000_000, n).astype("datetime64[us]")
+            ),
+        }
+    )
+    got = window.sessionize(rd.from_arrow(t).repartition(4)).to_pandas()
+    pdf = t.to_pandas()
+    pdf["tus"] = pdf["ts"].astype("int64")
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = np.sort(g["tus"].to_numpy())
+        cuts = np.flatnonzero(np.diff(ts) > gap)
+        bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
+        rows.append((uid, len(ts), len(bounds) - 1, int(np.diff(bounds).max())))
+    expect = pd.DataFrame(rows, columns=["user_id", "n_events", "n_sessions", "longest_session"])
+    got = got.sort_values("user_id").reset_index(drop=True)
+    expect = expect.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[expect.columns.tolist()], expect, check_dtype=False)
+
+
+def test_bucketed_join_matches_pandas(ray_session):
+    rng = np.random.RandomState(5)
+    left = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 100, 1000).astype(np.int64)),
+            "lv": pa.array(np.arange(1000, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(0, 80, dtype=np.int64)),
+            "rv": pa.array(np.arange(0, 80, dtype=np.int64) * 10),
+        }
+    )
+    got = join_mod.bucketed_hash_join(
+        rd.from_arrow(left).repartition(4), rd.from_arrow(right), on="k", n_buckets=8
+    ).to_pandas()
+    expect = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert sorted(map(tuple, got[["k", "lv", "rv"]].values.tolist())) == sorted(
+        map(tuple, expect[["k", "lv", "rv"]].values.tolist())
+    )
+
+
+def test_ann_matches_numpy_oracle(ray_session):
+    rng = np.random.RandomState(6)
+    emb = rng.randn(500, 32).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    q = emb[:4].astype(np.float64)
+    got = ann.knn_cosine(rd.from_arrow(t).repartition(6), q, k=7, concurrency=2).to_pandas()
+    en = emb.astype(np.float64)
+    en /= np.linalg.norm(en, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = en @ qn.T
+    for qi in range(4):
+        order = np.lexsort((np.arange(500), -sims[:, qi]))[:7]
+        mine = got[got["query_id"] == qi].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )["vec_id"].tolist()
+        assert mine == order.tolist()
+
+
+def test_ann_ivf_recall(ray_session):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16) * 4
+    emb = (centers[rng.randint(0, 8, 600)] + rng.randn(600, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    cents = ann.train_centroids(emb[:300], 8)
+    q = emb[:2].astype(np.float64)
+    exact = ann.knn_cosine(rd.from_arrow(t), q, k=5, concurrency=1).to_pandas()
+    approx = ann.knn_cosine_ivf(
+        rd.from_arrow(t), q, cents, k=5, n_probe=3, concurrency=1
+    ).to_pandas()
+    for qi in (0, 1):
+        ex = set(exact[exact["query_id"] == qi]["vec_id"])
+        ap = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(ex & ap) >= 3  # recall >= 0.6 with n_probe=3/8
+
+
+def test_cell_encode_roundtrip_and_hierarchy():
+    rng = np.random.RandomState(8)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-84, 84, 1000)
+    cell = tms.cell_encode(lon, lat, 12)
+    lvl, x, y = tms.cell_to_tile(cell)
+    assert (lvl == 12).all()
+    ex, ey = tms.tile(lon, lat, 12)
+    np.testing.assert_array_equal(x, ex)
+    np.testing.assert_array_equal(y, ey)
+    # parent via bit math == direct encode at parent level
+    parent = tms.cell_parent(cell, 7)
+    np.testing.assert_array_equal(parent, tms.cell_encode(lon, lat, 7))
+    # z-order locality: ids in one tile at level 7 form a contiguous range
+    _, px, py = tms.cell_to_tile(parent)
+    one = (px == px[0]) & (py == py[0])
+    if one.sum() > 2:
+        ids = np.sort(cell[one])
+        outside = cell[~one]
+        assert not ((outside >= ids[0]) & (outside <= ids[-1])).any()
+
+
+def test_partial_group_agg_rejects_float_sums(ray_session):
+    t = pa.table({"k": [1, 2], "v": [1.5, 2.5]})
+    with pytest.raises(Exception, match="integer"):
+        agg.partial_group_agg(rd.from_arrow(t), ["k"], sum_cols=["v"]).to_pandas()
+
+
+def test_fingerprint_whitespace_invariance():
+    fp = text.fingerprint64(pa.array(["a  b\tc", "a b c", "a bc"]))
+    assert fp[0] == fp[1]
+    assert fp[1] != fp[2]
+
+
+def test_langid_on_generated_corpus():
+    from rio_cogeo_ray import fixtures
+
+    t = fixtures.gen_pages(0, 600)
+    li = text.LangId()
+    out = li(t.select(["text", "lang"]))
+    pred = np.array(out["lang_pred"].to_pylist())
+    true = np.array(t["lang"].to_pylist())
+    # script-based languages must be near-perfect; latin overall decent
+    script = np.isin(true, ["zh", "ar", "ru", "ja", "hi"])
+    assert (pred[script] == true[script]).mean() > 0.95
+    assert (pred == true).mean() > 0.5
+
+
+def test_salted_counts_under_skew(ray_session):
+    from rio_cogeo_ray.stages import salt
+
+    rng = np.random.RandomState(9)
+    # one hot key (80%), many cold
+    keys = np.where(rng.rand(30000) < 0.8, 7, rng.randint(100, 200, 30000)).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(np.arange(30000, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(6)
+    got = salt.salted_group_counts(ds, "k", hot_threshold=5000, n_salts=8).to_pandas()
+    expect = pd.Series(keys).value_counts()
+    got_map = dict(zip(got["k"], got["n"]))
+    assert got_map[7] == int(expect[7])
+    assert len(got_map) == len(expect)
+    assert sum(got_map.values()) == 30000
