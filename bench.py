@@ -126,14 +126,14 @@ def bench_minhash_bands():
     import ray.data as rd
 
     from rio_cogeo_ray.stages import dedup
-    from ray.data.aggregate import Count
+    from rio_cogeo_ray.stages.agg import partial_group_agg
 
     ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"])
     bands = ds.map_batches(
         lambda t: dedup.minhash_band_rows(t, id_col="url", num_perm=32, bands=8),
         batch_format="pyarrow",
     )
-    return bands.groupby(["band", "band_hash"]).aggregate(Count()).count()
+    return partial_group_agg(bands, keys=["band", "band_hash"], count_as="n").count()
 
 
 def bench_token_quality():

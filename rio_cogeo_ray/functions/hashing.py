@@ -40,3 +40,24 @@ def weighted_pick(h: np.ndarray, weights) -> np.ndarray:
     thresholds = np.floor(np.cumsum(w) / w.sum() * 65536.0).astype(np.int64)
     u = (np.asarray(h, dtype=np.uint64) & np.uint64(0xFFFF)).astype(np.int64)
     return np.clip(np.searchsorted(thresholds, u, side="right"), 0, len(w) - 1)
+
+
+def hash_columns(table, cols) -> np.ndarray:
+    """One uint64 hash per row over arbitrary key columns (int-like
+    columns via splitmix64 chaining; strings via polars' native
+    vectorized hash). Used to route rows to reduce buckets."""
+    import pyarrow as pa
+
+    h = np.zeros(len(table), dtype=np.uint64)
+    for c in cols:
+        col = table[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            import polars as pl
+
+            v = pl.from_arrow(col.cast(pa.large_string())).hash(seed=17).to_numpy().astype(np.uint64)
+        else:
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = hash2(h, v)
+    return h

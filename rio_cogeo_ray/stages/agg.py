@@ -1,10 +1,15 @@
-"""Generic partial→final grouped aggregation.
+"""Generic partial→final grouped aggregation, bucketed.
 
-The scalable-groupby building block used by every counting query: a
-vectorized within-batch combine (``map_batches`` emitting ≤1 row per key
-per batch) followed by a small ``groupby().aggregate`` over the partials
-— so the all-to-all shuffle moves pre-aggregated rows, not raw data, and
-hot keys cost O(#batches), not O(#rows) (the skew story for counts).
+The scalable-groupby building block used by every counting query:
+
+1. a vectorized within-batch combine (``map_batches`` emitting ≤1 row
+   per key per batch) so the shuffle moves pre-aggregated rows, not raw
+   data — hot keys cost O(#batches), not O(#rows);
+2. partials hash into ``n_buckets`` reduce buckets and ONE vectorized
+   merge runs per bucket (``groupby('__bucket').map_groups``) — Ray's
+   built-in per-group aggregation costs ~45µs of Python per group on
+   this box, which at 10^6+ distinct keys dominates everything; the
+   bucketed merge makes per-group cost O(buckets) instead.
 
 Integer-only sums by design: int64 addition is associative, so results
 are bit-identical at any parallelism — float accumulations are refused
@@ -13,32 +18,28 @@ are bit-identical at any parallelism — float accumulations are refused
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Max, Min, Sum
+from rio_cogeo_ray.functions.hashing import hash_columns
+
+#: (input column, output column, op) — op in {sum, min, max, count}
+_Spec = Tuple[str, str, str]
 
 
-def _batch_partial(
-    batch: pa.Table,
-    keys: Sequence[str],
-    sum_cols: Sequence[str],
-    min_cols: Sequence[str],
-    max_cols: Sequence[str],
-    count_as: Optional[str],
-) -> pa.Table:
+def _reduce_table(batch: pa.Table, keys: Sequence[str], specs: Sequence[_Spec]) -> pa.Table:
+    """Vectorized multi-key reduce of a table: one sort + reduceat pass.
+    ``count`` op sums an EXISTING count column (merge) — the initial
+    count is produced by the `_initial_specs` wrapper as sum of ones."""
     if len(batch) == 0:
         fields = [(k, batch.schema.field(k).type) for k in keys]
-        fields += [(f"sum_{c}", pa.int64()) for c in sum_cols]
-        fields += [(f"min_{c}", batch.schema.field(c).type) for c in min_cols]
-        fields += [(f"max_{c}", batch.schema.field(c).type) for c in max_cols]
-        if count_as:
-            fields += [(count_as, pa.int64())]
+        for src, dst, op in specs:
+            typ = pa.int64() if op in ("sum", "count") else batch.schema.field(src).type
+            fields.append((dst, typ))
         return pa.schema(fields).empty_table()
-    sort_keys = [(k, "ascending") for k in keys]
-    batch = batch.sort_by(sort_keys)
+    batch = batch.sort_by([(k, "ascending") for k in keys])
     karrs = [batch[k].combine_chunks().to_numpy(zero_copy_only=False) for k in keys]
     new = np.zeros(len(batch), dtype=bool)
     new[0] = True
@@ -50,26 +51,27 @@ def _batch_partial(
     for k, ka in zip(keys, karrs):
         cols.append(pa.array(ka[starts], batch.schema.field(k).type))
         names.append(k)
-    for c in sum_cols:
-        v = batch[c].combine_chunks().to_numpy(zero_copy_only=False)
-        if not np.issubdtype(v.dtype, np.integer):
-            raise TypeError(
-                f"partial_group_agg sums must be integer columns (got {v.dtype} "
-                f"for {c!r}); quantize floats explicitly or use min/max"
-            )
-        cols.append(pa.array(np.add.reduceat(v.astype(np.int64), starts), pa.int64()))
-        names.append(f"sum_{c}")
-    for c in min_cols:
-        v = batch[c].combine_chunks().to_numpy(zero_copy_only=False)
-        cols.append(pa.array(np.minimum.reduceat(v, starts), batch.schema.field(c).type))
-        names.append(f"min_{c}")
-    for c in max_cols:
-        v = batch[c].combine_chunks().to_numpy(zero_copy_only=False)
-        cols.append(pa.array(np.maximum.reduceat(v, starts), batch.schema.field(c).type))
-        names.append(f"max_{c}")
-    if count_as:
-        cols.append(pa.array((ends - starts).astype(np.int64), pa.int64()))
-        names.append(count_as)
+    for src, dst, op in specs:
+        if op == "rows":
+            cols.append(pa.array((ends - starts).astype(np.int64), pa.int64()))
+            names.append(dst)
+            continue
+        v = batch[src].combine_chunks().to_numpy(zero_copy_only=False)
+        if op in ("sum", "count"):
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    f"grouped sums must be integer columns (got {v.dtype} for "
+                    f"{src!r}); quantize floats explicitly or use min/max"
+                )
+            out = np.add.reduceat(v.astype(np.int64), starts)
+            cols.append(pa.array(out, pa.int64()))
+        elif op == "min":
+            cols.append(pa.array(np.minimum.reduceat(v, starts), batch.schema.field(src).type))
+        elif op == "max":
+            cols.append(pa.array(np.maximum.reduceat(v, starts), batch.schema.field(src).type))
+        else:  # pragma: no cover
+            raise ValueError(op)
+        names.append(dst)
     return pa.Table.from_arrays(cols, names=names)
 
 
@@ -81,23 +83,37 @@ def partial_group_agg(
     max_cols: Sequence[str] = (),
     count_as: Optional[str] = "n",
     batch_size: int = 65536,
+    n_buckets: int = 64,
 ):
-    """groupby(keys) with int sums / exact min / exact max / count,
-    pre-combined per batch. Output column names: sum_<c>, min_<c>,
-    max_<c>, <count_as> — name them identically in the oracle SQL."""
+    """groupby(keys) with int sums / exact min / exact max / count.
+    Output column names: sum_<c>, min_<c>, max_<c>, <count_as> — name
+    them identically in the oracle SQL."""
     keys = list(keys)
+    init_specs: List[_Spec] = (
+        [(c, f"sum_{c}", "sum") for c in sum_cols]
+        + [(c, f"min_{c}", "min") for c in min_cols]
+        + [(c, f"max_{c}", "max") for c in max_cols]
+        + ([(count_as, count_as, "rows")] if count_as else [])
+    )
+    merge_specs: List[_Spec] = (
+        [(f"sum_{c}", f"sum_{c}", "sum") for c in sum_cols]
+        + [(f"min_{c}", f"min_{c}", "min") for c in min_cols]
+        + [(f"max_{c}", f"max_{c}", "max") for c in max_cols]
+        + ([(count_as, count_as, "sum")] if count_as else [])
+    )
+
     partial = ds.map_batches(
-        lambda t: _batch_partial(t, keys, sum_cols, min_cols, max_cols, count_as),
+        lambda t: _reduce_table(t, keys, init_specs),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    aggs: List = []
-    for c in sum_cols:
-        aggs.append(Sum(f"sum_{c}", alias_name=f"sum_{c}"))
-    for c in min_cols:
-        aggs.append(Min(f"min_{c}", alias_name=f"min_{c}"))
-    for c in max_cols:
-        aggs.append(Max(f"max_{c}", alias_name=f"max_{c}"))
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partial.groupby(keys).aggregate(*aggs)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    bucketed = partial.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: _reduce_table(g.drop_columns(["__bucket"]), keys, merge_specs),
+        batch_format="pyarrow",
+    )

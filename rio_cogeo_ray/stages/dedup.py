@@ -52,40 +52,30 @@ def _hash128_batch(batch: pa.Table, key_col: str, id_col: str) -> pa.Table:
     )
 
 
-def _batch_min_per_hash(batch: pa.Table, id_col: str) -> pa.Table:
-    """Within-batch combiner: min(id) per (h1, h2)."""
-    if len(batch) == 0:
-        return batch
-    batch = batch.sort_by([("h1", "ascending"), ("h2", "ascending"), (id_col, "ascending")])
-    h1 = batch["h1"].combine_chunks().to_numpy(zero_copy_only=False)
-    h2 = batch["h2"].combine_chunks().to_numpy(zero_copy_only=False)
-    new = np.concatenate(([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
-    return batch.filter(pa.array(new))
-
-
 def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", with_counts: bool = False):
     """Keepers of exact duplicate groups: min(id) per distinct content.
 
-    map_batches(hash128, drop content) → within-batch min combine →
-    groupby((h1,h2)).min(id). Equivalent to SQL ``GROUP BY <content>``
-    modulo 128-bit collisions (assumption documented in the module doc).
+    map_batches(hash128, drop content) → bucketed partial→final min(id)
+    per (h1, h2) (stages/agg.py — per-group Python cost O(buckets), not
+    O(distinct texts)). Equivalent to SQL ``GROUP BY <content>`` modulo
+    128-bit collisions (assumption documented in the module doc).
     """
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
     hashed = ds.map_batches(
         lambda t: _hash128_batch(t, key_col, id_col), batch_format="pyarrow"
     )
-    combined = hashed.map_batches(
-        lambda t: _batch_min_per_hash(t, id_col), batch_format="pyarrow"
+    agged = partial_group_agg(
+        hashed, keys=["h1", "h2"], min_cols=[id_col],
+        count_as="dups" if with_counts else None,
     )
-    aggs = [Min(id_col, alias_name=id_col)]
-    if with_counts:
-        # NOTE: per-group counts need raw rows, so skip the min combine
-        from ray.data.aggregate import Count as _C
+    keep = [f"min_{id_col}"] + (["dups"] if with_counts else [])
 
-        grouped = hashed.groupby(["h1", "h2"]).aggregate(
-            Min(id_col, alias_name=id_col), _C(alias_name="dups")
-        )
-        return grouped.select_columns([id_col, "dups"])
-    return combined.groupby(["h1", "h2"]).aggregate(*aggs).select_columns([id_col])
+    def _rename(t: pa.Table) -> pa.Table:
+        t = t.select(keep)
+        return t.rename_columns([id_col] + (["dups"] if with_counts else []))
+
+    return agged.map_batches(_rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -180,29 +170,53 @@ def minhash_band_rows(
     )
 
 
-def _bucket_edges(group: pa.Table, id_col: str) -> pa.Table:
-    """Bucket members → star edges to the bucket minimum (enough for
-    connectivity; avoids quadratic pair explosion in hot buckets)."""
-    ids = np.sort(group[id_col].combine_chunks().to_numpy(zero_copy_only=False))
-    if len(ids) < 2:
+def _bucket_edges_vec(group: pa.Table, id_col: str) -> pa.Table:
+    """MANY LSH buckets (one reduce bucket) → star edges member →
+    bucket-min, fully vectorized (sort + run boundaries). Star edges
+    keep connectivity while avoiding quadratic pair explosion in hot
+    buckets."""
+    if len(group) == 0:
         return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    group = group.sort_by(
+        [("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")]
+    )
+    b = group["band"].combine_chunks().to_numpy(zero_copy_only=False)
+    h = group["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], (b[1:] != b[:-1]) | (h[1:] != h[:-1])))
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(b)))
+    first = np.repeat(ids[starts], lens)
+    member = ~new  # every non-first member gets an edge to the bucket min
     return pa.table(
         {
-            "src": pa.array(ids[1:], pa.int64()),
-            "dst": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
+            "src": pa.array(ids[member], pa.int64()),
+            "dst": pa.array(first[member], pa.int64()),
         }
     )
 
 
 def lsh_candidate_edges(ds, id_col: str = "doc_id", text_col: str = "text",
-                        num_perm: int = 64, bands: int = 16):
-    """documents → candidate-duplicate edges via banded MinHash LSH."""
+                        num_perm: int = 64, bands: int = 16, n_buckets: int = 64):
+    """documents → candidate-duplicate edges via banded MinHash LSH.
+    LSH buckets hash into ``n_buckets`` reduce buckets (the bucketed
+    map_groups pattern — millions of LSH buckets, O(n_buckets) Python)."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
     band_rows = ds.map_batches(
         lambda t: minhash_band_rows(t, id_col, text_col, num_perm, bands),
         batch_format="pyarrow",
     )
-    edges = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_edges(g, id_col), batch_format="pyarrow"
+
+    def _route(t: pa.Table) -> pa.Table:
+        rb = (hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(rb, pa.int64()))
+
+    edges = band_rows.map_batches(_route, batch_format="pyarrow").groupby(
+        "__bucket"
+    ).map_groups(
+        lambda g: _bucket_edges_vec(g.drop_columns(["__bucket"]), id_col),
+        batch_format="pyarrow",
     )
     return edges
 
@@ -231,6 +245,18 @@ def connected_components(edges, max_rounds: int = 6):
 
     sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
 
+    from rio_cogeo_ray.functions.hashing import splitmix64 as _sm
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    _SENTINEL = np.iinfo(np.int64).max
+
+    def _min_labels(msgs):
+        """(node, label) messages → min label per node, bucketed."""
+        agged = partial_group_agg(msgs, keys=["node"], min_cols=["label"], count_as=None)
+        return agged.map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+
     # initial labels: min(node, neighbors)
     def _init_msgs(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -238,29 +264,38 @@ def connected_components(edges, max_rounds: int = 6):
         lab = pc.min_element_wise(t["node"], t["nbr"])
         return pa.table({"node": t["node"], "label": lab})
 
-    labels = (
-        sym.map_batches(_init_msgs, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-    )
+    labels = _min_labels(sym.map_batches(_init_msgs, batch_format="pyarrow"))
 
-    def _spread(group: pa.Table) -> pa.Table:
-        """One node's group: its edge rows (nbr set) + its label row →
-        broadcast min label to self and all neighbors."""
+    def _spread_bucket(group: pa.Table) -> pa.Table:
+        """MANY nodes (one reduce bucket): per node, min label over its
+        label rows and itself, broadcast to self + neighbors —
+        vectorized (sort + reduceat)."""
+        if len(group) == 0:
+            return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        group = group.sort_by([("node", "ascending")])
+        node = group["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = group["label"].combine_chunks().fill_null(_SENTINEL).to_numpy(zero_copy_only=False)
         import pyarrow.compute as pc
 
-        node = group["node"][0].as_py()
-        lab = pc.min(group["label"]).as_py()
-        lab = node if lab is None else min(lab, node)
-        nbrs = group["nbr"].combine_chunks().drop_null().to_numpy(zero_copy_only=False)
-        targets = np.concatenate((nbrs, [node]))
+        nbr_arr = group["nbr"].combine_chunks()
+        nbr_valid = pc.is_valid(nbr_arr).to_numpy(zero_copy_only=False)
+        nbr = nbr_arr.fill_null(0).to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], node[1:] != node[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(node)))
+        run_min = np.minimum(np.minimum.reduceat(lab, starts), node[starts])
+        # targets: each valid nbr entry + one self row per node
+        lab_per_row = np.repeat(run_min, lens)
+        t_nodes = np.concatenate((nbr[nbr_valid], node[starts]))
+        t_labels = np.concatenate((lab_per_row[nbr_valid], run_min))
         return pa.table(
             {
-                "node": pa.array(targets, pa.int64()),
-                "label": pa.array(np.full(len(targets), lab), pa.int64()),
+                "node": pa.array(t_nodes, pa.int64()),
+                "label": pa.array(t_labels, pa.int64()),
             }
         )
 
+    n_buckets = 64
     for _ in range(max_rounds):
         def _as_msg_schema(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -272,8 +307,19 @@ def connected_components(edges, max_rounds: int = 6):
             )
 
         combined = sym.union(labels.map_batches(_as_msg_schema, batch_format="pyarrow"))
-        msgs = combined.groupby("node").map_groups(_spread, batch_format="pyarrow")
-        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+
+        def _route(t: pa.Table) -> pa.Table:
+            n = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = (_sm(n.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+        msgs = combined.map_batches(_route, batch_format="pyarrow").groupby(
+            "__bucket"
+        ).map_groups(
+            lambda g: _spread_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+        labels = _min_labels(msgs)
     return labels
 
 
