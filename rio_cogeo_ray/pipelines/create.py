@@ -119,6 +119,29 @@ def read_level(out_dir: str, z: int, columns: Optional[List[str]] = None) -> rd.
     return rd.read_parquet(mani.level_dir(out_dir, z), columns=columns)
 
 
+def _write_level_table(
+    t: pa.Table, out_dir: str, z: int, decimation: int
+) -> mani.LevelEntry:
+    """Driver-side level sink (small levels): one parquet file, atomic
+    rename, stats straight from the in-memory table (no read-back)."""
+    import pyarrow.parquet as pq
+
+    final = mani.level_dir(out_dir, z)
+    tmp = os.path.join(out_dir, "tiles", f".tmp-z={z}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+    os.replace(tmp, final)
+    cells_arr = t["cells"].combine_chunks()
+    ncells = int(np.sum(np.diff(cells_arr.offsets.to_numpy(zero_copy_only=False))))
+    pages = int(np.sum(t["page_count"].combine_chunks().to_numpy(zero_copy_only=False)))
+    return mani.LevelEntry(
+        z=z, decimation=decimation, tiles=t.num_rows, pages=pages, cells=ncells,
+        files=mani.scan_level_files(out_dir, z),
+    )
+
+
 def create(
     src: Union[str, Sequence[str], rd.Dataset],
     out_dir: str,
@@ -185,9 +208,12 @@ def create(
                 return t.filter(pc.fill_null(keep, False))
 
             prepared = prepared.map_batches(_clip, batch_format="pyarrow")
+        # wide columns (html) are dropped by prepare; rebatch large so
+        # each partial covers many rows per tile even at deep zooms
         partials = prepared.map_batches(
             lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
             batch_format="pyarrow",
+            batch_size=max(batch_size, 131072),
         )
         merged = rasterize.merge_sparse_tiles(
             partials, spec.resampling, level=0, step=step,
@@ -199,20 +225,46 @@ def create(
         levels_done[base_z] = entry
 
     # ---- pyramid ---------------------------------------------------------
+    # Levels shrink geometrically; once a level fits the driver-side
+    # threshold we finish the remaining ladder locally with the SAME
+    # vectorized kernels (bit-identical results — _merge_bucket_table
+    # over the whole table is the n_buckets=1 case). At cluster scale the
+    # distributed path runs until the data is small; paying a full
+    # all-to-all per near-empty level is pure fixed overhead.
+    local_table: Optional[pa.Table] = None
     for j, z in enumerate(zooms[1:], start=1):
         if z in levels_done:
+            local_table = None  # resume hole: re-read below if needed
             continue
-        child = read_level(out_dir, z + step)
-        partials = child.map_batches(
-            lambda t: rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, step),
-            batch_format="pyarrow",
-        )
-        merged = rasterize.merge_sparse_tiles(
-            partials, spec.resampling, level=j, step=step,
-            tile_px=spec.tile_px, n_buckets=n_buckets,
-        )
-        _write_level(merged, out_dir, z)
-        entry = _level_stats(out_dir, z, decimation=spec.decimation_base**j)
+        if local_table is None:
+            prev = levels_done[z + step]
+            if sum(f.bytes for f in prev.files) < _DRIVER_SIDE_BYTES:
+                import pyarrow.parquet as pq
+
+                local_table = pq.read_table(mani.level_dir(out_dir, z + step))
+        if local_table is not None:
+            partials = rasterize.pyramid_partials(
+                local_table, spec.tile_px, spec.resampling, step
+            )
+            merged_t = rasterize._merge_bucket_table(
+                partials, spec.resampling, j, step, spec.tile_px
+            )
+            entry = _write_level_table(
+                merged_t, out_dir, z, decimation=spec.decimation_base**j
+            )
+            local_table = merged_t
+        else:
+            child = read_level(out_dir, z + step)
+            partials = child.map_batches(
+                lambda t: rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, step),
+                batch_format="pyarrow",
+            )
+            merged = rasterize.merge_sparse_tiles(
+                partials, spec.resampling, level=j, step=step,
+                tile_px=spec.tile_px, n_buckets=n_buckets,
+            )
+            _write_level(merged, out_dir, z)
+            entry = _level_stats(out_dir, z, decimation=spec.decimation_base**j)
         mani.write_level_marker(out_dir, entry)
         levels_done[z] = entry
 

@@ -547,17 +547,8 @@ def q_ann_cosine(sf_dir: str):
     qrows = qt.filter(pa.array(mask)).sort_by("vec_id")
     queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    # query row index == vec_id because ANN_QUERY_IDS are 0..2 sorted
     res = ann.knn_cosine(ds, queries, k=ANN_K, concurrency=2)
-
-    def _label(t: pa.Table) -> pa.Table:
-        # query row index == vec_id because ANN_QUERY_IDS are 0..2 sorted
-        return pa.table(
-            {
-                "query_id": t["query_id"].combine_chunks().cast(pa.int64()),
-                "vec_id": t["vec_id"].combine_chunks().cast(pa.int64()),
-            }
-        )
-
     ranked = knn.per_group_topk(
         res, "query_id", [("score", False), ("vec_id", True)], ANN_K, rank_col="rnk"
     )

@@ -141,14 +141,38 @@ def pip_join(
     batch_size: int = 8192,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    use_actors: Optional[bool] = None,
 ):
-    """Attach the PIP actor-pool stage to a prepared Dataset."""
+    """Attach the PIP join stage to a prepared Dataset.
+
+    Actor pool vs stateless tasks: an actor pool amortizes EXPENSIVE
+    per-worker state, but each actor pays a process spawn + imports —
+    for a small polygon set that startup dominates. Default: actors when
+    the AOI table is big enough to matter (≥256 polygons), stateless
+    tasks (broadcast ref + cached index per worker process) otherwise.
+    """
     aois_ref = ray.put(aois)
-    return ds.map_batches(
-        PIPJoin,
-        fn_constructor_args=(aois_ref, mode, lon_col, lat_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        # callable class ⇒ actor pool; Ray requires an explicit size
-        concurrency=concurrency or 4,
-    )
+    if use_actors is None:
+        use_actors = len(aois) >= 256
+    if use_actors:
+        return ds.map_batches(
+            PIPJoin,
+            fn_constructor_args=(aois_ref, mode, lon_col, lat_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            # callable class ⇒ actor pool; Ray requires an explicit size
+            concurrency=concurrency or 4,
+        )
+
+    # stateless path: build (and cache) the joiner once per worker
+    # process — tasks reuse Ray's already-warm workers, no pool spin-up
+    cache = {}
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        j = cache.get("j")
+        if j is None:
+            j = PIPJoin(ray.get(aois_ref), mode, lon_col, lat_col)
+            cache["j"] = j
+        return j(batch)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=batch_size)
