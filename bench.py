@@ -209,24 +209,6 @@ BENCHES = {
 }
 
 
-def _warm_workers():
-    """Untimed: spawn every Ray worker once and import the library in
-    each, so timings measure steady-state throughput (a long-lived
-    cluster has warm workers), not process-spawn + import latency."""
-    import ray.data as rd
-
-    def _touch(batch):
-        import numpy  # noqa: F401
-
-        from rio_cogeo_ray.stages import assign, pip, rasterize  # noqa: F401
-
-        return batch
-
-    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        _touch, batch_size=1
-    ).count()
-
-
 def run_bench() -> dict:
     import ray
 
@@ -241,7 +223,6 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     ensure_pages_corpus()
-    _warm_workers()
     only = os.environ.get("RCR_BENCH_QUERIES")
     names = [n.strip() for n in only.split(",")] if only else list(BENCHES)
 
@@ -282,8 +263,11 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    run(8)  # untimed warm-up: generates the corpus, warms the page cache
+    # one untimed run per level: generates the corpus, warms the OS page
+    # cache and Ray's worker pool, so the timed pass measures steady state
+    run(8)
     lo = run(8)
+    run(32)
     hi = run(32)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
