@@ -611,6 +611,120 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(_fp, batch_format="pyarrow")
 
 
+def q_asof_purchase_view(sf_dir: str):
+    """As-of join: for each purchase event, the most recent view event
+    (same user, view_ts <= purchase ts). Bucketed-by-user merge_asof —
+    the time-series lookup operator; DuckDB ASOF JOIN is the oracle."""
+    ev = os.path.join(sf_dir, "events.parquet")
+
+    def _typed(kind):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table(
+                {
+                    "user_id": t["user_id"].combine_chunks(),
+                    "ts": t["ts"].combine_chunks().cast(pa.int64()),
+                    "event_id": t["event_id"].combine_chunks(),
+                }
+            )
+
+        return _f
+
+    base_cols = ["event_id", "user_id", "ts", "event_type"]
+    purchases = rd.read_parquet(ev, columns=base_cols).map_batches(
+        _typed("purchase"), batch_format="pyarrow"
+    )
+    views = rd.read_parquet(ev, columns=base_cols).map_batches(
+        _typed("view"), batch_format="pyarrow"
+    ).drop_columns(["event_id"])
+    joined = join_mod.asof_join(purchases, views, on="ts", by="user_id")
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].combine_chunks().cast(pa.int64()),
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "view_ts": t["ts_r"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_out, batch_format="pyarrow")
+
+
+SQL_ASOF_PURCHASE_VIEW = (
+    "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "v AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'view') "
+    "SELECT p.event_id, p.user_id, v.ts AS view_ts "
+    "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"
+)
+
+
+def _morton_spread_sql(col: str, bits: int) -> str:
+    terms = [f"(({col} // {1 << b}) % 2) * {1 << (2 * b)}" for b in range(bits)]
+    return "(" + " + ".join(terms) + ")"
+
+
+#: cell_encode at level 8 has 8-bit x/y — the Morton interleave unrolls
+#: into plain integer arithmetic, so even the bit-math op is SQL-exact.
+SQL_CELL_ASSIGN = (
+    _geo_cte() + ", t AS (" + (
+        f"SELECT doc_id, "
+        f"LEAST(GREATEST(CAST(FLOOR((mx + {_O}) / {_span_sql(8)}) AS BIGINT), 0), 255) AS x, "
+        f"LEAST(GREATEST(CAST(FLOOR(({_O} - my) / {_span_sql(8)}) AS BIGINT), 0), 255) AS y FROM m"
+    ) + ") "
+    f"SELECT doc_id, (({_morton_spread_sql('x', 8)} * 2 + "
+    f"{_morton_spread_sql('y', 8)}) * 32 + 8) AS cell FROM t"
+)
+
+#: lang → category/color lookup (colormap analog, cogeo.py:345-360):
+#: tiny dimension broadcast with ray.put, VALUES join in the oracle.
+LANG_CATEGORIES = [
+    ("en", 0, "#1f77b4"), ("de", 1, "#ff7f0e"), ("fr", 2, "#2ca02c"),
+    ("es", 3, "#d62728"), ("zh", 4, "#9467bd"),
+]
+
+
+def q_lang_categories(sf_dir: str):
+    cat = pa.table(
+        {
+            "lang": pa.array([c[0] for c in LANG_CATEGORIES], pa.string()),
+            "category": pa.array([c[1] for c in LANG_CATEGORIES], pa.int32()),
+            "color": pa.array([c[2] for c in LANG_CATEGORIES], pa.string()),
+        }
+    )
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    joined = join_mod.broadcast_join(ds, cat, on="lang", concurrency=2)
+    return agg.partial_group_agg(
+        joined, keys=["category", "color"], sum_cols=["n_chars"], count_as="n"
+    )
+
+
+SQL_LANG_CATEGORIES = (
+    "SELECT CAST(c.category AS INTEGER) AS category, c.color, "
+    "CAST(SUM(d.n_chars) AS BIGINT) AS sum_n_chars, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM documents d JOIN (VALUES "
+    + ", ".join(f"('{l}', {i}, '{col}')" for l, i, col in LANG_CATEGORIES)
+    + ") AS c(lang, category, color) ON d.lang = c.lang "
+    "GROUP BY c.category, c.color"
+)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate cosine kNN (the ANN scale path): k-means
+    centroids on a sample, probe the top-3 buckets. Approximate ⇒
+    rows-only driver check; recall pinned vs brute force in pytest."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    emb = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    cents = ann.train_centroids(emb[: min(len(emb), 1000)], 8)
+    queries_m = emb[:3]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return ann.knn_cosine_ivf(ds, queries_m, cents, k=ANN_K, n_probe=3, concurrency=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -637,6 +751,9 @@ def queries() -> Dict[str, Callable]:
         "orders_by_segment": q_orders_by_segment,
         "lineitem_orders": q_lineitem_orders,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "asof_purchase_view": q_asof_purchase_view,
+        "lang_categories": q_lang_categories,
         "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "langid": q_langid,
@@ -664,7 +781,10 @@ def oracle_sql() -> Dict[str, str]:
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "lineitem_orders": SQL_LINEITEM_ORDERS,
         "ann_cosine": SQL_ANN_COSINE,
-        # cell_assign, minhash_clusters, simhash, langid, fingerprint:
-        # non-SQL-expressible (bit interleave / iterative / heuristic /
+        "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+        "cell_assign": SQL_CELL_ASSIGN,
+        "lang_categories": SQL_LANG_CATEGORIES,
+        # ann_ivf, minhash_clusters, simhash, langid, fingerprint:
+        # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.
     }

@@ -160,3 +160,83 @@ def bucketed_hash_join(
         return m
 
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series lookup)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    n_buckets: int = 32,
+    suffix: str = "_r",
+):
+    """As-of join: for each left row, the nearest right row with
+    ``right.on <= left.on`` (backward) within the same ``by`` key.
+
+    Both sides bucket by ``hash(by) % n_buckets`` (co-locates each key's
+    full history), then each bucket sorts by ``on`` and runs
+    ``pd.merge_asof`` — the ray_guide.md as-of pattern. Inner semantics:
+    left rows with no match are dropped (mirrors DuckDB ASOF JOIN).
+    """
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+    shared = (set(lcols) & set(rcols)) - {on, by}
+
+    lt = left.map_batches(lambda t: _with_bucket(t, by, n_buckets, 0), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: _with_bucket(t, by, n_buckets, 1), batch_format="pyarrow")
+
+    r_only = [c for c in rcols if c not in (on, by)]
+    r_types = [right.schema().base_schema.field(c).type for c in r_only]
+    l_only = [c for c in lcols if c not in (on, by)]
+    l_types = [left.schema().base_schema.field(c).type for c in l_only]
+    out_r_cols = [c if c not in shared else c + suffix for c in r_only]
+    r_on = on + suffix  # right's timestamp kept for the caller
+    canonical = [by, on, r_on] + l_only + out_r_cols + ["__bucket", "__side"]
+
+    def _pad_left(t: pa.Table) -> pa.Table:
+        t = t.append_column(r_on, pa.nulls(len(t), t.schema.field(on).type))
+        for name, typ in zip(out_r_cols, r_types):
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        return t.select(canonical)
+
+    def _pad_right(t: pa.Table) -> pa.Table:
+        names = [c if c not in shared else c + suffix for c in t.column_names]
+        t = t.rename_columns(names)
+        t = t.append_column(r_on, t[on])
+        for name, typ in zip(l_only, l_types):
+            t = t.append_column(name, pa.nulls(len(t), typ))
+        return t.select(canonical)
+
+    both = lt.map_batches(_pad_left, batch_format="pyarrow").union(
+        rt.map_batches(_pad_right, batch_format="pyarrow")
+    )
+
+    cols_out = [by, on, r_on] + l_only + out_r_cols
+
+    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ``on`` must be an int64 key (epoch micros); padded nulls from
+        # the union make r_on/value columns float64 in pandas — keys are
+        # normalized back to int64 so every bucket emits one schema.
+        lg = g[g["__side"] == 0][[by, on] + l_only].sort_values(on, kind="mergesort")
+        rg = g[g["__side"] == 1][[by, r_on] + out_r_cols].copy()
+        if len(lg) == 0 or len(rg) == 0:
+            empty = g.iloc[0:0][[by, on] + l_only + out_r_cols].copy()
+            empty[r_on] = pd.Series([], dtype="int64")
+            return empty[cols_out]
+        rg[on] = rg[r_on].astype(lg[on].dtype)
+        rg = rg.sort_values(on, kind="mergesort")
+        m = pd.merge_asof(
+            lg, rg[[by, on, r_on] + out_r_cols], on=on, by=by,
+            direction=direction, suffixes=("", "__drop"),
+        )
+        m = m.dropna(subset=[r_on])  # inner semantics (DuckDB ASOF)
+        m[r_on] = m[r_on].astype("int64")
+        return m[cols_out]
+
+    return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")

@@ -281,3 +281,34 @@ def test_salted_counts_under_skew(ray_session):
     assert got_map[7] == int(expect[7])
     assert len(got_map) == len(expect)
     assert sum(got_map.values()) == 30000
+
+
+def test_asof_join_matches_pandas(ray_session):
+    rng = np.random.RandomState(11)
+    n = 3000
+    left = pa.table(
+        {
+            "u": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+            "ts": pa.array(rng.randint(0, 10**6, n).astype(np.int64)),
+            "lid": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array(rng.randint(0, 40, 500).astype(np.int64)),
+            "ts": pa.array(rng.randint(0, 10**6, 500).astype(np.int64)),
+            "rv": pa.array(np.arange(500, dtype=np.int64)),
+        }
+    )
+    got = join_mod.asof_join(
+        rd.from_arrow(left).repartition(4), rd.from_arrow(right).repartition(3),
+        on="ts", by="u",
+    ).to_pandas()
+    lp = left.to_pandas().sort_values("ts", kind="mergesort")
+    rp = right.to_pandas().sort_values("ts", kind="mergesort").rename(columns={"ts": "rts"})
+    rp["ts"] = rp["rts"]
+    expect = pd.merge_asof(lp, rp[["u", "ts", "rts", "rv"]], on="ts", by="u",
+                           direction="backward").dropna(subset=["rv"])
+    key = lambda pairs: sorted(pairs)
+    assert key(zip(got["lid"].astype(int), got["ts_r"].astype(int))) == key(
+        zip(expect["lid"].astype(int), expect["rts"].astype(int)))
