@@ -65,7 +65,19 @@ def cmd_create(args) -> int:
     from rio_cogeo_ray.pipelines.profiles import cog_profiles
     from rio_cogeo_ray.pipelines.spec import plan
 
+    import warnings
+
+    from rio_cogeo_ray import errors
+
     profile = cog_profiles.get(args.profile)
+    if profile["lossy"]:
+        # LossyCompression analog (rio_cogeo/errors.py:4-5): lossy
+        # profiles quantize the density export
+        warnings.warn(
+            f"profile {args.profile!r} is lossy: dense exports quantize "
+            "grid counts", errors.LossyCompression,
+        )
+    codec = profile["codec"] if profile["codec"] != "none" else None
     tile_px = args.blocksize or profile["tile_px"]
     geocode = GeoSpec(boxes=_parse_boxes(args.geocode_boxes)) if args.geocode_boxes else GLOBAL_UNIFORM
     spec = plan(
@@ -85,6 +97,7 @@ def cmd_create(args) -> int:
         source=args.source,
         extract=args.extract,
         resume=not args.no_resume,
+        codec=codec,
     )
     print(
         json.dumps(

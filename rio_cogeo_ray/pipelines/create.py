@@ -66,14 +66,18 @@ def measure_bounds(
     return (row["min(mx)"], row["min(my)"], row["max(mx)"], row["max(my)"])
 
 
-def _write_level(ds: rd.Dataset, out_dir: str, z: int) -> None:
-    """Atomic level sink: write to tiles/.tmp-z={z}, rename into place."""
+def _write_level(ds: rd.Dataset, out_dir: str, z: int, codec: Optional[str] = None) -> None:
+    """Atomic level sink: write to tiles/.tmp-z={z}, rename into place.
+    ``codec``: parquet compression (profile preset; None = default)."""
     final = mani.level_dir(out_dir, z)
     tmp = os.path.join(out_dir, "tiles", f".tmp-z={z}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final, ignore_errors=True)
     os.makedirs(os.path.dirname(tmp), exist_ok=True)
-    ds.write_parquet(tmp)
+    if codec:
+        ds.write_parquet(tmp, compression=codec)
+    else:
+        ds.write_parquet(tmp)
     os.replace(tmp, final)
 
 
@@ -120,7 +124,7 @@ def read_level(out_dir: str, z: int, columns: Optional[List[str]] = None) -> rd.
 
 
 def _write_level_table(
-    t: pa.Table, out_dir: str, z: int, decimation: int
+    t: pa.Table, out_dir: str, z: int, decimation: int, codec: Optional[str] = None
 ) -> mani.LevelEntry:
     """Driver-side level sink (small levels): one parquet file, atomic
     rename, stats straight from the in-memory table (no read-back)."""
@@ -131,7 +135,8 @@ def _write_level_table(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+    pq.write_table(t, os.path.join(tmp, "part-0.parquet"),
+                   compression=codec or "snappy")
     os.replace(tmp, final)
     cells_arr = t["cells"].combine_chunks()
     ncells = int(np.sum(np.diff(cells_arr.offsets.to_numpy(zero_copy_only=False))))
@@ -152,6 +157,7 @@ def create(
     resume: bool = True,
     batch_size: int = 8192,
     n_buckets: int = 64,
+    codec: Optional[str] = None,
     tags: Optional[Dict[str, str]] = None,
 ) -> mani.Manifest:
     """Build the full tile pyramid for a corpus. Returns the manifest.
@@ -219,7 +225,7 @@ def create(
             partials, spec.resampling, level=0, step=step,
             tile_px=spec.tile_px, n_buckets=n_buckets,
         )
-        _write_level(merged, out_dir, base_z)
+        _write_level(merged, out_dir, base_z, codec=codec)
         entry = _level_stats(out_dir, base_z, decimation=1)
         mani.write_level_marker(out_dir, entry)
         levels_done[base_z] = entry
@@ -250,7 +256,8 @@ def create(
                 partials, spec.resampling, j, step, spec.tile_px
             )
             entry = _write_level_table(
-                merged_t, out_dir, z, decimation=spec.decimation_base**j
+                merged_t, out_dir, z, decimation=spec.decimation_base**j,
+                codec=codec,
             )
             local_table = merged_t
         else:
@@ -263,7 +270,7 @@ def create(
                 partials, spec.resampling, level=j, step=step,
                 tile_px=spec.tile_px, n_buckets=n_buckets,
             )
-            _write_level(merged, out_dir, z)
+            _write_level(merged, out_dir, z, codec=codec)
             entry = _level_stats(out_dir, z, decimation=spec.decimation_base**j)
         mani.write_level_marker(out_dir, entry)
         levels_done[z] = entry
@@ -323,3 +330,48 @@ def _write_tile_index(out_dir: str, m: mani.Manifest) -> None:
         ds = ds.sort(["z", "y", "x"], descending=[True, False, False])
         ds.write_parquet(tmp)
     os.replace(tmp, idx_dir)
+
+
+def find_tile(out_dir: str, z: int, x: int, y: int) -> Optional[pa.Table]:
+    """Locate one tile's row in a pyramid output — the get_data_offset
+    analog (cogeo.py:706-727): returns the single-row table (sparse grid
+    + counts) or None when the tile is absent/sparse (the reference
+    returns offset 0 for sparse tiles)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = int(tms.pack_tile_key(z, x, y))
+    d = mani.level_dir(out_dir, z)
+    if not os.path.isdir(d):
+        return None
+    t = pq.read_table(d, filters=[("tile_key", "==", key)])
+    return t if t.num_rows else None
+
+
+def export_dense(
+    out_dir: str,
+    z: int,
+    lossy: bool = False,
+):
+    """Yield (tile_key, dense float32 G×G grid) for one level — the
+    raster-side export. ``lossy`` quantizes counts into uint8 with
+    per-tile max scaling (the jpeg/webp/lerc profile analog; the stored
+    pyramid stays exact int64 — only this export loses precision)."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.stages.rasterize import tiles_to_dense
+
+    m = mani.load_manifest(out_dir)
+    spec = m.spec
+    G = int(spec["tile_px"])
+    level_zoom_diff = int(spec["zoom"]) - z
+    t = pq.read_table(mani.level_dir(out_dir, z))
+    dense = tiles_to_dense(t, G, spec.get("resampling", "sum"), level_zoom_diff)
+    for key, grid in dense.items():
+        if lossy:
+            mx = float(grid.max())
+            if mx > 0:
+                grid = np.round(grid * (255.0 / mx)).astype(np.uint8)
+            else:
+                grid = grid.astype(np.uint8)
+        yield key, grid

