@@ -758,6 +758,63 @@ def q_ann_ivf(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Sampling + sketches (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+SAMPLE_NUM, SAMPLE_DEN = 1, 20  # 5%
+BOTTOMK_K = 100
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic 5% Bernoulli sample by id hash — pure per-batch
+    filter, zero shuffle; same knuth32 hash mirrored literally in SQL."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return sketch.hash_sample(ds, "doc_id", SAMPLE_NUM, SAMPLE_DEN)
+
+
+SQL_SAMPLE_HASH = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    f"WHERE ((doc_id * 2654435761) % 4294967296) % {SAMPLE_DEN} < {SAMPLE_NUM}"
+)
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Exactly-k uniform sample as an order statistic (bottom-k by
+    hash): partial top-k per batch → tiny final sort+limit."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    out = sketch.bottomk_sample(ds, "doc_id", BOTTOMK_K)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "__h"]).rename_columns(
+            ["doc_id", "lang", "h"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SAMPLE_BOTTOMK = (
+    "SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h "
+    f"FROM documents ORDER BY h, doc_id LIMIT {BOTTOMK_K}"
+)
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT lang || text-prefix key):
+    approximate ⇒ rows-only driver check; ±3σ accuracy pinned vs exact
+    in pytest (test_ops.py)."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    est = sketch.hll_count_distinct(ds, "text", p=12)
+    return pa.table(
+        {"column": pa.array(["text"]), "approx_distinct": pa.array([int(round(est))], pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -791,6 +848,9 @@ def queries() -> Dict[str, Callable]:
         "simhash": q_simhash,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "sample_hash": q_sample_hash,
+        "sample_bottomk": q_sample_bottomk,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -818,6 +878,8 @@ def oracle_sql() -> Dict[str, str]:
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "cell_assign": SQL_CELL_ASSIGN,
         "lang_categories": SQL_LANG_CATEGORIES,
+        "sample_hash": SQL_SAMPLE_HASH,
+        "sample_bottomk": SQL_SAMPLE_BOTTOMK,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.

@@ -97,15 +97,21 @@ def _char_shingle_hashes(texts: pa.Array, k: int) -> Tuple[np.ndarray, np.ndarra
     lens = np.diff(off)
     n_sh = np.maximum(lens - k + 1, 0)
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_sh)
-    # start byte of each shingle
-    starts = np.repeat(off[:-1], n_sh) + _pos_within(n_sh)
-    # polynomial rolling hash over k bytes (vectorized across shingles)
-    h = np.zeros(len(starts), dtype=np.uint64)
+    lo, hi = int(off[0]), int(off[-1])
+    span = hi - lo
+    if span < k:
+        return doc_idx, np.zeros(0, dtype=np.uint64)
+    # polynomial hash at EVERY byte position of the contiguous values
+    # span via shifted slices (sequential reads, no gather), then keep
+    # only positions where a whole shingle fits inside one document
+    v = values[lo:hi]
+    h_all = np.zeros(span - k + 1, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
-            h = h * np.uint64(1099511628211) + values[starts + j].astype(np.uint64)
-        h = splitmix64(h)
-    return doc_idx, h
+            h_all = h_all * np.uint64(1099511628211) + v[j : span - k + 1 + j].astype(np.uint64)
+        h_all = splitmix64(h_all)
+    starts = np.repeat(off[:-1], n_sh) + _pos_within(n_sh)
+    return doc_idx, h_all[starts - lo]
 
 
 def _pos_within(counts: np.ndarray) -> np.ndarray:

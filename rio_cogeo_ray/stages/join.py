@@ -151,15 +151,21 @@ def bucketed_hash_join(
     rt = rt.map_batches(_pad_right, batch_format="pyarrow")
     both = lt.union(rt)
 
-    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0]
-        rg = g[g["__side"] == 1]
-        lg = lg[[on] + l_only].sort_values([on] + l_only[:1])
-        rg = rg[[on] + out_r_cols].sort_values([on] + out_r_cols[:1])
-        m = lg.merge(rg, on=on, how=how)
-        return m
+    arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer",
+                 "outer": "full outer"}[how]
 
-    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
+    def _join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["__side"].combine_chunks()
+        lg = g.filter(pc.equal(side, 0)).select([on] + l_only)
+        rg = g.filter(pc.equal(side, 1)).select([on] + out_r_cols)
+        # padded typed nulls keep Arrow types exact through the union, so
+        # the native multithreaded hash join needs no re-casting
+        m = lg.join(rg, keys=on, join_type=arrow_how)
+        return m.sort_by([(on, "ascending")]).select([on] + l_only + out_r_cols)
+
+    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

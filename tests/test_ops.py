@@ -312,3 +312,51 @@ def test_asof_join_matches_pandas(ray_session):
     key = lambda pairs: sorted(pairs)
     assert key(zip(got["lid"].astype(int), got["ts_r"].astype(int))) == key(
         zip(expect["lid"].astype(int), expect["rts"].astype(int)))
+
+
+# ---------------------------------------------------------------------------
+# Sketches + sampling (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_exact(ray_session):
+    from rio_cogeo_ray.stages import sketch
+
+    ids = np.arange(5000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "v": pa.array(ids * 2)})
+    got = sketch.hash_sample(
+        rd.from_arrow(t).repartition(5), "doc_id", 1, 10
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    expect_ids = ids[(h % np.uint64(10)) < np.uint64(1)]
+    assert got["doc_id"].tolist() == expect_ids.tolist()
+    # rate lands near nominal 10%
+    assert 0.07 < len(got) / len(ids) < 0.13
+
+
+def test_bottomk_sample_is_order_statistic(ray_session):
+    from rio_cogeo_ray.stages import sketch
+
+    ids = np.arange(3000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    got = sketch.bottomk_sample(
+        rd.from_arrow(t).repartition(7), "doc_id", 50
+    ).to_pandas()
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)).astype(np.int64)
+    order = np.lexsort((ids, h))[:50]
+    assert got["doc_id"].tolist() == ids[order].tolist()
+    assert got["__h"].tolist() == h[order].tolist()
+
+
+def test_hll_within_error_bound(ray_session):
+    from rio_cogeo_ray.stages import sketch
+
+    # 200k rows, 37k distinct string values; p=12 -> sigma ~1.6%
+    n, distinct = 200_000, 37_000
+    vals = [f"value-{i % distinct}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "s": vals})
+    est = sketch.hll_count_distinct(rd.from_arrow(t).repartition(6), "s", p=12)
+    assert abs(est - distinct) / distinct < 0.05  # 3 sigma
+    # merge order / batching must not change the estimate
+    est2 = sketch.hll_count_distinct(rd.from_arrow(t).repartition(2), "s", p=12)
+    assert est == est2
