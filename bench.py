@@ -226,11 +226,12 @@ def run_bench() -> dict:
     only = os.environ.get("RCR_BENCH_QUERIES")
     names = [n.strip() for n in only.split(",")] if only else list(BENCHES)
 
-    # RCR_BENCH_REPEAT>1: run each pipeline N times in-process and keep
+    # RCR_BENCH_REPEAT: run each pipeline N times in-process and keep
     # the min — the first run pays worker spawn + imports (a fresh
-    # ray.init has zero warm workers); later runs measure the
-    # steady-state cluster. --scaling sets 2.
-    repeat = int(os.environ.get("RCR_BENCH_REPEAT", "1"))
+    # ray.init has zero warm workers), and this host carries heavy
+    # EXTERNAL load (single runs vary 2-3×), so min-of-N approximates
+    # uncontended steady-state throughput. --scaling sets 2.
+    repeat = int(os.environ.get("RCR_BENCH_REPEAT", "2"))
     results = {}
     for name in names:
         best = None

@@ -67,8 +67,21 @@ def _tile_sql(z: int) -> str:
     )
 
 
+def _read(path: str, columns):
+    """read_parquet with a size-aware block count: ~8 MiB of file per
+    block, clamped to [1, 64]. Ray's default splits even a 5 MiB table
+    into 2×cpus blocks, and every downstream sort/groupby exchange then
+    pays one map+merge task PER BLOCK — on small-to-medium tables the
+    scheduling dwarfs the compute. Above the clamp (≫512 MiB) Ray's own
+    heuristic takes over (None), which is the 100 TB path."""
+    n = max(1, os.path.getsize(path) // (8 << 20))
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=int(n) if n <= 64 else None
+    )
+
+
 def _docs(sf_dir: str, columns):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return _read(os.path.join(sf_dir, "documents.parquet"), columns)
 
 
 def _prepared_docs(sf_dir: str, zoom: int, columns=("doc_id",)):
@@ -460,9 +473,7 @@ SQL_QUALITY = (
 
 def q_events_hourly(sf_dir: str):
     """Tumbling 1h windows per event_type (streaming-shaped aggregate)."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
-    )
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["event_type", "ts", "value"])
     return window.tumbling_aggregate(ds)
 
 
@@ -477,7 +488,7 @@ SQL_EVENTS_HOURLY = (
 
 def q_sessions(sf_dir: str):
     """Gap-based sessionization per user (30 min gap)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts"])
     return window.sessionize(ds)
 
 
@@ -497,9 +508,9 @@ SQL_SESSIONS = (
 
 def q_lineitem_stats(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
-    ds = rd.read_parquet(
+    ds = _read(
         os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
 
     def _prep(t: pa.Table) -> pa.Table:
@@ -529,9 +540,7 @@ SQL_LINEITEM_STATS = (
 def q_orders_by_segment(sf_dir: str):
     """Broadcast dimension join: orders ⋈ customer (small side shipped
     once via ray.put, index built per actor)."""
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
-    )
+    orders = _read(os.path.join(sf_dir, "orders.parquet"), ["o_custkey", "o_totalprice"])
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     ).rename_columns(["o_custkey", "c_mktsegment"])
@@ -551,12 +560,8 @@ SQL_ORDERS_BY_SEGMENT = (
 
 def q_lineitem_orders(sf_dir: str):
     """Large-large bucketed hash join: lineitem ⋈ orders on orderkey."""
-    li = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_linenumber"]
-    )
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
-    ).map_batches(
+    li = _read(os.path.join(sf_dir, "lineitem.parquet"), ["l_orderkey", "l_linenumber"])
+    orders = _read(os.path.join(sf_dir, "orders.parquet"), ["o_orderkey", "o_orderpriority"]).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
         batch_format="pyarrow",
     )
@@ -578,7 +583,7 @@ def q_ann_cosine(sf_dir: str):
     mask = np.isin(qt["vec_id"].to_numpy(), ANN_QUERY_IDS)
     qrows = qt.filter(pa.array(mask)).sort_by("vec_id")
     queries = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read(emb_path, ["vec_id", "embedding"])
     # query row index == vec_id because ANN_QUERY_IDS are 0..2 sorted
     res = ann.knn_cosine(ds, queries, k=ANN_K, concurrency=2)
     ranked = knn.per_group_topk(
@@ -665,10 +670,10 @@ def q_asof_purchase_view(sf_dir: str):
         return _f
 
     base_cols = ["event_id", "user_id", "ts", "event_type"]
-    purchases = rd.read_parquet(ev, columns=base_cols).map_batches(
+    purchases = _read(ev, base_cols).map_batches(
         _typed("purchase"), batch_format="pyarrow"
     )
-    views = rd.read_parquet(ev, columns=base_cols).map_batches(
+    views = _read(ev, base_cols).map_batches(
         _typed("view"), batch_format="pyarrow"
     ).drop_columns(["event_id"])
     joined = join_mod.asof_join(purchases, views, on="ts", by="user_id")
@@ -753,7 +758,7 @@ def q_ann_ivf(sf_dir: str):
     emb = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
     cents = ann.train_centroids(emb[: min(len(emb), 1000)], 8)
     queries_m = emb[:3]
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read(emb_path, ["vec_id", "embedding"])
     return ann.knn_cosine_ivf(ds, queries_m, cents, k=ANN_K, n_probe=3, concurrency=2)
 
 
@@ -814,6 +819,24 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+TOPK_TOKENS = 50
+
+
+def q_token_topk(sf_dir: str):
+    """Corpus heavy hitters: top-50 whitespace tokens by count.
+    Per-batch value_counts partials collapse Zipfian mass before the
+    shuffle; exact bucketed merge; deterministic (n desc, token) order."""
+    ds = _docs(sf_dir, ["text"])
+    return text.token_topk(ds, "text", k=TOPK_TOKENS)
+
+
+SQL_TOKEN_TOPK = (
+    r"SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    r"(SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents) "
+    f"GROUP BY token ORDER BY n DESC, token LIMIT {TOPK_TOKENS}"
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -851,6 +874,7 @@ def queries() -> Dict[str, Callable]:
         "sample_hash": q_sample_hash,
         "sample_bottomk": q_sample_bottomk,
         "hll_distinct": q_hll_distinct,
+        "token_topk": q_token_topk,
     }
 
 
@@ -880,6 +904,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_categories": SQL_LANG_CATEGORIES,
         "sample_hash": SQL_SAMPLE_HASH,
         "sample_bottomk": SQL_SAMPLE_BOTTOMK,
+        "token_topk": SQL_TOKEN_TOPK,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.

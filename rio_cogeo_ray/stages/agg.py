@@ -84,10 +84,20 @@ def partial_group_agg(
     count_as: Optional[str] = "n",
     batch_size: int = 65536,
     n_buckets: int = 64,
+    coalesce: Optional[int] = None,
 ):
     """groupby(keys) with int sums / exact min / exact max / count.
     Output column names: sum_<c>, min_<c>, max_<c>, <count_as> — name
-    them identically in the oracle SQL."""
+    them identically in the oracle SQL.
+
+    ``coalesce``: merge partials into this many blocks before the
+    groupby. The sort exchange costs one map+merge task per input
+    block, so hundreds of small partial blocks dominate wall time;
+    callers that know the input size should pass ``≈ bytes / 8 MiB``
+    (clamped to [1, n_buckets]). Off by default — coalescing SPLITS
+    when the input has fewer blocks than the target, which hurts tiny
+    inputs (reduce parallelism is capped at n_buckets groups anyway).
+    """
     keys = list(keys)
     init_specs: List[_Spec] = (
         [(c, f"sum_{c}", "sum") for c in sum_cols]
@@ -113,6 +123,8 @@ def partial_group_agg(
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     bucketed = partial.map_batches(_bucket, batch_format="pyarrow")
+    if coalesce is not None:
+        bucketed = bucketed.repartition(min(coalesce, n_buckets))
     return bucketed.groupby("__bucket").map_groups(
         lambda g: _reduce_table(g.drop_columns(["__bucket"]), keys, merge_specs),
         batch_format="pyarrow",

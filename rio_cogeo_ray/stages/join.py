@@ -112,12 +112,18 @@ def bucketed_hash_join(
     n_buckets: int = 64,
     how: str = "inner",
     suffix: str = "_r",
+    coalesce: Optional[int] = None,
 ):
     """Partitioned hash join of two Datasets on an int64 key column.
 
     Both sides are tagged and bucketed by ``hash(key) % n_buckets``; one
     ``groupby('__bucket')`` co-locates matching keys; each bucket joins
-    via pandas merge (sorted for deterministic row order).
+    via pyarrow's native multithreaded hash join.
+
+    ``coalesce``: merge the tagged union into this many blocks before
+    the groupby (see stages/agg.py:partial_group_agg — same trade-off:
+    big win when both sides arrive as many small blocks, a SPLIT and a
+    loss on tiny inputs, so off by default).
     """
     lcols = [f.name for f in left.schema().base_schema]
     rcols = [f.name for f in right.schema().base_schema]
@@ -150,6 +156,8 @@ def bucketed_hash_join(
     lt = lt.map_batches(_pad_left, batch_format="pyarrow")
     rt = rt.map_batches(_pad_right, batch_format="pyarrow")
     both = lt.union(rt)
+    if coalesce is not None:
+        both = both.repartition(min(coalesce, n_buckets))
 
     arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer",
                  "outer": "full outer"}[how]
@@ -181,6 +189,7 @@ def asof_join(
     direction: str = "backward",
     n_buckets: int = 32,
     suffix: str = "_r",
+    coalesce: Optional[int] = None,
 ):
     """As-of join: for each left row, the nearest right row with
     ``right.on <= left.on`` (backward) within the same ``by`` key.
@@ -222,6 +231,8 @@ def asof_join(
     both = lt.map_batches(_pad_left, batch_format="pyarrow").union(
         rt.map_batches(_pad_right, batch_format="pyarrow")
     )
+    if coalesce is not None:
+        both = both.repartition(min(coalesce, n_buckets))
 
     cols_out = [by, on, r_on] + l_only + out_r_cols
 

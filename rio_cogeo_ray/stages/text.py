@@ -190,3 +190,41 @@ def fingerprint64(texts: pa.Array) -> pa.Array:
             h[m] = (h[m] ^ b) * np.uint64(1099511628211)
         h = splitmix64(h)
     return pa.array(h.astype(np.int64), pa.int64())
+
+
+def token_value_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (token, n) partial counts of whitespace tokens — the
+    heavy-hitters combiner. Splitting on RE2 ``\\s+`` and dropping empty
+    strings selects exactly the ``\\S+`` matches (the token_count /
+    regexp_extract_all mirror), and the within-batch value_counts means
+    the shuffle moves one row per DISTINCT token per batch — Zipfian
+    token mass (the/of/and...) collapses before it touches the network."""
+    toks = pc.list_flatten(
+        pc.split_pattern_regex(batch[text_col].combine_chunks().cast(pa.string()), r"\s+")
+    )
+    toks = toks.filter(pc.not_equal(toks, ""))
+    vc = pc.value_counts(toks)
+    return pa.table(
+        {
+            "token": vc.field("values").cast(pa.string()),
+            "n": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def token_topk(ds, text_col: str = "text", k: int = 50):
+    """Top-k most frequent whitespace tokens over a corpus (heavy
+    hitters): per-batch value_counts partials → bucketed exact merge
+    (stages/agg.py) → one tiny sort+limit. Deterministic tie-break on
+    the token string. SQL mirror: unnest(regexp_extract_all(text,
+    '\\S+')) GROUP BY ORDER BY n DESC, token LIMIT k."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    partials = ds.map_batches(
+        lambda t: token_value_counts(t, text_col), batch_format="pyarrow"
+    )
+    merged = partial_group_agg(partials, keys=["token"], sum_cols=["n"], count_as=None)
+    merged = merged.map_batches(
+        lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
+    )
+    return merged.sort(["n", "token"], descending=[True, False]).limit(k)

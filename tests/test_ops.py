@@ -360,3 +360,16 @@ def test_hll_within_error_bound(ray_session):
     # merge order / batching must not change the estimate
     est2 = sketch.hll_count_distinct(rd.from_arrow(t).repartition(2), "s", p=12)
     assert est == est2
+
+
+def test_token_topk_matches_counter_oracle(ray_session):
+    import collections
+
+    from rio_cogeo_ray.stages.text import token_topk
+
+    texts = [f"alpha beta gamma doc{i % 3} alpha" for i in range(200)] + ["beta  beta\nalpha"]
+    t = pa.table({"text": texts})
+    got = token_topk(rd.from_arrow(t).repartition(4), k=4).to_pandas()
+    c = collections.Counter(w for s in texts for w in s.split())
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(got["token"], got["n"])) == expect
