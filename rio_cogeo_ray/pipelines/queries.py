@@ -819,6 +819,48 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 2h windows every 1h per event_type (overlap factor 2:
+    per-batch explode → partial agg; each event lands in exactly two
+    windows, mirrored as UNION ALL of two shifted groupbys in SQL)."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["event_type", "ts", "value"])
+    return window.sliding_aggregate(ds)
+
+
+_SLIDE_Q = "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)"
+SQL_EVENTS_SLIDING = (
+    "WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS base, "
+    f"{_SLIDE_Q} AS q FROM events) "
+    "SELECT event_type, window_id, CAST(SUM(q) AS BIGINT) AS sum_value_q, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "SELECT event_type, base AS window_id, q FROM e "
+    "UNION ALL SELECT event_type, base - 1 AS window_id, q FROM e"
+    ") GROUP BY event_type, window_id"
+)
+
+
+def q_events_watermark(sf_dir: str):
+    """Watermark late-event drop: keep events within 24h of the global
+    max event time (tiny Max aggregate → broadcast scalar filter)."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["event_id", "ts"])
+    out = window.watermark_filter(ds, delay_us=24 * 3_600_000_000)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"].combine_chunks().cast(pa.int64()),
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_WATERMARK = (
+    "SELECT event_id, epoch_us(ts) AS ts_us FROM events "
+    "WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - 86400000000"
+)
+
+
 TOPK_TOKENS = 50
 
 
@@ -875,6 +917,8 @@ def queries() -> Dict[str, Callable]:
         "sample_bottomk": q_sample_bottomk,
         "hll_distinct": q_hll_distinct,
         "token_topk": q_token_topk,
+        "events_sliding": q_events_sliding,
+        "events_watermark": q_events_watermark,
     }
 
 
@@ -905,6 +949,8 @@ def oracle_sql() -> Dict[str, str]:
         "sample_hash": SQL_SAMPLE_HASH,
         "sample_bottomk": SQL_SAMPLE_BOTTOMK,
         "token_topk": SQL_TOKEN_TOPK,
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "events_watermark": SQL_EVENTS_WATERMARK,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.

@@ -96,3 +96,74 @@ def sessionize(ds, ts_col: str = "ts", gap_us: int = 30 * 60 * 1_000_000):
     return slim.groupby("user_id").map_groups(
         lambda g: _sessionize_group(g, ts_col, gap_us), batch_format="pyarrow"
     )
+
+
+def add_sliding_windows(
+    batch: pa.Table,
+    ts_col: str = "ts",
+    size_us: int = 2 * US_PER_HOUR,
+    slide_us: int = US_PER_HOUR,
+) -> pa.Table:
+    """Explode each event into every sliding window containing it
+    (size/slide windows per event; window_id = start // slide).
+    Requires size % slide == 0. A pure per-batch flat-map — the
+    overlap factor multiplies shuffle rows, so keep size/slide small
+    (2 here) and pre-aggregate after exploding, never before."""
+    k = size_us // slide_us
+    if size_us % slide_us:
+        raise ValueError("size_us must be a multiple of slide_us")
+    ts = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    base = ts // slide_us  # last window whose span contains ts
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), k)
+    offs = np.tile(np.arange(k, dtype=np.int64), len(batch))
+    win = base[rep] - offs
+    out = batch.take(pa.array(rep, pa.int64()))
+    return out.append_column("window_id", pa.array(win, pa.int64()))
+
+
+def sliding_aggregate(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    size_us: int = 2 * US_PER_HOUR,
+    slide_us: int = US_PER_HOUR,
+    value_col: str = "value",
+    value_scale: int = 1000,
+):
+    """Per (key, sliding window): count + int sum of round(value*scale).
+    Same quantization doctrine as tumbling_aggregate."""
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = add_sliding_windows(t, ts_col, size_us, slide_us)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return t.append_column("value_q", pa.array(q, pa.int64()))
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return partial_group_agg(
+        prepped, keys=[key_col, "window_id"], sum_cols=["value_q"], count_as="n"
+    )
+
+
+def watermark_filter(ds, ts_col: str = "ts", delay_us: int = US_PER_HOUR):
+    """Drop events older than (global max event time − delay) — the
+    batch analog of a watermark late-event drop. Two passes, both
+    streaming: a tiny Max aggregate (one int per block reaches the
+    driver), then a broadcast scalar filter. The watermark is a
+    deterministic function of the data, not of arrival order."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    def _as_us(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index(ts_col), ts_col,
+            t[ts_col].combine_chunks().cast(pa.int64()),
+        )
+
+    slim = ds.map_batches(_as_us, batch_format="pyarrow")
+    wm = slim.aggregate(Max(ts_col))[f"max({ts_col})"] - delay_us
+    return slim.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[ts_col], pa.scalar(wm, pa.int64()))),
+        batch_format="pyarrow",
+    )

@@ -373,3 +373,31 @@ def test_token_topk_matches_counter_oracle(ray_session):
     c = collections.Counter(w for s in texts for w in s.split())
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(zip(got["token"], got["n"])) == expect
+
+
+def test_sliding_windows_match_pandas_oracle(ray_session):
+    rng = np.random.RandomState(11)
+    n = 2000
+    ts = rng.randint(0, 10 * 3_600_000_000, n).astype(np.int64)
+    et = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+    val = rng.rand(n)
+    t = pa.table({"event_type": et, "ts": pa.array(ts), "value": pa.array(val)})
+    got = window.sliding_aggregate(rd.from_arrow(t).repartition(4)).to_pandas()
+    df = pd.DataFrame({"event_type": et, "base": ts // 3_600_000_000,
+                       "q": np.floor(val * 1000 + 0.5).astype(np.int64)})
+    both = pd.concat([df.assign(window_id=df.base), df.assign(window_id=df.base - 1)])
+    exp = both.groupby(["event_type", "window_id"]).agg(
+        sum_value_q=("q", "sum"), n=("q", "size")).reset_index()
+    key = ["event_type", "window_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+def test_watermark_filter_drops_late_events(ray_session):
+    ts = np.array([0, 50, 100, 149, 150, 199, 200], dtype=np.int64)
+    t = pa.table({"ts": pa.array(ts)})
+    got = window.watermark_filter(
+        rd.from_arrow(t).repartition(3), delay_us=100
+    ).to_pandas()["ts"].sort_values().tolist()
+    assert got == [100, 149, 150, 199, 200]  # watermark = 200 - 100
