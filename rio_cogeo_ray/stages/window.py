@@ -5,12 +5,13 @@ Ray Data is a (streaming-)batch engine with no event-time watermarks;
 stream-shaped semantics are expressed over the ordered, partitioned log
 (ray_guide.md pattern): tumbling windows are a pure key derivation
 (window id = ts // size) followed by the generic partial→final grouped
-aggregate; session windows sort each key's events inside
-``groupby(user).map_groups`` and cut on gaps.
+aggregate; session windows hash users into reduce buckets and cut on
+gaps in one vectorized pass per bucket; sliding windows explode per
+batch; the watermark filter broadcasts a global Max.
 
 Ordering assumption: sessionize sees ALL events of one user in one
-group (guaranteed by the groupby shuffle), sorted here, so input order
-never matters.
+bucket (guaranteed by the hash route + groupby shuffle), sorted inside
+the bucket kernel, so input order never matters.
 """
 
 from __future__ import annotations
@@ -62,39 +63,65 @@ def tumbling_aggregate(
     )
 
 
-def _sessionize_group(group: pa.Table, ts_col: str, gap_us: int) -> pa.Table:
-    """One user's events → one summary row (sessions cut on ts gaps)."""
-    ts = np.sort(group[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False))
-    gaps = np.diff(ts)
-    n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
-    # longest session event count
-    cuts = np.flatnonzero(gaps > gap_us)
-    bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
-    longest = int(np.diff(bounds).max()) if len(ts) else 0
+def _sessionize_bucket(group: pa.Table, ts_col: str, gap_us: int) -> pa.Table:
+    """MANY users (one reduce bucket) → one summary row each, fully
+    vectorized: sort (user, ts); session starts = user boundary OR gap
+    > gap_us; per-session lengths via reduceat over start indices;
+    per-user session count / longest via a second reduceat level.
+    O(bucket) numpy, zero per-user Python — the bucketed map_groups
+    pattern (stages/agg.py doc)."""
+    if len(group) == 0:
+        return pa.schema(
+            [("user_id", pa.int64()), ("n_events", pa.int64()),
+             ("n_sessions", pa.int64()), ("longest_session", pa.int64())]
+        ).empty_table()
+    group = group.sort_by([("user_id", "ascending"), (ts_col, "ascending")])
+    uid = group["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    ts = group[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    sess_start = new_user | np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+    s_starts = np.flatnonzero(sess_start)
+    sess_len = np.diff(np.append(s_starts, len(uid)))
+    # sessions per user: reduce session rows by their owning user
+    u_starts_rows = np.flatnonzero(new_user)
+    u_first_sess = np.searchsorted(s_starts, u_starts_rows)  # new_user ⇒ sess_start
+    n_sessions = np.diff(np.append(u_first_sess, len(s_starts)))
+    longest = np.maximum.reduceat(sess_len, u_first_sess)
+    n_events = np.diff(np.append(u_starts_rows, len(uid)))
     return pa.table(
         {
-            "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "longest_session": pa.array([longest], pa.int64()),
+            "user_id": pa.array(uid[u_starts_rows], pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+            "n_sessions": pa.array(n_sessions.astype(np.int64), pa.int64()),
+            "longest_session": pa.array(longest.astype(np.int64), pa.int64()),
         }
     )
 
 
-def sessionize(ds, ts_col: str = "ts", gap_us: int = 30 * 60 * 1_000_000):
-    """Gap-based session windows per user (groupby shuffle on user_id;
-    per-group sort makes input order irrelevant)."""
+def sessionize(ds, ts_col: str = "ts", gap_us: int = 30 * 60 * 1_000_000, n_buckets: int = 64):
+    """Gap-based session windows per user. Users hash into ``n_buckets``
+    reduce buckets (every event of one user lands in one bucket, the
+    only partitioning assumption); each bucket sessionizes ALL its
+    users in one vectorized pass, so per-group Python cost is
+    O(n_buckets), not O(users)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
     def _cast(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().cast(pa.int64())
+        b = (splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+             % np.uint64(n_buckets)).astype(np.int64)
         return pa.table(
             {
-                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "user_id": u,
                 ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
             }
         )
 
     slim = ds.map_batches(_cast, batch_format="pyarrow")
-    return slim.groupby("user_id").map_groups(
-        lambda g: _sessionize_group(g, ts_col, gap_us), batch_format="pyarrow"
+    return slim.groupby("__bucket").map_groups(
+        lambda g: _sessionize_bucket(g.drop_columns(["__bucket"]), ts_col, gap_us),
+        batch_format="pyarrow",
     )
 
 
