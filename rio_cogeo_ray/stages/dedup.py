@@ -137,13 +137,28 @@ def minhash_signatures(
     a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E37)) | np.uint64(1)
     b = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(0xB0B))
     # doc_idx is sorted (shingles laid out doc by doc) → per-doc minima
-    # via minimum.reduceat, far faster than np.minimum.at scatter
+    # via minimum.reduceat, far faster than np.minimum.at scatter.
+    # The perm loop is memory-bandwidth-bound, so it runs over cache-
+    # resident CHUNKS of shingles (~4 MB) split on doc boundaries: each
+    # chunk is read from L3, not DRAM, for all num_perm passes.
     run_starts = np.flatnonzero(np.concatenate(([True], doc_idx[1:] != doc_idx[:-1])))
     docs_with = doc_idx[run_starts]
+    chunk_sh = 1 << 19
+    cut = np.searchsorted(run_starts, np.arange(chunk_sh, len(sh), chunk_sh))
+    bounds = np.unique(np.concatenate(([0], cut, [len(run_starts)])))
     with np.errstate(over="ignore"):
-        for p in range(num_perm):
-            hp = sh * a[p] + b[p]
-            sig[docs_with, p] = np.minimum.reduceat(hp, run_starts)
+        for ci in range(len(bounds) - 1):
+            r0, r1 = bounds[ci], bounds[ci + 1]
+            if r0 == r1:
+                continue
+            s0 = run_starts[r0]
+            s1 = run_starts[r1] if r1 < len(run_starts) else len(sh)
+            shc = sh[s0:s1]
+            rsc = run_starts[r0:r1] - s0
+            dwc = docs_with[r0:r1]
+            for p in range(num_perm):
+                hp = shc * a[p] + b[p]
+                sig[dwc, p] = np.minimum.reduceat(hp, rsc)
     return sig
 
 
