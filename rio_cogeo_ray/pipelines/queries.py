@@ -861,6 +861,18 @@ SQL_EVENTS_WATERMARK = (
 )
 
 
+def q_distinct_langs(sf_dir: str):
+    """DISTINCT as a degenerate grouped aggregate: per-batch unique →
+    bucketed merge with no measures (set-op; shuffle carries one row
+    per distinct value per batch)."""
+    ds = _docs(sf_dir, ["lang"])
+    out = agg.partial_group_agg(ds, keys=["lang"], count_as=None)
+    return out.map_batches(lambda t: t.select(["lang"]), batch_format="pyarrow")
+
+
+SQL_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents"
+
+
 TOPK_TOKENS = 50
 
 
@@ -919,6 +931,7 @@ def queries() -> Dict[str, Callable]:
         "token_topk": q_token_topk,
         "events_sliding": q_events_sliding,
         "events_watermark": q_events_watermark,
+        "distinct_langs": q_distinct_langs,
     }
 
 
@@ -951,6 +964,7 @@ def oracle_sql() -> Dict[str, str]:
         "token_topk": SQL_TOKEN_TOPK,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_watermark": SQL_EVENTS_WATERMARK,
+        "distinct_langs": SQL_DISTINCT_LANGS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.
