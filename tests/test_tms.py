@@ -177,3 +177,71 @@ def test_web_optimized_params_alignment():
         (float(w), float(s), float(e), float(n)), resolution=float(tms.cell_size(9))
     )
     assert p1.zoom == 9
+
+
+# ---------------------------------------------------------------------------
+# Property-based conformance (hypothesis) — the engine analog of the
+# reference's grid-alignment conformance suite (tests/test_web.py).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lons = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+_lats = st.floats(min_value=-84.999, max_value=84.999, allow_nan=False)
+_zooms = st.integers(min_value=0, max_value=18)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=_lons, lat=_lats, z=_zooms)
+def test_point_always_inside_assigned_tile(lon, lat, z):
+    """tile(p, z) must contain p's mercator coords (utils.py:125-137
+    semantics: half-open [w, e) x (s, n] except at the grid edge).
+    Tolerance 1e-6 m: the floor((mx+O)/span) boundary can flip by one
+    ulp of the 2e7-m mercator frame (~4e-9 m) — the documented
+    boundary-rounding caveat (queries.py exactness doctrine), which is
+    picometres, not a wrong tile."""
+    import numpy as np
+    x, y = tms.tile(np.array([lon]), np.array([lat]), z)
+    w, s, e, n = tms.xy_bounds(z, int(x[0]), int(y[0]))
+    mx, my = tms.lonlat_to_mercator(np.array([lon]), np.array([lat]))
+    eps = 1e-6
+    assert w - eps <= mx[0] <= e + eps
+    assert s - eps <= my[0] <= n + eps
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=_lons, lat=_lats, z=st.integers(min_value=1, max_value=18))
+def test_tile_parent_is_child_shift(lon, lat, z):
+    """The tile at z-1 is the >>1 parent of the tile at z (the pyramid
+    decimation invariant, cogeo.py:389 analog)."""
+    import numpy as np
+    x1, y1 = tms.tile(np.array([lon]), np.array([lat]), z)
+    x0, y0 = tms.tile(np.array([lon]), np.array([lat]), z - 1)
+    assert int(x0[0]) == int(x1[0]) >> 1
+    assert int(y0[0]) == int(y1[0]) >> 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(z=st.integers(min_value=0, max_value=24))
+def test_zoom_for_res_inverts_cell_size(z):
+    """zoom_for_res(cellSize(z)) == z for auto/upper at exact
+    resolutions; 'lower' steps one coarser even at an exact match
+    (morecantile semantics pinned by the maxzoom-9-vs-8 reference
+    test, utils.py:74-78)."""
+    res = tms.cell_size(z)
+    assert tms.zoom_for_res(res, zoom_level_strategy="auto") == z
+    assert tms.zoom_for_res(res, zoom_level_strategy="upper") == z
+    assert tms.zoom_for_res(res, zoom_level_strategy="lower") == max(z - 1, 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=_lons, lat=_lats, z=st.integers(min_value=0, max_value=26))
+def test_cell_encode_tile_consistency(lon, lat, z):
+    """Morton cell at level z unpacks to the same (z, x, y) as direct
+    tile assignment (H3/S2-style hierarchy == TMS grid)."""
+    import numpy as np
+    cell = tms.cell_encode(np.array([lon]), np.array([lat]), z)
+    cz, cx, cy = tms.cell_to_tile(cell)
+    x, y = tms.tile(np.array([lon]), np.array([lat]), z)
+    assert (int(cz[0]), int(cx[0]), int(cy[0])) == (z, int(x[0]), int(y[0]))
