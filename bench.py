@@ -152,6 +152,28 @@ def bench_token_quality():
     return scored.count()
 
 
+def bench_token_topk():
+    """Corpus heavy hitters: per-batch value_counts → bucketed merge →
+    top-50 (Zipf mass collapses before the shuffle)."""
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages.text import token_topk
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["text"])
+    return token_topk(ds, "text", k=50).count()
+
+
+def bench_hll_distinct():
+    """HLL approximate distinct texts: one 4 KiB register row per block
+    reaches the driver regardless of corpus size."""
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import sketch
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["text"])
+    return sketch.hll_count_distinct(ds, "text", p=12)
+
+
 def bench_headline():
     """The north-rule metric in one fused streaming pipeline:
     html→text extraction (byte-identical invariant) → geocode → tile
@@ -206,6 +228,8 @@ BENCHES = {
     "token_quality": bench_token_quality,
     "lineitem_agg": bench_lineitem_agg,
     "hash_join": bench_hash_join,
+    "token_topk": bench_token_topk,
+    "hll_distinct": bench_hll_distinct,
 }
 
 
