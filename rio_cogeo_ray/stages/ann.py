@@ -29,10 +29,15 @@ from rio_cogeo_ray.stages.knn import per_group_topk
 
 
 def _matrix(batch_col: pa.ChunkedArray) -> np.ndarray:
+    """(n, d) float64 from a list<float> OR fixed_size_list<float>
+    column (the latter is what multimodal feature extraction emits)."""
     arr = batch_col.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
-    d = int(lens[0]) if len(lens) else 0
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        d = int(lens[0]) if len(lens) else 0
     return flat.reshape(-1, d)
 
 

@@ -12,6 +12,13 @@ Batch-size discipline: payloads are wide — callers should use small
 ``batch_size`` (the default 256 here vs 8192 for text stages) so
 batch × concurrency fits worker heaps, and keep these stages in
 ``batch_format="pyarrow"`` (binary round-trips pandas badly).
+
+Pool-sizing discipline: actor pools RESERVE their CPUs for the whole
+pipeline lifetime. When chaining actor-pool stages (e.g. feature
+extraction → CosineTopK) the sum of concurrencies must stay below the
+cluster's CPU count or downstream task stages (the top-k groupby sort)
+starve and the pipeline stalls — size each pool to
+``cluster_cpus // (n_actor_stages + 1)`` or lower.
 """
 
 from __future__ import annotations

@@ -97,3 +97,31 @@ def test_cli_param_parsers():
     assert boxes[1][4] == 7
     with pytest.raises(Exception):
         _parse_boxes("1,2,3")
+
+
+def test_multimodal_features_feed_ann(ray_session):
+    """End-to-end: binary media payloads → actor-pool feature extraction
+    → cosine kNN over the extracted feature vectors (the multimodal →
+    similarity-search wiring), verified against a numpy oracle."""
+    import numpy as np
+
+    from rio_cogeo_ray.stages import ann
+    from rio_cogeo_ray.stages.multimodal import ImageFeatures, image_features, synth_media
+
+    t = synth_media(300, seed=7)
+    # chained actor pools must leave CPU slots for the final sort: at
+    # the 4-cpu test cluster, 2+2 actors starve it (pool sizing rule,
+    # multimodal.py doc) — concurrency=1 per stage here
+    feats_ds = image_features(rd.from_arrow(t).repartition(3), concurrency=1)
+    # query = media 0's own features -> must rank itself first
+    q = ImageFeatures()._fake_features(t["payload"].combine_chunks())[:1].astype(np.float64)
+    got = ann.knn_cosine(
+        feats_ds, q, k=5, id_col="media_id", emb_col="features", concurrency=1
+    ).to_pandas().sort_values("score", ascending=False)
+    assert got.iloc[0]["media_id"] == 0
+    # oracle: full matmul
+    all_f = ImageFeatures()._fake_features(t["payload"].combine_chunks()).astype(np.float64)
+    an = all_f / np.linalg.norm(all_f, axis=1, keepdims=True)
+    qn = (q / np.linalg.norm(q))[0]
+    order = np.lexsort((np.arange(len(an)), -(an @ qn)))[:5]
+    assert sorted(got["media_id"].tolist()) == sorted(order.tolist())
