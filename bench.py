@@ -201,7 +201,7 @@ def bench_headline():
         batch_format="pyarrow",
         batch_size=131072,
     )
-    merged = rasterize.merge_sparse_tiles(partials, "sum", 0, 1, 256, 64)
+    merged = rasterize.merge_sparse_tiles(partials, "sum", 0, 2, 256, 64)
     return merged.count()
 
 

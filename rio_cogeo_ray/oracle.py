@@ -157,6 +157,116 @@ def downsample(tiles: SparseTiles, spec: TilingSpec, level: int) -> SparseTiles:
     return out
 
 
+def downsample_general(
+    tiles: SparseTiles, spec: TilingSpec, level_j: int
+) -> SparseTiles:
+    """One pyramid step for ANY decimation base / kernel — naive global
+    dicts (python loops). Mirrors the engine's global-pixel floor-div
+    semantics (stages/rasterize.py:pyramid_partials[_conv]): child pixel
+    g → parent pixel g // base; conv kernels fan out integer taps and
+    floor-normalize by (Σw)²; pages go to the parent tile of the child
+    tile's top-left pixel; out-of-world taps read as zero; cover clips
+    conv ringing."""
+    from rio_cogeo_ray.stages.rasterize import kernel_taps
+
+    G = spec.tile_px
+    b = spec.decimation_base
+    step = spec.zoom_step
+    parent_dim = spec.level_dim(level_j)
+    is_conv = spec.is_conv
+    cover = (
+        tuple(c >> (level_j * step) for c in spec.tile_cover)
+        if (is_conv and spec.tile_cover is not None)
+        else None
+    )
+
+    pages: Dict[Tuple[int, int], int] = {}
+    acc: Dict[Tuple[int, int], object] = {}  # (pgx, pgy) → int or list
+    if is_conv:
+        offs, ws, wsum = kernel_taps(spec.resampling, b)
+        taps = list(zip(offs.tolist(), ws.tolist()))
+
+    parent_z = None
+    for k, (cells, counts, cpages) in tiles.items():
+        z_, x_, y_ = tms.unpack_tile_key(np.array([k], dtype=np.int64))
+        z, x, y = int(z_[0]), int(x_[0]), int(y_[0])
+        parent_z = z - step
+        pt = ((x * G) // b // G, (y * G) // b // G)
+        pages[pt] = pages.get(pt, 0) + cpages
+        for c, v in zip(cells.tolist(), counts.tolist()):
+            gx = x * G + c % G
+            gy = y * G + c // G
+            if is_conv:
+                for ox, wx in taps:
+                    qx = gx - ox
+                    if qx % b:
+                        continue
+                    pgx = qx // b
+                    if not (0 <= pgx < parent_dim):
+                        continue
+                    for oy, wy in taps:
+                        qy = gy - oy
+                        if qy % b:
+                            continue
+                        pgy = qy // b
+                        if not (0 <= pgy < parent_dim):
+                            continue
+                        p = (pgx, pgy)
+                        acc[p] = acc.get(p, 0) + v * wx * wy
+            elif spec.resampling == "nearest":
+                if gx % b == 0 and gy % b == 0:
+                    p = (gx // b, gy // b)
+                    acc[p] = acc.get(p, 0) + v
+            elif spec.resampling == "mode":
+                p = (gx // b, gy // b)
+                acc.setdefault(p, []).append(((gy % b) * b + gx % b, v))
+            else:  # sum / average
+                p = (gx // b, gy // b)
+                acc[p] = acc.get(p, 0) + v
+
+    # resolve per-parent-pixel values
+    vals: Dict[Tuple[int, int], int] = {}
+    for p, payload in acc.items():
+        if is_conv:
+            v = payload // (wsum * wsum)  # python floor division
+            if v == 0:
+                continue
+        elif spec.resampling == "mode":
+            n_empty = b * b - len(payload)
+            vcounts: Dict[int, int] = {}
+            for _, vv in payload:
+                vcounts[vv] = vcounts.get(vv, 0) + 1
+            best_v = min(v for v in vcounts if vcounts[v] == max(vcounts.values()))
+            if n_empty >= vcounts[best_v]:
+                continue
+            v = best_v
+        else:
+            v = payload
+        if cover is not None:
+            tx, ty = p[0] // G, p[1] // G
+            if not (cover[0] <= tx <= cover[2] and cover[1] <= ty <= cover[3]):
+                continue
+        vals[p] = v
+
+    # regroup into tiles; union of page-attributed and cell-bearing tiles
+    per_tile: Dict[Tuple[int, int], list] = {t: [] for t in pages}
+    for (pgx, pgy), v in vals.items():
+        t = (pgx // G, pgy // G)
+        per_tile.setdefault(t, []).append(((pgy % G) * G + (pgx % G), v))
+    out: SparseTiles = {}
+    for t, cellvals in per_tile.items():
+        if not cellvals and pages.get(t, 0) == 0:
+            continue  # conv ringing target with no pages: not a tile
+        cellvals.sort()
+        key = int(tms.pack_tile_key(parent_z, t[0], t[1]))
+        out[key] = (
+            np.array([c for c, _ in cellvals], dtype=np.int64),
+            np.array([v for _, v in cellvals], dtype=np.int64),
+            pages.get(t, 0),
+        )
+    return out
+
+
 def pyramid(
     table: pa.Table, spec: TilingSpec, source: str = "pages", weight_col: Optional[str] = None
 ) -> Dict[int, SparseTiles]:
@@ -164,8 +274,9 @@ def pyramid(
     prepared = prepare(table, spec, source=source)
     levels = {spec.zoom: base_tiles(prepared, spec, weight_col)}
     cur = levels[spec.zoom]
+    use_general = spec.is_conv or not spec.is_pow2_base
     for j, z in enumerate(spec.zooms[1:], start=1):
-        cur = downsample(cur, spec, j)
+        cur = downsample_general(cur, spec, j) if use_general else downsample(cur, spec, j)
         levels[z] = cur
     return levels
 

@@ -222,7 +222,7 @@ def create(
             batch_size=max(batch_size, 131072),
         )
         merged = rasterize.merge_sparse_tiles(
-            partials, spec.resampling, level=0, step=step,
+            partials, spec.resampling, level=0, base=spec.decimation_base,
             tile_px=spec.tile_px, n_buckets=n_buckets,
         )
         _write_level(merged, out_dir, base_z, codec=codec)
@@ -238,10 +238,28 @@ def create(
     # distributed path runs until the data is small; paying a full
     # all-to-all per near-empty level is pure fixed overhead.
     local_table: Optional[pa.Table] = None
+    base_b = spec.decimation_base
+    # conv kernels aggregate raw sums and normalize post-merge; their
+    # merge path is the plain 'sum' combiner.
+    merge_kernel = "sum" if spec.is_conv else spec.resampling
     for j, z in enumerate(zooms[1:], start=1):
         if z in levels_done:
             local_table = None  # resume hole: re-read below if needed
             continue
+        cover_j = (
+            tuple(c >> (j * step) for c in spec.tile_cover)
+            if (spec.is_conv and spec.tile_cover is not None)
+            else None
+        )
+
+        def _partials_fn(t: pa.Table, _j=j, _cov=cover_j) -> pa.Table:
+            if spec.is_conv:
+                return rasterize.pyramid_partials_conv(
+                    t, spec.tile_px, spec.resampling, base_b,
+                    spec.level_dim(_j), _cov,
+                )
+            return rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, base_b)
+
         if local_table is None:
             prev = levels_done[z + step]
             if sum(f.bytes for f in prev.files) < _DRIVER_SIDE_BYTES:
@@ -249,29 +267,32 @@ def create(
 
                 local_table = pq.read_table(mani.level_dir(out_dir, z + step))
         if local_table is not None:
-            partials = rasterize.pyramid_partials(
-                local_table, spec.tile_px, spec.resampling, step
-            )
+            partials = _partials_fn(local_table)
             merged_t = rasterize._merge_bucket_table(
-                partials, spec.resampling, j, step, spec.tile_px
+                partials, merge_kernel, j, base_b, spec.tile_px
             )
+            if spec.is_conv:
+                merged_t = rasterize.finalize_conv_tiles(
+                    merged_t, spec.resampling, base_b
+                )
             entry = _write_level_table(
-                merged_t, out_dir, z, decimation=spec.decimation_base**j,
-                codec=codec,
+                merged_t, out_dir, z, decimation=base_b**j, codec=codec,
             )
             local_table = merged_t
         else:
             child = read_level(out_dir, z + step)
-            partials = child.map_batches(
-                lambda t: rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, step),
-                batch_format="pyarrow",
-            )
+            partials = child.map_batches(_partials_fn, batch_format="pyarrow")
             merged = rasterize.merge_sparse_tiles(
-                partials, spec.resampling, level=j, step=step,
+                partials, merge_kernel, level=j, base=base_b,
                 tile_px=spec.tile_px, n_buckets=n_buckets,
             )
+            if spec.is_conv:
+                merged = merged.map_batches(
+                    lambda t: rasterize.finalize_conv_tiles(t, spec.resampling, base_b),
+                    batch_format="pyarrow",
+                )
             _write_level(merged, out_dir, z, codec=codec)
-            entry = _level_stats(out_dir, z, decimation=spec.decimation_base**j)
+            entry = _level_stats(out_dir, z, decimation=base_b**j)
         mani.write_level_marker(out_dir, entry)
         levels_done[z] = entry
 
@@ -364,9 +385,11 @@ def export_dense(
     m = mani.load_manifest(out_dir)
     spec = m.spec
     G = int(spec["tile_px"])
-    level_zoom_diff = int(spec["zoom"]) - z
+    b = int(spec.get("decimation_base", 2))
+    zstep = (b.bit_length() - 1) if b & (b - 1) == 0 else 1
+    level_j = (int(spec["zoom"]) - z) // zstep
     t = pq.read_table(mani.level_dir(out_dir, z))
-    dense = tiles_to_dense(t, G, spec.get("resampling", "sum"), level_zoom_diff)
+    dense = tiles_to_dense(t, G, spec.get("resampling", "sum"), level_j, base=b)
     for key, grid in dense.items():
         if lossy:
             mx = float(grid.max())

@@ -17,20 +17,17 @@ from rio_cogeo_ray import errors
 from rio_cogeo_ray.functions import tms
 from rio_cogeo_ray.functions.geocode import GeoSpec, GLOBAL_UNIFORM
 
-RESAMPLINGS = ("sum", "average", "nearest", "mode")
-#: full reference enum (cogeo.py:48-72) — the subset above is implemented
-#: for density grids; the rest raise NotImplementedError at plan time.
-RIO_RESAMPLINGS = (
-    "nearest",
-    "bilinear",
-    "cubic",
-    "cubic_spline",
-    "lanczos",
-    "average",
-    "mode",
-    "gauss",
-    "sum",
-)
+#: Distributive kernels (partials pre-sum; 'mode' defers to the merge).
+SUMMABLE_RESAMPLINGS = ("sum", "average", "nearest", "mode")
+#: Interpolating kernels — separable integer-tap convolutions
+#: (stages/rasterize.py:kernel_taps), normalized once per level.
+CONV_RESAMPLINGS = ("bilinear", "cubic", "cubic_spline", "lanczos", "gauss")
+#: Full reference enum (cogeo.py:48-72) — all implemented for density
+#: grids ('sum' replaces the reference's rms slot; density grids are
+#: counts, so rms has no meaningful analog and 'sum' is the engine's
+#: ninth kernel).
+RESAMPLINGS = SUMMABLE_RESAMPLINGS + CONV_RESAMPLINGS
+RIO_RESAMPLINGS = RESAMPLINGS
 
 INVALID_POLICIES = ("mask", "drop")
 
@@ -68,13 +65,12 @@ class TilingSpec:
             raise errors.IncompatibleOptions(
                 f"decimation_base must be >= 2, got {self.decimation_base}"
             )
-        if self.decimation_base & (self.decimation_base - 1):
-            # Divergence from the reference (which allows any base >= 2):
-            # TMS zoom grids are power-of-two, so a pyramid level must
-            # step an integer number of zooms (base = 2**step).
+        if not self.is_pow2_base and self.tile_cover is not None:
+            # Non-power-of-two ladders are pseudo-zoom ordinals over the
+            # WORLD grid (iterated ceil-div dims); an aligned tile cover
+            # has no stable meaning across such levels.
             raise errors.IncompatibleOptions(
-                f"decimation_base must be a power of two for TMS-aligned "
-                f"pyramids, got {self.decimation_base}"
+                "tile_cover requires a power-of-two decimation_base"
             )
         if self.aligned_levels and self.decimation_base != 2:
             # web-optimized alignment assumes power-of-two pyramids
@@ -83,12 +79,6 @@ class TilingSpec:
                 "(web-optimized grids are power-of-two)"
             )
         if self.resampling not in RESAMPLINGS:
-            if self.resampling in RIO_RESAMPLINGS:
-                raise NotImplementedError(
-                    f"resampling {self.resampling!r} is a valid reference "
-                    "algorithm (cogeo.py:48-60) but has no density-grid "
-                    f"kernel yet; implemented: {RESAMPLINGS}"
-                )
             raise errors.IncompatibleOptions(
                 f"unknown resampling {self.resampling!r}; choose from {RESAMPLINGS}"
             )
@@ -105,14 +95,39 @@ class TilingSpec:
 
     # ------------------------------------------------------------------
     @property
+    def is_pow2_base(self) -> bool:
+        return self.decimation_base & (self.decimation_base - 1) == 0
+
+    @property
+    def is_conv(self) -> bool:
+        """True for interpolating (convolution) resampling kernels."""
+        return self.resampling in CONV_RESAMPLINGS
+
+    @property
     def zoom_step(self) -> int:
-        """Zoom levels per pyramid step: log2(decimation_base)."""
-        return self.decimation_base.bit_length() - 1
+        """Ladder z decrement per pyramid step: log2(base) for
+        power-of-two bases (real TMS zooms); 1 for other bases (the z
+        column is then a pseudo-zoom ORDINAL over iterated ceil-div
+        world grids, cogeo.py:196-203 arbitrary-base ladder analog)."""
+        if self.is_pow2_base:
+            return self.decimation_base.bit_length() - 1
+        return 1
 
     @property
     def n_levels(self) -> int:
         """Number of overview levels below the base zoom."""
         return (self.zoom - self.min_zoom) // self.zoom_step
+
+    def level_dim(self, j: int) -> int:
+        """Global-pixel extent per axis of the (square) world grid at
+        ladder level j: exact shifts for power-of-two bases, iterated
+        ceil-div otherwise (the raster-dims rule of an overview chain)."""
+        d = (1 << self.zoom) * self.tile_px
+        if self.is_pow2_base:
+            return d >> (j * self.zoom_step)
+        for _ in range(j):
+            d = -(-d // self.decimation_base)
+        return d
 
     @property
     def decimations(self) -> list:
@@ -170,14 +185,21 @@ def plan(
 
     # ladder depth: explicit, else smallest overview fits one tile
     # (get_maximum_overview_level semantics, cogeo.py:381-384)
+    pow2 = decimation_base & (decimation_base - 1) == 0
     if overview_levels is None:
         if cover is not None:
             w_px = (cover[2] - cover[0] + 1) * tile_px
             h_px = (cover[3] - cover[1] + 1) * tile_px
             overview_levels = tms.get_maximum_overview_level(w_px, h_px, minsize=tile_px)
-        else:
+        elif pow2:
             overview_levels = zoom  # world cover: pyramid to z=0
-    step = decimation_base.bit_length() - 1
+        else:
+            # iterated ceil-div until the world grid fits one tile
+            d, overview_levels = (1 << zoom) * tile_px, 0
+            while d > tile_px and overview_levels < zoom:
+                d = -(-d // decimation_base)
+                overview_levels += 1
+    step = (decimation_base.bit_length() - 1) if pow2 else 1
     min_zoom = max(0, zoom - overview_levels * step)
     # keep the ladder on whole steps
     min_zoom = zoom - ((zoom - min_zoom) // step) * step

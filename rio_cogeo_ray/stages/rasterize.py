@@ -47,8 +47,97 @@ TILE_SCHEMA = pa.schema(
 
 #: Kernels whose per-pixel aggregation is a plain sum (distributive —
 #: partials can pre-aggregate). 'average' stores the sum and divides by
-#: 4**level at dense export; 'nearest' keeps only the top-left subpixel.
+#: base**(2*level) at dense export; 'nearest' keeps the top-left subpixel.
 _SUMMABLE = ("sum", "average", "nearest")
+
+#: Separable interpolating kernels (the remaining reference resampling
+#: enum members, rio_cogeo/cogeo.py:48-60). Each is lowered to a 1-D
+#: integer tap table (:func:`kernel_taps`) applied along x then y:
+#: parent pixel p draws child pixels at global positions base*p + offset
+#: with int64 weights, summed through the ordinary partial→final merge
+#: (associative ⇒ bit-deterministic), then floor-normalized ONCE per
+#: level by (Σw)² (:func:`finalize_conv_tiles`). Out-of-world taps read
+#: as zero and the divisor stays (Σw)² everywhere (documented edge
+#: semantics; density grids have no nodata, absent cell ≡ count 0).
+CONV_KERNELS = ("bilinear", "cubic", "cubic_spline", "lanczos", "gauss")
+
+#: Fixed-point scale for tap quantization. Chosen so every power-of-two
+#: base's polynomial-kernel taps are EXACT integers (denominators divide
+#: 4096) and transcendental kernels (lanczos/gauss) quantize with ~1e-4
+#: relative error — far below one count at any realistic cell density.
+_TAP_SCALE = 4096
+
+
+def _kernel_fn(kernel: str):
+    """Continuous kernel k(t) (support radius in parent-pixel units)."""
+    if kernel == "bilinear":
+        return (lambda t: max(0.0, 1.0 - abs(t))), 1.0
+    if kernel == "cubic":
+        # Catmull-Rom (a = -0.5), the GDAL cubic default.
+        def k(t):
+            t = abs(t)
+            if t <= 1.0:
+                return 1.5 * t**3 - 2.5 * t**2 + 1.0
+            if t <= 2.0:
+                return -0.5 * t**3 + 2.5 * t**2 - 4.0 * t + 2.0
+            return 0.0
+
+        return k, 2.0
+    if kernel == "cubic_spline":
+        # Cubic B-spline (smoothing, strictly positive taps).
+        def k(t):
+            t = abs(t)
+            if t <= 1.0:
+                return 2.0 / 3.0 - t**2 + t**3 / 2.0
+            if t <= 2.0:
+                return (2.0 - t) ** 3 / 6.0
+            return 0.0
+
+        return k, 2.0
+    if kernel == "lanczos":
+        def k(t):
+            t = abs(t)
+            if t >= 3.0:
+                return 0.0
+            if t < 1e-12:
+                return 1.0
+            pt = np.pi * t
+            return 3.0 * np.sin(pt) * np.sin(pt / 3.0) / (pt * pt)
+
+        return k, 3.0
+    if kernel == "gauss":
+        # exp(-2t²) truncated at |t| ≤ 1 (engine-defined; GDAL's gauss
+        # likewise uses a small truncated kernel per factor).
+        return (lambda t: np.exp(-2.0 * t * t) if abs(t) < 1.0 else 0.0), 1.0
+    raise ValueError(f"not a convolution kernel: {kernel!r}")
+
+
+def kernel_taps(kernel: str, base: int):
+    """Integer 1-D taps for decimating by ``base`` with ``kernel``.
+
+    Returns ``(offsets int64[], weights int64[], wsum int)``. Parent
+    pixel p (global coords) draws child pixel ``base*p + offset`` with
+    ``weight``; the normalized value is ``floor(Σ wx·wy·child / wsum²)``
+    (floor division, negative lobes permitted — lanczos/cubic ringing).
+    Kernel center sits at src position ``base*p + (base-1)/2`` (the
+    standard dst→src pixel-center mapping) and the support is scaled by
+    ``base``, matching overview-resampler convention.
+    """
+    k, radius = _kernel_fn(kernel)
+    s = (base - 1) / 2.0
+    lo = int(np.floor(s - radius * base)) + 1
+    hi = int(np.ceil(s + radius * base)) - 1
+    offs, ws = [], []
+    for j in range(lo, hi + 1):
+        w = int(np.floor(k((j - s) / base) * _TAP_SCALE + 0.5))
+        if w != 0:
+            offs.append(j)
+            ws.append(w)
+    return (
+        np.asarray(offs, dtype=np.int64),
+        np.asarray(ws, dtype=np.int64),
+        int(sum(ws)),
+    )
 
 
 def _aggregate_sparse(
@@ -148,68 +237,8 @@ def density_partials(
     return _tiles_table(u_keys, offsets, u_c, sums, page_counts)
 
 
-def merge_tile_group(
-    group: pa.Table, resampling: str = "sum", level: int = 0, step: int = 1
-) -> pa.Table:
-    """Final combiner for ``groupby(tile_key).map_groups``: merge the
-    partial sparse grids of ONE tile into its canonical row (cells sorted
-    ascending). Int64 addition → order-independent, bit-deterministic.
-
-    For the non-distributive 'mode' kernel at pyramid levels the partial
-    cells are expanded (cell * 4**step + subpixel); the merge resolves
-    the mode over each pixel's ≤4**step subpixel values (ties → smallest
-    value; empty subpixels count as 0, GDAL-mode analog of
-    cogeo.py:48-60).
-    """
-    key = group["tile_key"][0].as_py()
-    cells_arr = group["cells"].combine_chunks()
-    counts_arr = group["counts"].combine_chunks()
-    cells = cells_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    counts = counts_arr.flatten().to_numpy(zero_copy_only=False)
-    page_count = int(
-        np.sum(group["page_count"].combine_chunks().to_numpy(zero_copy_only=False))
-    )
-    if len(cells) == 0:
-        # a parent whose child pixels all dropped (nearest/mode) still
-        # exists as a tile row with an empty grid (sparse-tile analog)
-        u_c = np.zeros(0, dtype=np.int64)
-        sums = np.zeros(0, dtype=np.int64)
-    elif resampling == "mode" and level > 0:
-        nsub2 = (1 << step) ** 2
-        # cells are (pixel*nsub2 + subpix); each (pixel, subpix) unique.
-        pix = cells // nsub2
-        order = np.lexsort((counts, pix))
-        pix, vals = pix[order], counts[order]
-        starts = np.flatnonzero(np.concatenate(([True], pix[1:] != pix[:-1])))
-        ends = np.concatenate((starts[1:], [len(pix)]))
-        out_c, out_v = [], []
-        for s, e in zip(starts, ends):
-            v = vals[s:e]
-            nzero = nsub2 - (e - s)
-            uv, uc = np.unique(v, return_counts=True)
-            best = int(np.argmax(uc))  # ties → smallest value (uv sorted)
-            if nzero >= uc[best]:
-                continue  # mode is 0 (empty) → sparse omit
-            out_c.append(int(pix[s]))
-            out_v.append(int(uv[best]))
-        u_c = np.array(out_c, dtype=np.int64)
-        sums = np.array(out_v, dtype=np.int64)
-    else:
-        order = np.argsort(cells, kind="stable")
-        c = cells[order]
-        w = counts[order]
-        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
-        u_c = c[starts]
-        sums = np.add.reduceat(w, starts) if len(starts) else np.zeros(0, np.int64)
-    offsets = np.array([0, len(u_c)], dtype=np.int64)
-    return _tiles_table(
-        np.array([key], dtype=np.int64), offsets, u_c, sums,
-        np.array([page_count], dtype=np.int64),
-    )
-
-
 def _merge_bucket_table(
-    group: pa.Table, resampling: str, level: int, step: int, tile_px: int
+    group: pa.Table, resampling: str, level: int, base: int, tile_px: int
 ) -> pa.Table:
     """Vectorized merge of the partial rows of MANY tiles (one hash
     bucket): one lexsort + reduceat over all (tile, cell) pairs — no
@@ -237,7 +266,7 @@ def _merge_bucket_table(
         out_c = np.zeros(0, dtype=np.int64)
         out_v = np.zeros(0, dtype=np.int64)
     elif resampling == "mode" and level > 0:
-        nsub2 = (1 << step) ** 2
+        nsub2 = base * base
         pix = cells // nsub2
         order = np.lexsort((vals, pix, t_of_entry))
         t, p, v = t_of_entry[order], pix[order], vals[order]
@@ -287,7 +316,7 @@ def merge_sparse_tiles(
     partials,
     resampling: str = "sum",
     level: int = 0,
-    step: int = 1,
+    base: int = 2,
     tile_px: int = 256,
     n_buckets: int = 64,
 ):
@@ -307,87 +336,221 @@ def merge_sparse_tiles(
     bucketed = partials.map_batches(_bucket, batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(
         lambda g: _merge_bucket_table(
-            g.drop_columns(["__bucket"]), resampling, level, step, tile_px
+            g.drop_columns(["__bucket"]), resampling, level, base, tile_px
         ),
         batch_format="pyarrow",
     )
 
 
-def pyramid_partials(
-    batch: pa.Table, tile_px: int, resampling: str = "sum", step: int = 1
-) -> pa.Table:
-    """Final tile rows at level z → partial parent rows at z-step.
+def _parent_z_for(child_z: int, base: int) -> int:
+    """Ladder rule: power-of-two bases step real TMS zooms by log2(base);
+    other bases use a pseudo-zoom ORDINAL that decrements by 1 per level
+    (the grid is then the iterated ceil-div raster, not a TMS matrix —
+    the reference's arbitrary-base overview ladder, cogeo.py:196-203)."""
+    if base & (base - 1) == 0:
+        return child_z - (base.bit_length() - 1)
+    return child_z - 1
 
-    One pyramid level decimates by ``2**step`` (decimation_base =
-    2**step; cogeo.py:389 — the reference allows any base ≥ 2, but TMS
-    zoom grids are power-of-two, so non-power-of-two bases are rejected
-    at plan time). Child pixel (x*G+px, y*G+py) lands in parent pixel
-    ((gx >> step) % G, (gy >> step) % G). Kernels: sum/average pre-sum;
-    nearest keeps the top-left child pixel of each block; mode defers to
-    the merge via subpixel-expanded cells.
-    """
-    if len(batch) == 0:
-        return TILE_SCHEMA.empty_table()
-    G = tile_px
-    mask = (1 << step) - 1
+
+def _load_sparse(batch: pa.Table, G: int):
+    """Unpack a tile-row batch into flat global-pixel arrays."""
     key = batch["tile_key"].combine_chunks().to_numpy(zero_copy_only=False)
     x = batch["x"].combine_chunks().to_numpy(zero_copy_only=False)
     y = batch["y"].combine_chunks().to_numpy(zero_copy_only=False)
     pc_counts = batch["page_count"].combine_chunks().to_numpy(zero_copy_only=False)
     cells_list = batch["cells"].combine_chunks()
-    counts_list = batch["counts"].combine_chunks()
     lens = np.diff(cells_list.offsets.to_numpy(zero_copy_only=False))
     row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
     cells = cells_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = counts_list.flatten().to_numpy(zero_copy_only=False)
+    vals = batch["counts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    gx = x[row_idx] * G + cells % G
+    gy = y[row_idx] * G + cells // G
+    return key, x, y, pc_counts, gx, gy, vals
 
-    px = cells % G
-    py = cells // G
-    # position within the parent tile's G×G grid (G is a power of two and
-    # G >= 2**step, so x*G contributes nothing mod 2**step)
-    ppx = ((x[row_idx] & mask) * G + px) >> step
-    ppy = ((y[row_idx] & mask) * G + py) >> step
-    pcell = ppy * G + ppx
 
-    parent_key = tms.parent_tile_key(key, levels=step)
-    pk_rows = parent_key[row_idx]
-
-    if resampling == "nearest":
-        keep = ((px & mask) == 0) & ((py & mask) == 0)
-        pk_rows, pcell, vals = pk_rows[keep], pcell[keep], vals[keep]
-    elif resampling == "mode":
-        nsub = 1 << step
-        subpix = (py & mask) * nsub + (px & mask)
-        pcell = pcell * (nsub * nsub) + subpix  # unique per (pixel, subpix)
-
-    u_keys, inv = np.unique(pk_rows, return_inverse=True)
+def _partials_from_contribs(
+    G: int,
+    parent_z: int,
+    pgx: np.ndarray,
+    pgy: np.ndarray,
+    vals: np.ndarray,
+    page_key: np.ndarray,
+    pc_counts: np.ndarray,
+    subpix: Optional[np.ndarray] = None,
+    nsub2: int = 0,
+) -> pa.Table:
+    """Assemble partial tile rows from (parent global pixel, value)
+    contributions plus per-child-row page attributions. Emits the UNION
+    of cell-receiving and page-attributed parent tiles (they differ when
+    decimation misaligns tile boundaries or a kernel rings across them)."""
+    ptx = pgx // G
+    pty = pgy // G
+    pcell = (pgy % G) * G + (pgx % G)
+    if subpix is not None:
+        pcell = pcell * nsub2 + subpix
+    pkey = tms.pack_tile_key(parent_z, ptx, pty)
+    u_keys = np.unique(np.concatenate([pkey, page_key]))
+    inv = np.searchsorted(u_keys, pkey)
     u_t, u_c, sums, tile_ncells = _aggregate_sparse(inv, pcell, vals, len(u_keys))
     offsets = np.concatenate(([0], np.cumsum(tile_ncells)))
-    # parent page_count = sum of child page counts (regardless of kernel)
-    upk, pinv = np.unique(parent_key, return_inverse=True)
-    pages = np.bincount(pinv, weights=pc_counts.astype(np.float64)).astype(np.int64)
-    # align: upk == u_keys unless a parent got zero cells (possible under
-    # nearest/mode when all child pixels drop) — reindex onto upk.
-    if len(u_keys) != len(upk) or not np.array_equal(u_keys, upk):
-        full_off = np.zeros(len(upk) + 1, dtype=np.int64)
-        pos = np.searchsorted(upk, u_keys)
-        counts_per = np.diff(offsets)
-        ncells_full = np.zeros(len(upk), dtype=np.int64)
-        ncells_full[pos] = counts_per
-        full_off[1:] = np.cumsum(ncells_full)
-        return _tiles_table(upk, full_off, u_c, sums, pages)
+    pages = np.bincount(
+        np.searchsorted(u_keys, page_key),
+        weights=pc_counts.astype(np.float64),
+        minlength=len(u_keys),
+    ).astype(np.int64)
     return _tiles_table(u_keys, offsets, u_c, sums, pages)
 
 
+def pyramid_partials(
+    batch: pa.Table, tile_px: int, resampling: str = "sum", base: int = 2
+) -> pa.Table:
+    """Final tile rows at level z → partial parent rows one ladder level
+    up, decimating by ``base`` (any base ≥ 2, cogeo.py:196-203).
+
+    All math is GLOBAL-pixel floor division: child pixel g lands in
+    parent pixel ``g // base``, which lives in parent tile
+    ``(g // base) // G`` — for power-of-two bases this reduces exactly
+    to the former shift math (bit-identical), for other bases a child
+    tile's pixels may split across two parent tiles. Kernels:
+    sum/average pre-sum; nearest keeps child pixels with
+    ``g % base == 0`` on both axes; mode defers to the merge via
+    subpixel-expanded cells (``base²`` slots per parent pixel). Child
+    page counts are attributed to the parent tile of the child tile's
+    top-left pixel (unambiguous for aligned bases, documented rule for
+    misaligned ones).
+    """
+    if len(batch) == 0:
+        return TILE_SCHEMA.empty_table()
+    G = tile_px
+    key, x, y, pc_counts, gx, gy, vals = _load_sparse(batch, G)
+    child_z = int(tms.unpack_tile_key(key[:1])[0][0])
+    parent_z = _parent_z_for(child_z, base)
+
+    page_key = tms.pack_tile_key(parent_z, (x * G) // base // G, (y * G) // base // G)
+
+    subpix = None
+    nsub2 = 0
+    if resampling == "nearest":
+        keep = (gx % base == 0) & (gy % base == 0)
+        gx, gy, vals = gx[keep], gy[keep], vals[keep]
+    elif resampling == "mode":
+        nsub2 = base * base
+        subpix = (gy % base) * base + (gx % base)
+    return _partials_from_contribs(
+        G, parent_z, gx // base, gy // base, vals, page_key, pc_counts,
+        subpix=subpix, nsub2=nsub2,
+    )
+
+
+def pyramid_partials_conv(
+    batch: pa.Table,
+    tile_px: int,
+    kernel: str,
+    base: int,
+    parent_dim: int,
+    parent_cover: Optional[tuple] = None,
+) -> pa.Table:
+    """Final tile rows at level z → UNNORMALIZED partial parent rows for
+    an interpolating kernel (bilinear/cubic/cubic_spline/lanczos/gauss —
+    the remaining reference resampling enum, cogeo.py:48-60).
+
+    Separable integer convolution: each child pixel g (value v) fans out
+    along x to parents p with ``base*p + off == g`` (weight w_off), then
+    the expanded set fans out along y the same way; contributions are
+    ``v · wx · wy`` int64 partials summed by the ordinary merge
+    (associative ⇒ bit-deterministic regardless of batch/bucket order).
+    :func:`finalize_conv_tiles` floor-divides the merged sums by
+    ``(Σw)²`` once per level. ``parent_dim`` bounds the parent global
+    grid (taps past the world edge read as zero); ``parent_cover``
+    (inclusive tile bounds) additionally clips ringing outside an
+    aligned cover. Overflow headroom: |v| must stay ≲ 2⁶³ / (Σ|w|)² ≈
+    5·10⁹ per pixel — far above any real page density per cell.
+    """
+    if len(batch) == 0:
+        return TILE_SCHEMA.empty_table()
+    G = tile_px
+    offs, ws, _ = kernel_taps(kernel, base)
+    key, x, y, pc_counts, gx, gy, vals = _load_sparse(batch, G)
+    child_z = int(tms.unpack_tile_key(key[:1])[0][0])
+    parent_z = _parent_z_for(child_z, base)
+
+    page_key = tms.pack_tile_key(parent_z, (x * G) // base // G, (y * G) // base // G)
+
+    def _expand(g: np.ndarray, carried: tuple, v: np.ndarray):
+        """One separable pass: (g, v) → (parent coord, carried…, v·w)."""
+        outs = []
+        for o, w in zip(offs, ws):
+            q = g - o
+            p = q // base
+            m = (q == p * base) & (p >= 0) & (p < parent_dim)
+            if not m.any():
+                continue
+            outs.append((p[m], tuple(c[m] for c in carried), v[m] * w))
+        if not outs:
+            z = np.zeros(0, dtype=np.int64)
+            return z, tuple(z for _ in carried), z
+        return (
+            np.concatenate([o[0] for o in outs]),
+            tuple(np.concatenate([o[1][i] for o in outs]) for i in range(len(carried))),
+            np.concatenate([o[2] for o in outs]),
+        )
+
+    pgx, (gy1,), v1 = _expand(gx, (gy,), vals)
+    pgy, (pgx2,), v2 = _expand(gy1, (pgx,), v1)
+    if parent_cover is not None:
+        min_x, min_y, max_x, max_y = parent_cover
+        ptx = pgx2 // G
+        pty = pgy // G
+        m = (ptx >= min_x) & (ptx <= max_x) & (pty >= min_y) & (pty <= max_y)
+        pgx2, pgy, v2 = pgx2[m], pgy[m], v2[m]
+    return _partials_from_contribs(G, parent_z, pgx2, pgy, v2, page_key, pc_counts)
+
+
+def finalize_conv_tiles(table: pa.Table, kernel: str, base: int) -> pa.Table:
+    """Normalize MERGED conv-kernel tiles: floor-divide every cell sum by
+    ``(Σw)²`` and drop cells that land on exactly 0 (sparse ≡ 0). Runs
+    on final (post-merge) values only, so the lossy division never
+    enters the distributed aggregation — same doctrine as 'average'."""
+    if len(table) == 0:
+        return table
+    _, _, wsum = kernel_taps(kernel, base)
+    W2 = np.int64(wsum) * np.int64(wsum)
+    cells_list = table["cells"].combine_chunks()
+    offsets = cells_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    cells = cells_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = table["counts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    q = vals // W2  # numpy floor division (negative lobes round toward -inf)
+    keep = q != 0
+    row_idx = np.repeat(np.arange(len(table), dtype=np.int64), lens)
+    ncells = np.bincount(row_idx[keep], minlength=len(table)).astype(np.int64)
+    keys = table["tile_key"].combine_chunks().to_numpy(zero_copy_only=False)
+    pages = table["page_count"].combine_chunks().to_numpy(zero_copy_only=False)
+    # a tile whose ringing all floored to zero and that owns no pages is
+    # not a tile (it only existed as a contribution target)
+    keep_row = (ncells > 0) | (pages > 0)
+    if not keep_row.all():
+        sel = np.repeat(keep_row, lens) & keep
+        ncells = ncells[keep_row]
+        keys, pages = keys[keep_row], pages[keep_row]
+        cells, q, keep = cells[sel], q[sel], np.ones(int(sel.sum()), dtype=bool)
+        new_off = np.concatenate(([0], np.cumsum(ncells)))
+        return _tiles_table(keys, new_off, cells, q, pages)
+    new_off = np.concatenate(([0], np.cumsum(ncells)))
+    return _tiles_table(keys, new_off, cells[keep], q[keep], pages)
+
+
 def tiles_to_dense(
-    table: pa.Table, tile_px: int, resampling: str = "sum", level: int = 0
+    table: pa.Table, tile_px: int, resampling: str = "sum", level: int = 0,
+    base: int = 2,
 ) -> dict:
     """Sparse tile rows → dict tile_key → dense float32 (G, G) grid.
-    'average' divides the stored sums by 4**level here (lossy float step
-    kept OUT of the distributed aggregation for determinism)."""
+    'average' divides the stored sums by base**(2*level) here (lossy
+    float step kept OUT of the distributed aggregation for determinism);
+    conv kernels are already normalized per level at merge time."""
     G = tile_px
     out = {}
-    div = float(4**level) if resampling == "average" else 1.0
+    div = float(base ** (2 * level)) if resampling == "average" else 1.0
     keys = table["tile_key"].to_pylist()
     cells_col = table["cells"].to_pylist()
     counts_col = table["counts"].to_pylist()

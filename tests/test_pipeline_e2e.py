@@ -57,6 +57,13 @@ def _assert_levels_equal(out_dir: str, spec, oracle_levels):
         ("pages_skew", "sum"),
         ("pages_tiny", "nearest"),
         ("pages_north", "mode"),
+        # interpolating kernels (the remaining reference resampling enum,
+        # rio_cogeo/cogeo.py:48-60; exercised by tests/test_cli.py:203,489)
+        ("pages_rgb", "bilinear"),
+        ("pages_web", "cubic"),
+        ("pages_nodata", "cubic_spline"),
+        ("pages_north", "lanczos"),
+        ("pages_tiny", "gauss"),
     ],
 )
 def test_create_matches_oracle(ray_session, tmp_path, scenario, resampling):
@@ -78,6 +85,59 @@ def test_create_matches_oracle(ray_session, tmp_path, scenario, resampling):
     # pyramid conservation for summable kernels: pages identical per level
     for lv in m.levels[1:]:
         assert lv.pages == base.pages
+
+
+@pytest.mark.parametrize(
+    "base,resampling",
+    [
+        # arbitrary decimation bases (reference tests/test_cogeo.py:818-835,
+        # validation cogeo.py:196-203): non-power-of-two ladders run on
+        # pseudo-zoom ordinals over iterated ceil-div world grids; base 4
+        # stays a real TMS ladder (2 zooms per step).
+        (3, "sum"),
+        (3, "bilinear"),
+        (5, "mode"),
+        (4, "sum"),
+        (4, "cubic"),
+    ],
+)
+def test_create_decimation_bases(ray_session, tmp_path, base, resampling):
+    path = fixtures.scenario_path("pages_rgb")
+    spec = _spec_for(
+        "pages_rgb", zoom=7, resampling=resampling,
+        decimation_base=base, overview_levels=3,
+    )
+    assert spec.decimations == [base**j for j in range(1, spec.n_levels + 1)]
+    out = str(tmp_path / f"out_base{base}_{resampling}")
+    m = create_mod.create(path, out, spec, source="pages", batch_size=512)
+    table = pq.read_table(path)
+    oracle_levels = oracle.pyramid(table, spec, source="pages")
+    _assert_levels_equal(out, spec, oracle_levels)
+    # page conservation holds for every kernel (attribution is exact-once)
+    for lv in m.levels[1:]:
+        assert lv.pages == m.levels[0].pages
+    from rio_cogeo_ray.pipelines import validate as validate_mod
+
+    ok, errs, _ = validate_mod.validate(out)
+    assert ok, errs
+
+
+def test_create_conv_aligned_cover(ray_session, tmp_path):
+    """Interpolating kernel + web-optimized cover: ringing is clipped to
+    the aligned cover at every level; engine matches oracle exactly."""
+    path = fixtures.scenario_path("pages_web")
+    spec = plan(
+        zoom=8, geocode=fixtures.scenario_spec("pages_web"),
+        aligned_levels=2, overview_levels=3, resampling="bilinear",
+    )
+    out = str(tmp_path / "out_conv_aligned")
+    m = create_mod.create(path, out, spec, source="pages", batch_size=512)
+    import dataclasses
+
+    spec_c = dataclasses.replace(spec, tile_cover=tuple(m.spec["tile_cover"]))
+    table = pq.read_table(path)
+    oracle_levels = oracle.pyramid(table, spec_c, source="pages")
+    _assert_levels_equal(out, spec_c, oracle_levels)
 
 
 def test_create_aligned_cover(ray_session, tmp_path):
