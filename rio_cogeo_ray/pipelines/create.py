@@ -58,7 +58,7 @@ def measure_bounds(
     """Mercator bounds of the corpus via a ONE-column scan (url/doc_id)
     + a tiny aggregate — the stats pass feeding web-optimized alignment
     (get_web_optimized_params input, utils.py:88-147)."""
-    cols = ["url"] if source == "pages" else ["doc_id"]
+    cols = {"pages": ["url"], "lonlat": ["lon", "lat"]}.get(source, ["doc_id"])
     ds = _read_input(src, cols)
     prepare = assign.make_prepare_fn(spec.geocode, spec.zoom, extract=False, source=source)
     prepared = ds.map_batches(prepare, batch_format="pyarrow")
@@ -191,8 +191,8 @@ def create(
     base_z = spec.zoom
     total_rows = None
     if base_z not in levels_done:
-        id_col = "url" if source == "pages" else "doc_id"
-        cols = [id_col] + ([weight_col] if weight_col else [])
+        id_cols = {"pages": ["url"], "lonlat": ["lon", "lat"]}.get(source, ["doc_id"])
+        cols = id_cols + ([weight_col] if weight_col else [])
         if extract and source == "pages":
             cols += ["html"]
         ds = _read_input(src, cols)
@@ -299,7 +299,8 @@ def create(
     # ---- manifest (IFD analog: base level first) -------------------------
     base_pages = levels_done[base_z].pages
     if total_rows is None:
-        src_for_count = _read_input(src, ["url" if source == "pages" else "doc_id"])
+        count_cols = {"pages": ["url"], "lonlat": ["lon"]}.get(source, ["doc_id"])
+        src_for_count = _read_input(src, count_cols)
         total_rows = src_for_count.count()
     m = mani.Manifest(
         spec={

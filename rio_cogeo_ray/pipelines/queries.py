@@ -896,11 +896,143 @@ SQL_TOKEN_TOPK = (
 # ---------------------------------------------------------------------------
 
 
+def _conv_level_query(sf_dir: str, kernel: str):
+    """One interpolating-kernel pyramid step (z=5 density grid → z=4)
+    exploded to per-pixel rows — the SQL-checked path for the conv
+    resampling kernels (reference enum rio_cogeo/cogeo.py:48-60).
+    The grid is n_chars-weighted (band-value analog) so values are large
+    enough to survive the (Σw)² floor normalization."""
+    ds = _valid_only(_prepared_docs(sf_dir, RASTER_Z, columns=("doc_id", "n_chars")))
+    partials = ds.map_batches(
+        lambda t: rasterize.density_partials(t, RASTER_G, "n_chars"),
+        batch_format="pyarrow",
+    )
+    merged = rasterize.merge_sparse_tiles(partials, "sum", level=0, tile_px=RASTER_G)
+    parent_dim = (1 << (RASTER_Z - 1)) * RASTER_G
+    conv = merged.map_batches(
+        lambda t: rasterize.pyramid_partials_conv(t, RASTER_G, kernel, 2, parent_dim),
+        batch_format="pyarrow",
+    )
+    cmerged = rasterize.merge_sparse_tiles(conv, "sum", level=1, tile_px=RASTER_G)
+    final = cmerged.map_batches(
+        lambda t: rasterize.finalize_conv_tiles(t, kernel, 2), batch_format="pyarrow"
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        cells = t["cells"].combine_chunks()
+        lens = np.diff(cells.offsets.to_numpy(zero_copy_only=False))
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        return pa.table(
+            {
+                "x": t["x"].combine_chunks().take(pa.array(rep)),
+                "y": t["y"].combine_chunks().take(pa.array(rep)),
+                "cell": cells.flatten().cast(pa.int64()),
+                "cnt": t["counts"].combine_chunks().flatten(),
+            }
+        )
+
+    return final.map_batches(_explode, batch_format="pyarrow")
+
+
+def _sql_conv_level(kernel: str) -> str:
+    """DuckDB mirror of one conv pyramid step: the SAME integer taps
+    (from rasterize.kernel_taps, embedded as a VALUES table), the same
+    separable two-pass expansion, the same floor division by (Σw)²."""
+    offs, ws, wsum = rasterize.kernel_taps(kernel, 2)
+    taps = ", ".join(f"({int(o)}, {int(w)})" for o, w in zip(offs, ws))
+    w2 = wsum * wsum
+    pdim = (1 << (RASTER_Z - 1)) * RASTER_G
+    return (
+        _geo_cte() + f", t AS ({_tile_sql(RASTER_Z)}), "
+        f"p AS (SELECT x, y, n_chars, "
+        f"LEAST(GREATEST(CAST(FLOOR((mx - (x * {_S5} - {_O})) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS px, "
+        f"LEAST(GREATEST(CAST(FLOOR((({_O} - y * {_S5}) - my) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS py "
+        f"FROM t), "
+        f"base AS (SELECT x * {RASTER_G} + px AS gx, y * {RASTER_G} + py AS gy, "
+        f"CAST(SUM(n_chars) AS BIGINT) AS v FROM p GROUP BY gx, gy), "
+        f"taps(o, w) AS (VALUES {taps}), "
+        f"cx AS (SELECT CAST((b.gx - tx.o) / 2 AS BIGINT) AS pgx, b.gy AS gy, "
+        f"b.v * tx.w AS v FROM base b, taps tx "
+        f"WHERE (b.gx - tx.o) >= 0 AND (b.gx - tx.o) % 2 = 0 AND (b.gx - tx.o) < {2 * pdim}), "
+        f"cy AS (SELECT cx.pgx AS pgx, CAST((cx.gy - ty.o) / 2 AS BIGINT) AS pgy, "
+        f"cx.v * ty.w AS v FROM cx, taps ty "
+        f"WHERE (cx.gy - ty.o) >= 0 AND (cx.gy - ty.o) % 2 = 0 AND (cx.gy - ty.o) < {2 * pdim}), "
+        f"num AS (SELECT pgx, pgy, CAST(SUM(v) AS BIGINT) AS s FROM cy GROUP BY pgx, pgy), "
+        f"fin AS (SELECT pgx, pgy, "
+        f"CAST((s - ((s % {w2}) + {w2}) % {w2}) / {w2} AS BIGINT) AS cnt FROM num) "
+        f"SELECT pgx // {RASTER_G} AS x, pgy // {RASTER_G} AS y, "
+        f"(pgy % {RASTER_G}) * {RASTER_G} + (pgx % {RASTER_G}) AS cell, cnt "
+        f"FROM fin WHERE cnt <> 0"
+    )
+
+
+def q_pyramid_bilinear(sf_dir: str):
+    """Bilinear overview decimation (cogeo.py:48-60; tests/test_cli.py:203)."""
+    return _conv_level_query(sf_dir, "bilinear")
+
+
+def q_pyramid_lanczos(sf_dir: str):
+    """Lanczos overview decimation — negative lobes exercise the signed
+    floor-division normalize path."""
+    return _conv_level_query(sf_dir, "lanczos")
+
+
+SQL_PYRAMID_BILINEAR = _sql_conv_level("bilinear")
+SQL_PYRAMID_LANCZOS = _sql_conv_level("lanczos")
+
+
+# lon/lat derived as EXACT integer-arithmetic floats from c_custkey so
+# the Ray pipeline and the SQL mirror agree bit-for-bit.
+_LL_LON = "((CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0) - 180.0)"
+_LL_LAT = "((CAST((c_custkey * 104729) % 16000 AS DOUBLE) / 100.0) - 80.0)"
+
+
+def q_tile_assign_lonlat(sf_dir: str):
+    """Tile assignment over a PRE-GEOREFERENCED corpus (lon/lat columns
+    already present — the GCP-georeferenced-source analog,
+    rio_cogeo/cogeo.py:267-274): the hash geocode is skipped entirely;
+    assign.make_prepare_fn(source='lonlat') validates + projects only."""
+    ds = _read(os.path.join(sf_dir, "customer.parquet"), ["c_custkey"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lon = (k * 7919 % 36000).astype(np.float64) / 100.0 - 180.0
+        lat = (k * 104729 % 16000).astype(np.float64) / 100.0 - 80.0
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].combine_chunks(),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    derived = ds.map_batches(_derive, batch_format="pyarrow")
+    fn = assign.make_prepare_fn(None, TILE_Z, extract=False, source="lonlat")
+    prepared = derived.map_batches(fn, batch_format="pyarrow")
+    return _valid_only(prepared).map_batches(
+        lambda t: t.select(["c_custkey", "x", "y", "tile_key"]), batch_format="pyarrow"
+    )
+
+
+SQL_TILE_ASSIGN_LONLAT = (
+    f"WITH g AS (SELECT c_custkey, {_LL_LON} AS lon, {_LL_LAT} AS lat FROM customer), "
+    f"m AS (SELECT c_custkey, {_MX} AS mx, {_MY} AS my FROM g), "
+    f"t AS (SELECT c_custkey, "
+    f"LEAST(GREATEST(CAST(FLOOR((mx + {_O}) / {_span_sql(TILE_Z)}) AS BIGINT), 0), {(1 << TILE_Z) - 1}) AS x, "
+    f"LEAST(GREATEST(CAST(FLOOR(({_O} - my) / {_span_sql(TILE_Z)}) AS BIGINT), 0), {(1 << TILE_Z) - 1}) AS y FROM m) "
+    f"SELECT c_custkey, x, y, "
+    f"({TILE_Z} * 288230376151711744 + x * 536870912 + y) AS tile_key FROM t"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
+        "tile_assign_lonlat": q_tile_assign_lonlat,
         "tile_density": q_tile_density,
         "pyramid_counts": q_pyramid_counts,
+        "pyramid_bilinear": q_pyramid_bilinear,
+        "pyramid_lanczos": q_pyramid_lanczos,
         "pip_inner": q_pip_inner,
         "pip_anti": q_pip_anti,
         "knn_bin": q_knn_bin,
@@ -938,8 +1070,11 @@ def queries() -> Dict[str, Callable]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "tile_assign": SQL_TILE_ASSIGN,
+        "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_density": SQL_TILE_DENSITY,
         "pyramid_counts": SQL_PYRAMID_COUNTS,
+        "pyramid_bilinear": SQL_PYRAMID_BILINEAR,
+        "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,
         "pip_anti": SQL_PIP_ANTI,
         "knn_bin": SQL_KNN_BIN,

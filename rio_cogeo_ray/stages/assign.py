@@ -84,6 +84,27 @@ def geocode_documents(batch: pa.Table) -> pa.Table:
     return batch
 
 
+def geocode_lonlat(batch: pa.Table) -> pa.Table:
+    """Pre-georeferenced batch (carries ``lon``/``lat`` float64 columns
+    already) → + geo_valid. The GCP-georeferenced-source analog
+    (rio_cogeo/cogeo.py:267-274): when the corpus is born with
+    coordinates, the synthetic hash geocode is skipped entirely and
+    validity is simply coordinate presence + range."""
+    lon = batch["lon"].combine_chunks()
+    lat = batch["lat"].combine_chunks()
+    lon_np = lon.fill_null(np.nan).to_numpy(zero_copy_only=False)
+    lat_np = lat.fill_null(np.nan).to_numpy(zero_copy_only=False)
+    valid = (
+        np.isfinite(lon_np)
+        & np.isfinite(lat_np)
+        & (lon_np >= -180.0)
+        & (lon_np <= 180.0)
+        & (lat_np >= -90.0)
+        & (lat_np <= 90.0)
+    )
+    return batch.append_column("geo_valid", pa.array(valid))
+
+
 def assign_tiles(batch: pa.Table, zoom: int) -> pa.Table:
     """+ (mx, my, x, y, tile_key) at ``zoom``; geo-invalid rows get nulls
     (the nodata analog, cogeo.py:276-279).
@@ -146,11 +167,15 @@ def make_prepare_fn(
     source: str = "pages",
 ):
     """Compose the full prepare stage as ONE stateless map_batches fn
-    (single pass over the batch; html dropped before return unless kept)."""
+    (single pass over the batch; html dropped before return unless kept).
+    ``source``: 'pages' (url-hash geocode), 'documents' (id geocode), or
+    'lonlat' (pre-georeferenced input — the GCP analog; no geocode)."""
 
     def _prepare(batch: pa.Table) -> pa.Table:
         if source == "pages":
             batch = geocode_pages(batch, spec, extract=extract)
+        elif source == "lonlat":
+            batch = geocode_lonlat(batch)
         else:
             batch = geocode_documents(batch)
         batch = assign_tiles(batch, zoom)

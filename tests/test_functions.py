@@ -145,3 +145,57 @@ def test_aois_table():
     t = fixtures.aois_table(fixtures.RECT_AOIS + fixtures.HEX_AOIS)
     assert t.num_rows == 8
     assert t.schema.names == ["aoi_id", "name", "ring_lon", "ring_lat"]
+
+
+def test_kernel_taps_properties():
+    """Integer tap tables: symmetric, correct signs, exact polynomial
+    quantization for power-of-two bases (stages/rasterize.kernel_taps)."""
+    from rio_cogeo_ray.stages.rasterize import CONV_KERNELS, kernel_taps
+
+    for kernel in CONV_KERNELS:
+        for base in (2, 3, 4, 5):
+            offs, ws, wsum = kernel_taps(kernel, base)
+            assert wsum == ws.sum() > 0
+            # symmetric about the kernel center (base-1)/2
+            assert np.array_equal(ws, ws[::-1])
+            assert np.array_equal(offs + offs[::-1], np.full(len(offs), base - 1))
+            if kernel in ("bilinear", "gauss", "cubic_spline"):
+                assert (ws > 0).all()  # non-negative kernels
+            if kernel in ("cubic", "lanczos"):
+                assert (ws < 0).any()  # interpolating kernels ring
+    # pinned exact base-2 tables (polynomial kernels quantize exactly)
+    assert kernel_taps("bilinear", 2)[1].tolist() == [1024, 3072, 3072, 1024]
+    assert kernel_taps("cubic", 2)[1].tolist() == [
+        -96, -288, 928, 3552, 3552, 928, -288, -96,
+    ]
+
+
+def test_geocode_lonlat_source():
+    """source='lonlat' (GCP analog, cogeo.py:267-274): pre-georeferenced
+    rows skip the hash geocode; tile assignment matches assigning the
+    same coordinates through the pages path; bad rows are invalid."""
+    from rio_cogeo_ray.stages import assign
+
+    spec = fixtures.scenario_spec("pages_rgb")
+    pages = fixtures.gen_pages(0, 256)
+    prep_pages = assign.make_prepare_fn(spec, 7, extract=False, source="pages")
+    ref = prep_pages(pages)
+
+    lon = ref["lon"].combine_chunks()
+    lat = ref["lat"].combine_chunks()
+    t = pa.table({"url": pages["url"], "lon": lon, "lat": lat})
+    prep_ll = assign.make_prepare_fn(None, 7, extract=False, source="lonlat")
+    out = prep_ll(t)
+    # valid rows agree exactly (null lon/lat from invalid geocode rows
+    # become geo_valid=False in the lonlat path too)
+    assert out["geo_valid"].to_pylist() == ref["geo_valid"].to_pylist()
+    assert out["tile_key"].to_pylist() == ref["tile_key"].to_pylist()
+
+    bad = pa.table(
+        {
+            "lon": pa.array([181.0, float("nan"), 10.0, None], pa.float64()),
+            "lat": pa.array([0.0, 0.0, -91.0, 5.0], pa.float64()),
+        }
+    )
+    outb = prep_ll(bad)
+    assert outb["geo_valid"].to_pylist() == [False, False, False, False]
