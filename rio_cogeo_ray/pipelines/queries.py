@@ -1025,6 +1025,34 @@ SQL_TILE_ASSIGN_LONLAT = (
 )
 
 
+def q_media_stats(sf_dir: str):
+    """Multimodal feature extraction as a first-class pipeline: synth
+    media corpus → ImageFeatures actor pool (PIL when present, byte-fold
+    stub otherwise — identical output here since the container has no
+    PIL) → per-media-type quantized feature sums. Deterministic int64
+    output; no SQL oracle (binary codec) — pinned by a pytest oracle
+    (tests/test_multimodal_cli.py::test_media_stats_query_oracle)."""
+    from rio_cogeo_ray.stages import multimodal
+
+    t = multimodal.synth_media(2000)
+    ds = rd.from_arrow(t).repartition(8)
+    feats = multimodal.image_features(ds, concurrency=2, batch_size=128)
+
+    def _quant(tb: pa.Table) -> pa.Table:
+        f = tb["features"].combine_chunks()
+        vals = f.flatten().to_numpy(zero_copy_only=False).reshape(len(tb), -1)
+        q = np.floor(vals.astype(np.float64) * 1024.0 + 0.5).astype(np.int64).sum(axis=1)
+        return pa.table(
+            {
+                "media_type": tb["media_type"].combine_chunks(),
+                "qsum": pa.array(q, pa.int64()),
+            }
+        )
+
+    qd = feats.map_batches(_quant, batch_format="pyarrow")
+    return agg.partial_group_agg(qd, keys=["media_type"], sum_cols=["qsum"], count_as="n")
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1064,6 +1092,7 @@ def queries() -> Dict[str, Callable]:
         "events_sliding": q_events_sliding,
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
+        "media_stats": q_media_stats,
     }
 
 
@@ -1100,7 +1129,8 @@ def oracle_sql() -> Dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,
-        # ann_ivf, minhash_clusters, simhash, langid, fingerprint:
+        # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
+        # media_stats:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.
     }

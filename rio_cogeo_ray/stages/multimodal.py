@@ -2,11 +2,12 @@
 
 Image/audio/video payloads are ``binary`` columns + metadata columns
 (media_type, width/height or sample_rate). The Ray-side plumbing —
-schemas, small-batch actor pools, output layout — is real and tested;
-the actual codec calls are STUBBED behind ``try: import`` because this
-container ships no PIL/cv2/soundfile (decode falls back to a
-deterministic fake so pipelines stay testable end-to-end; swap the stub
-for the real library call in production).
+schemas, small-batch actor pools, output layout — is real and tested.
+The image path uses PIL when importable (decode → resize → bucket-mean
+features, resolved once per actor) and falls back to a deterministic
+byte-fold stub per undecodable payload or when the library is absent
+(this container ships no PIL/cv2/soundfile), so pipelines run
+end-to-end in both worlds.
 
 Batch-size discipline: payloads are wide — callers should use small
 ``batch_size`` (the default 256 here vs 8192 for text stages) so
@@ -69,27 +70,47 @@ def synth_media(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
     )
 
 
-def _try_real_image_decode(payload: bytes) -> Optional[np.ndarray]:
-    try:  # pragma: no cover - PIL absent in this container
+def _pil_module():
+    try:
         from PIL import Image  # type: ignore
-        import io
 
-        return np.asarray(Image.open(io.BytesIO(payload)))
-    except ImportError:
+        return Image
+    except ImportError:  # this container ships no PIL
         return None
 
 
 class ImageFeatures:
     """Actor: decode + feature-extract images per batch.
 
-    Real path (PIL, when installed): decode → resize → channel stats.
-    Stub path: a deterministic fake 'decode' hashing the payload into a
-    fixed-length feature vector, preserving the exact Ray plumbing
+    Real path (PIL, when importable — resolved ONCE in ``__init__``, not
+    per batch): decode → grayscale → resize to ``target_size`` → fold
+    the pixel raster into ``feature_dim`` bucket means. Per-payload
+    decode failures (corrupt/unsupported bytes) fall back to the
+    deterministic byte-fold stub for THAT row, so a mixed corpus never
+    crashes the pipeline. Stub path (no PIL): the same byte-fold over
+    raw payload bytes for every row — preserving the exact Ray plumbing
     (actor init, batch shapes, output schema)."""
 
     def __init__(self, feature_dim: int = 16, target_size: Tuple[int, int] = (32, 32)):
         self.dim = feature_dim
         self.target = target_size
+        self.pil = _pil_module()  # once per actor, never per batch
+
+    def _decode_features(self, payload: bytes) -> Optional[np.ndarray]:
+        """Real codec path: PIL decode → L → resize → dim bucket means."""
+        import io
+
+        try:
+            img = self.pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize(self.target)
+        except Exception:  # undecodable payload → caller falls back
+            return None
+        px = np.asarray(img, dtype=np.float32).reshape(-1)
+        # fold the raster into dim equal buckets (mean per bucket)
+        pad = (-len(px)) % self.dim
+        if pad:
+            px = np.concatenate([px, np.zeros(pad, dtype=np.float32)])
+        return px.reshape(self.dim, -1).mean(axis=1)
 
     def _fake_features(self, payloads: pa.Array) -> np.ndarray:
         buf = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
@@ -109,14 +130,14 @@ class ImageFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].combine_chunks()
-        first = payloads[0].as_py() if len(batch) else b""
-        real = _try_real_image_decode(first)
-        if real is not None:  # pragma: no cover - real codec path
-            raise NotImplementedError(
-                "real image decode available but feature kernel is stubbed; "
-                "plug PIL resize + stats here"
-            )
         feats = self._fake_features(payloads)
+        if self.pil is not None:
+            # real decode per payload (the codec IS the per-item work);
+            # rows PIL cannot decode keep their byte-fold fallback
+            for i in range(len(payloads)):
+                real = self._decode_features(payloads[i].as_py())
+                if real is not None:
+                    feats[i] = real
         out = batch.drop_columns(["payload"])  # features replace payloads
         return out.append_column(
             "features",
@@ -129,7 +150,8 @@ class ImageFeatures:
 class AudioFrames:
     """Actor: frame-sample audio payloads (stub: fixed-stride byte
     windows standing in for PCM frames; real path would use soundfile).
-    Emits one row per sampled frame (flat_map-shaped explode)."""
+    Emits one row per sampled frame (flat_map-shaped explode), fully
+    vectorized over the Arrow binary buffers — no Python row loop."""
 
     def __init__(self, frame_bytes: int = 512, stride: int = 2048, max_frames: int = 8):
         self.frame = frame_bytes
@@ -137,20 +159,49 @@ class AudioFrames:
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, idxs = [], [], []
-        for mid, payload in zip(
-            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
-        ):
-            for fi in range(min(self.max_frames, max(0, (len(payload) - self.frame) // self.stride + 1))):
-                start = fi * self.stride
-                ids.append(mid)
-                idxs.append(fi)
-                frames.append(payload[start : start + self.frame])
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int32()),
+                    "frame": pa.array([], pa.binary()),
+                }
+            )
+        buf = batch["payload"].combine_chunks()
+        off = np.frombuffer(buf.buffers()[1], dtype=np.int32)
+        off = off[buf.offset : buf.offset + len(buf) + 1].astype(np.int64)
+        dbuf = buf.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        lens = off[1:] - off[:-1]
+        nframes = np.clip(
+            (lens - self.frame) // self.stride + 1, 0, self.max_frames
+        ).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(buf), dtype=np.int64), nframes)
+        total = int(nframes.sum())
+        # per-row frame index: global arange minus each row's running start
+        excl = np.concatenate(([0], np.cumsum(nframes)[:-1]))
+        fi = np.arange(total, dtype=np.int64) - np.repeat(excl, nframes)
+        starts = off[:-1][row_idx] + fi * self.stride
+        # gather all frame windows in one fancy-index (total × frame bytes)
+        windows = data[starts[:, None] + np.arange(self.frame, dtype=np.int64)[None, :]]
+        frame_off = pa.array(
+            (np.arange(total + 1, dtype=np.int64) * self.frame).astype(np.int32),
+            pa.int32(),
+        )
+        frames = pa.Array.from_buffers(
+            pa.binary(), total,
+            [None, frame_off.buffers()[1], pa.py_buffer(windows.tobytes())],
+        )
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(idxs, pa.int32()),
-                "frame": pa.array(frames, pa.binary()),
+                "media_id": pa.array(ids[row_idx], pa.int64()),
+                "frame_idx": pa.array(fi.astype(np.int32), pa.int32()),
+                "frame": frames,
             }
         )
 

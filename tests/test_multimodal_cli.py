@@ -125,3 +125,94 @@ def test_multimodal_features_feed_ann(ray_session):
     qn = (q / np.linalg.norm(q))[0]
     order = np.lexsort((np.arange(len(an)), -(an @ qn)))[:5]
     assert sorted(got["media_id"].tolist()) == sorted(order.tolist())
+
+
+def test_audio_frames_matches_row_loop(ray_session):
+    """Vectorized frame explode == naive per-row python oracle, exactly."""
+    t = multimodal.synth_media(40, payload_bytes=3000)
+    af = multimodal.AudioFrames(frame_bytes=512, stride=1024, max_frames=3)
+    got = af(t)
+    ids, idxs, frames = [], [], []
+    for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        n = min(3, max(0, (len(payload) - 512) // 1024 + 1))
+        for fi in range(n):
+            ids.append(mid)
+            idxs.append(fi)
+            frames.append(payload[fi * 1024 : fi * 1024 + 512])
+    assert got["media_id"].to_pylist() == ids
+    assert got["frame_idx"].to_pylist() == idxs
+    assert got["frame"].to_pylist() == frames
+    # empty batch round-trips
+    assert len(af(t.slice(0, 0))) == 0
+
+
+def test_image_features_real_codec_path():
+    """The real decode path (PIL-shaped module injected) produces bucket
+    means of the resized raster; undecodable payloads per-row fall back
+    to the byte-fold stub instead of crashing."""
+
+    class _FakeImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            return np.full((size[1], size[0]), 7.0, dtype=np.float32)
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            data = fp.read()
+            if data[:1] == b"\xff":
+                raise ValueError("undecodable")
+            return _FakeImg(None)
+
+    imf = multimodal.ImageFeatures(feature_dim=16)
+    imf.pil = _FakePIL()
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media_type": pa.array(["image/png"] * 2),
+            "payload": pa.array([b"\x00" * 64, b"\xff" + b"\x00" * 63], pa.binary()),
+        }
+    )
+    out = imf(t)
+    feats = np.stack(out["features"].to_pandas().to_numpy())
+    # row 0 decoded: every bucket mean == 7.0
+    np.testing.assert_allclose(feats[0], np.full(16, 7.0), rtol=0)
+    # row 1 fell back to the byte-fold stub (all-zero payload → zeros)
+    stub = multimodal.ImageFeatures(feature_dim=16)
+    stub.pil = None
+    ref = stub(t)
+    np.testing.assert_array_equal(
+        feats[1], np.stack(ref["features"].to_pandas().to_numpy())[1]
+    )
+
+
+def test_media_stats_query_oracle(ray_session):
+    """queries()['media_stats'] == driver-side single-table oracle."""
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    got = Q.q_media_stats("unused").to_pandas().sort_values("media_type")
+
+    t = multimodal.synth_media(2000)
+    feats_t = multimodal.ImageFeatures()(t)
+    vals = (
+        feats_t["features"].combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).reshape(len(t), -1)
+    )
+    q = np.floor(vals.astype(np.float64) * 1024.0 + 0.5).astype(np.int64).sum(axis=1)
+    import pandas as pd
+
+    ref = (
+        pd.DataFrame({"media_type": t["media_type"].to_pylist(), "qsum": q})
+        .groupby("media_type", as_index=False)
+        .agg(sum_qsum=("qsum", "sum"), n=("qsum", "size"))
+        .sort_values("media_type")
+    )
+    assert got["media_type"].tolist() == ref["media_type"].tolist()
+    assert got["sum_qsum"].tolist() == ref["sum_qsum"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
