@@ -257,22 +257,24 @@ def run_bench() -> dict:
     # uncontended steady-state throughput. --scaling sets 2.
     repeat = int(os.environ.get("RCR_BENCH_REPEAT", "2"))
     results = {}
+    trials_out = {}
     for name in names:
-        best = None
+        trials = []
         for _ in range(repeat):
             t0 = time.time()
             BENCHES[name]()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        results[name] = round(best, 3)
+            trials.append(round(time.time() - t0, 3))
+        results[name] = min(trials)
+        trials_out[name] = trials
     ray.shutdown()
 
     total = round(sum(results.values()), 3)
-    return {
+    out = {
         "metric": "tiler+join pipeline wall time over synthetic CC-style pages + sf tables",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "trials": trials_out,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pages": N_PAGES,
@@ -280,9 +282,16 @@ def run_bench() -> dict:
         if "create_pyramid" in results
         else None,
     }
+    # Driver-visible scaling evidence (the two-cluster-size criterion):
+    # unless disabled, append a one-trial headline scaling run at the
+    # two parallelism levels in fresh processes (min of the in-process
+    # repeats per level; full min-of-N protocol lives in --scaling).
+    if os.environ.get("RCR_BENCH_SCALING", "1") != "0" and only is None:
+        out["scaling"] = run_scaling(trials=1)
+    return out
 
 
-def run_scaling() -> dict:
+def run_scaling(trials: int = None) -> dict:
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -290,6 +299,7 @@ def run_scaling() -> dict:
             RCR_BENCH_PAGES=str(SCALING_PAGES),
             RCR_BENCH_QUERIES=os.environ.get("RCR_SCALING_QUERIES", SCALING_QUERIES),
             RCR_BENCH_REPEAT=os.environ.get("RCR_BENCH_REPEAT", "2"),
+            RCR_BENCH_SCALING="0",  # never recurse
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -306,8 +316,9 @@ def run_scaling() -> dict:
     n_lo, n_hi = (
         int(v) for v in os.environ.get("RCR_SCALING_LEVELS", "4,16").split(",")
     )
-    trials = int(os.environ.get("RCR_SCALING_TRIALS", "3"))
-    run(n_lo)
+    if trials is None:
+        trials = int(os.environ.get("RCR_SCALING_TRIALS", "3"))
+        run(n_lo)  # untimed warm run (corpus cache); skipped for trials=1
     lo_runs, hi_runs = [], []
     for _ in range(trials):
         lo_runs.append(run(n_lo))

@@ -30,3 +30,8 @@ class IncompatibleBlockRasterSize(UserWarning):
 
 class NodataAlphaMaskWarning(UserWarning):
     """Ambiguous validity encodings combined (errors.py:12-13 analog)."""
+
+
+class NonStandardProfileWarning(UserWarning):
+    """Valid profile whose codec some readers may not support
+    (reference profiles.py:175-187 zstd/webp/lerc warning analog)."""

@@ -124,12 +124,17 @@ def geocode_url(
     """url → (lon, lat, valid) under ``spec``. Pure function of the url
     bytes: any engine stage and the oracle compute identical results.
     """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
     h = fnv1a64(urls)
-    # Split the 64-bit hash into independent fields.
+    # Split the 64-bit hash into independent fields. u_inv comes from a
+    # SECOND mix of h (not a bit range of h) so geocode validity is
+    # statistically independent of box pick and longitude — overlapping
+    # bit ranges would spatially bias which pages are invalid.
     u_box = (h >> np.uint64(48)).astype(np.int64)  # 16 bits: box pick
     u_lon = ((h >> np.uint64(24)) & np.uint64(0xFFFFFF)).astype(np.float64) / float(1 << 24)
     u_lat = (h & np.uint64(0xFFFFFF)).astype(np.float64) / float(1 << 24)
-    u_inv = ((h >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.int64)  # 16 bits
+    u_inv = (splitmix64(h) & np.uint64(0xFFFF)).astype(np.int64)  # 16 bits
 
     weights = np.array([b[4] for b in spec.boxes], dtype=np.float64)
     cum = np.cumsum(weights) / weights.sum()

@@ -143,7 +143,10 @@ def zoom_for_res(res: float, max_z: int = MAX_ZOOM, zoom_level_strategy: str = "
         matrix_res = cell_size(z)
         if res > matrix_res or abs(res - matrix_res) / matrix_res <= 1e-8:
             break
-    if z > 0:
+    # morecantile applies the strategy ONLY when res is not an exact
+    # matrix resolution (and an invalid strategy string passes through
+    # silently on exact match) — mirror that (utils.py:74-78 delegate).
+    if z > 0 and abs(res - matrix_res) / matrix_res > 1e-8:
         strategy = zoom_level_strategy.lower()
         if strategy == "lower":
             z = max(z - 1, 0)

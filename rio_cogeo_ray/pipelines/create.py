@@ -50,6 +50,29 @@ def _read_input(
     return rd.read_parquet(src, columns=columns)
 
 
+def _input_fingerprint(src: Union[str, Sequence[str], rd.Dataset]) -> Optional[str]:
+    """Cheap identity of the source corpus (file names + sizes, hashed)
+    recorded in every level marker: resume only skips levels built from
+    the SAME input. None for in-memory Datasets (no stable identity —
+    fingerprint check is skipped, documented)."""
+    if isinstance(src, rd.Dataset):
+        return None
+    import hashlib
+    import json as _json
+
+    paths = [src] if isinstance(src, str) else list(src)
+    items = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    items.append((os.path.relpath(fp, p), os.path.getsize(fp)))
+        elif os.path.exists(p):
+            items.append((os.path.basename(p), os.path.getsize(p)))
+    return hashlib.sha256(_json.dumps(sorted(items)).encode()).hexdigest()[:16]
+
+
 def measure_bounds(
     src: Union[str, Sequence[str], rd.Dataset],
     spec: TilingSpec,
@@ -177,15 +200,20 @@ def create(
     os.makedirs(out_dir, exist_ok=True)
     step = spec.zoom_step
     zooms = spec.zooms  # base first
+    src_fp = _input_fingerprint(src)
     levels_done: Dict[int, mani.LevelEntry] = {}
     if resume:
         for z in zooms:
             try:
-                entry = mani.verify_level_marker(out_dir, z)
+                entry = mani.verify_level_marker(out_dir, z, src_fingerprint=src_fp)
             except errors.ResumeMismatch:
-                entry = None  # rebuild this level (and below, via chain)
-            if entry is not None:
-                levels_done[z] = entry
+                entry = None
+            if entry is None:
+                # rebuild this level AND every coarser one: a coarser
+                # level derived from a rebuilt finer level is stale even
+                # if its own marker still matches its files
+                break
+            levels_done[z] = entry
 
     # ---- base level ------------------------------------------------------
     base_z = spec.zoom
@@ -227,6 +255,7 @@ def create(
         )
         _write_level(merged, out_dir, base_z, codec=codec)
         entry = _level_stats(out_dir, base_z, decimation=1)
+        entry.src_fingerprint = src_fp
         mani.write_level_marker(out_dir, entry)
         levels_done[base_z] = entry
 
@@ -293,6 +322,7 @@ def create(
                 )
             _write_level(merged, out_dir, z, codec=codec)
             entry = _level_stats(out_dir, z, decimation=base_b**j)
+        entry.src_fingerprint = src_fp
         mani.write_level_marker(out_dir, entry)
         levels_done[z] = entry
 

@@ -26,16 +26,25 @@ from typing import Dict
 from rio_cogeo_ray import errors
 
 
+#: Valid profiles that warn on use — codecs newer tooling may not read
+#: (the reference's non-standard-driver warning, profiles.py:175-187:
+#: zstd/webp/lerc* warn; invalid names raise KeyError with NO warning).
+_NON_STANDARD = frozenset({"zstd", "webp", "lerc", "lerc_deflate", "lerc_zstd"})
+
+
 class Profiles(dict):
     """Profile registry with cog_profiles.get semantics
-    (profiles.py:181-190)."""
+    (profiles.py:175-190)."""
 
     def get(self, key: str) -> Dict:  # type: ignore[override]
         if key not in self:
-            warnings.warn(
-                f"Non-standard profile: {key!r}", errors.NodataAlphaMaskWarning
-            )
             raise KeyError(f"{key} is not a valid profile name")
+        if key in _NON_STANDARD:
+            warnings.warn(
+                f"Non-standard compression schema: {key!r}. The output "
+                "might not be supported by all readers",
+                errors.NonStandardProfileWarning,
+            )
         return dict(self[key])  # copy, like the reference
 
 

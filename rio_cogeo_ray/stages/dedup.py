@@ -242,17 +242,24 @@ def lsh_candidate_edges(ds, id_col: str = "doc_id", text_col: str = "text",
     return edges
 
 
-def connected_components(edges, max_rounds: int = 6):
+def connected_components(edges, max_rounds: "int | None" = None, round_cap: int = 256):
     """Distributed min-label propagation over (src, dst) edges — no
-    joins, no driver materialization: each round is
+    joins, no driver materialization of node rows: each round is
     ``union(edges-as-messages, labels) → groupby(node).map_groups`` that
     re-emits every node's current min label to its neighbors, then a
     ``groupby(node).min`` to absorb messages.
 
-    Returns (node, label) with label = min node id reachable within
-    ``max_rounds`` hops. LSH star edges (member → bucket min) give
-    near-star components that converge in 2-4 rounds; the bound is
-    documented, not silent — raise it for long chain topologies.
+    Returns (node, label) with label = min reachable node id.
+
+    Two execution modes:
+    - ``max_rounds=None`` (default): run to FIXPOINT. Labels only ever
+      decrease, so an unchanged Σlabel between rounds proves no label
+      moved and the loop exits (costs one materialize + tiny Sum per
+      round; ``round_cap`` is a runaway backstop only). Correct for any
+      topology — a length-L chain converges after L rounds.
+    - ``max_rounds=k``: exactly k LAZY rounds, executed as ONE streaming
+      pipeline with no per-round barrier — cheaper when the topology
+      bounds the diameter by construction (LSH star edges: 2-4 rounds).
     """
     # undirected: symmetrize once (reused every round)
     def _sym(t: pa.Table) -> pa.Table:
@@ -316,8 +323,12 @@ def connected_components(edges, max_rounds: int = 6):
             }
         )
 
+    from ray.data.aggregate import Sum as _Sum
+
     n_buckets = 64
-    for _ in range(max_rounds):
+    prev_sum = None
+    fixpoint = max_rounds is None
+    for _ in range(round_cap if fixpoint else max_rounds):
         def _as_msg_schema(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -341,6 +352,14 @@ def connected_components(edges, max_rounds: int = 6):
             batch_format="pyarrow",
         )
         labels = _min_labels(msgs)
+        if fixpoint:
+            # labels are monotone non-increasing, so an unchanged Σlabel
+            # means no label changed anywhere — converged.
+            labels = labels.materialize()
+            cur = labels.aggregate(_Sum("label"))["sum(label)"]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
     return labels
 
 

@@ -51,6 +51,14 @@ class BroadcastLookup:
         keys = right[on].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         self.keys = keys[order]
+        if len(self.keys) > 1 and np.any(self.keys[1:] == self.keys[:-1]):
+            # the searchsorted lookup resolves ONE right row per key; a
+            # duplicate-keyed right side would silently drop fan-out
+            # matches — the broadcast contract is a dimension table.
+            raise ValueError(
+                f"BroadcastLookup right side has duplicate {on!r} keys; "
+                "dedupe it or use hash_join for one-to-many joins"
+            )
         cols = [c for c in (right_cols or right.column_names) if c != on]
         self.right = right.select(cols).take(pa.array(order))
 

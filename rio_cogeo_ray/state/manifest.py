@@ -42,6 +42,11 @@ class LevelEntry:
     pages: int
     cells: int
     files: List[FileEntry] = field(default_factory=list)
+    #: fingerprint of the SOURCE corpus this level was built from (path
+    #: names + sizes); a resume against a changed input must rebuild,
+    #: not silently mix stale levels with fresh counts. None = unknown
+    #: (in-memory Dataset input) — fingerprint check skipped.
+    src_fingerprint: Optional[str] = None
 
 
 @dataclass
@@ -116,12 +121,26 @@ def load_level_marker(out_dir: str, z: int) -> Optional[LevelEntry]:
     return LevelEntry(**d)
 
 
-def verify_level_marker(out_dir: str, z: int) -> Optional[LevelEntry]:
+def verify_level_marker(
+    out_dir: str, z: int, src_fingerprint: Optional[str] = None
+) -> Optional[LevelEntry]:
     """Marker + on-disk files agree → the level is resumable; any
-    mismatch → ResumeMismatch (caller decides to rebuild)."""
+    mismatch → ResumeMismatch (caller decides to rebuild). When both
+    the marker and the caller carry a source fingerprint, they must
+    match — resuming over a CHANGED input corpus is a mismatch, not a
+    skip (the stale-levels hazard)."""
     entry = load_level_marker(out_dir, z)
     if entry is None:
         return None
+    if (
+        src_fingerprint is not None
+        and entry.src_fingerprint is not None
+        and entry.src_fingerprint != src_fingerprint
+    ):
+        raise errors.ResumeMismatch(
+            f"level z={z}: built from a different source corpus "
+            f"({entry.src_fingerprint} != {src_fingerprint})"
+        )
     on_disk = {fe.path: fe for fe in scan_level_files(out_dir, z)}
     for fe in entry.files:
         got = on_disk.get(fe.path)

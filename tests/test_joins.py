@@ -165,3 +165,67 @@ def test_per_group_topk_skewed_group(ray_session):
         .head(3)
     )
     assert sorted(zip(out["g"], out["id"])) == sorted(zip(expect["g"], expect["id"]))
+
+
+def test_pip_grid_index_many_polygons():
+    """Grid-indexed PIP == brute-force per-polygon scan on a 1k-polygon
+    layer, and the index prunes candidates to a small fraction of the
+    layer (the sub-quadratic claim, checked structurally)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rio_cogeo_ray.stages.pip import PIPJoin, _GridIndex, _build_polygons
+
+    rng = np.random.RandomState(7)
+    P, N = 1000, 5000
+    cx = rng.uniform(-170, 170, P)
+    cy = rng.uniform(-80, 80, P)
+    w = rng.uniform(0.5, 3.0, P)
+    h = rng.uniform(0.5, 3.0, P)
+    aois = pa.table(
+        {
+            "aoi_id": pa.array(np.arange(P, dtype=np.int32), pa.int32()),
+            "ring_lon": pa.array(
+                [[x - a, x + a, x + a, x - a] for x, a in zip(cx, w)],
+                pa.list_(pa.float64()),
+            ),
+            "ring_lat": pa.array(
+                [[y - b, y - b, y + b, y + b] for y, b in zip(cy, h)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    px = rng.uniform(-180, 180, N)
+    py = rng.uniform(-85, 85, N)
+    batch = pa.table(
+        {
+            "pid": pa.array(np.arange(N, dtype=np.int64)),
+            "lon": pa.array(px, pa.float64()),
+            "lat": pa.array(py, pa.float64()),
+        }
+    )
+
+    j = PIPJoin(aois, mode="inner")
+    got = j(batch)
+
+    # brute force oracle: every polygon against every point
+    polys = _build_polygons(aois)
+    pairs = []
+    for p in polys:
+        for i in np.flatnonzero(p.contains(px, py)):
+            pairs.append((int(i), int(p.aoi_id)))
+    pairs.sort()
+    assert list(zip(got["pid"].to_pylist(), got["aoi_id"].to_pylist())) == [
+        (int(i), a) for i, a in pairs
+    ]
+
+    # pruning is real: candidate pairs ≪ P·N
+    idx = _GridIndex(polys)
+    pi, pj = idx.candidate_pairs(px, py)
+    assert len(pi) < P * N / 50
+
+    # semi + anti partition the batch
+    semi = PIPJoin(aois, mode="semi")(batch)
+    anti = PIPJoin(aois, mode="anti")(batch)
+    assert len(semi) + len(anti) == N
+    assert set(semi["pid"].to_pylist()) == {i for i, _ in pairs}

@@ -90,6 +90,22 @@ def test_connected_components_chain(ray_session):
     assert len(labels) == 5
 
 
+def test_connected_components_long_chain_fixpoint(ray_session):
+    """A chain LONGER than the old fixed round bound (6) converges via
+    fixpoint detection (labels monotone ⇒ unchanged Σlabel = done);
+    max_rounds is only a runaway backstop now."""
+    n = 9  # 10-node chain needs 9 propagation rounds
+    e = pa.table(
+        {
+            "src": pa.array(list(range(1, n + 1)), pa.int64()),
+            "dst": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    labels = dedup.connected_components(rd.from_arrow(e)).to_pandas()
+    assert set(labels["label"]) == {0}
+    assert len(labels) == n + 1
+
+
 def test_tumbling_matches_pandas(ray_session):
     rng = np.random.RandomState(3)
     n = 5000

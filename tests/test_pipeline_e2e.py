@@ -194,6 +194,33 @@ def test_resume_skips_completed_levels(ray_session, tmp_path):
     assert t.num_rows > 0
 
 
+def test_resume_rejects_changed_input(ray_session, tmp_path):
+    """Level markers record a source fingerprint: rerunning create() over
+    a CHANGED src rebuilds everything instead of mixing stale levels
+    with fresh totals (the stale-resume hazard)."""
+    import pyarrow.parquet as pq2
+
+    table = fixtures.scenario_table("pages_rgb")
+    src = str(tmp_path / "src.parquet")
+    pq2.write_table(table, src)
+    spec = _spec_for("pages_rgb", zoom=6, overview_levels=2)
+    out = str(tmp_path / "out_fp")
+    create_mod.create(src, out, spec, source="pages", batch_size=512)
+    mtimes = {z: os.path.getmtime(mani.level_dir(out, z)) for z in spec.zooms}
+
+    # same input → nothing rebuilt
+    create_mod.create(src, out, spec, source="pages", batch_size=512)
+    assert all(os.path.getmtime(mani.level_dir(out, z)) == mtimes[z] for z in spec.zooms)
+
+    # shrink the input → fingerprint mismatch → all levels rebuilt and
+    # manifest totals consistent with the new corpus
+    pq2.write_table(table.slice(0, 2000), src)
+    m = create_mod.create(src, out, spec, source="pages", batch_size=512)
+    assert all(os.path.getmtime(mani.level_dir(out, z)) != mtimes[z] for z in spec.zooms)
+    assert m.total_pages == 2000
+    assert 0 <= m.invalid_pages <= 2000
+
+
 def test_extract_invariant_on_fixture():
     """Per-row invariant: stored text == extract_text(html) everywhere."""
     t = fixtures.scenario_table("pages_rgb")

@@ -225,14 +225,24 @@ def test_tile_parent_is_child_shift(lon, lat, z):
 @settings(max_examples=100, deadline=None)
 @given(z=st.integers(min_value=0, max_value=24))
 def test_zoom_for_res_inverts_cell_size(z):
-    """zoom_for_res(cellSize(z)) == z for auto/upper at exact
-    resolutions; 'lower' steps one coarser even at an exact match
-    (morecantile semantics pinned by the maxzoom-9-vs-8 reference
-    test, utils.py:74-78)."""
+    """zoom_for_res(cellSize(z)) == z for EVERY strategy at exact
+    resolutions: morecantile (the reference's delegate, utils.py:74-78)
+    applies the strategy only when the resolution is NOT an exact matrix
+    match (relative tolerance 1e-8) — an exact 'lower' stays put."""
     res = tms.cell_size(z)
     assert tms.zoom_for_res(res, zoom_level_strategy="auto") == z
     assert tms.zoom_for_res(res, zoom_level_strategy="upper") == z
-    assert tms.zoom_for_res(res, zoom_level_strategy="lower") == max(z - 1, 0)
+    assert tms.zoom_for_res(res, zoom_level_strategy="lower") == z
+    # off-exact: 'lower' steps one coarser (the maxzoom-9-vs-8 pin,
+    # tests/test_web.py:55-71)
+    if z > 0:
+        off = res * 1.01
+        assert tms.zoom_for_res(off, zoom_level_strategy="lower") == max(z - 1, 0)
+        # invalid strategy raises only when the strategy is consulted
+        with pytest.raises(ValueError):
+            tms.zoom_for_res(off, zoom_level_strategy="bogus")
+    # exact match: invalid strategy passes through silently (morecantile)
+    assert tms.zoom_for_res(res, zoom_level_strategy="bogus") == z
 
 
 @settings(max_examples=200, deadline=None)
