@@ -90,14 +90,25 @@ def cmd_create(args) -> int:
         geocode=geocode,
     )
     _ray_init(args.threads)
+    tags = dict(kv.split("=", 1) for kv in args.tag)
+    band_tags = {}
+    for bt in args.band_tag:
+        band, kv = bt.split(":", 1)
+        k, v = kv.split("=", 1)
+        band_tags.setdefault(band, {})[k] = v
+    colormap = json.loads(args.colormap) if args.colormap else None
     m = create_mod.create(
         args.src,
         args.dst,
         spec,
         source=args.source,
+        weight_col=args.weight_col,
         extract=args.extract,
         resume=not args.no_resume,
         codec=codec,
+        tags=tags,
+        band_tags=band_tags,
+        colormap=colormap,
     )
     print(
         json.dumps(
@@ -156,7 +167,8 @@ def main(argv=None) -> int:
     c.add_argument("src", help="input parquet file/dir")
     c.add_argument("dst", help="output pyramid dir")
     c.add_argument("--zoom", type=int, default=7)
-    c.add_argument("--source", choices=["pages", "documents"], default="pages")
+    c.add_argument("--source", choices=["pages", "documents", "lonlat"], default="pages",
+                   help="lonlat = pre-georeferenced input (GCP analog)")
     c.add_argument("-p", "--cog-profile", dest="profile", default="deflate",
                    help="named creation profile (profiles.py analog)")
     c.add_argument("--blocksize", type=int, default=None, help="tile grid px (G)")
@@ -169,6 +181,14 @@ def main(argv=None) -> int:
                    help="'w,s,e,n[,weight];...' spatial distribution")
     c.add_argument("--extract", action="store_true", help="run html→text extraction")
     c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--weight-col", default=None,
+                   help="integer/float column accumulated into the grids")
+    c.add_argument("--tag", action="append", default=[], metavar="K=V",
+                   help="dataset tag (repeatable; tag-forwarding analog)")
+    c.add_argument("--band-tag", action="append", default=[], metavar="BAND:K=V",
+                   help="band tag (repeatable; cogeo.py:395-437 analog)")
+    c.add_argument("--colormap", default=None,
+                   help="JSON {value: color} categorical colormap (cogeo.py:99)")
     c.add_argument("--threads", type=_parse_threads, default="all_cpus",
                    help="CPUs for ray.init ('all_cpus' or int)")
     c.set_defaults(fn=cmd_create)

@@ -330,6 +330,19 @@ SCENARIOS: Dict[str, Tuple[int, GeoSpec]] = {
     "pages_knn": (2000, GeoSpec(boxes=[(8.0, 44.0, 14.0, 50.0, 1)])),
     # global uniform — generic
     "pages_global": (6000, GLOBAL_UNIFORM),
+    # NaN-capable float weight channel (image_nan analog,
+    # tests/test_cogeo.py:236-255): ~5% of scores are NaN → nodata pages
+    "pages_nan": (3000, GeoSpec(boxes=[(0.0, 40.0, 11.25, 48.0, 1)])),
+    # wide extent spanning many tiles (image_2000px analog,
+    # tests/test_validate.py:20,47) — built without overviews in tests
+    # to drive the overview-recommended / not-tiled validator paths
+    "pages_big": (5000, GeoSpec(boxes=[(-120.0, -60.0, 120.0, 60.0, 1)])),
+    # lang column drives a categorical channel via a user-supplied
+    # colormap (image_colormap analog, tests/test_cogeo.py:491-554)
+    "pages_colormap": (3000, GeoSpec(boxes=[(3.7, 41.3, 19.9, 52.8, 1)])),
+    # dataset/band metadata forwarding (image_tags/cog_band_tags analog,
+    # tests/test_cogeo.py:326-354,778-816)
+    "pages_tags": (1000, GeoSpec(boxes=[(12.0, 45.0, 13.0, 46.0, 1)])),
 }
 
 
@@ -339,7 +352,17 @@ def scenario_spec(name: str) -> GeoSpec:
 
 def scenario_table(name: str, n: Optional[int] = None, seed: int = 42) -> pa.Table:
     rows, _spec = SCENARIOS[name]
-    return gen_pages(0, n or rows, seed=seed)
+    t = gen_pages(0, n or rows, seed=seed)
+    if name == "pages_nan":
+        # deterministic float 'score' channel with ~5% NaN (nodata pages)
+        from rio_cogeo_ray.functions.hashing import splitmix64
+
+        ids = np.arange(len(t), dtype=np.uint64)
+        h = splitmix64(ids + np.uint64(0xA5A5))
+        score = (h % np.uint64(1 << 20)).astype(np.float64) / float(1 << 12)
+        score[(h >> np.uint64(40)) % np.uint64(20) == 0] = np.nan
+        t = t.append_column("score", pa.array(score, pa.float64()))
+    return t
 
 
 def scenario_path(name: str, tmp_root: str = "/tmp/rcr_fixtures") -> str:

@@ -61,7 +61,13 @@ def base_tiles(
 ) -> SparseTiles:
     """Scatter pages into per-tile sparse G×G grids (row loop per tile)."""
     G = spec.tile_px
-    t = prepared.filter(prepared["geo_valid"].combine_chunks())
+    gv = prepared["geo_valid"].combine_chunks().to_numpy(zero_copy_only=False)
+    if weight_col is not None and pa.types.is_floating(prepared[weight_col].type):
+        wf = prepared[weight_col].combine_chunks().fill_null(np.nan).to_numpy(
+            zero_copy_only=False
+        )
+        gv = gv & np.isfinite(wf)  # NaN weight = nodata page
+    t = prepared.filter(pa.array(gv))
     if spec.tile_cover is not None:
         min_x, min_y, max_x, max_y = spec.tile_cover
         xs = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -73,11 +79,16 @@ def base_tiles(
     x = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
     y = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
     key = t["tile_key"].combine_chunks().to_numpy(zero_copy_only=False)
-    w = (
-        t[weight_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        if weight_col
-        else np.ones(len(t), dtype=np.int64)
-    )
+    if weight_col is not None:
+        wcol = t[weight_col].combine_chunks()
+        if pa.types.is_floating(wcol.type):
+            w = np.floor(
+                wcol.to_numpy(zero_copy_only=False) * 256.0 + 0.5
+            ).astype(np.int64)  # 1/256 fixed point, mirrors density_partials
+        else:
+            w = wcol.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        w = np.ones(len(t), dtype=np.int64)
     span = tms.tile_span(spec.zoom)
     pspan = span / G
     west = x * span - tms.ORIGIN_SHIFT

@@ -107,7 +107,11 @@ def _write_level(ds: rd.Dataset, out_dir: str, z: int, codec: Optional[str] = No
 #: Below this many bytes of level parquet, manifest bookkeeping runs
 #: driver-side with plain pyarrow (a Ray job's fixed overhead dominates);
 #: above it, the same logic runs as a pruned Ray read + aggregate.
-_DRIVER_SIDE_BYTES = 64 * 1024 * 1024
+#: Env-tunable like the reference's IN_MEMORY_THRESHOLD
+#: (rio_cogeo/cogeo.py:26).
+_DRIVER_SIDE_BYTES = int(
+    os.environ.get("RCR_IN_MEMORY_THRESHOLD", 64 * 1024 * 1024)
+)
 
 
 def _level_stats(out_dir: str, z: int, decimation: int) -> mani.LevelEntry:
@@ -182,6 +186,10 @@ def create(
     n_buckets: int = 64,
     codec: Optional[str] = None,
     tags: Optional[Dict[str, str]] = None,
+    band_tags: Optional[Dict[str, Dict[str, str]]] = None,
+    band_scales: Optional[Dict[str, float]] = None,
+    band_offsets: Optional[Dict[str, float]] = None,
+    colormap: Optional[Dict] = None,
 ) -> mani.Manifest:
     """Build the full tile pyramid for a corpus. Returns the manifest.
 
@@ -192,6 +200,10 @@ def create(
     default because the density pipeline only needs ``url``.
     ``weight_col``: optional integer column accumulated into the grids
     instead of page counts (band-value analog).
+    ``band_tags`` / ``band_scales`` / ``band_offsets``: per-band metadata
+    forwarded verbatim into the manifest and surfaced by info() — the
+    reference's band tag + scales/offsets forwarding
+    (rio_cogeo/cogeo.py:395-437). Bands: 'count', plus ``weight_col``.
     """
     if spec.aligned_levels and spec.tile_cover is None:
         bounds = measure_bounds(src, spec, source=source)
@@ -346,6 +358,10 @@ def create(
         },
         levels=[levels_done[z] for z in zooms],
         tags=dict(tags or {}),
+        band_tags=dict(band_tags or {}),
+        band_scales=dict(band_scales or {}),
+        band_offsets=dict(band_offsets or {}),
+        colormap={str(k): str(v) for k, v in (colormap or {}).items()},
         total_pages=int(total_rows),
         invalid_pages=int(total_rows) - base_pages,
     )

@@ -70,6 +70,18 @@ class Profile(_DictAccess):
 
 
 @dataclass
+class Band(_DictAccess):
+    """One grid channel's forwarded metadata — the reference's band
+    description + scale/offset block (models.py:46-66 band fields;
+    forwarding cogeo.py:395-437, pinned by tests/test_cogeo.py:472-488)."""
+
+    Name: str
+    Tags: Dict[str, str] = field(default_factory=dict)
+    Scale: float = 1.0
+    Offset: float = 0.0
+
+
+@dataclass
 class Info(_DictAccess):
     """Top-level info model (models.py:69-85 analog)."""
 
@@ -82,6 +94,8 @@ class Info(_DictAccess):
     GEO: Geo
     IFDs: List[IFD]
     Tags: Dict[str, str] = field(default_factory=dict)
+    Bands: List[Band] = field(default_factory=list)
+    Colormap: Dict[str, str] = field(default_factory=dict)
     TotalPages: int = 0
     InvalidPages: int = 0
 
@@ -136,7 +150,9 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
 
     ifds = []
     for j, lv in enumerate(m.levels):
-        shrink = 1 << (base_z - lv.z)
+        # decimation IS the per-axis shrink for every ladder type
+        # (pow2 TMS zooms and pseudo-zoom ordinal ladders alike)
+        shrink = lv.decimation
         w_tiles = (max_x - min_x + 1) if max_x >= min_x else 0
         h_tiles = (max_y - min_y + 1) if max_y >= min_y else 0
         ifds.append(
@@ -178,6 +194,17 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
         ),
         IFDs=ifds,
         Tags=dict(m.tags),
+        Bands=[
+            Band(
+                Name=b,
+                Tags=dict(m.band_tags.get(b, {})),
+                Scale=float(m.band_scales.get(b, 1.0)),
+                Offset=float(m.band_offsets.get(b, 0.0)),
+            )
+            for b in ["count"]
+            + ([spec["weight_col"]] if spec.get("weight_col") else [])
+        ],
+        Colormap=dict(m.colormap),
         TotalPages=m.total_pages,
         InvalidPages=m.invalid_pages,
     )

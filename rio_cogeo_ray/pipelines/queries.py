@@ -724,13 +724,14 @@ LANG_CATEGORIES = [
 ]
 
 
-def q_lang_categories(sf_dir: str):
-    cat = pa.table(
-        {
-            "lang": pa.array([c[0] for c in LANG_CATEGORIES], pa.string()),
-            "category": pa.array([c[1] for c in LANG_CATEGORIES], pa.int32()),
-            "color": pa.array([c[2] for c in LANG_CATEGORIES], pa.string()),
-        }
+def q_lang_categories(sf_dir: str, colormap=None):
+    """Categorical channel via a broadcast colormap join. ``colormap``
+    overrides the default lang→(category, color) table — the
+    user-supplied-colormap hook (cogeo.py:99 analog); the SQL oracle
+    mirrors the DEFAULT mapping only."""
+    cat = join_mod.colormap_table(
+        colormap if colormap is not None
+        else {l: (i, c) for l, i, c in LANG_CATEGORIES}
     )
     ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
     joined = join_mod.broadcast_join(ds, cat, on="lang", concurrency=2)

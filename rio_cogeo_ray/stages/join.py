@@ -31,6 +31,25 @@ import ray
 from rio_cogeo_ray.functions.hashing import splitmix64
 
 
+def colormap_table(mapping) -> "pa.Table":
+    """User-supplied categorical colormap → broadcastable lookup table —
+    the engine's API hook for the reference's external colormap param
+    (rio_cogeo/cogeo.py:99, tests/test_cogeo.py:503-543). ``mapping``:
+    {key: (category:int, color:str)} or {key: color} (categories then
+    enumerate keys in sorted order, deterministic)."""
+    keys = sorted(mapping)
+    vals = [mapping[k] for k in keys]
+    if vals and not isinstance(vals[0], (tuple, list)):
+        vals = [(i, v) for i, v in enumerate(vals)]
+    return pa.table(
+        {
+            "lang": pa.array([str(k) for k in keys], pa.string()),
+            "category": pa.array([int(v[0]) for v in vals], pa.int32()),
+            "color": pa.array([str(v[1]) for v in vals], pa.string()),
+        }
+    )
+
+
 class BroadcastLookup:
     """Actor callable: left batch + broadcast right table → joined batch.
 

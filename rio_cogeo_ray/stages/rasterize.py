@@ -204,9 +204,19 @@ def density_partials(
     Pixel rule: ``px = clip(floor((mx - tile_west) / (span/G)), 0, G-1)``
     (clipping absorbs the ulp-level disagreement a point exactly on a
     boundary could have between the tile floor and the pixel floor).
-    ``weight_col`` must be an integer column; default weight is 1 page.
+    ``weight_col``: integer column used verbatim, or a FLOAT column
+    quantized to 1/256 fixed point (``floor(w·256 + 0.5)``, mirrored by
+    the oracle); non-finite float weights (NaN/inf) mark the page as
+    nodata — excluded from both the grid and the page count (the
+    NaN-channel analog of the reference's image_nan fixture,
+    tests/test_cogeo.py:236-255). Default weight is 1 page.
     """
     valid = batch["geo_valid"].combine_chunks().to_numpy(zero_copy_only=False)
+    if weight_col is not None and pa.types.is_floating(batch[weight_col].type):
+        wf = batch[weight_col].combine_chunks().fill_null(np.nan).to_numpy(
+            zero_copy_only=False
+        )
+        valid = valid & np.isfinite(wf)
     if not valid.all():
         batch = batch.filter(pa.array(valid))
     if len(batch) == 0:
@@ -226,7 +236,12 @@ def density_partials(
     py = np.clip(np.floor((north - my) / pspan), 0, G - 1).astype(np.int64)
     cell = (py * G + px).astype(np.int64)
     if weight_col is not None:
-        w = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        wcol = batch[weight_col].combine_chunks()
+        if pa.types.is_floating(wcol.type):
+            wf = wcol.to_numpy(zero_copy_only=False)
+            w = np.floor(wf * 256.0 + 0.5).astype(np.int64)  # 1/256 fixed point
+        else:
+            w = wcol.to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         w = np.ones(len(batch), dtype=np.int64)
 

@@ -54,7 +54,17 @@ class Manifest:
     spec: Dict  # TilingSpec as a plain dict
     levels: List[LevelEntry] = field(default_factory=list)  # base zoom FIRST
     tags: Dict[str, str] = field(default_factory=dict)
+    #: per-band metadata forwarding (the reference's band tags +
+    #: scales/offsets, rio_cogeo/cogeo.py:395-437; pinned by reference
+    #: tests/test_cogeo.py:472-488). Bands here are the grid channels:
+    #: 'count' always, plus the weight column when one is configured.
     band_tags: Dict[str, Dict[str, str]] = field(default_factory=dict)
+    band_scales: Dict[str, float] = field(default_factory=dict)
+    band_offsets: Dict[str, float] = field(default_factory=dict)
+    #: user-supplied categorical colormap (value → color), forwarded
+    #: verbatim like the reference's colormap param (cogeo.py:99,345-360;
+    #: tests/test_cogeo.py:503-543)
+    colormap: Dict[str, str] = field(default_factory=dict)
     total_pages: int = 0
     invalid_pages: int = 0
     engine: str = "rio_cogeo_ray"

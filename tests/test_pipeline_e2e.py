@@ -245,3 +245,112 @@ def test_weighted_density_matches_oracle(ray_session, tmp_path):
     create_mod.create(wpath, out, spec, source="pages", weight_col="text_len", batch_size=512)
     oracle_levels = oracle.pyramid(table, spec, source="pages", weight_col="text_len")
     _assert_levels_equal(out, spec, oracle_levels)
+
+
+def test_nan_weight_channel(ray_session, tmp_path):
+    """pages_nan (image_nan analog): a float weight channel with NaNs —
+    NaN-weight pages are nodata (dropped from grid + page counts);
+    finite weights quantize to 1/256 fixed point; engine == oracle."""
+    path = fixtures.scenario_path("pages_nan")
+    table = pq.read_table(path)
+    assert "score" in table.column_names
+    import numpy as np2
+
+    scores = table["score"].to_numpy(zero_copy_only=False)
+    n_nan = int(np2.isnan(scores).sum())
+    assert n_nan > 0
+
+    spec = _spec_for("pages_nan", zoom=6, overview_levels=2)
+    out = str(tmp_path / "out_nan")
+    m = create_mod.create(
+        path, out, spec, source="pages", weight_col="score", batch_size=512
+    )
+    oracle_levels = oracle.pyramid(table, spec, source="pages", weight_col="score")
+    _assert_levels_equal(out, spec, oracle_levels)
+    # NaN pages count as invalid alongside geocode-invalid ones
+    assert m.invalid_pages >= n_nan
+
+
+def test_pages_big_validator_paths(ray_session, tmp_path):
+    """pages_big (image_2000px analog): built without overviews → the
+    overviews-recommended warning (strict ⇒ error); a base level
+    claiming a single tile over a multi-tile extent → the not-tiled
+    error (cogeo.py:526-531 analog)."""
+    from rio_cogeo_ray.pipelines import validate as validate_mod
+
+    path = fixtures.scenario_path("pages_big")
+    spec = _spec_for("pages_big", zoom=6, overview_levels=0)
+    out = str(tmp_path / "out_big")
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+
+    ok, errs, warns = validate_mod.validate(out)
+    assert ok and any("overview" in w for w in warns)
+    ok_strict, errs_strict, _ = validate_mod.validate(out, strict=True)
+    assert not ok_strict
+
+    # not-tiled analog: manifest says ONE base tile, extent spans many
+    m = mani.load_manifest(out)
+    m.levels[0].tiles = 1
+    mani.write_manifest(out, m)
+    ok2, errs2, _ = validate_mod.validate(out)
+    assert not ok2 and any("not tiled" in e for e in errs2)
+
+
+def test_colormap_user_supplied(ray_session, tmp_path):
+    """pages_colormap (image_colormap analog): a user-supplied colormap
+    drives the categorical broadcast join; create() forwards the
+    colormap into the manifest and info() surfaces it."""
+    from rio_cogeo_ray.pipelines import info as info_mod
+    from rio_cogeo_ray.pipelines.queries import q_lang_categories
+
+    cmap = {"en": (10, "#111111"), "de": (20, "#222222"), "fr": (20, "#222222"),
+            "es": (30, "#333333"), "zh": (30, "#333333")}
+    got = q_lang_categories("/root/testdata/sf0.001", colormap=cmap).to_pandas()
+    import duckdb
+
+    ref = duckdb.sql(
+        "SELECT c.category, c.color, CAST(SUM(d.n_chars) AS BIGINT) AS sum_n_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet') d "
+        "JOIN (VALUES ('en',10,'#111111'),('de',20,'#222222'),('fr',20,'#222222'),"
+        "('es',30,'#333333'),('zh',30,'#333333')) AS c(lang, category, color) "
+        "ON d.lang = c.lang GROUP BY c.category, c.color"
+    ).df()
+    g = got.sort_values(["category", "color"]).reset_index(drop=True)
+    r = ref.sort_values(["category", "color"]).reset_index(drop=True)
+    assert g["category"].astype(int).tolist() == r["category"].astype(int).tolist()
+    assert g["sum_n_chars"].tolist() == r["sum_n_chars"].tolist()
+    assert g["n"].tolist() == r["n"].tolist()
+
+    path = fixtures.scenario_path("pages_colormap")
+    spec = _spec_for("pages_colormap", zoom=5, overview_levels=1)
+    out = str(tmp_path / "out_cmap")
+    create_mod.create(
+        path, out, spec, source="pages", batch_size=512,
+        colormap={1: "#ff0000", 2: "#00ff00"},
+    )
+    inf = info_mod.info(out)
+    assert inf.Colormap == {"1": "#ff0000", "2": "#00ff00"}
+
+
+def test_band_metadata_roundtrip(ray_session, tmp_path):
+    """pages_tags (image_tags/cog_band_tags analog): dataset tags, band
+    tags and scales/offsets forward create() → manifest → info()."""
+    from rio_cogeo_ray.pipelines import info as info_mod
+
+    path = fixtures.scenario_path("pages_tags")
+    spec = _spec_for("pages_tags", zoom=5, overview_levels=1)
+    out = str(tmp_path / "out_tags")
+    create_mod.create(
+        path, out, spec, source="pages", batch_size=512,
+        tags={"OVR_RESAMPLING_ALG": "SUM", "origin": "unit-test"},
+        band_tags={"count": {"DESCRIPTION": "page density"}},
+        band_scales={"count": 2.0},
+        band_offsets={"count": 0.5},
+    )
+    inf = info_mod.info(out)
+    assert inf.Tags["origin"] == "unit-test"
+    bands = {b.Name: b for b in inf.Bands}
+    assert bands["count"].Tags == {"DESCRIPTION": "page density"}
+    assert bands["count"].Scale == 2.0
+    assert bands["count"].Offset == 0.5
