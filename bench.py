@@ -255,7 +255,9 @@ def run_bench() -> dict:
     # ray.init has zero warm workers), and this host carries heavy
     # EXTERNAL load (single runs vary 2-3×), so min-of-N approximates
     # uncontended steady-state throughput. --scaling sets 2.
-    repeat = int(os.environ.get("RCR_BENCH_REPEAT", "2"))
+    # min-of-3 by default: this host carries heavy EXTERNAL load (single
+    # trials vary 2-3×; see BASELINE.md protocol notes)
+    repeat = int(os.environ.get("RCR_BENCH_REPEAT", "3"))
     results = {}
     trials_out = {}
     for name in names:
@@ -287,7 +289,9 @@ def run_bench() -> dict:
     # two parallelism levels in fresh processes (min of the in-process
     # repeats per level; full min-of-N protocol lives in --scaling).
     if os.environ.get("RCR_BENCH_SCALING", "1") != "0" and only is None:
-        out["scaling"] = run_scaling(trials=1)
+        out["scaling"] = run_scaling(
+            trials=int(os.environ.get("RCR_SCALING_TRIALS_INLINE", "2"))
+        )
     return out
 
 

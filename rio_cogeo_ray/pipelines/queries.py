@@ -1026,6 +1026,70 @@ SQL_TILE_ASSIGN_LONLAT = (
 )
 
 
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup clusters (SRP-LSH → exact cosine
+    verify ≥ 0.95 → connected components) over the embeddings table
+    PLUS deterministic planted near-copies of the first 20 vectors
+    (the driver embeddings are mutually distant, so the planted pairs
+    are the known signal). Approximate/iterative ⇒ rows-only driver
+    check; recall pinned in pytest (test_embedding_neardup_planted)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = _read(emb_path, ["vec_id", "embedding"])
+
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 20)
+    ids = head["vec_id"].to_numpy(zero_copy_only=False) + 10_000_000
+    dup = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": head["embedding"]})
+    both = emb.union(rd.from_arrow(dup))
+    return dedup.embedding_neardup(both, threshold=0.95)
+
+
+def q_pyramid_base3(sf_dir: str):
+    """One BASE-3 decimation step of the z=5 density grid (the
+    arbitrary-decimation-base ladder, cogeo.py:196-203; reference
+    tests/test_cogeo.py:818-835) exploded to per-pixel rows —
+    SQL-checked via global-pixel floor division by 3."""
+    ds = _valid_only(_prepared_docs(sf_dir, RASTER_Z))
+    partials = ds.map_batches(
+        lambda t: rasterize.density_partials(t, RASTER_G), batch_format="pyarrow"
+    )
+    merged = rasterize.merge_sparse_tiles(partials, "sum", level=0, tile_px=RASTER_G)
+    p3 = merged.map_batches(
+        lambda t: rasterize.pyramid_partials(t, RASTER_G, "sum", base=3),
+        batch_format="pyarrow",
+    )
+    m3 = rasterize.merge_sparse_tiles(p3, "sum", level=1, base=3, tile_px=RASTER_G)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        cells = t["cells"].combine_chunks()
+        lens = np.diff(cells.offsets.to_numpy(zero_copy_only=False))
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        return pa.table(
+            {
+                "x": t["x"].combine_chunks().take(pa.array(rep)),
+                "y": t["y"].combine_chunks().take(pa.array(rep)),
+                "cell": cells.flatten().cast(pa.int64()),
+                "cnt": t["counts"].combine_chunks().flatten(),
+            }
+        )
+
+    return m3.map_batches(_explode, batch_format="pyarrow")
+
+
+SQL_PYRAMID_BASE3 = (
+    _geo_cte() + f", t AS ({_tile_sql(RASTER_Z)}), "
+    f"p AS (SELECT x, y, "
+    f"LEAST(GREATEST(CAST(FLOOR((mx - (x * {_S5} - {_O})) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS px, "
+    f"LEAST(GREATEST(CAST(FLOOR((({_O} - y * {_S5}) - my) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS py "
+    f"FROM t), "
+    f"g3 AS (SELECT (x * {RASTER_G} + px) // 3 AS pgx, (y * {RASTER_G} + py) // 3 AS pgy "
+    f"FROM p) "
+    f"SELECT pgx // {RASTER_G} AS x, pgy // {RASTER_G} AS y, "
+    f"(pgy % {RASTER_G}) * {RASTER_G} + (pgx % {RASTER_G}) AS cell, "
+    f"CAST(COUNT(*) AS BIGINT) AS cnt FROM g3 GROUP BY x, y, cell"
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1094,6 +1158,8 @@ def queries() -> Dict[str, Callable]:
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
         "media_stats": q_media_stats,
+        "embed_neardup": q_embed_neardup,
+        "pyramid_base3": q_pyramid_base3,
     }
 
 
@@ -1104,6 +1170,7 @@ def oracle_sql() -> Dict[str, str]:
         "tile_density": SQL_TILE_DENSITY,
         "pyramid_counts": SQL_PYRAMID_COUNTS,
         "pyramid_bilinear": SQL_PYRAMID_BILINEAR,
+        "pyramid_base3": SQL_PYRAMID_BASE3,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,
         "pip_anti": SQL_PIP_ANTI,
@@ -1131,7 +1198,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
-        # media_stats:
+        # media_stats, embed_neardup:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.
     }

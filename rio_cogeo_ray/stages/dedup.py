@@ -417,6 +417,142 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (random-hyperplane LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_band_rows(
+    batch: pa.Table,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+) -> pa.Table:
+    """(id, band, band_hash, embedding) LSH rows for cosine similarity:
+    sign bits of projections onto ``n_bits`` seeded random hyperplanes
+    (the classic SRP-LSH — collision probability 1 - θ/π per bit),
+    packed into ``bands`` band hashes. The hyperplane matrix is a pure
+    function of (dim, n_bits, seed) regenerated per actor — tiny, never
+    shipped. Rows carry the (normalized) embedding so candidate edges
+    can be cosine-verified WITHOUT a second join; at extreme scale
+    prefer re-joining embeddings by id instead of paying bands× payload
+    through the shuffle (documented tradeoff)."""
+    from rio_cogeo_ray.stages.ann import _matrix, _normalize
+
+    X = _normalize(_matrix(batch[emb_col]))
+    n, d = X.shape
+    H = np.random.RandomState(seed).standard_normal((d, n_bits))
+    bits = (X @ H) >= 0.0
+    per = n_bits // bands
+    weights = (np.int64(1) << np.arange(per, dtype=np.int64))
+    hashes = np.zeros((n, bands), dtype=np.int64)
+    for b in range(bands):
+        hashes[:, b] = bits[:, b * per : (b + 1) * per] @ weights
+    rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(X[rep].reshape(-1), pa.float32()), d
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids[rep], pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()),
+            "band_hash": pa.array(hashes.reshape(-1), pa.int64()),
+            "emb": emb,
+        }
+    )
+
+
+def _bucket_star_edges_emb(group: pa.Table, id_col: str) -> pa.Table:
+    """LSH buckets → star edges (member, bucket-min) carrying BOTH
+    normalized embeddings, vectorized (sort + run boundaries) — the
+    embedding analog of :func:`_bucket_edges_vec`."""
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+    if len(group) == 0:
+        return empty
+    group = group.sort_by(
+        [("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")]
+    )
+    b = group["band"].combine_chunks().to_numpy(zero_copy_only=False)
+    h = group["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    emb = group["emb"].combine_chunks()
+    d = emb.type.list_size
+    X = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+    new = np.concatenate(([True], (b[1:] != b[:-1]) | (h[1:] != h[:-1])))
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(b)))
+    first_id = np.repeat(ids[starts], lens)
+    first_row = np.repeat(starts, lens)
+    member = ~new
+    if not member.any():
+        return empty
+    # exact cosine verify per (member, bucket-min) pair — one rowwise dot
+    cos = (X[member] * X[first_row[member]]).sum(axis=1)
+    return pa.table(
+        {
+            "src": pa.array(ids[member], pa.int64()),
+            "dst": pa.array(first_id[member], pa.int64()),
+            "cos": pa.array(cos, pa.float64()),
+        }
+    )
+
+
+def embedding_neardup(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 64,
+    bands: int = 8,
+    n_buckets: int = 64,
+    seed: int = 7,
+    max_rounds: int = 4,
+):
+    """Embedding-cosine near-duplicate clusters: SRP-LSH banding →
+    bucketed star edges → EXACT cosine verify (edges below ``threshold``
+    are dropped before clustering) → distributed connected components.
+    Returns (node, label) rows for every id that appears in a verified
+    near-dup edge; label = min reachable id (cluster representative).
+    Pair semantics: members verify against their bucket minimum (the
+    standard star compromise — a pair sharing no band with a common
+    representative may be missed; raise ``bands`` for recall)."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    rows = ds.map_batches(
+        lambda t: embedding_band_rows(t, id_col, emb_col, n_bits, bands, seed),
+        batch_format="pyarrow",
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        rb = (hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(rb, pa.int64()))
+
+    cand = rows.map_batches(_route, batch_format="pyarrow").groupby(
+        "__bucket"
+    ).map_groups(
+        lambda g: _bucket_star_edges_emb(g.drop_columns(["__bucket"]), id_col),
+        batch_format="pyarrow",
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(t["cos"], pa.scalar(threshold, pa.float64()))
+        return t.filter(keep).select(["src", "dst"])
+
+    edges = cand.map_batches(_verify, batch_format="pyarrow")
+    return connected_components(edges, max_rounds=max_rounds)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 

@@ -417,3 +417,29 @@ def test_watermark_filter_drops_late_events(ray_session):
         rd.from_arrow(t).repartition(3), delay_us=100
     ).to_pandas()["ts"].sort_values().tolist()
     assert got == [100, 149, 150, 199, 200]  # watermark = 200 - 100
+
+
+def test_embedding_neardup_planted(ray_session):
+    """SRP-LSH embedding near-dup: planted noisy copies cluster with
+    their originals; mutually-distant random vectors do not merge."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 32))
+    noisy = base[:15] + 0.02 * rng.standard_normal((15, 32))  # cos ≈ 0.999
+    X = np.vstack([base, noisy])
+    ids = np.concatenate([np.arange(40), 1000 + np.arange(15)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([row.tolist() for row in X],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    labels = dedup.embedding_neardup(
+        rd.from_arrow(t), threshold=0.98, bands=16
+    ).to_pandas()
+    lab = dict(zip(labels["node"], labels["label"]))
+    # every planted copy clusters with its original
+    for i in range(15):
+        assert lab.get(1000 + i) == lab.get(i) == i, (i, lab.get(1000 + i))
+    # no random-pair merges: only the 30 planted nodes appear
+    assert set(labels["node"]) == set(range(15)) | set(1000 + np.arange(15))
