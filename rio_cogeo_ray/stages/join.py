@@ -10,7 +10,7 @@ The Ray-Data-first join split (ray_guide.md):
 - :func:`bucketed_hash_join` — explicit partitioned hash join: both
   sides get ``bucket = hash(key) % B``, matching buckets meet in ONE
   ``groupby("bucket").map_groups`` over the union (side-tagged), and
-  each bucket joins in pandas. B sizes buckets to worker heaps;
+  each bucket joins via pyarrow's native hash join. B sizes buckets to worker heaps;
   deterministic output via per-bucket sort. Ray 2.49 has no
   ``Dataset.join``, so this IS the large-large join primitive here.
   Skew: a hot KEY still lands in one bucket — for known-skewed keys use
@@ -23,7 +23,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -222,9 +221,9 @@ def asof_join(
     ``right.on <= left.on`` (backward) within the same ``by`` key.
 
     Both sides bucket by ``hash(by) % n_buckets`` (co-locates each key's
-    full history), then each bucket sorts by ``on`` and runs
-    ``pd.merge_asof`` — the ray_guide.md as-of pattern. Inner semantics:
-    left rows with no match are dropped (mirrors DuckDB ASOF JOIN).
+    full history); each bucket runs a pure Arrow/numpy lexsort-merge
+    kernel (no pandas round-trip — see ``_asof_bucket``). Inner
+    semantics: left rows with no match are dropped (DuckDB ASOF JOIN).
     """
     lcols = [f.name for f in left.schema().base_schema]
     rcols = [f.name for f in right.schema().base_schema]
@@ -262,25 +261,70 @@ def asof_join(
         both = both.repartition(min(coalesce, n_buckets))
 
     cols_out = [by, on, r_on] + l_only + out_r_cols
-
-    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # ``on`` must be an int64 key (epoch micros); padded nulls from
-        # the union make r_on/value columns float64 in pandas — keys are
-        # normalized back to int64 so every bucket emits one schema.
-        lg = g[g["__side"] == 0][[by, on] + l_only].sort_values(on, kind="mergesort")
-        rg = g[g["__side"] == 1][[by, r_on] + out_r_cols].copy()
-        if len(lg) == 0 or len(rg) == 0:
-            empty = g.iloc[0:0][[by, on] + l_only + out_r_cols].copy()
-            empty[r_on] = pd.Series([], dtype="int64")
-            return empty[cols_out]
-        rg[on] = rg[r_on].astype(lg[on].dtype)
-        rg = rg.sort_values(on, kind="mergesort")
-        m = pd.merge_asof(
-            lg, rg[[by, on, r_on] + out_r_cols], on=on, by=by,
-            direction=direction, suffixes=("", "__drop"),
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join supports backward/forward, got {direction!r} "
+            "(DuckDB ASOF has no 'nearest' either)"
         )
-        m = m.dropna(subset=[r_on])  # inner semantics (DuckDB ASOF)
-        m[r_on] = m[r_on].astype("int64")
-        return m[cols_out]
 
-    return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")
+    def _asof_bucket(g: pa.Table) -> pa.Table:
+        """Pure Arrow/numpy as-of kernel (no pandas round-trip): one
+        lexsort over both sides interleaved (right rows before left rows
+        at equal timestamps → inclusive tie rule), then a cumulative
+        right-row counter — the most recent right row at-or-before each
+        left probe is counter-1, valid iff it carries the same ``by``
+        key (keys are contiguous in the sort, so an earlier-key right
+        row simply fails the equality check)."""
+        empty = (
+            g.take(pa.array([], pa.int64()))
+            .select([by, on] + l_only)
+        )
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(side == 0)
+        rsel = np.flatnonzero(side == 1)
+        if len(lsel) == 0 or len(rsel) == 0:
+            out = empty
+            out = out.append_column(
+                r_on, pa.array([], g.schema.field(on).type)
+            )
+            for name, typ in zip(out_r_cols, r_types):
+                out = out.append_column(name, pa.array([], typ))
+            return out.select(cols_out)
+        byv = g[by].combine_chunks().to_numpy(zero_copy_only=False)
+        onv = g[on].combine_chunks().to_numpy(zero_copy_only=False)
+        lb, lt_ = byv[lsel], onv[lsel]
+        rb, rt_ = byv[rsel], onv[rsel]
+        if direction == "forward":
+            lt_, rt_ = -lt_, -rt_  # forward == backward on negated time
+        order_l = np.lexsort((lt_, lb))
+        order_r = np.lexsort((rt_, rb))
+        n_r, n_l = len(rsel), len(lsel)
+        keys = np.concatenate((rb[order_r], lb[order_l]))
+        times = np.concatenate((rt_[order_r], lt_[order_l]))
+        flag = np.concatenate(
+            (np.zeros(n_r, dtype=np.int8), np.ones(n_l, dtype=np.int8))
+        )
+        pos = np.concatenate(
+            (np.arange(n_r, dtype=np.int64), np.arange(n_l, dtype=np.int64))
+        )
+        order = np.lexsort((flag, times, keys))
+        k_o, f_o, p_o = keys[order], flag[order], pos[order]
+        rcount = np.cumsum(f_o == 0)
+        at_left = f_o == 1
+        cand = rcount[at_left] - 1  # ordinal into right-sorted rows
+        l_ord = p_o[at_left]  # ordinal into left-sorted rows
+        valid = cand >= 0
+        valid[valid] &= rb[order_r][cand[valid]] == k_o[at_left][valid]
+        l_rows = lsel[order_l[l_ord[valid]]]
+        r_rows = rsel[order_r[cand[valid]]]
+        # deterministic output order regardless of bucket row order
+        fin = np.lexsort((onv[l_rows], byv[l_rows], l_rows))
+        l_rows, r_rows = l_rows[fin], r_rows[fin]
+        out = g.take(pa.array(l_rows, pa.int64())).select([by, on] + l_only)
+        rtab = g.take(pa.array(r_rows, pa.int64()))
+        out = out.append_column(r_on, rtab[on].combine_chunks())
+        for name in out_r_cols:
+            out = out.append_column(name, rtab[name].combine_chunks())
+        return out.select(cols_out)
+
+    return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pyarrow")
