@@ -1090,6 +1090,33 @@ SQL_PYRAMID_BASE3 = (
 )
 
 
+def q_ann_ivf_indexed(sf_dir: str):
+    """ANN over a PERSISTED bucket-partitioned IVF index (the I/O-level
+    pruning path — only probed bucket directories are read). Index built
+    once per sf_dir under /tmp (cached); same centroids protocol as
+    q_ann_ivf. Approximate ⇒ rows-only; layout equivalence to the filter
+    path pinned by test_ann_ivf_indexed_matches_filter_path."""
+    import hashlib
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    emb = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    cents = ann.train_centroids(emb[: min(len(emb), 1000)], 8)
+    queries_m = emb[:3]
+
+    tag = hashlib.sha256(
+        f"{emb_path}:{os.path.getsize(emb_path)}".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/rcr_ivf_index/{tag}"
+    if not os.path.isdir(os.path.join(idx_dir, "vectors")):
+        ann.build_ivf_index(
+            _read(emb_path, ["vec_id", "embedding"]), idx_dir, cents, concurrency=2
+        )
+    return ann.knn_cosine_ivf_indexed(
+        idx_dir, queries_m, k=ANN_K, n_probe=3, concurrency=2
+    )
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1159,6 +1186,7 @@ def queries() -> Dict[str, Callable]:
         "distinct_langs": q_distinct_langs,
         "media_stats": q_media_stats,
         "embed_neardup": q_embed_neardup,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "pyramid_base3": q_pyramid_base3,
     }
 
@@ -1198,7 +1226,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
-        # media_stats, embed_neardup:
+        # media_stats, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.
     }

@@ -192,3 +192,72 @@ def knn_cosine_ivf(
 
     pruned = with_bucket.map_batches(_prune, batch_format="pyarrow")
     return knn_cosine(pruned, q, k, id_col, emb_col, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: bucket-partitioned layout → I/O-level pruning
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+):
+    """Materialize an IVF index as BUCKET-PARTITIONED parquet
+    (``index_dir/vectors/bucket=<i>/``) plus the centroid matrix.
+    Unlike :func:`knn_cosine_ivf` (a post-read row filter), a search
+    against this layout reads ONLY the probed buckets' files — the
+    pruning happens at I/O, which is what matters when the corpus is
+    100 TB and n_probe/n_centroids is 3/64ths of it."""
+    import json
+    import os
+
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    os.makedirs(index_dir, exist_ok=True)
+    with_bucket = ivf_assign(ds, c, emb_col, concurrency=concurrency)
+    with_bucket.write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump({"centroids": c.tolist()}, f)
+    return index_dir
+
+
+def knn_cosine_ivf_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+):
+    """Search a :func:`build_ivf_index` layout: pick the ``n_probe``
+    nearest centroid buckets per query and ``read_parquet`` ONLY those
+    partition directories — unprobed buckets never leave storage."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        c = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ c.T), axis=1)[:, :n_probe]
+    probe_set = np.unique(probes)
+    files = []
+    for b in probe_set:
+        d = os.path.join(index_dir, "vectors", f"bucket={b}")
+        if os.path.isdir(d):
+            files += [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+    if not files:
+        raise FileNotFoundError(f"no probed bucket partitions under {index_dir}")
+    pruned = rd.read_parquet(files, columns=[id_col, emb_col])
+    return knn_cosine(pruned, q, k, id_col, emb_col, concurrency=concurrency)

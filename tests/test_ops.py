@@ -443,3 +443,38 @@ def test_embedding_neardup_planted(ray_session):
         assert lab.get(1000 + i) == lab.get(i) == i, (i, lab.get(1000 + i))
     # no random-pair merges: only the 30 planted nodes appear
     assert set(labels["node"]) == set(range(15)) | set(1000 + np.arange(15))
+
+
+def test_ann_ivf_indexed_matches_filter_path(ray_session, tmp_path):
+    """Bucket-partitioned IVF index (I/O-level pruning): searching the
+    persisted layout returns the SAME result set as the in-pipeline
+    filter path with identical centroids/probes, and only the probed
+    bucket directories are read."""
+    import os
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16) * 4
+    emb = (centers[rng.randint(0, 8, 600)] + rng.randn(600, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    cents = ann.train_centroids(emb[:300], 8)
+    q = emb[:2].astype(np.float64)
+
+    idx_dir = str(tmp_path / "ivf_index")
+    ann.build_ivf_index(rd.from_arrow(t), idx_dir, cents, concurrency=1)
+    assert os.path.isfile(os.path.join(idx_dir, "centroids.json"))
+    buckets = sorted(os.listdir(os.path.join(idx_dir, "vectors")))
+    assert all(b.startswith("bucket=") for b in buckets) and len(buckets) > 1
+
+    got = ann.knn_cosine_ivf_indexed(idx_dir, q, k=5, n_probe=3, concurrency=1).to_pandas()
+    ref = ann.knn_cosine_ivf(
+        rd.from_arrow(t), q, cents, k=5, n_probe=3, concurrency=1
+    ).to_pandas()
+    for qi in (0, 1):
+        assert set(got[got["query_id"] == qi]["vec_id"]) == set(
+            ref[ref["query_id"] == qi]["vec_id"]
+        )
