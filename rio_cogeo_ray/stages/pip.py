@@ -161,10 +161,30 @@ class PIPJoin:
         self.lon_col = lon_col
         self.lat_col = lat_col
 
+    #: below this many polygons, a plain per-polygon vectorized sweep
+    #: beats the grid (candidate gather + pair argsort overhead exceeds
+    #: P bbox-prefiltered edge tests when P is tiny)
+    _BRUTE_MAX_POLYS = 32
+
+    def _hit_pairs_brute(self, px: np.ndarray, py: np.ndarray):
+        """Small-layer fast path: one vectorized contains() per polygon
+        over the whole batch (bbox prefilter inside)."""
+        idx_parts, aoi_parts = [], []
+        for p in self.polys:
+            hits = np.flatnonzero(p.contains(px, py))
+            if len(hits):
+                idx_parts.append(hits)
+                aoi_parts.append(np.full(len(hits), p.aoi_id, dtype=np.int32))
+        if not idx_parts:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+        return np.concatenate(idx_parts), np.concatenate(aoi_parts)
+
     def _hit_pairs(self, px: np.ndarray, py: np.ndarray):
         """(point_idx, aoi_id) pairs of contained points: grid candidates
         first, then the exact edge test per candidate polygon (the
         per-batch cost is O(pairs · edges), not O(polygons · points))."""
+        if len(self.polys) <= self._BRUTE_MAX_POLYS:
+            return self._hit_pairs_brute(px, py)
         pi, pj = self.index.candidate_pairs(px, py)
         if len(pi) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
