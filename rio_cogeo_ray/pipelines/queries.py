@@ -1117,6 +1117,60 @@ def q_ann_ivf_indexed(sf_dir: str):
     )
 
 
+#: [lo, hi) price bands for the broadcast range join (band, lo, hi)
+PRICE_BANDS = [
+    ("small", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("large", 150_000.0, 300_000.0),
+    ("jumbo", 300_000.0, 1e18),
+]
+
+
+def q_price_bands(sf_dir: str):
+    """Broadcast RANGE join (interval containment — the join flavor Ray
+    Data lacks natively): each order resolves to its [lo, hi) price band
+    via one searchsorted against the broadcast band table, then a
+    partial→final aggregate per band. Cents quantized pre-shuffle so the
+    sum is exact int64."""
+    bands = pa.table(
+        {
+            "band": pa.array([b[0] for b in PRICE_BANDS], pa.string()),
+            "lo": pa.array([b[1] for b in PRICE_BANDS], pa.float64()),
+            "hi": pa.array([b[2] for b in PRICE_BANDS], pa.float64()),
+        }
+    )
+    ds = _read(os.path.join(sf_dir, "orders.parquet"), ["o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_totalprice": t["o_totalprice"].combine_chunks(),
+                "cents": pa.array(
+                    np.floor(p * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    joined = join_mod.broadcast_range_join(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        bands, value_col="o_totalprice", concurrency=2,
+    )
+    agged = agg.partial_group_agg(
+        joined, keys=["band"], sum_cols=["cents"], count_as="n"
+    )
+    return agged
+
+
+SQL_PRICE_BANDS = (
+    "SELECT b.band, CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM orders o JOIN (VALUES "
+    + ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS)
+    + ") AS b(band, lo, hi) ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
+    "GROUP BY b.band"
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1187,6 +1241,7 @@ def queries() -> Dict[str, Callable]:
         "media_stats": q_media_stats,
         "embed_neardup": q_embed_neardup,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "price_bands": q_price_bands,
         "pyramid_base3": q_pyramid_base3,
     }
 
@@ -1199,6 +1254,7 @@ def oracle_sql() -> Dict[str, str]:
         "pyramid_counts": SQL_PYRAMID_COUNTS,
         "pyramid_bilinear": SQL_PYRAMID_BILINEAR,
         "pyramid_base3": SQL_PYRAMID_BASE3,
+        "price_bands": SQL_PRICE_BANDS,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,
         "pip_anti": SQL_PIP_ANTI,

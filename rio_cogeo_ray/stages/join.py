@@ -119,6 +119,85 @@ def broadcast_join(
     )
 
 
+class RangeLookup:
+    """Actor callable: left batch + broadcast INTERVAL table → joined
+    batch. The right side is a set of [lo, hi) intervals with payload
+    columns; each left row's ``value_col`` resolves to the containing
+    interval via one ``np.searchsorted`` over the sorted interval
+    starts + an upper-bound check — the broadcast range-join pattern
+    (small dimension of bands/buckets/tiers against a large fact side;
+    no shuffle). Intervals must be non-overlapping (asserted)."""
+
+    def __init__(
+        self,
+        right: Union[pa.Table, "ray.ObjectRef"],
+        value_col: str,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+        mode: str = "inner",
+    ):
+        if isinstance(right, ray.ObjectRef):
+            right = ray.get(right)
+        if mode not in ("inner", "semi", "anti"):
+            raise ValueError(f"mode must be inner/semi/anti, got {mode!r}")
+        self.value_col = value_col
+        self.mode = mode
+        lo = right[lo_col].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = right[hi_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(lo, kind="stable")
+        self.lo, self.hi = lo[order], hi[order]
+        if np.any(self.hi[:-1] > self.lo[1:]) or np.any(self.hi <= self.lo):
+            raise ValueError(
+                "RangeLookup intervals must be non-empty and non-overlapping"
+            )
+        cols = [c for c in right.column_names if c not in (lo_col, hi_col)]
+        self.right = right.select(cols).take(pa.array(order))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch[self.value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(self.lo) == 0:
+            hit = np.zeros(len(v), dtype=bool)
+            pos = np.zeros(len(v), dtype=np.int64)
+        else:
+            pos = np.searchsorted(self.lo, v, side="right") - 1
+            inb = pos >= 0
+            hit = inb.copy()
+            hit[inb] = v[inb] < self.hi[pos[inb]]
+            pos = np.clip(pos, 0, len(self.lo) - 1)
+        if self.mode == "semi":
+            return batch.filter(pa.array(hit))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~hit))
+        out = batch.filter(pa.array(hit))
+        take = pa.array(pos[hit], pa.int64())
+        for name in self.right.column_names:
+            out = out.append_column(name, self.right[name].take(take))
+        return out
+
+
+def broadcast_range_join(
+    ds,
+    right: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    mode: str = "inner",
+    concurrency: int = 4,
+    batch_size: int = 65536,
+):
+    """Join each row to the [lo, hi) interval containing ``value_col``
+    (banding/tiering — the range-join flavor Ray Data lacks natively).
+    Small interval side broadcast once via ``ray.put``."""
+    right_ref = ray.put(right)
+    return ds.map_batches(
+        RangeLookup,
+        fn_constructor_args=(right_ref, value_col, lo_col, hi_col, mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bucketed hash join (both sides large)
 # ---------------------------------------------------------------------------

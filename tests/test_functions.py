@@ -199,3 +199,58 @@ def test_geocode_lonlat_source():
     )
     outb = prep_ll(bad)
     assert outb["geo_valid"].to_pylist() == [False, False, False, False]
+
+
+def test_conv_kernels_dc_gain():
+    """Unit DC gain: decimating a CONSTANT dense field with any conv
+    kernel reproduces the constant (up to the floor), because taps are
+    normalized by their own sum — checked through the real partials →
+    merge → finalize path on a fully-dense single-tile world."""
+    from rio_cogeo_ray.functions import tms
+    from rio_cogeo_ray.stages import rasterize
+
+    G = 16
+    C = 1000  # constant cell value
+    z = 1  # 2×2 tiles of G×G, world grid 32×32
+    keys, offs, cells, counts, pages = [], [0], [], [], []
+    for x in (0, 1):
+        for y in (0, 1):
+            keys.append(int(tms.pack_tile_key(z, x, y)))
+            cells.extend(range(G * G))
+            counts.extend([C] * (G * G))
+            pages.append(1)
+            offs.append(len(cells))
+    import numpy as np
+
+    t = rasterize._tiles_table(
+        np.array(keys, dtype=np.int64), np.array(offs, dtype=np.int64),
+        np.array(cells, dtype=np.int64), np.array(counts, dtype=np.int64),
+        np.array(pages, dtype=np.int64),
+    )
+    for kernel in rasterize.CONV_KERNELS:
+        # parent level is z=0: one G×G tile over the 2×2 children
+        p = rasterize.pyramid_partials_conv(t, G, kernel, 2, G)
+        m = rasterize._merge_bucket_table(p, "sum", 1, 2, G)
+        f = rasterize.finalize_conv_tiles(m, kernel, 2)
+        xs = np.asarray(f["x"].combine_chunks())
+        ys = np.asarray(f["y"].combine_chunks())
+        cl = f["cells"].combine_chunks()
+        lens = np.diff(cl.offsets.to_numpy(zero_copy_only=False))
+        rep = np.repeat(np.arange(len(f), dtype=np.int64), lens)
+        cells_f = np.asarray(cl.flatten(), dtype=np.int64)
+        vals = np.asarray(f["counts"].combine_chunks().flatten())
+        pgx = xs[rep] * G + cells_f % G
+        pgy = ys[rep] * G + cells_f // G
+        # world edge attenuates by design (out-of-world taps read 0,
+        # divisor stays (Σw)²); interior pixels reproduce C to the floor
+        r = 4
+        interior = (pgx >= r) & (pgx < G - r) & (pgy >= r) & (pgy < G - r)
+        assert interior.sum() > 0
+        iv = vals[interior]
+        assert np.all((iv >= C - 1) & (iv <= C)), (kernel, iv.min(), iv.max())
+        if kernel in ("bilinear", "gauss", "cubic_spline"):
+            # non-negative kernels never exceed the constant anywhere;
+            # cubic/lanczos CAN overshoot at the world edge (their
+            # negative lobes fall outside the grid while the divisor
+            # stays (Σw)²) — that asymmetry is the documented edge rule
+            assert vals.max() <= C

@@ -229,3 +229,48 @@ def test_pip_grid_index_many_polygons():
     anti = PIPJoin(aois, mode="anti")(batch)
     assert len(semi) + len(anti) == N
     assert set(semi["pid"].to_pylist()) == {i for i, _ in pairs}
+
+
+def test_broadcast_range_join_semantics(ray_session):
+    """[lo, hi) interval containment: boundary rules, semi/anti
+    partition, overlap rejection."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import join as join_mod
+
+    bands = pa.table(
+        {
+            "band": pa.array(["a", "b"], pa.string()),
+            "lo": pa.array([0.0, 10.0], pa.float64()),
+            "hi": pa.array([10.0, 20.0], pa.float64()),
+        }
+    )
+    t = pa.table({"v": pa.array([-1.0, 0.0, 9.999, 10.0, 19.999, 20.0], pa.float64())})
+    got = join_mod.broadcast_range_join(
+        rd.from_arrow(t), bands, value_col="v", concurrency=1
+    ).to_pandas().sort_values("v")
+    assert got["v"].tolist() == [0.0, 9.999, 10.0, 19.999]
+    assert got["band"].tolist() == ["a", "a", "b", "b"]
+
+    semi = join_mod.broadcast_range_join(
+        rd.from_arrow(t), bands, value_col="v", mode="semi", concurrency=1
+    ).to_pandas()
+    anti = join_mod.broadcast_range_join(
+        rd.from_arrow(t), bands, value_col="v", mode="anti", concurrency=1
+    ).to_pandas()
+    assert len(semi) + len(anti) == len(t)
+    assert sorted(anti["v"]) == [-1.0, 20.0]
+
+    overlapping = pa.table(
+        {
+            "band": pa.array(["a", "b"]),
+            "lo": pa.array([0.0, 5.0], pa.float64()),
+            "hi": pa.array([10.0, 20.0], pa.float64()),
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        join_mod.RangeLookup(overlapping, "v")
