@@ -1171,6 +1171,38 @@ SQL_PRICE_BANDS = (
 )
 
 
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of o_totalprice (two-pass histogram +
+    refine — no full sort, driver sees one histogram + a few bins'
+    distinct values; stages/sketch.py:exact_quantiles). Lower/type-1
+    quantile over cents-quantized values, mirrored by a window-cumsum
+    SQL."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _read(os.path.join(sf_dir, "orders.parquet"), ["o_totalprice"])
+    res = sketch.exact_quantiles(ds, "o_totalprice", QUANTILE_QS, scale=100)
+    return pa.table(
+        {
+            "q": pa.array(list(QUANTILE_QS), pa.float64()),
+            "value": pa.array([res[q] for q in QUANTILE_QS], pa.float64()),
+        }
+    )
+
+
+SQL_PRICE_QUANTILES = (
+    "WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS qv FROM orders), "
+    "g AS (SELECT qv, COUNT(*) AS cnt FROM c GROUP BY qv), "
+    "w AS (SELECT qv, SUM(cnt) OVER (ORDER BY qv) AS cum FROM g), "
+    "n AS (SELECT COUNT(*) AS nn FROM c) "
+    "SELECT p.q AS q, CAST(MIN(w.qv) AS DOUBLE) / 100.0 AS value "
+    "FROM (VALUES (0.5), (0.9), (0.99)) AS p(q), w, n "
+    "WHERE w.cum >= CAST(CEIL(p.q * n.nn) AS BIGINT) GROUP BY p.q"
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1242,6 +1274,7 @@ def queries() -> Dict[str, Callable]:
         "embed_neardup": q_embed_neardup,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "price_bands": q_price_bands,
+        "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
     }
 
@@ -1255,6 +1288,7 @@ def oracle_sql() -> Dict[str, str]:
         "pyramid_bilinear": SQL_PYRAMID_BILINEAR,
         "pyramid_base3": SQL_PYRAMID_BASE3,
         "price_bands": SQL_PRICE_BANDS,
+        "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,
         "pip_anti": SQL_PIP_ANTI,

@@ -130,6 +130,117 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(e)
 
 
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (two-pass histogram + refine)
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(ds, col: str, qs, scale: int = 100, n_bins: int = 4096):
+    """EXACT quantiles of ``col`` over a Dataset, at any size, in two
+    full passes plus a tiny bounds pass — no full sort, no driver
+    materialization of the data:
+
+    1. bounds: ``aggregate(Min, Max)`` on the quantized int64 values.
+    2. histogram: each batch emits ONE ``n_bins``-cell int64 histogram
+       row; rows tree-merge elementwise (same shape as the HLL register
+       reduce) so the driver receives a single histogram → locate the
+       bin holding each requested quantile rank.
+    3. refine: filter to values in the target bins (a tiny fraction of
+       the corpus), exact value counts via partial→final groupby, and
+       finish on the driver over that bounded set.
+
+    Values are quantized ``floor(v·scale + 0.5)`` (int64) first, so the
+    result is deterministic and SQL-mirrorable. Quantile definition:
+    the smallest quantized value whose cumulative count ≥ ``ceil(q·n)``
+    (the lower / type-1 quantile — mirrored in SQL with a window
+    cumsum). Returns ``{q: value/scale}``.
+
+    Partitioning contract: a single histogram bin's distinct values fit
+    the refine groupby (bins are uniform over the observed range; raise
+    ``n_bins`` for pathologically spiky distributions).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    qs = list(qs)
+
+    def _quant(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        qv = np.floor(v * float(scale) + 0.5).astype(np.int64)
+        return pa.table({"qv": pa.array(qv, pa.int64())})
+
+    quantized = ds.map_batches(_quant, batch_format="pyarrow")
+    b = quantized.aggregate(Min("qv"), Max("qv"))
+    lo, hi = int(b["min(qv)"]), int(b["max(qv)"])
+    span = max(hi - lo + 1, 1)
+    # ceil-div bin width so bin index < n_bins always
+    width = -(-span // n_bins)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        qv = t["qv"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = np.bincount((qv - lo) // width, minlength=n_bins).astype(np.int64)
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary()), "n": [len(t)]})
+
+    def _merge_hist(t: pa.Table) -> pa.Table:
+        buf = t["hist"].combine_chunks()
+        off = np.frombuffer(buf.buffers()[1], dtype=np.int32)
+        start = int(off[buf.offset])
+        m = int(off[buf.offset + 1]) - start
+        data = np.frombuffer(buf.buffers()[2], dtype=np.int64)
+        s0 = start // 8
+        h = data[s0 : s0 + len(buf) * (m // 8)].reshape(len(buf), m // 8).sum(axis=0)
+        n = int(np.sum(t["n"].combine_chunks().to_numpy(zero_copy_only=False)))
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary()), "n": [n]})
+
+    rows = quantized.map_batches(_hist, batch_format="pyarrow")
+    for _ in range(2):
+        rows = rows.map_batches(_merge_hist, batch_format="pyarrow", batch_size=1024)
+    hist = np.zeros(n_bins, dtype=np.int64)
+    n_total = 0
+    for row in rows.take_all():
+        hist += np.frombuffer(row["hist"], dtype=np.int64)
+        n_total += int(row["n"])
+    if n_total == 0:
+        return {q: None for q in qs}
+
+    cum = np.cumsum(hist)
+    # rank = ceil(q·n), clamped into [1, n]
+    ranks = {q: max(1, min(int(np.ceil(q * n_total)), n_total)) for q in qs}
+    target_bins = sorted({int(np.searchsorted(cum, ranks[q])) for q in qs})
+
+    # pass 2: exact counts for values inside the target bins only
+    tb = np.array(target_bins, dtype=np.int64)
+
+    def _in_bins(t: pa.Table) -> pa.Table:
+        qv = t["qv"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.isin((qv - lo) // width, tb)
+        return t.filter(pa.array(keep))
+
+    fine = partial_group_agg(
+        quantized.map_batches(_in_bins, batch_format="pyarrow"),
+        keys=["qv"], count_as="cnt",
+    )
+    fine_rows = fine.take_all()  # bounded: distinct values of a few bins
+    vals = np.array([r["qv"] for r in fine_rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in fine_rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    # cumulative count BEFORE each bin = cum[bin-1]
+    out = {}
+    for q in qs:
+        r = ranks[q]
+        bin_i = int(np.searchsorted(cum, r))
+        below = int(cum[bin_i - 1]) if bin_i > 0 else 0
+        in_bin = (vals - lo) // width == bin_i
+        bv, bc = vals[in_bin], cnts[in_bin]
+        c = below + np.cumsum(bc)
+        pick = int(np.searchsorted(c, r))
+        out[q] = float(bv[pick]) / float(scale)
+    return out
+
+
 def merge_register_rows(batch: pa.Table) -> pa.Table:
     """Elementwise-max many register rows into ONE row (the distributed
     HLL union step). All blobs are the same 2^p length, so the whole

@@ -478,3 +478,25 @@ def test_ann_ivf_indexed_matches_filter_path(ray_session, tmp_path):
         assert set(got[got["query_id"] == qi]["vec_id"]) == set(
             ref[ref["query_id"] == qi]["vec_id"]
         )
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    """Two-pass distributed quantiles == direct numpy computation of the
+    lower (type-1) quantile over cents-quantized values."""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.RandomState(13)
+    # spiky mixture: uniform + heavy point masses (stresses bin refine)
+    v = np.concatenate(
+        [rng.uniform(0, 1000, 20000), np.full(5000, 123.456), np.full(3000, 999.999)]
+    )
+    rng.shuffle(v)
+    t = pa.table({"x": pa.array(v, pa.float64())})
+    qs = (0.01, 0.25, 0.5, 0.9, 0.999)
+    got = sketch.exact_quantiles(
+        rd.from_arrow(t).repartition(7), "x", qs, scale=100, n_bins=64
+    )
+    qv = np.sort(np.floor(v * 100.0 + 0.5).astype(np.int64))
+    for q in qs:
+        r = max(1, min(int(np.ceil(q * len(qv))), len(qv)))
+        assert got[q] == qv[r - 1] / 100.0, q
