@@ -1231,6 +1231,47 @@ def q_media_stats(sf_dir: str):
     return agg.partial_group_agg(qd, keys=["media_type"], sum_cols=["qsum"], count_as="n")
 
 
+def q_media_frames(sf_dir: str):
+    """Audio frame-sampling pipeline (vectorized binary-window explode,
+    stages/multimodal.py:AudioFrames) → per-media frame counts summed —
+    deterministic ints; no SQL oracle (binary payloads); the explode
+    kernel itself is pinned by a row-loop oracle pytest."""
+    from ray.data.aggregate import Max, Sum
+
+    from rio_cogeo_ray.stages import multimodal
+
+    t = multimodal.synth_media(2000)
+    ds = rd.from_arrow(t).repartition(8)
+    frames = multimodal.audio_frames(ds, concurrency=2, batch_size=128)
+
+    def _stats(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "frames": pa.array([len(tb)], pa.int64()),
+                "bytes": pa.array(
+                    [int(pc.sum(pc.binary_length(tb["frame"])).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "max_idx": pa.array(
+                    [int(pc.max(tb["frame_idx"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    agged = frames.map_batches(_stats, batch_format="pyarrow").aggregate(
+        Sum("frames"), Sum("bytes"), Max("max_idx")
+    )
+    return pa.table(
+        {
+            "n_frames": pa.array([int(agged["sum(frames)"])], pa.int64()),
+            "frame_bytes": pa.array([int(agged["sum(bytes)"])], pa.int64()),
+            "max_frame_idx": pa.array([int(agged["max(max_idx)"])], pa.int64()),
+        }
+    )
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1271,6 +1312,7 @@ def queries() -> Dict[str, Callable]:
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
         "media_stats": q_media_stats,
+        "media_frames": q_media_frames,
         "embed_neardup": q_embed_neardup,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "price_bands": q_price_bands,
@@ -1316,7 +1358,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
-        # media_stats, embed_neardup, ann_ivf_indexed:
+        # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /
         # custom hash) — rows-only driver check + pytest oracles.
     }

@@ -216,3 +216,15 @@ def test_media_stats_query_oracle(ray_session):
     assert got["media_type"].tolist() == ref["media_type"].tolist()
     assert got["sum_qsum"].tolist() == ref["sum_qsum"].tolist()
     assert got["n"].tolist() == ref["n"].tolist()
+
+
+def test_media_frames_query_oracle(ray_session):
+    """queries()['media_frames'] == driver-side single-table stats."""
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    got = Q.q_media_frames("unused")
+    t = multimodal.synth_media(2000)
+    ref = multimodal.AudioFrames()(t)
+    assert got["n_frames"][0].as_py() == len(ref)
+    assert got["frame_bytes"][0].as_py() == sum(len(f) for f in ref["frame"].to_pylist())
+    assert got["max_frame_idx"][0].as_py() == max(ref["frame_idx"].to_pylist())
