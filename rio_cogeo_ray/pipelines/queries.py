@@ -1203,6 +1203,27 @@ SQL_PRICE_QUANTILES = (
 )
 
 
+STRATIFIED_K = 20
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified sample: exactly K docs per lang, uniform without
+    replacement via the per-stratum (knuth32(id), id) order statistic
+    (sketch.py:stratified_sample) — SQL mirror is a ROW_NUMBER window."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return sketch.stratified_sample(ds, "lang", "doc_id", STRATIFIED_K)
+
+
+SQL_SAMPLE_STRATIFIED = (
+    "SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn FROM documents"
+    f") WHERE rn <= {STRATIFIED_K}"
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1306,6 +1327,7 @@ def queries() -> Dict[str, Callable]:
         "fingerprint": q_fingerprint,
         "sample_hash": q_sample_hash,
         "sample_bottomk": q_sample_bottomk,
+        "sample_stratified": q_sample_stratified,
         "hll_distinct": q_hll_distinct,
         "token_topk": q_token_topk,
         "events_sliding": q_events_sliding,
@@ -1353,6 +1375,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_categories": SQL_LANG_CATEGORIES,
         "sample_hash": SQL_SAMPLE_HASH,
         "sample_bottomk": SQL_SAMPLE_BOTTOMK,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "token_topk": SQL_TOKEN_TOPK,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_watermark": SQL_EVENTS_WATERMARK,

@@ -68,7 +68,7 @@ def per_group_topk(
     (same pattern as rasterize.merge_sparse_tiles). ``rank_col`` adds a
     1-based rank (ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)
     mirror)."""
-    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.functions.hashing import hash_columns
 
     local = ds.map_batches(
         lambda t: _batch_group_topk(t, group_col, order_cols, k),
@@ -77,8 +77,8 @@ def per_group_topk(
     )
 
     def _bucket(t: pa.Table) -> pa.Table:
-        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
-        b = (splitmix64(g.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        # hash_columns handles any group dtype (ints, strings, …)
+        b = (hash_columns(t, [group_col]) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     bucketed = local.map_batches(_bucket, batch_format="pyarrow")

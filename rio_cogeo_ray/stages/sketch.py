@@ -130,6 +130,32 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(e)
 
 
+def stratified_sample(ds, group_col: str, id_col: str, k: int, salt: int = 0):
+    """Exactly k rows per group (fewer if the group is smaller), uniform
+    without replacement: the k rows with the smallest ``(knuth32(id),
+    id)`` WITHIN each group — the per-stratum order statistic, so the
+    sample set is unique and SQL-mirrorable (ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY h, id) <= k).
+
+    Distribution: per-batch partial per-group top-k (each batch forwards
+    ≤ k rows per touched group) → bucketed final per-group top-k
+    (stages/knn.py:per_group_topk) — shuffled volume is O(k · groups ·
+    batches) worst case, never the corpus."""
+    from rio_cogeo_ray.stages.knn import per_group_topk
+
+    def _h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__h", pa.array(knuth32(ids, salt).astype(np.int64), pa.int64())
+        )
+
+    withh = ds.map_batches(_h, batch_format="pyarrow")
+    out = per_group_topk(withh, group_col, [("__h", True), (id_col, True)], k)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact distributed quantiles (two-pass histogram + refine)
 # ---------------------------------------------------------------------------

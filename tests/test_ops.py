@@ -500,3 +500,42 @@ def test_exact_quantiles_matches_numpy(ray_session):
     for q in qs:
         r = max(1, min(int(np.ceil(q * len(qv))), len(qv)))
         assert got[q] == qv[r - 1] / 100.0, q
+
+
+def test_stratified_sample_semantics(ray_session):
+    """Per-stratum order statistic: exactly k per group (fewer when the
+    group is smaller), identical result at any partitioning."""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.RandomState(17)
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(np.take(["en", "de", "fr", "xx"], rng.randint(0, 4, n))),
+        }
+    )
+    # make 'xx' a tiny stratum
+    t = t.filter(
+        pa.array((np.asarray(t["lang"]) != "xx") | (np.arange(n) % 100 == 0))
+    )
+    got = sketch.stratified_sample(
+        rd.from_arrow(t).repartition(6), "lang", "doc_id", 10
+    ).to_pandas()
+    got2 = sketch.stratified_sample(
+        rd.from_arrow(t).repartition(2), "lang", "doc_id", 10
+    ).to_pandas()
+    a = sorted(map(tuple, got[["lang", "doc_id"]].values.tolist()))
+    b = sorted(map(tuple, got2[["lang", "doc_id"]].values.tolist()))
+    assert a == b  # partitioning-independent
+    sizes = got.groupby("lang").size()
+    for lang, sz in sizes.items():
+        total = (t["lang"].to_pandas() == lang).sum()
+        assert sz == min(10, total), (lang, sz, total)
+    # matches the direct order-statistic oracle
+    pdf = t.to_pandas()
+    pdf["h"] = (pdf["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    ref = (
+        pdf.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(10)
+    )
+    assert a == sorted(map(tuple, ref[["lang", "doc_id"]].values.tolist()))
