@@ -296,6 +296,16 @@ _KEY_XY_MASK = (1 << 29) - 1
 TILE_KEY_SQL = "({z} * 288230376151711744 + {x} * 536870912 + {y})"
 
 
+def ladder_step(base: int) -> int:
+    """Ladder z decrement per pyramid step for a decimation base:
+    log2(base) for powers of two (real TMS zooms); 1 otherwise (pseudo-
+    zoom ordinal ladders over iterated ceil-div grids). THE one source
+    of this rule — spec/validate/rasterize/create all call it."""
+    if base & (base - 1) == 0:
+        return base.bit_length() - 1
+    return 1
+
+
 def pack_tile_key(z: ArrayLike, x: ArrayLike, y: ArrayLike) -> np.ndarray:
     """Pack (z, x, y) into one int64: ``z<<58 | x<<29 | y`` (z ≤ 29)."""
     z = np.asarray(z, dtype=np.int64)

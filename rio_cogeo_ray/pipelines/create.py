@@ -50,11 +50,18 @@ def _read_input(
     return rd.read_parquet(src, columns=columns)
 
 
-def _input_fingerprint(src: Union[str, Sequence[str], rd.Dataset]) -> Optional[str]:
-    """Cheap identity of the source corpus (file names + sizes, hashed)
-    recorded in every level marker: resume only skips levels built from
-    the SAME input. None for in-memory Datasets (no stable identity —
-    fingerprint check is skipped, documented)."""
+def _run_fingerprint(
+    src: Union[str, Sequence[str], rd.Dataset],
+    spec: TilingSpec,
+    source: str,
+    weight_col: Optional[str],
+) -> Optional[str]:
+    """Cheap identity of the RUN recorded in every level marker: the
+    source corpus (file names + sizes) AND the spec/source/weight
+    configuration. Resume only skips levels built from the same input
+    with the same plan — resuming a sum-kernel output with a bilinear
+    spec must rebuild, not silently relabel old tiles. None for
+    in-memory Datasets (no stable input identity — check skipped)."""
     if isinstance(src, rd.Dataset):
         return None
     import hashlib
@@ -70,7 +77,15 @@ def _input_fingerprint(src: Union[str, Sequence[str], rd.Dataset]) -> Optional[s
                     items.append((os.path.relpath(fp, p), os.path.getsize(fp)))
         elif os.path.exists(p):
             items.append((os.path.basename(p), os.path.getsize(p)))
-    return hashlib.sha256(_json.dumps(sorted(items)).encode()).hexdigest()[:16]
+    spec_sig = {
+        **{k: v for k, v in asdict(spec).items() if k != "geocode"},
+        "geocode_boxes": list(map(list, spec.geocode.boxes)),
+        "geocode_invalid": spec.geocode.invalid_per_65536,
+        "source": source,
+        "weight_col": weight_col,
+    }
+    blob = _json.dumps([sorted(items), spec_sig], sort_keys=True, default=list)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def measure_bounds(
@@ -212,7 +227,7 @@ def create(
     os.makedirs(out_dir, exist_ok=True)
     step = spec.zoom_step
     zooms = spec.zooms  # base first
-    src_fp = _input_fingerprint(src)
+    src_fp = _run_fingerprint(src, spec, source, weight_col)
     levels_done: Dict[int, mani.LevelEntry] = {}
     if resume:
         for z in zooms:
@@ -433,8 +448,7 @@ def export_dense(
     spec = m.spec
     G = int(spec["tile_px"])
     b = int(spec.get("decimation_base", 2))
-    zstep = (b.bit_length() - 1) if b & (b - 1) == 0 else 1
-    level_j = (int(spec["zoom"]) - z) // zstep
+    level_j = (int(spec["zoom"]) - z) // tms.ladder_step(b)
     t = pq.read_table(mani.level_dir(out_dir, z))
     dense = tiles_to_dense(t, G, spec.get("resampling", "sum"), level_j, base=b)
     for key, grid in dense.items():

@@ -1104,8 +1104,9 @@ def q_ann_ivf_indexed(sf_dir: str):
     cents = ann.train_centroids(emb[: min(len(emb), 1000)], 8)
     queries_m = emb[:3]
 
+    st = os.stat(emb_path)
     tag = hashlib.sha256(
-        f"{emb_path}:{os.path.getsize(emb_path)}".encode()
+        f"{emb_path}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     idx_dir = f"/tmp/rcr_ivf_index/{tag}"
     if not os.path.isdir(os.path.join(idx_dir, "vectors")):

@@ -17,11 +17,13 @@ from rio_cogeo_ray import errors
 from rio_cogeo_ray.functions import tms
 from rio_cogeo_ray.functions.geocode import GeoSpec, GLOBAL_UNIFORM
 
+from rio_cogeo_ray.stages.rasterize import CONV_KERNELS as CONV_RESAMPLINGS
+
 #: Distributive kernels (partials pre-sum; 'mode' defers to the merge).
 SUMMABLE_RESAMPLINGS = ("sum", "average", "nearest", "mode")
-#: Interpolating kernels — separable integer-tap convolutions
-#: (stages/rasterize.py:kernel_taps), normalized once per level.
-CONV_RESAMPLINGS = ("bilinear", "cubic", "cubic_spline", "lanczos", "gauss")
+#: Interpolating kernels — separable integer-tap convolutions, imported
+#: from stages/rasterize.py (the kernel implementations' own registry)
+#: so the planner can never accept a kernel the pipeline lacks.
 #: Full reference enum (cogeo.py:48-72) — all implemented for density
 #: grids ('sum' replaces the reference's rms slot; density grids are
 #: counts, so rms has no meaningful analog and 'sum' is the engine's
@@ -109,9 +111,7 @@ class TilingSpec:
         power-of-two bases (real TMS zooms); 1 for other bases (the z
         column is then a pseudo-zoom ORDINAL over iterated ceil-div
         world grids, cogeo.py:196-203 arbitrary-base ladder analog)."""
-        if self.is_pow2_base:
-            return self.decimation_base.bit_length() - 1
-        return 1
+        return tms.ladder_step(self.decimation_base)
 
     @property
     def n_levels(self) -> int:
@@ -199,7 +199,7 @@ def plan(
             while d > tile_px and overview_levels < zoom:
                 d = -(-d // decimation_base)
                 overview_levels += 1
-    step = (decimation_base.bit_length() - 1) if pow2 else 1
+    step = tms.ladder_step(decimation_base)
     min_zoom = max(0, zoom - overview_levels * step)
     # keep the ladder on whole steps
     min_zoom = zoom - ((zoom - min_zoom) // step) * step

@@ -61,8 +61,7 @@ def validate(
     spec = m.spec
     base = spec.get("zoom")
     decim_base = int(spec.get("decimation_base", 2))
-    # pseudo-zoom ordinals (non-power-of-two bases) decrement z by 1
-    step = (decim_base.bit_length() - 1) if decim_base & (decim_base - 1) == 0 else 1
+    step = tms.ladder_step(decim_base)
 
     # ---- level chain (IFD order analog) ---------------------------------
     zs = [lv.z for lv in m.levels]

@@ -215,12 +215,19 @@ def build_ivf_index(
     import json
     import os
 
+    import shutil
+
     c = _normalize(np.asarray(centroids, dtype=np.float64))
     os.makedirs(index_dir, exist_ok=True)
+    vec_dir = os.path.join(index_dir, "vectors")
+    tmp_dir = os.path.join(index_dir, ".vectors.tmp")
+    # rebuilds replace, never append: stale part files next to new ones
+    # would return duplicate / outdated vectors from a search
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     with_bucket = ivf_assign(ds, c, emb_col, concurrency=concurrency)
-    with_bucket.write_parquet(
-        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
-    )
+    with_bucket.write_parquet(tmp_dir, partition_cols=["bucket"])
+    shutil.rmtree(vec_dir, ignore_errors=True)
+    os.replace(tmp_dir, vec_dir)
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         json.dump({"centroids": c.tolist()}, f)
     return index_dir

@@ -514,7 +514,7 @@ def embedding_neardup(
     bands: int = 8,
     n_buckets: int = 64,
     seed: int = 7,
-    max_rounds: int = 4,
+    max_rounds: "int | None" = None,
 ):
     """Embedding-cosine near-duplicate clusters: SRP-LSH banding →
     bucketed star edges → EXACT cosine verify (edges below ``threshold``
@@ -549,6 +549,8 @@ def embedding_neardup(
         return t.filter(keep).select(["src", "dst"])
 
     edges = cand.map_batches(_verify, batch_format="pyarrow")
+    # default max_rounds=None → fixpoint-detected convergence (clusters
+    # chained across bands can exceed any fixed round bound)
     return connected_components(edges, max_rounds=max_rounds)
 
 

@@ -397,7 +397,8 @@ def asof_join(
         l_rows = lsel[order_l[l_ord[valid]]]
         r_rows = rsel[order_r[cand[valid]]]
         # deterministic output order regardless of bucket row order
-        fin = np.lexsort((onv[l_rows], byv[l_rows], l_rows))
+        # (lexsort: LAST key is primary → sort by (by, on, row))
+        fin = np.lexsort((l_rows, onv[l_rows], byv[l_rows]))
         l_rows, r_rows = l_rows[fin], r_rows[fin]
         out = g.take(pa.array(l_rows, pa.int64())).select([by, on] + l_only)
         rtab = g.take(pa.array(r_rows, pa.int64()))

@@ -130,14 +130,22 @@ class ImageFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].combine_chunks()
-        feats = self._fake_features(payloads)
-        if self.pil is not None:
+        if self.pil is None:
+            feats = self._fake_features(payloads)
+        else:
             # real decode per payload (the codec IS the per-item work);
-            # rows PIL cannot decode keep their byte-fold fallback
+            # the byte-fold stub is computed lazily, once, only when
+            # some row fails to decode — a clean corpus never pays it
+            feats = np.zeros((len(payloads), self.dim), dtype=np.float32)
+            stub = None
             for i in range(len(payloads)):
                 real = self._decode_features(payloads[i].as_py())
                 if real is not None:
                     feats[i] = real
+                else:
+                    if stub is None:
+                        stub = self._fake_features(payloads)
+                    feats[i] = stub[i]
         out = batch.drop_columns(["payload"])  # features replace payloads
         return out.append_column(
             "features",

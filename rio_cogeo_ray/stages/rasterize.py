@@ -358,13 +358,11 @@ def merge_sparse_tiles(
 
 
 def _parent_z_for(child_z: int, base: int) -> int:
-    """Ladder rule: power-of-two bases step real TMS zooms by log2(base);
-    other bases use a pseudo-zoom ORDINAL that decrements by 1 per level
-    (the grid is then the iterated ceil-div raster, not a TMS matrix —
-    the reference's arbitrary-base overview ladder, cogeo.py:196-203)."""
-    if base & (base - 1) == 0:
-        return child_z - (base.bit_length() - 1)
-    return child_z - 1
+    """Ladder rule (tms.ladder_step is the single source): power-of-two
+    bases step real TMS zooms; other bases use a pseudo-zoom ORDINAL
+    decrementing by 1 (the reference's arbitrary-base overview ladder,
+    cogeo.py:196-203)."""
+    return child_z - tms.ladder_step(base)
 
 
 def _load_sparse(batch: pa.Table, G: int):

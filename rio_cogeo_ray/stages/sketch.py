@@ -199,6 +199,8 @@ def exact_quantiles(ds, col: str, qs, scale: int = 100, n_bins: int = 4096):
 
     quantized = ds.map_batches(_quant, batch_format="pyarrow")
     b = quantized.aggregate(Min("qv"), Max("qv"))
+    if b is None or b.get("min(qv)") is None:
+        return {q: None for q in qs}  # empty dataset
     lo, hi = int(b["min(qv)"]), int(b["max(qv)"])
     span = max(hi - lo + 1, 1)
     # ceil-div bin width so bin index < n_bins always

@@ -221,6 +221,26 @@ def test_resume_rejects_changed_input(ray_session, tmp_path):
     assert 0 <= m.invalid_pages <= 2000
 
 
+def test_resume_rejects_changed_spec(ray_session, tmp_path):
+    """A rerun with a DIFFERENT plan (resampling kernel) over the same
+    input must rebuild — not relabel sum-kernel tiles as bilinear."""
+    path = fixtures.scenario_path("pages_rgb")
+    out = str(tmp_path / "out_specfp")
+    spec_sum = _spec_for("pages_rgb", zoom=5, overview_levels=1, resampling="sum")
+    create_mod.create(path, out, spec_sum, source="pages", batch_size=512)
+    mtimes = {z: os.path.getmtime(mani.level_dir(out, z)) for z in spec_sum.zooms}
+
+    spec_bil = _spec_for("pages_rgb", zoom=5, overview_levels=1, resampling="bilinear")
+    create_mod.create(path, out, spec_bil, source="pages", batch_size=512)
+    assert all(
+        os.path.getmtime(mani.level_dir(out, z)) != mtimes[z] for z in spec_bil.zooms
+    )
+    # the rebuilt output matches the bilinear oracle (not stale sum tiles)
+    table = pq.read_table(path)
+    oracle_levels = oracle.pyramid(table, spec_bil, source="pages")
+    _assert_levels_equal(out, spec_bil, oracle_levels)
+
+
 def test_extract_invariant_on_fixture():
     """Per-row invariant: stored text == extract_text(html) everywhere."""
     t = fixtures.scenario_table("pages_rgb")
