@@ -160,15 +160,16 @@ def validate(
                 ):
                     errors.append("base-level tiles outside the aligned cover")
 
-    # ---- page conservation across summable kernels ----------------------
+    # ---- page conservation (every kernel: child pages are attributed
+    # to exactly one parent tile, so totals are invariant per level) ----
     resampling = spec.get("resampling", "sum")
-    if resampling in ("sum", "average") and len(m.levels) > 1:
+    if len(m.levels) > 1:
         base_pages = m.levels[0].pages
         for lv in m.levels[1:]:
             if lv.pages != base_pages:
                 errors.append(
                     f"z={lv.z}: page_count {lv.pages} != base {base_pages} "
-                    f"(decimation must conserve pages under {resampling})"
+                    f"(decimation attributes pages exactly once under {resampling})"
                 )
 
     # ---- spot check grid payloads ---------------------------------------
