@@ -374,3 +374,69 @@ def test_band_metadata_roundtrip(ray_session, tmp_path):
     assert bands["count"].Tags == {"DESCRIPTION": "page density"}
     assert bands["count"].Scale == 2.0
     assert bands["count"].Offset == 0.5
+
+
+def test_export_dense_matches_oracle_grids(ray_session, tmp_path):
+    """export_dense (the raster export path): exact float grids equal
+    the oracle's scattered counts; lossy export quantizes to uint8 with
+    per-tile max scaling."""
+    path = fixtures.scenario_path("pages_rgb")
+    spec = _spec_for("pages_rgb", zoom=5, overview_levels=1, resampling="average")
+    out = str(tmp_path / "out_export")
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+    table = pq.read_table(path)
+    oracle_levels = oracle.pyramid(table, spec, source="pages")
+
+    # base level exact export
+    got = dict(create_mod.export_dense(out, spec.zoom))
+    base = oracle_levels[spec.zoom]
+    assert set(got) == set(base)
+    for k, (cells, counts, _p) in base.items():
+        g = np.zeros(spec.tile_px * spec.tile_px, dtype=np.float32)
+        g[cells] = counts.astype(np.float32)
+        np.testing.assert_array_equal(got[k], g.reshape(spec.tile_px, spec.tile_px))
+
+    # overview level: 'average' divides by base**(2*level) at export
+    z1 = spec.zooms[1]
+    got1 = dict(create_mod.export_dense(out, z1))
+    ov = oracle_levels[z1]
+    for k, (cells, counts, _p) in ov.items():
+        g = np.zeros(spec.tile_px * spec.tile_px, dtype=np.float32)
+        g[cells] = counts.astype(np.float32) / 4.0
+        np.testing.assert_array_equal(got1[k], g.reshape(spec.tile_px, spec.tile_px))
+
+    # lossy export: uint8, max-scaled per tile
+    lossy = dict(create_mod.export_dense(out, spec.zoom, lossy=True))
+    for k, grid in lossy.items():
+        assert grid.dtype == np.uint8
+        if got[k].max() > 0:
+            assert grid.max() == 255
+
+
+def test_measure_bounds_and_extract_stage(ray_session):
+    """measure_bounds == direct min/max of the prepared mercator coords;
+    assign.verify_extract_invariant counts zero mismatches on fixtures
+    and detects an injected corruption."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import assign
+
+    path = fixtures.scenario_path("pages_tiny")
+    spec = _spec_for("pages_tiny", zoom=6)
+    w, s, e, n = create_mod.measure_bounds(path, spec, source="pages")
+
+    table = pq.read_table(path)
+    prep = oracle.prepare(table, spec, source="pages")
+    mx = prep["mx"].to_pandas().dropna()
+    my = prep["my"].to_pandas().dropna()
+    assert (w, s, e, n) == (mx.min(), my.min(), mx.max(), my.max())
+
+    ok = assign.verify_extract_invariant(table)
+    assert ok["mismatches"][0].as_py() == 0
+    bad = table.set_column(
+        table.column_names.index("text"), "text",
+        pa.array(["CORRUPT"] + table["text"].to_pylist()[1:], pa.string()),
+    )
+    assert assign.verify_extract_invariant(bad)["mismatches"][0].as_py() == 1
