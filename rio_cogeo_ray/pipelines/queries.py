@@ -1225,6 +1225,27 @@ SQL_SAMPLE_STRATIFIED = (
 )
 
 
+TOPK_PER_LANG = 5
+
+
+def q_token_topk_lang(sf_dir: str):
+    """Heavy hitters PER STRATUM: top-5 tokens within each lang
+    (text.token_topk_per_group — partial counts collapse Zipf mass
+    pre-shuffle, then bucketed per-group top-k). ROW_NUMBER mirror."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    return text.token_topk_per_group(ds, "lang", "text", k=TOPK_PER_LANG)
+
+
+SQL_TOKEN_TOPK_LANG = (
+    "SELECT lang, token, n, rank FROM ("
+    "SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rank "
+    "FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token "
+    "FROM documents) GROUP BY lang, token"
+    f") WHERE rank <= {TOPK_PER_LANG}"
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1331,6 +1352,7 @@ def queries() -> Dict[str, Callable]:
         "sample_stratified": q_sample_stratified,
         "hll_distinct": q_hll_distinct,
         "token_topk": q_token_topk,
+        "token_topk_lang": q_token_topk_lang,
         "events_sliding": q_events_sliding,
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
@@ -1378,6 +1400,7 @@ def oracle_sql() -> Dict[str, str]:
         "sample_bottomk": SQL_SAMPLE_BOTTOMK,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "token_topk": SQL_TOKEN_TOPK,
+        "token_topk_lang": SQL_TOKEN_TOPK_LANG,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,

@@ -228,3 +228,52 @@ def token_topk(ds, text_col: str = "text", k: int = 50):
         lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
     )
     return merged.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def grouped_token_value_counts(
+    batch: pa.Table, group_col: str, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch (group, token, n) partial counts — the per-stratum
+    heavy-hitters combiner. Same Zipf-collapse property as
+    :func:`token_value_counts`, one row per distinct (group, token)
+    per batch."""
+    groups = batch[group_col].combine_chunks()
+    lists = pc.split_pattern_regex(
+        batch[text_col].combine_chunks().cast(pa.string()), r"\s+"
+    )
+    lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    toks = lists.flatten()
+    keep = pc.not_equal(toks, "")
+    toks = toks.filter(keep)
+    rep = rep[keep.to_numpy(zero_copy_only=False)]
+    pair = pa.table({group_col: groups.take(pa.array(rep)), "token": toks})
+    # within-batch (group, token) counts via arrow group_by (native)
+    agg = pair.group_by([group_col, "token"]).aggregate([([], "count_all")])
+    return agg.rename_columns([group_col, "token", "n"])
+
+
+def token_topk_per_group(ds, group_col: str, text_col: str = "text", k: int = 10):
+    """Top-k tokens WITHIN each group (heavy hitters per stratum —
+    e.g. per language): per-batch (group, token) partial counts →
+    bucketed exact merge → bucketed per-group top-k
+    (stages/knn.py:per_group_topk). Deterministic ties: higher n first,
+    then token ascending. SQL mirror: ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY n DESC, token)."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+    from rio_cogeo_ray.stages.knn import per_group_topk
+
+    partials = ds.map_batches(
+        lambda t: grouped_token_value_counts(t, group_col, text_col),
+        batch_format="pyarrow",
+    )
+    merged = partial_group_agg(
+        partials, keys=[group_col, "token"], sum_cols=["n"], count_as=None
+    )
+    merged = merged.map_batches(
+        lambda t: t.rename_columns([group_col, "token", "n"]),
+        batch_format="pyarrow",
+    )
+    return per_group_topk(
+        merged, group_col, [("n", False), ("token", True)], k, rank_col="rank"
+    )

@@ -539,3 +539,29 @@ def test_stratified_sample_semantics(ray_session):
         pdf.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(10)
     )
     assert a == sorted(map(tuple, ref[["lang", "doc_id"]].values.tolist()))
+
+
+def test_token_topk_per_group_matches_pandas(ray_session):
+    """Per-stratum heavy hitters == pandas groupby ROW_NUMBER oracle."""
+    from rio_cogeo_ray.stages import text as text_mod
+
+    rng = np.random.RandomState(19)
+    langs = np.take(["en", "de"], rng.randint(0, 2, 600))
+    words = np.take(["the", "der", "fox", "baum", "xy"], rng.randint(0, 5, (600, 6)))
+    texts = [" ".join(w) for w in words]
+    t = pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    got = (
+        text_mod.token_topk_per_group(rd.from_arrow(t).repartition(5), "lang", k=3)
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    )
+    pdf = t.to_pandas()
+    rows = []
+    for lang, g in pdf.groupby("lang"):
+        toks = pd.Series(" ".join(g["text"]).split()).value_counts()
+        df = toks.reset_index()
+        df.columns = ["token", "n"]
+        df = df.sort_values(["n", "token"], ascending=[False, True]).head(3)
+        for r, (_, row) in enumerate(df.iterrows(), 1):
+            rows.append((lang, row["token"], int(row["n"]), r))
+    ref = pd.DataFrame(rows, columns=["lang", "token", "n", "rank"])
+    pd.testing.assert_frame_equal(got[["lang", "token", "n", "rank"]], ref, check_dtype=False)
