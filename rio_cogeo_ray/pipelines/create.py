@@ -435,11 +435,16 @@ def export_dense(
     out_dir: str,
     z: int,
     lossy: bool = False,
+    dtype: Optional[str] = None,
 ):
-    """Yield (tile_key, dense float32 G×G grid) for one level — the
-    raster-side export. ``lossy`` quantizes counts into uint8 with
-    per-tile max scaling (the jpeg/webp/lerc profile analog; the stored
-    pyramid stays exact int64 — only this export loses precision)."""
+    """Yield (tile_key, dense G×G grid) for one level — the raster-side
+    export. ``lossy`` quantizes counts into uint8 with per-tile max
+    scaling (the jpeg/webp/lerc profile analog; the stored pyramid stays
+    exact int64 — only this export loses precision). ``dtype`` overrides
+    the output data type (the reference's cog_translate ``dtype`` param,
+    cogeo.py:120-122): default float32, or any numpy dtype name —
+    e.g. 'float64' for exactness headroom, 'int64' to truncate back to
+    integer counts."""
     import pyarrow.parquet as pq
 
     from rio_cogeo_ray.stages.rasterize import tiles_to_dense
@@ -458,4 +463,6 @@ def export_dense(
                 grid = np.round(grid * (255.0 / mx)).astype(np.uint8)
             else:
                 grid = grid.astype(np.uint8)
+        elif dtype is not None:
+            grid = grid.astype(np.dtype(dtype))
         yield key, grid

@@ -440,3 +440,19 @@ def test_measure_bounds_and_extract_stage(ray_session):
         pa.array(["CORRUPT"] + table["text"].to_pylist()[1:], pa.string()),
     )
     assert assign.verify_extract_invariant(bad)["mismatches"][0].as_py() == 1
+
+
+def test_export_dense_dtype_override(ray_session, tmp_path):
+    """dtype override on export (cog_translate dtype param analog)."""
+    path = fixtures.scenario_path("pages_tiny")
+    spec = _spec_for("pages_tiny", zoom=5, overview_levels=0)
+    out = str(tmp_path / "out_dtype")
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+    f32 = dict(create_mod.export_dense(out, 5))
+    i64 = dict(create_mod.export_dense(out, 5, dtype="int64"))
+    f64 = dict(create_mod.export_dense(out, 5, dtype="float64"))
+    for k in f32:
+        assert f32[k].dtype == np.float32
+        assert i64[k].dtype == np.int64
+        assert f64[k].dtype == np.float64
+        np.testing.assert_array_equal(i64[k], f32[k].astype(np.int64))
