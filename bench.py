@@ -205,6 +205,33 @@ def bench_headline():
     return merged.count()
 
 
+def bench_quantiles():
+    """Exact two-pass distributed quantiles over lineitem extendedprice."""
+    import os as _os
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import sketch
+
+    ds = rd.read_parquet(_os.path.join(SF_DIR, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    r = sketch.exact_quantiles(ds, "l_extendedprice", (0.5, 0.9, 0.99))
+    return len(r)
+
+
+def bench_embed_neardup():
+    """SRP-LSH embedding near-dup clustering over the embeddings table."""
+    import os as _os
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import dedup
+
+    emb = rd.read_parquet(_os.path.join(SF_DIR, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return dedup.embedding_neardup(emb, threshold=0.95, max_rounds=2).count()
+
+
 def bench_lineitem_agg():
     from rio_cogeo_ray.pipelines import queries as q
 
@@ -230,6 +257,8 @@ BENCHES = {
     "hash_join": bench_hash_join,
     "token_topk": bench_token_topk,
     "hll_distinct": bench_hll_distinct,
+    "quantiles": bench_quantiles,
+    "embed_neardup": bench_embed_neardup,
 }
 
 
