@@ -1246,6 +1246,26 @@ SQL_TOKEN_TOPK_LANG = (
 )
 
 
+def q_profile_lineitem(sf_dir: str):
+    """One-pass column profile of lineitem numerics (stages/profile.py):
+    row count, null count, exact min/max per column — the know-your-
+    corpus step. SQL mirror: per-column COUNT / MIN / MAX."""
+    from rio_cogeo_ray.stages.profile import profile_columns
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(os.path.join(sf_dir, "lineitem.parquet"), cols)
+    return profile_columns(ds, cols)
+
+
+SQL_PROFILE_LINEITEM = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n, "
+    f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls, "
+    f"CAST(MIN({c}) AS DOUBLE) AS min, CAST(MAX({c}) AS DOUBLE) AS max "
+    f"FROM lineitem"
+    for c in ("l_quantity", "l_extendedprice", "l_discount")
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1353,6 +1373,7 @@ def queries() -> Dict[str, Callable]:
         "hll_distinct": q_hll_distinct,
         "token_topk": q_token_topk,
         "token_topk_lang": q_token_topk_lang,
+        "profile_lineitem": q_profile_lineitem,
         "events_sliding": q_events_sliding,
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
@@ -1401,6 +1422,7 @@ def oracle_sql() -> Dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "token_topk": SQL_TOKEN_TOPK,
         "token_topk_lang": SQL_TOKEN_TOPK_LANG,
+        "profile_lineitem": SQL_PROFILE_LINEITEM,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,

@@ -565,3 +565,22 @@ def test_token_topk_per_group_matches_pandas(ray_session):
             rows.append((lang, row["token"], int(row["n"]), r))
     ref = pd.DataFrame(rows, columns=["lang", "token", "n", "rank"])
     pd.testing.assert_frame_equal(got[["lang", "token", "n", "rank"]], ref, check_dtype=False)
+
+
+def test_profile_columns_with_nulls(ray_session):
+    """Column profile: exact counts/nulls/min/max incl. all-null and
+    non-numeric columns, partition-independent."""
+    from rio_cogeo_ray.stages.profile import profile_columns
+
+    t = pa.table(
+        {
+            "a": pa.array([1.0, None, 3.5, -2.0, None], pa.float64()),
+            "b": pa.array([None] * 5, pa.int64()),
+            "s": pa.array(["x", "y", None, "z", "w"]),
+        }
+    )
+    got = profile_columns(rd.from_arrow(t).repartition(3)).to_pandas().set_index("column")
+    assert got.loc["a", "n"] == 5 and got.loc["a", "nulls"] == 2
+    assert got.loc["a", "min"] == -2.0 and got.loc["a", "max"] == 3.5
+    assert got.loc["b", "nulls"] == 5 and np.isnan(got.loc["b", "min"])
+    assert got.loc["s", "nulls"] == 1 and np.isnan(got.loc["s", "min"])
