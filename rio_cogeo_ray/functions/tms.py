@@ -296,6 +296,25 @@ _KEY_XY_MASK = (1 << 29) - 1
 TILE_KEY_SQL = "({z} * 288230376151711744 + {x} * 536870912 + {y})"
 
 
+def crs84_tile(lon: ArrayLike, lat: ArrayLike, z: int) -> Tuple[np.ndarray, np.ndarray]:
+    """WorldCRS84Quad tile indices (the multi-TMS axis the reference
+    exposes via its ``tms:`` parameter, rio_cogeo/cogeo.py:86,
+    cli.py:214-218): plain-degree quad grid, TWO columns × one row at
+    level 0 (OGC WorldCRS84Quad), cell = 180/2^z degrees.
+
+    Same floor/tie/clamp rules as the mercator grid: right/bottom
+    boundary belongs to the next tile, world edge clamps in. Exactly
+    mirrored in SQL (pure arithmetic, no transcendentals at all)."""
+    span = 180.0 / float(1 << z)
+    nx = np.int64(2) << np.int64(z)
+    ny = np.int64(1) << np.int64(z)
+    tx = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / span)
+    ty = np.floor((90.0 - np.asarray(lat, dtype=np.float64)) / span)
+    tx = np.clip(tx, 0, float(nx - 1)).astype(np.int64)
+    ty = np.clip(ty, 0, float(ny - 1)).astype(np.int64)
+    return tx, ty
+
+
 def ladder_step(base: int) -> int:
     """Ladder z decrement per pyramid step for a decimation base:
     log2(base) for powers of two (real TMS zooms); 1 otherwise (pseudo-

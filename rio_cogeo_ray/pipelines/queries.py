@@ -1266,6 +1266,40 @@ SQL_PROFILE_LINEITEM = " UNION ALL ".join(
 )
 
 
+CRS84_Z = 5
+
+
+def q_tile_assign_crs84(sf_dir: str):
+    """Tile assignment in a SECOND tile matrix set — WorldCRS84Quad
+    (plain-degree quad grid, 2×1 tiles at level 0; tms.crs84_tile) —
+    the reference's custom-``tms`` parameter axis (cogeo.py:86,
+    cli.py:214-218). Pure arithmetic, hash-exact."""
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy(zero_copy_only=False)
+        lat = t["lat"].combine_chunks().to_numpy(zero_copy_only=False)
+        x, y = tms.crs84_tile(lon, lat, CRS84_Z)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+SQL_TILE_ASSIGN_CRS84 = (
+    _geo_cte() + " "
+    f"SELECT doc_id, "
+    f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / {180.0 / (1 << CRS84_Z)!r}) AS BIGINT), 0), {(2 << CRS84_Z) - 1}) AS x, "
+    f"LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / {180.0 / (1 << CRS84_Z)!r}) AS BIGINT), 0), {(1 << CRS84_Z) - 1}) AS y "
+    f"FROM m"
+)
+
+
 def q_media_stats(sf_dir: str):
     """Multimodal feature extraction as a first-class pipeline: synth
     media corpus → ImageFeatures actor pool (PIL when present, byte-fold
@@ -1339,6 +1373,7 @@ def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
+        "tile_assign_crs84": q_tile_assign_crs84,
         "tile_density": q_tile_density,
         "pyramid_counts": q_pyramid_counts,
         "pyramid_bilinear": q_pyramid_bilinear,
@@ -1391,6 +1426,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
+        "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,
         "tile_density": SQL_TILE_DENSITY,
         "pyramid_counts": SQL_PYRAMID_COUNTS,
         "pyramid_bilinear": SQL_PYRAMID_BILINEAR,

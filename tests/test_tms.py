@@ -255,3 +255,30 @@ def test_cell_encode_tile_consistency(lon, lat, z):
     cz, cx, cy = tms.cell_to_tile(cell)
     x, y = tms.tile(np.array([lon]), np.array([lat]), z)
     assert (int(cz[0]), int(cx[0]), int(cy[0])) == (z, int(x[0]), int(y[0]))
+
+
+def test_crs84_tile_grid():
+    """WorldCRS84Quad: 2×1 tiles at z0; degree-grid floors; boundary →
+    next tile; world edge clamps."""
+    lon = np.array([-180.0, -0.0001, 0.0, 179.9999, 180.0])
+    lat = np.array([90.0, 0.0001, 0.0, -89.9999, -90.0])
+    x0, y0 = tms.crs84_tile(lon, lat, 0)
+    assert x0.tolist() == [0, 0, 1, 1, 1]
+    assert y0.tolist() == [0, 0, 0, 0, 0]
+    # z=1: 4×2 grid, 90° cells
+    x1, y1 = tms.crs84_tile(np.array([-91.0, -90.0, 89.0, 90.0]),
+                            np.array([1.0, -1.0, 89.0, -89.0]), 1)
+    assert x1.tolist() == [0, 1, 2, 3]
+    assert y1.tolist() == [0, 1, 0, 1]
+    # agreement with plain formula at a deeper level
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(-180, 180, 500)
+    la = rng.uniform(-90, 90, 500)
+    x, y = tms.crs84_tile(lo, la, 6)
+    span = 180.0 / 64
+    np.testing.assert_array_equal(
+        x, np.clip(np.floor((lo + 180.0) / span), 0, 127).astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        y, np.clip(np.floor((90.0 - la) / span), 0, 63).astype(np.int64)
+    )
