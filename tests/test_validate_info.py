@@ -171,3 +171,38 @@ def test_find_tile_and_dense_export(built):
     assert int(g.sum()) == base["page_count"]  # sum kernel: counts conserved
     lossy = dict(create_mod.export_dense(out, spec.zoom, lossy=True))
     assert lossy[key].dtype.name == "uint8" and lossy[key].max() == 255
+
+
+def test_spec_plan_time_refusals():
+    """TilingSpec validation matrix (the reference's option-validation
+    errors, cogeo.py:189-234 analog): every invalid combination refuses
+    at PLAN time, before any distributed work."""
+    import pytest
+
+    from rio_cogeo_ray import errors
+    from rio_cogeo_ray.pipelines.spec import TilingSpec
+
+    def ok(**kw):
+        base = dict(zoom=6, min_zoom=2)
+        base.update(kw)
+        return TilingSpec(**base)
+
+    ok()  # sanity
+    ok(decimation_base=3)
+    ok(resampling="lanczos")
+    with pytest.raises(errors.IncompatibleOptions):
+        ok(decimation_base=1)
+    with pytest.raises(errors.IncompatibleOptions):
+        ok(decimation_base=3, tile_cover=(0, 0, 3, 3))  # cover needs pow2
+    with pytest.raises(errors.IncompatibleOptions):
+        ok(decimation_base=4, aligned_levels=2)  # aligned needs base 2
+    with pytest.raises(errors.IncompatibleOptions):
+        ok(resampling="rms")  # not an engine kernel
+    with pytest.raises(errors.IncompatibleOptions):
+        ok(invalid_policy="ignore")
+    with pytest.raises(errors.IncompatibleOptions):
+        TilingSpec(zoom=5, min_zoom=6)  # min > max
+    with pytest.raises(errors.IncompatibleOptions):
+        TilingSpec(zoom=31, min_zoom=0)  # beyond key packing
+    with pytest.raises(errors.IncompatibleOptions):
+        ok(tile_px=100)  # not a power of two
