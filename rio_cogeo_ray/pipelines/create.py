@@ -466,3 +466,158 @@ def export_dense(
         elif dtype is not None:
             grid = grid.astype(np.dtype(dtype))
         yield key, grid
+
+
+def spec_from_manifest(m: mani.Manifest) -> TilingSpec:
+    """Reconstruct the TilingSpec an output was built with (manifest
+    stores the full plan, geocode included)."""
+    d = m.spec
+    return TilingSpec(
+        zoom=int(d["zoom"]),
+        min_zoom=int(d["min_zoom"]),
+        aligned_levels=int(d.get("aligned_levels", 0)),
+        tile_px=int(d["tile_px"]),
+        decimation_base=int(d.get("decimation_base", 2)),
+        resampling=d.get("resampling", "sum"),
+        geocode=GeoSpec(
+            boxes=[tuple(b) for b in d.get("geocode_boxes", [])]
+            or GeoSpec().boxes,
+            invalid_per_65536=int(d.get("geocode_invalid_per_65536", 0)),
+        ),
+        invalid_policy=d.get("invalid_policy", "mask"),
+        tile_cover=tuple(d["tile_cover"]) if d.get("tile_cover") else None,
+    )
+
+
+def append(
+    src_new: Union[str, Sequence[str], rd.Dataset],
+    out_dir: str,
+    batch_size: int = 8192,
+    n_buckets: int = 64,
+    codec: Optional[str] = None,
+) -> mani.Manifest:
+    """Incrementally ingest NEW pages into an existing pyramid — the
+    daily-crawl delta path. Valid only for ADDITIVE kernels
+    (sum/average): existing base tiles are themselves valid partial
+    rows, so the delta merge is ``merge(existing ∪ new_partials)`` —
+    no reprocessing of the old corpus — and coarser levels rebuild
+    from the merged base (geometrically cheap). The result is
+    BIT-IDENTICAL to a from-scratch create() over the union corpus
+    (pinned by test_append_equals_full_create).
+
+    Markers are rewritten with a None source fingerprint (the output no
+    longer corresponds to any single input), so a later create(resume=
+    True) over either corpus alone will rebuild rather than resume.
+    """
+    m = mani.load_manifest(out_dir)
+    spec = spec_from_manifest(m)
+    if spec.resampling not in ("sum", "average"):
+        raise errors.IncompatibleOptions(
+            f"append requires an additive kernel (sum/average), the "
+            f"output was built with {spec.resampling!r}"
+        )
+    source = m.spec.get("source", "pages")
+    weight_col = m.spec.get("weight_col")
+    step = spec.zoom_step
+    base_z = spec.zoom
+
+    id_cols = {"pages": ["url"], "lonlat": ["lon", "lat"]}.get(source, ["doc_id"])
+    cols = id_cols + ([weight_col] if weight_col else [])
+    ds = _read_input(src_new, cols)
+    new_rows = ds.count()
+    prepare = assign.make_prepare_fn(spec.geocode, base_z, extract=False, source=source)
+    prepared = ds.map_batches(prepare, batch_format="pyarrow", batch_size=batch_size)
+    if spec.tile_cover is not None:
+        min_x, min_y, max_x, max_y = spec.tile_cover
+
+        def _clip(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.and_(
+                pc.and_(pc.greater_equal(t["x"], min_x), pc.less_equal(t["x"], max_x)),
+                pc.and_(pc.greater_equal(t["y"], min_y), pc.less_equal(t["y"], max_y)),
+            )
+            return t.filter(pc.fill_null(keep, False))
+
+        prepared = prepared.map_batches(_clip, batch_format="pyarrow")
+    new_partials = prepared.map_batches(
+        lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
+        batch_format="pyarrow",
+        batch_size=max(batch_size, 131072),
+    )
+    existing = read_level(out_dir, base_z)  # final tiles ARE partials
+    merged = rasterize.merge_sparse_tiles(
+        existing.union(new_partials), spec.resampling, level=0,
+        base=spec.decimation_base, tile_px=spec.tile_px, n_buckets=n_buckets,
+    )
+    # the pipeline READS the current base level while writing the new
+    # one: stream into a temp dir first, swap only after the read is
+    # fully consumed (unlike _write_level, which pre-deletes the target)
+    final = mani.level_dir(out_dir, base_z)
+    tmp = os.path.join(out_dir, "tiles", f".tmp-append-z={base_z}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if codec:
+        merged.write_parquet(tmp, compression=codec)
+    else:
+        merged.write_parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    entry = _level_stats(out_dir, base_z, decimation=1)
+    mani.write_level_marker(out_dir, entry)
+
+    # pyramid rebuild from the merged base (same path as create())
+    local_table: Optional[pa.Table] = None
+    base_b = spec.decimation_base
+    zooms = spec.zooms
+    levels_done = {base_z: entry}
+    for j, z in enumerate(zooms[1:], start=1):
+        if local_table is None:
+            prev = levels_done[z + step]
+            if sum(f.bytes for f in prev.files) < _DRIVER_SIDE_BYTES:
+                import pyarrow.parquet as pq
+
+                local_table = pq.read_table(mani.level_dir(out_dir, z + step))
+        if local_table is not None:
+            partials = rasterize.pyramid_partials(
+                local_table, spec.tile_px, spec.resampling, base_b
+            )
+            merged_t = rasterize._merge_bucket_table(
+                partials, spec.resampling, j, base_b, spec.tile_px
+            )
+            entry = _write_level_table(
+                merged_t, out_dir, z, decimation=base_b**j, codec=codec
+            )
+            local_table = merged_t
+        else:
+            child = read_level(out_dir, z + step)
+            partials = child.map_batches(
+                lambda t: rasterize.pyramid_partials(
+                    t, spec.tile_px, spec.resampling, base_b
+                ),
+                batch_format="pyarrow",
+            )
+            merged_l = rasterize.merge_sparse_tiles(
+                partials, spec.resampling, level=j, base=base_b,
+                tile_px=spec.tile_px, n_buckets=n_buckets,
+            )
+            _write_level(merged_l, out_dir, z, codec=codec)
+            entry = _level_stats(out_dir, z, decimation=base_b**j)
+        mani.write_level_marker(out_dir, entry)
+        levels_done[z] = entry
+
+    base_pages = levels_done[base_z].pages
+    total = int(m.total_pages) + int(new_rows)
+    m2 = mani.Manifest(
+        spec=m.spec,
+        levels=[levels_done[z] for z in zooms],
+        tags=m.tags,
+        band_tags=m.band_tags,
+        band_scales=m.band_scales,
+        band_offsets=m.band_offsets,
+        colormap=m.colormap,
+        total_pages=total,
+        invalid_pages=total - base_pages,
+    )
+    mani.write_manifest(out_dir, m2)
+    _write_tile_index(out_dir, m2)
+    return m2

@@ -456,3 +456,53 @@ def test_export_dense_dtype_override(ray_session, tmp_path):
         assert i64[k].dtype == np.int64
         assert f64[k].dtype == np.float64
         np.testing.assert_array_equal(i64[k], f32[k].astype(np.int64))
+
+
+def test_append_equals_full_create(ray_session, tmp_path):
+    """Incremental append (delta ingest): create(A) + append(B) is
+    BIT-IDENTICAL to create(A ∪ B) — tiles, counts, pages, manifest
+    totals (additive kernels only; others refuse)."""
+    import pyarrow.parquet as pq2
+
+    from rio_cogeo_ray import errors as errors_mod
+
+    table = fixtures.scenario_table("pages_rgb")
+    half = table.num_rows // 2
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    pq2.write_table(table.slice(0, half), a_path)
+    pq2.write_table(table.slice(half), b_path)
+    full_path = str(tmp_path / "full.parquet")
+    pq2.write_table(table, full_path)
+
+    spec = _spec_for("pages_rgb", zoom=6, overview_levels=2)
+    out_inc = str(tmp_path / "out_inc")
+    out_full = str(tmp_path / "out_full")
+    create_mod.create(a_path, out_inc, spec, source="pages", batch_size=512)
+    m_inc = create_mod.append(b_path, out_inc, batch_size=512)
+    m_full = create_mod.create(full_path, out_full, spec, source="pages", batch_size=512)
+
+    assert m_inc.total_pages == m_full.total_pages == table.num_rows
+    assert m_inc.invalid_pages == m_full.invalid_pages
+    for z in spec.zooms:
+        inc = _load_level(out_inc, z)
+        ful = _load_level(out_full, z)
+        assert set(inc) == set(ful), z
+        for k in ful:
+            np.testing.assert_array_equal(inc[k][0], ful[k][0])
+            np.testing.assert_array_equal(inc[k][1], ful[k][1])
+            assert inc[k][2] == ful[k][2]
+
+    from rio_cogeo_ray.pipelines import validate as validate_mod
+
+    ok, errs, _ = validate_mod.validate(out_inc)
+    assert ok, errs
+
+    # non-additive kernels refuse at plan time
+    out_mode = str(tmp_path / "out_mode")
+    spec_mode = _spec_for("pages_rgb", zoom=5, overview_levels=1, resampling="mode")
+    create_mod.create(a_path, out_mode, spec_mode, source="pages", batch_size=512)
+    import pytest as _pytest
+
+    with _pytest.raises(errors_mod.IncompatibleOptions):
+        create_mod.append(b_path, out_mode)
