@@ -126,6 +126,28 @@ def cmd_create(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    """Incremental delta ingest (pipelines/create.py:append)."""
+    from rio_cogeo_ray.pipelines import create as create_mod
+
+    _ray_init(args.threads)
+    m = create_mod.append(args.src, args.dst)
+    print(
+        json.dumps(
+            {
+                "out": args.dst,
+                "levels": [(lv.z, lv.tiles, lv.pages) for lv in m.levels],
+                "total_pages": m.total_pages,
+                "invalid_pages": m.invalid_pages,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Thin verdict wrapper (cli.py:334-357 analog)."""
     from rio_cogeo_ray.pipelines.validate import validate
@@ -193,6 +215,12 @@ def main(argv=None) -> int:
     c.add_argument("--threads", type=_parse_threads, default="all_cpus",
                    help="CPUs for ray.init ('all_cpus' or int)")
     c.set_defaults(fn=cmd_create)
+
+    a = sub.add_parser("append", help="incrementally ingest a new corpus into an existing pyramid")
+    a.add_argument("src", help="new input parquet file/dir")
+    a.add_argument("dst", help="existing pyramid dir")
+    a.add_argument("--threads", type=_parse_threads, default="all_cpus")
+    a.set_defaults(fn=cmd_append)
 
     v = sub.add_parser("validate", help="validate a pyramid output")
     v.add_argument("src")
