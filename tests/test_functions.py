@@ -254,3 +254,44 @@ def test_conv_kernels_dc_gain():
             # negative lobes fall outside the grid while the divisor
             # stays (Σw)²) — that asymmetry is the documented edge rule
             assert vals.max() <= C
+
+
+def test_spec_from_manifest_roundtrip(tmp_path):
+    """create() → manifest → spec_from_manifest reconstructs the plan."""
+    import dataclasses
+
+    from rio_cogeo_ray.pipelines.spec import plan
+
+    spec = plan(
+        zoom=6, overview_levels=2, tile_px=128, decimation_base=4,
+        resampling="cubic", geocode=fixtures.scenario_spec("pages_rgb"),
+    )
+    # round-trip through the manifest dict shape without running create
+    from dataclasses import asdict
+
+    from rio_cogeo_ray.pipelines.create import spec_from_manifest
+    from rio_cogeo_ray.state.manifest import Manifest
+
+    d = {
+        **{k: v for k, v in asdict(spec).items() if k != "geocode"},
+        "geocode_boxes": list(map(list, spec.geocode.boxes)),
+        "geocode_invalid_per_65536": spec.geocode.invalid_per_65536,
+        "source": "pages",
+        "weight_col": None,
+    }
+    got = spec_from_manifest(Manifest(spec=d))
+    assert got == spec
+
+
+def test_kernel_taps_dc_sum_any_base():
+    """Tap sums are positive and taps symmetric for bases 2..7 — the
+    normalization denominator is always well-defined."""
+    from rio_cogeo_ray.stages.rasterize import CONV_KERNELS, kernel_taps
+
+    for k in CONV_KERNELS:
+        for b in range(2, 8):
+            offs, ws, wsum = kernel_taps(k, b)
+            assert wsum > 0
+            assert np.array_equal(ws, ws[::-1])
+            # offsets cover at least one full child block
+            assert offs.min() <= 0 and offs.max() >= b - 1
