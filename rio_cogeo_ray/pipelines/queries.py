@@ -1369,6 +1369,80 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-flavored COMPOSED pipeline — the full warehouse join-chain
+    shape, expressed Ray-Data-first with exactly one all-to-all exchange:
+
+      lineitem (fact; pruned to 3 columns at the read; revenue quantized
+      to exact int64 PRE-shuffle, so only (orderkey, rev) ever moves)
+      ⋈ orders (fact) via ``bucketed_hash_join`` on orderkey — the one
+      shuffle — then customer→nation resolved by two CHAINED broadcast
+      lookups (each dimension shipped once via ``ray.put``, indexed once
+      per actor, never re-shipped per batch), then a partial→final
+      grouped sum by nation name.
+
+    Revenue = cents(l_extendedprice) · (100 − pct(l_discount)): an exact
+    integer in price-cents × discount-complement-percent units, so the
+    distributed sum is order-independent and hash-exact vs DuckDB.
+
+    Scale note: nation (25 rows) is always broadcastable; customer is
+    broadcast here because at bench scale it is the small side — at a
+    scale where customers outgrow worker heaps, swap that hop for a
+    second ``bucketed_hash_join`` on custkey (same output, one more
+    exchange). The fact⋈fact hop is bucketed from the start.
+    """
+    li = _read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        pct = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "rev": pa.array(cents * (np.int64(100) - pct), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        os.path.join(sf_dir, "orders.parquet"), ["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = join_mod.bucketed_hash_join(
+        li.map_batches(_rev, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        n_buckets=16,
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).rename_columns(["o_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
+    j2 = join_mod.broadcast_join(joined, cust, on="o_custkey", concurrency=2)
+    j3 = join_mod.broadcast_join(j2, nation, on="c_nationkey", concurrency=2)
+    return agg.partial_group_agg(j3, keys=["n_name"], sum_cols=["rev"], count_as="n")
+
+
+SQL_REVENUE_BY_NATION = (
+    "SELECT n_name, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) "
+    "* (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS sum_rev, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1394,6 +1468,7 @@ def queries() -> Dict[str, Callable]:
         "lineitem_stats": q_lineitem_stats,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_orders": q_lineitem_orders,
+        "revenue_by_nation": q_revenue_by_nation,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1449,6 +1524,7 @@ def oracle_sql() -> Dict[str, str]:
         "lineitem_stats": SQL_LINEITEM_STATS,
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "lineitem_orders": SQL_LINEITEM_ORDERS,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "ann_cosine": SQL_ANN_COSINE,
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "cell_assign": SQL_CELL_ASSIGN,
