@@ -1443,6 +1443,110 @@ SQL_REVENUE_BY_NATION = (
 )
 
 
+def q_customers_no_urgent(sf_dir: str):
+    """Large-large ANTI join (NOT EXISTS): customers with no URGENT
+    order, via ``bucketed_hash_join(how='anti')`` — the existence-filter
+    flavor for when the filter side is too big to broadcast. The urgency
+    predicate is pushed into the parquet read (row-group-level filter),
+    and only order KEYS enter the exchange (the join prunes right
+    payload before bucketing); each bucket runs pyarrow's native
+    left-anti join."""
+    import pyarrow.dataset as pads
+
+    cust = _read(
+        os.path.join(sf_dir, "customer.parquet"), ["c_custkey", "c_mktsegment"]
+    )
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    return join_mod.bucketed_hash_join(cust, urgent, on="c_custkey", n_buckets=16, how="anti")
+
+
+SQL_CUSTOMERS_NO_URGENT = (
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders "
+    "WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"
+)
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """Multi-level (GROUP BY ROLLUP) aggregate from ONE shuffle: the
+    leaf (returnflag × linestatus) partial→final aggregate is the only
+    distributed pass; the coarser levels are exact re-reductions of the
+    tiny leaf table on the driver (int64 sums of int64 leaf sums, min of
+    leaf mins), so every level stays order-independent and hash-exact.
+    Rolled-up key columns surface as 'ALL'."""
+    import pyarrow.compute as pc
+
+    leaf_ds = q_lineitem_stats(sf_dir)
+    leaf = pa.Table.from_pylist(
+        leaf_ds.take_all(),
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.int64()),
+                ("min_l_extendedprice", pa.float64()),
+                ("max_l_extendedprice", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    aggs = [
+        ("sum_qty", "sum"),
+        ("min_l_extendedprice", "min"),
+        ("max_l_extendedprice", "max"),
+        ("n", "sum"),
+    ]
+    out_names = ["sum_qty", "min_l_extendedprice", "max_l_extendedprice", "n"]
+
+    def _level(keys):
+        g = leaf.group_by(keys).aggregate(aggs) if keys else pa.table(
+            {
+                "sum_qty": pa.array([pc.sum(leaf["sum_qty"]).as_py()], pa.int64()),
+                "min_l_extendedprice": pa.array(
+                    [pc.min(leaf["min_l_extendedprice"]).as_py()], pa.float64()
+                ),
+                "max_l_extendedprice": pa.array(
+                    [pc.max(leaf["max_l_extendedprice"]).as_py()], pa.float64()
+                ),
+                "n": pa.array([pc.sum(leaf["n"]).as_py()], pa.int64()),
+            }
+        )
+        if keys:
+            g = g.rename_columns(keys + out_names)
+        cols = {}
+        for k in ("l_returnflag", "l_linestatus"):
+            cols[k] = (
+                g[k]
+                if k in (keys or [])
+                else pa.array(["ALL"] * len(g), pa.string())
+            )
+        for c in out_names:
+            cols[c] = g[c]
+        return pa.table(cols)
+
+    levels = [
+        _level(["l_returnflag", "l_linestatus"]),
+        _level(["l_returnflag"]),
+        _level([]),
+    ]
+    return pa.concat_tables(levels)
+
+
+SQL_LINEITEM_ROLLUP = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "MIN(l_extendedprice) AS min_l_extendedprice, "
+    "MAX(l_extendedprice) AS max_l_extendedprice, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1469,6 +1573,8 @@ def queries() -> Dict[str, Callable]:
         "orders_by_segment": q_orders_by_segment,
         "lineitem_orders": q_lineitem_orders,
         "revenue_by_nation": q_revenue_by_nation,
+        "customers_no_urgent": q_customers_no_urgent,
+        "lineitem_rollup": q_lineitem_rollup,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1525,6 +1631,8 @@ def oracle_sql() -> Dict[str, str]:
         "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
         "lineitem_orders": SQL_LINEITEM_ORDERS,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
+        "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "ann_cosine": SQL_ANN_COSINE,
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "cell_assign": SQL_CELL_ASSIGN,

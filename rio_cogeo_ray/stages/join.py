@@ -229,7 +229,15 @@ def bucketed_hash_join(
     the groupby (see stages/agg.py:partial_group_agg — same trade-off:
     big win when both sides arrive as many small blocks, a SPLIT and a
     loss on tiny inputs, so off by default).
+
+    ``how='semi'`` / ``'anti'`` return LEFT columns only (existence
+    filter against the right side) — the large-large counterpart of
+    ``BroadcastLookup(mode='semi'/'anti')`` for when the filter side is
+    too big to broadcast; duplicate right keys are fine (presence test).
     """
+    if how in ("semi", "anti"):
+        # existence filter: only right KEYS shuffle, payload never moves
+        right = right.select_columns([on])
     lcols = [f.name for f in left.schema().base_schema]
     rcols = [f.name for f in right.schema().base_schema]
     shared = (set(lcols) & set(rcols)) - {on}
@@ -265,7 +273,8 @@ def bucketed_hash_join(
         both = both.repartition(min(coalesce, n_buckets))
 
     arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer",
-                 "outer": "full outer"}[how]
+                 "outer": "full outer", "semi": "left semi", "anti": "left anti"}[how]
+    out_cols = [on] + l_only if how in ("semi", "anti") else [on] + l_only + out_r_cols
 
     def _join_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -275,8 +284,12 @@ def bucketed_hash_join(
         rg = g.filter(pc.equal(side, 1)).select([on] + out_r_cols)
         # padded typed nulls keep Arrow types exact through the union, so
         # the native multithreaded hash join needs no re-casting
-        m = lg.join(rg, keys=on, join_type=arrow_how)
-        return m.sort_by([(on, "ascending")]).select([on] + l_only + out_r_cols)
+        if how in ("semi", "anti"):
+            # existence filter: only the right KEYS matter
+            m = lg.join(rg.select([on]), keys=on, join_type=arrow_how)
+        else:
+            m = lg.join(rg, keys=on, join_type=arrow_how)
+        return m.sort_by([(on, "ascending")]).select(out_cols)
 
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 
