@@ -1547,6 +1547,26 @@ SQL_LINEITEM_ROLLUP = (
 )
 
 
+def q_latest_event(sf_dir: str):
+    """Snapshot dedup (keep-latest row per key) via ``agg.latest_by``:
+    per-batch argmax combine → bucketed final argmax, so the shuffle
+    carries ≤1 candidate row per user per batch. Tie-break on the
+    unique event_id keeps it deterministic (and SQL-mirrorable)."""
+    ev = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    return agg.latest_by(ev, keys=["user_id"], order_by=["ts", "event_id"])
+
+
+SQL_LATEST_EVENT = (
+    "SELECT user_id, ts, event_id, event_type, value FROM ("
+    "SELECT user_id, ts, event_id, event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1575,6 +1595,7 @@ def queries() -> Dict[str, Callable]:
         "revenue_by_nation": q_revenue_by_nation,
         "customers_no_urgent": q_customers_no_urgent,
         "lineitem_rollup": q_lineitem_rollup,
+        "latest_event": q_latest_event,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "asof_purchase_view": q_asof_purchase_view,
@@ -1633,6 +1654,7 @@ def oracle_sql() -> Dict[str, str]:
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+        "latest_event": SQL_LATEST_EVENT,
         "ann_cosine": SQL_ANN_COSINE,
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "cell_assign": SQL_CELL_ASSIGN,

@@ -129,3 +129,56 @@ def partial_group_agg(
         lambda g: _reduce_table(g.drop_columns(["__bucket"]), keys, merge_specs),
         batch_format="pyarrow",
     )
+
+
+def _argmax_rows(batch: pa.Table, keys: Sequence[str], order_by: Sequence[str]) -> pa.Table:
+    """One surviving ROW per key group: the lexicographic max of the
+    ``order_by`` columns (each compared descending). Deterministic iff
+    ``order_by`` ends in a unique column (callers append the row id)."""
+    if len(batch) == 0:
+        return batch
+    batch = batch.sort_by(
+        [(k, "ascending") for k in keys] + [(c, "descending") for c in order_by]
+    )
+    karrs = [batch[k].combine_chunks().to_numpy(zero_copy_only=False) for k in keys]
+    new = np.zeros(len(batch), dtype=bool)
+    new[0] = True
+    for ka in karrs:
+        new[1:] |= ka[1:] != ka[:-1]
+    return batch.take(pa.array(np.flatnonzero(new), pa.int64()))
+
+
+def latest_by(
+    ds,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    batch_size: int = 65536,
+    n_buckets: int = 64,
+):
+    """Keep exactly one row per key: the argmax of ``order_by`` — the
+    snapshot-dedup staple (newest crawl per url, last event per user).
+
+    Same partial→final shape as :func:`partial_group_agg` (argmax is an
+    associative selection, so it combines per batch first): the shuffle
+    moves ≤1 candidate row per key per batch, never the raw stream, and
+    the final per-bucket argmax is one vectorized sort+mask — per-group
+    Python cost O(buckets), not O(keys). Equivalent to SQL
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by DESC...) = 1``.
+    """
+    keys = list(keys)
+    order_by = list(order_by)
+    partial = ds.map_batches(
+        lambda t: _argmax_rows(t, keys, order_by),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    bucketed = partial.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: _argmax_rows(g.drop_columns(["__bucket"]), keys, order_by),
+        batch_format="pyarrow",
+    )

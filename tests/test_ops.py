@@ -584,3 +584,36 @@ def test_profile_columns_with_nulls(ray_session):
     assert got.loc["a", "min"] == -2.0 and got.loc["a", "max"] == 3.5
     assert got.loc["b", "nulls"] == 5 and np.isnan(got.loc["b", "min"])
     assert got.loc["s", "nulls"] == 1 and np.isnan(got.loc["s", "min"])
+
+
+def test_latest_by_cross_batch_and_ties(ray_session):
+    """latest_by: the argmax survives arbitrary batch splits, and ties
+    on the primary order column fall through to the unique id."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 300, n), pa.int64()),
+            # coarse ts forces many exact ties within a key
+            "ts": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+    got = (
+        agg.latest_by(
+            rd.from_arrow(t).repartition(17), keys=["k"], order_by=["ts", "id"]
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    want = (
+        df.sort_values(["k", "ts", "id"])
+        .groupby("k", as_index=False)
+        .last()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "ts", "id", "v"]], want[["k", "ts", "id", "v"]])
