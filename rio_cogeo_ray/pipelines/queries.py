@@ -1567,6 +1567,59 @@ SQL_LATEST_EVENT = (
 )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (stages/text.py:scrub_pii): deterministic synthetic
+    PII (email / phone / IPv4 derived from doc_id) is injected into each
+    document — mirrored literally in the SQL — then redacted by the
+    RE2 kernel chain. Both engines run RE2, so counts and redacted text
+    are bit-identical; the injection makes the oracle actually exercise
+    every pattern (the synthetic corpus contains no organic PII)."""
+    import pyarrow.compute as pc
+
+    docs = _read(os.path.join(sf_dir, "documents.parquet"), ["doc_id", "text"])
+
+    def _aug_and_scrub(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        s = pc.cast(did, pa.string())
+        aug = pc.binary_join_element_wise(
+            t["text"],
+            " contact doc",
+            s,
+            "@mail.example tel +1 (555) 010-",
+            pc.utf8_lpad(pc.cast(pc.bit_wise_and(did, 8191), pa.string()), 4, "0"),
+            " ip 192.168.",
+            pc.cast(pc.bit_wise_and(did, 255), pa.string()),
+            ".",
+            pc.cast(pc.bit_wise_and(did, 63), pa.string()),
+            "",
+        )
+        out = pa.table({"doc_id": did, "text": aug})
+        return text.scrub_pii(out).drop_columns(["text"])
+
+    return docs.map_batches(_aug_and_scrub, batch_format="pyarrow")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+SQL_PII_SCRUB = (
+    "WITH aug AS (SELECT doc_id, text || ' contact doc' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example tel +1 (555) 010-' "
+    "|| lpad(CAST((doc_id & 8191) AS VARCHAR), 4, '0') "
+    "|| ' ip 192.168.' || CAST((doc_id & 255) AS VARCHAR) || '.' "
+    "|| CAST((doc_id & 63) AS VARCHAR) AS t0 FROM documents), "
+    f"s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT) AS n_email, "
+    f"regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM aug), "
+    f"s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phone, "
+    f"regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2 FROM s1) "
+    f"SELECT doc_id, n_email, n_phone, CAST(len(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4, "
+    f"regexp_replace(t2, '{_PII_IPV4}', '<IPV4>', 'g') AS text_redacted FROM s2"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1621,6 +1674,7 @@ def queries() -> Dict[str, Callable]:
         "price_bands": q_price_bands,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1668,6 +1722,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,
+        "pii_scrub": SQL_PII_SCRUB,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

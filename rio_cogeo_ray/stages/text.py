@@ -192,6 +192,34 @@ def fingerprint64(texts: pa.Array) -> pa.Array:
     return pa.array(h.astype(np.int64), pa.int64())
 
 
+#: (tag, RE2 pattern, replacement) applied IN ORDER — each tag counts
+#: matches in the text as left by the previous redactions, so the
+#: sequence is deterministic and mirrorable in any RE2-based SQL engine
+#: (DuckDB regexp_* is RE2 too; identical patterns ⇒ identical matches).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
+)
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text", out_col: str = "text_redacted") -> pa.Table:
+    """PII redaction map stage: replace emails / phone numbers / IPv4
+    literals with typed placeholders and emit per-document match counts
+    (``n_email``/``n_phone``/``n_ipv4``). Pure Arrow RE2 kernels — one
+    vectorized pass per pattern, no Python per row; stateless, so it
+    runs as a plain ``map_batches`` task (no actor pool needed)."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    for tag, pat, repl in PII_PATTERNS:
+        batch = batch.append_column(
+            f"n_{tag}", pc.count_substring_regex(t, pat).cast(pa.int64())
+        )
+        t = pc.replace_substring_regex(t, pat, repl)
+    return batch.append_column(out_col, t)
+
+
 def token_value_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch (token, n) partial counts of whitespace tokens — the
     heavy-hitters combiner. Splitting on RE2 ``\\s+`` and dropping empty

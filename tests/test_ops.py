@@ -617,3 +617,31 @@ def test_latest_by_cross_batch_and_ties(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "ts", "id", "v"]], want[["k", "ts", "id", "v"]])
+
+
+def test_scrub_pii_redacts_and_counts():
+    """scrub_pii: counts match redactions, ordering is email→phone→ipv4,
+    and clean text passes through untouched with zero counts."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b@x.io and c@d.org plus ip 10.0.0.1",
+                    "call +1 (555) 010-9999 now",
+                    "nothing sensitive here",
+                ]
+            ),
+        }
+    )
+    out = text.scrub_pii(t)
+    assert out.column_names == [
+        "doc_id", "text", "n_email", "n_phone", "n_ipv4", "text_redacted"
+    ]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail <EMAIL> and <EMAIL> plus ip <IPV4>"
+    assert red[1] == "call <PHONE> now"
+    assert red[2] == "nothing sensitive here"
+    assert out["n_email"].to_pylist() == [2, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0]
+    assert out["n_ipv4"].to_pylist() == [1, 0, 0]
