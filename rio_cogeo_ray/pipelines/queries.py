@@ -1620,6 +1620,179 @@ SQL_PII_SCRUB = (
 )
 
 
+def q_host_stats(sf_dir: str):
+    """Per-TLD web-corpus stats via URL parsing (stages/text.py:
+    parse_urls). Deterministic synthetic urls derived from doc_id
+    (mirrored literally in the SQL — the corpus has no url column) are
+    parsed with the anchored RE2 URL_PATTERN in BOTH engines, then a
+    two-level partial→final aggregate: per-host rollup first (so the
+    tld-level DISTINCT-host count is an exact COUNT over the per-host
+    rows), then per-tld totals — the distributed COUNT(DISTINCT)
+    pattern (no global distinct shuffle of raw rows)."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id"])
+    tld_choices = pa.array(["com", "org", "net", "io"])
+
+    def _synth_parse(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        d = did.to_numpy(zero_copy_only=False)
+        h = d % 53
+        scheme = pc.if_else(
+            pc.equal(pc.bit_wise_and(did, 1), pa.scalar(0, pa.int64())),
+            pa.scalar("http"),
+            pa.scalar("https"),
+        )
+        extra = pa.array(["", "/x", "/x/x"]).take(pa.array(d % 3))
+        url = pc.binary_join_element_wise(
+            scheme,
+            "://w",
+            pa.array(h.astype(str)),
+            ".site",
+            pa.array((h % 7).astype(str)),
+            ".",
+            tld_choices.take(pa.array(h % 4)),
+            "/p/",
+            pa.array((d % 16).astype(str)),
+            extra,
+            "",
+        )
+        parsed = text.parse_urls(pa.table({"url": url}))
+        is_https = pc.cast(pc.equal(parsed["scheme"], "https"), pa.int64())
+        return pa.table(
+            {
+                "tld": parsed["tld"],
+                "host": parsed["host"],
+                "is_https": is_https,
+                "path_depth": parsed["path_depth"],
+            }
+        )
+
+    per_host = agg.partial_group_agg(
+        docs.map_batches(_synth_parse, batch_format="pyarrow"),
+        keys=["tld", "host"],
+        sum_cols=["is_https", "path_depth"],
+        count_as="pages",
+    )
+    per_tld = agg.partial_group_agg(
+        per_host,
+        keys=["tld"],
+        sum_cols=["pages", "sum_is_https", "sum_path_depth"],
+        count_as="hosts",
+    )
+    return per_tld.map_batches(
+        lambda t: pa.table(
+            {
+                "tld": t["tld"],
+                "hosts": t["hosts"],
+                "pages": t["sum_pages"],
+                "n_https": t["sum_sum_is_https"],
+                "total_depth": t["sum_sum_path_depth"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_URL_SQL_PAT = "^(https?)://([^/]+?)\\.([a-z]+)(/.*)?$"
+
+SQL_HOST_STATS = (
+    "WITH u AS (SELECT doc_id, "
+    "(CASE WHEN (doc_id & 1) = 0 THEN 'http' ELSE 'https' END) || '://w' || "
+    "CAST(doc_id % 53 AS VARCHAR) || '.site' || CAST((doc_id % 53) % 7 AS VARCHAR) || '.' || "
+    "(CASE (doc_id % 53) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END) || "
+    "'/p/' || CAST(doc_id % 16 AS VARCHAR) || "
+    "(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '/x' ELSE '/x/x' END) AS url FROM documents), "
+    f"p AS (SELECT regexp_extract(url, '{_URL_SQL_PAT}', 1) AS scheme, "
+    f"regexp_extract(url, '{_URL_SQL_PAT}', 2) AS host, "
+    f"regexp_extract(url, '{_URL_SQL_PAT}', 3) AS tld, "
+    f"regexp_extract(url, '{_URL_SQL_PAT}', 4) AS path FROM u), "
+    "h AS (SELECT tld, host, CAST(COUNT(*) AS BIGINT) AS pages, "
+    "CAST(SUM(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS BIGINT) AS n_https, "
+    "CAST(SUM(length(path) - length(replace(path, '/', ''))) AS BIGINT) AS depth "
+    "FROM p GROUP BY tld, host) "
+    "SELECT tld, CAST(COUNT(*) AS BIGINT) AS hosts, CAST(SUM(pages) AS BIGINT) AS pages, "
+    "CAST(SUM(n_https) AS BIGINT) AS n_https, CAST(SUM(depth) AS BIGINT) AS total_depth "
+    "FROM h GROUP BY tld"
+)
+
+
+def q_repetition(sf_dir: str):
+    """Per-doc token repetition stats (stages/text.py:repetition_stats
+    — the Gopher-style duplicate-token quality signal)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: text.repetition_stats(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REPETITION = (
+    r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+    r"CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_distinct "
+    "FROM documents"
+)
+
+
+#: Overlapping value tiers for the fan-out interval join (events.value
+#: spans ~[0, 500]); mirrored literally in SQL_EVENTS_IN_RANGES.
+EVENT_TIERS = (
+    ("any", 0.0, 500.0),
+    ("low", 0.0, 50.0),
+    ("mid", 25.0, 200.0),
+    ("high", 150.0, 500.0),
+    ("hot", 400.0, 500.0),
+)
+
+
+def q_events_in_ranges(sf_dir: str):
+    """Fan-out OVERLAPPING-interval join (stages/join.py:
+    broadcast_interval_join): every event joins ALL tiers whose
+    [lo, hi) contains its value — the general range join RangeLookup's
+    non-overlapping contract refuses — then a per-tier partial→final
+    aggregate. Cents quantized pre-shuffle so sums are exact int64."""
+    import pyarrow.compute as pc
+
+    tiers = pa.table(
+        {
+            "tier": pa.array([t[0] for t in EVENT_TIERS], pa.string()),
+            "lo": pa.array([t[1] for t in EVENT_TIERS], pa.float64()),
+            "hi": pa.array([t[2] for t in EVENT_TIERS], pa.float64()),
+        }
+    )
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cents", pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64())
+        )
+
+    joined = join_mod.broadcast_interval_join(
+        ds.map_batches(_cents, batch_format="pyarrow"), tiers, value_col="value"
+    )
+    return agg.partial_group_agg(
+        joined.map_batches(
+            lambda t: t.select(["tier", "cents"]), batch_format="pyarrow"
+        ),
+        keys=["tier"],
+        sum_cols=["cents"],
+        count_as="n",
+    )
+
+
+SQL_EVENTS_IN_RANGES = (
+    "WITH tiers(tier, lo, hi) AS (VALUES "
+    + ", ".join(f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in EVENT_TIERS)
+    + ") SELECT t.tier, CAST(SUM(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi "
+    "GROUP BY t.tier"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1675,6 +1848,9 @@ def queries() -> Dict[str, Callable]:
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pii_scrub": q_pii_scrub,
+        "host_stats": q_host_stats,
+        "repetition": q_repetition,
+        "events_in_ranges": q_events_in_ranges,
     }
 
 
@@ -1723,6 +1899,9 @@ def oracle_sql() -> Dict[str, str]:
         "events_watermark": SQL_EVENTS_WATERMARK,
         "distinct_langs": SQL_DISTINCT_LANGS,
         "pii_scrub": SQL_PII_SCRUB,
+        "host_stats": SQL_HOST_STATS,
+        "repetition": SQL_REPETITION,
+        "events_in_ranges": SQL_EVENTS_IN_RANGES,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

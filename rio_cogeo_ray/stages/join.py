@@ -198,6 +198,101 @@ def broadcast_range_join(
     )
 
 
+class IntervalLookup:
+    """Broadcast interval join with OVERLAPPING intervals: each left
+    row fans out to EVERY interval whose ``[lo, hi)`` contains its
+    ``value_col`` (the general range-join flavor — ``RangeLookup`` is
+    the non-overlapping fast path). Built once per actor: elementary
+    segment decomposition of the interval endpoints + a CSR
+    segment→interval-ids index, so a batch resolves via ONE
+    ``searchsorted`` against the segment boundaries + a vectorized CSR
+    gather — per-batch cost O(rows + output), no per-interval scan."""
+
+    def __init__(
+        self,
+        right: Union[pa.Table, "ray.ObjectRef"],
+        value_col: str,
+        lo_col: str = "lo",
+        hi_col: str = "hi",
+    ):
+        if isinstance(right, ray.ObjectRef):
+            right = ray.get(right)
+        self.value_col = value_col
+        lo = right[lo_col].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = right[hi_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if np.any(hi <= lo):
+            raise ValueError("IntervalLookup intervals must be non-empty (lo < hi)")
+        # elementary segments between consecutive sorted endpoints; a
+        # value in segment s is inside interval i iff lo[i] <= B[s] and
+        # B[s+1] <= hi[i] (containment is constant within a segment).
+        bounds = np.unique(np.concatenate((lo, hi)))
+        n_seg = len(bounds) - 1
+        seg_ids: list = []
+        offsets = np.zeros(n_seg + 1, dtype=np.int64)
+        s_lo = np.searchsorted(bounds, lo, side="left")
+        s_hi = np.searchsorted(bounds, hi, side="left")
+        counts = np.zeros(n_seg, dtype=np.int64)
+        for i in range(len(lo)):
+            counts[s_lo[i]:s_hi[i]] += 1
+        offsets[1:] = np.cumsum(counts)
+        fill = offsets[:-1].copy()
+        members = np.empty(int(offsets[-1]), dtype=np.int64)
+        for i in range(len(lo)):
+            a, b = s_lo[i], s_hi[i]
+            for s in range(a, b):
+                members[fill[s]] = i
+                fill[s] += 1
+        self.bounds = bounds
+        self.offsets = offsets
+        self.members = members
+        cols = [c for c in right.column_names if c not in (lo_col, hi_col)]
+        self.right = right.select(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch[self.value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(self.bounds) == 0:
+            seg = np.full(len(v), -1, dtype=np.int64)
+        else:
+            seg = np.searchsorted(self.bounds, v, side="right") - 1
+        inb = (seg >= 0) & (seg < len(self.offsets) - 1)
+        seg_c = np.where(inb, seg, 0)
+        counts = np.where(inb, self.offsets[seg_c + 1] - self.offsets[seg_c], 0)
+        total = int(counts.sum())
+        row_take = np.repeat(np.arange(len(v), dtype=np.int64), counts)
+        # CSR gather: position-within-run arange trick (no Python loop)
+        ends = np.cumsum(counts)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+        ividx = self.members[np.repeat(self.offsets[seg_c], counts) + pos]
+        out = batch.take(pa.array(row_take, pa.int64()))
+        take = pa.array(ividx, pa.int64())
+        for name in self.right.column_names:
+            out = out.append_column(name, self.right[name].take(take))
+        return out
+
+
+def broadcast_interval_join(
+    ds,
+    right: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    concurrency: int = 4,
+    batch_size: int = 65536,
+):
+    """Fan-out join of each row to ALL overlapping ``[lo, hi)``
+    intervals containing ``value_col``. Small interval side broadcast
+    once via ``ray.put``; the segment index builds once per actor in
+    ``__init__``."""
+    right_ref = ray.put(right)
+    return ds.map_batches(
+        IntervalLookup,
+        fn_constructor_args=(right_ref, value_col, lo_col, hi_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bucketed hash join (both sides large)
 # ---------------------------------------------------------------------------

@@ -220,6 +220,68 @@ def scrub_pii(batch: pa.Table, text_col: str = "text", out_col: str = "text_reda
     return batch.append_column(out_col, t)
 
 
+#: Anchored URL-structure pattern. Anchoring matters for cross-engine
+#: parity: unanchored, a lazy ``[^/]+?`` host lets DuckDB's
+#: ``regexp_extract`` return the shortest prefix match while Arrow's
+#: ``extract_regex`` (also RE2) sees the same — but ``^...$`` forces
+#: both to the identical full-string parse.
+URL_PATTERN = r"^(?P<scheme>https?)://(?P<host>[^/]+?)\.(?P<tld>[a-z]+)(?P<path>/.*)?$"
+
+
+def parse_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """URL structure extraction (the web-corpus domain/TLD analyzer):
+    append ``scheme`` / ``host`` / ``tld`` / ``path`` / ``path_depth``
+    parsed with one anchored RE2 ``extract_regex`` pass — no Python per
+    row. Non-matching urls yield empty-string fields (same as DuckDB's
+    ``regexp_extract`` no-match convention; unmatched optional groups
+    come back null and are filled to ``''``);
+    ``path_depth`` counts ``/`` separators, mirrored in SQL as
+    ``length(path) - length(replace(path, '/', ''))``."""
+    u = batch[url_col]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    ex = pc.extract_regex(u, URL_PATTERN)
+    path = pc.fill_null(ex.field("path"), "")
+    return (
+        batch.append_column("scheme", ex.field("scheme"))
+        .append_column("host", ex.field("host"))
+        .append_column("tld", ex.field("tld"))
+        .append_column("path", path)
+        .append_column("path_depth", pc.count_substring(path, "/").cast(pa.int64()))
+    )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signal: per-doc whitespace-token total vs
+    DISTINCT count (``n_tokens`` / ``n_distinct``, both int64; the
+    duplicate fraction is ``1 - n_distinct/n_tokens``). Vectorized:
+    split → flatten with row ids → 64-bit token hashes (polars' native
+    string hash) → one ``np.unique`` over packed (row, hash) pairs.
+    Collision odds are the documented hash128-dedup class (~1e-14 per
+    corpus). SQL mirror: ``len(regexp_extract_all(text, '\\S+'))`` and
+    ``len(list_distinct(regexp_extract_all(text, '\\S+')))``."""
+    import polars as pl
+
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.split_pattern_regex(t.cast(pa.string()), r"\s+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    row = np.repeat(np.arange(len(batch), dtype=np.uint64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    row = row[keep]
+    n_tokens = np.bincount(row.astype(np.int64), minlength=len(batch)).astype(np.int64)
+    h = pl.from_arrow(flat.cast(pa.large_string())).hash(seed=17).to_numpy().astype(np.uint64)
+    pairs = np.ascontiguousarray(np.column_stack((row, h))).view("V16").ravel()
+    uniq = np.unique(pairs).view(np.uint64).reshape(-1, 2)
+    n_distinct = np.bincount(uniq[:, 0].astype(np.int64), minlength=len(batch)).astype(np.int64)
+    return batch.append_column("n_tokens", pa.array(n_tokens, pa.int64())).append_column(
+        "n_distinct", pa.array(n_distinct, pa.int64())
+    )
+
+
 def token_value_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch (token, n) partial counts of whitespace tokens — the
     heavy-hitters combiner. Splitting on RE2 ``\\s+`` and dropping empty

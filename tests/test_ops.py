@@ -645,3 +645,75 @@ def test_scrub_pii_redacts_and_counts():
     assert out["n_email"].to_pylist() == [2, 0, 0]
     assert out["n_phone"].to_pylist() == [0, 1, 0]
     assert out["n_ipv4"].to_pylist() == [1, 0, 0]
+
+
+def test_parse_urls_structure_and_nonmatch():
+    """parse_urls: anchored full-string parse; non-URL rows yield empty
+    fields (DuckDB regexp_extract no-match convention) and depth 0."""
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.b.example.com/x/y/z",
+                    "http://plain.net",
+                    "not a url",
+                ]
+            )
+        }
+    )
+    out = text.parse_urls(t)
+    assert out["scheme"].to_pylist() == ["https", "http", ""]
+    assert out["host"].to_pylist() == ["a.b.example", "plain", ""]
+    assert out["tld"].to_pylist() == ["com", "net", ""]
+    assert out["path"].to_pylist() == ["/x/y/z", "", ""]
+    assert out["path_depth"].to_pylist() == [3, 0, 0]
+
+
+def test_repetition_stats_counts():
+    """repetition_stats: exact distinct-token counts, empty docs are 0/0."""
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["a a a b", "x y z", "", "  ", "q q  q\tq"]
+            )
+        }
+    )
+    out = text.repetition_stats(t)
+    assert out["n_tokens"].to_pylist() == [4, 3, 0, 0, 4]
+    assert out["n_distinct"].to_pylist() == [2, 3, 0, 0, 1]
+
+
+def test_interval_lookup_overlapping_fanout():
+    """IntervalLookup: rows fan out to every containing [lo,hi) interval;
+    matches a brute-force pandas double-loop oracle including boundary
+    values and out-of-range rows."""
+    tiers = pa.table(
+        {
+            "name": pa.array(["any", "low", "mid", "hot"]),
+            "lo": pa.array([0.0, 0.0, 5.0, 9.0], pa.float64()),
+            "hi": pa.array([10.0, 6.0, 9.0, 10.0], pa.float64()),
+        }
+    )
+    vals = np.array([-1.0, 0.0, 5.0, 5.9, 6.0, 8.999, 9.0, 9.5, 10.0, 42.0])
+    batch = pa.table(
+        {"id": pa.array(np.arange(len(vals)), pa.int64()), "value": pa.array(vals)}
+    )
+    lk = join_mod.IntervalLookup(tiers, "value")
+    got = (
+        lk(batch)
+        .to_pandas()
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    td = tiers.to_pandas()
+    for i, v in enumerate(vals):
+        for _, r in td.iterrows():
+            if r["lo"] <= v < r["hi"]:
+                rows.append({"id": i, "value": v, "name": r["name"]})
+    want = (
+        pd.DataFrame(rows, columns=["id", "value", "name"])
+        .sort_values(["id", "name"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "value", "name"]], want)
