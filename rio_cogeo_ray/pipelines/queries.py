@@ -1793,6 +1793,97 @@ SQL_EVENTS_IN_RANGES = (
 )
 
 
+def q_focal_density(sf_dir: str):
+    """3×3 focal sum over the z=4 tile-density grid (stages/rasterize.py:
+    focal_scatter — raster smoothing as distributed scatter-gather).
+    Scatter runs on the ALREADY-AGGREGATED per-tile counts (sum is
+    associative), so the 9× fan-out touches one row per occupied tile,
+    not one per page."""
+    ds = _valid_only(_prepared_docs(sf_dir, DENSITY_Z))
+    dens = agg.partial_group_agg(ds, keys=["x", "y"], count_as="pages")
+    scattered = dens.map_batches(
+        lambda t: rasterize.focal_scatter(t, DENSITY_Z, "pages"),
+        batch_format="pyarrow",
+    )
+    out = agg.partial_group_agg(
+        scattered, keys=["x", "y"], sum_cols=["pages"], count_as=None
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"x": t["x"], "y": t["y"], "focal_pages": t["sum_pages"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FOCAL_DENSITY = (
+    _geo_cte() + f", t AS ({_tile_sql(DENSITY_Z)}), "
+    "d AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS pages FROM t GROUP BY x, y), "
+    "o(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1), (1,-1), (1,0), (1,1)) "
+    f"SELECT d.x + o.dx AS x, d.y + o.dy AS y, CAST(SUM(d.pages) AS BIGINT) AS focal_pages "
+    "FROM d CROSS JOIN o "
+    f"WHERE d.x + o.dx BETWEEN 0 AND {(1 << DENSITY_Z) - 1} "
+    f"AND d.y + o.dy BETWEEN 0 AND {(1 << DENSITY_Z) - 1} "
+    "GROUP BY d.x + o.dx, d.y + o.dy"
+)
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (raster↔vector bridge completing pip_join):
+    per-AOI page count + char sum via the broadcast point-in-polygon
+    join, then a partial→final aggregate on aoi_id. Points inside
+    overlapping AOIs contribute to each."""
+    ds = _valid_only(
+        _prepared_docs(sf_dir, TILE_Z, columns=("doc_id", "n_chars"))
+    )
+    joined = pip_stage(ds, mode="inner")
+    return agg.partial_group_agg(
+        joined.map_batches(
+            lambda t: t.select(["aoi_id", "n_chars"]), batch_format="pyarrow"
+        ),
+        keys=["aoi_id"],
+        sum_cols=["n_chars"],
+        count_as="pages",
+    )
+
+
+SQL_ZONAL_STATS = (
+    _geo_cte() + " SELECT CAST(a.aoi_id AS INTEGER) AS aoi_id, "
+    "CAST(SUM(m.n_chars) AS BIGINT) AS sum_n_chars, CAST(COUNT(*) AS BIGINT) AS pages "
+    f"FROM m JOIN {_aoi_values_sql()} ON m.lon >= a.w AND m.lon <= a.e "
+    "AND m.lat >= a.s AND m.lat <= a.n GROUP BY a.aoi_id"
+)
+
+
+#: quantiles for the per-group order-statistic query
+GROUP_QUANTILE_QS = (0.5, 0.9)
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Per-event_type EXACT median/p90 of value (stages/sketch.py:
+    grouped_quantile — grouped order statistic with pre-shuffle
+    duplicate collapse + bucketed per-group rank resolution)."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["event_type", "value"])
+    return sketch.grouped_quantile(
+        ds, "event_type", "value", GROUP_QUANTILE_QS, scale=100
+    )
+
+
+SQL_VALUE_QUANTILES_BY_TYPE = (
+    "WITH c AS (SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS qv FROM events), "
+    "g AS (SELECT event_type, qv, COUNT(*) AS cnt FROM c GROUP BY event_type, qv), "
+    "w AS (SELECT event_type, qv, SUM(cnt) OVER (PARTITION BY event_type ORDER BY qv) AS cum FROM g), "
+    "n AS (SELECT event_type, COUNT(*) AS nn FROM c GROUP BY event_type) "
+    "SELECT w.event_type, p.q AS q, CAST(MIN(w.qv) AS DOUBLE) / 100.0 AS value "
+    f"FROM (VALUES {', '.join(f'({q!r})' for q in GROUP_QUANTILE_QS)}) AS p(q), "
+    "w JOIN n ON w.event_type = n.event_type "
+    "WHERE w.cum >= CAST(CEIL(p.q * n.nn) AS BIGINT) "
+    "GROUP BY w.event_type, p.q"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1851,6 +1942,9 @@ def queries() -> Dict[str, Callable]:
         "host_stats": q_host_stats,
         "repetition": q_repetition,
         "events_in_ranges": q_events_in_ranges,
+        "focal_density": q_focal_density,
+        "zonal_stats": q_zonal_stats,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
     }
 
 
@@ -1902,6 +1996,9 @@ def oracle_sql() -> Dict[str, str]:
         "host_stats": SQL_HOST_STATS,
         "repetition": SQL_REPETITION,
         "events_in_ranges": SQL_EVENTS_IN_RANGES,
+        "focal_density": SQL_FOCAL_DENSITY,
+        "zonal_stats": SQL_ZONAL_STATS,
+        "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

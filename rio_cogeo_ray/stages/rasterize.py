@@ -573,3 +573,36 @@ def tiles_to_dense(
             g[np.asarray(cs)] = np.asarray(ws, dtype=np.float32) / div
         out[k] = g.reshape(G, G)
     return out
+
+
+def focal_scatter(
+    batch: pa.Table, z: int, val_col: str = "pages",
+    x_col: str = "x", y_col: str = "y",
+) -> pa.Table:
+    """3×3 focal (neighborhood) scatter over the z-level tile grid —
+    the raster focal-sum / smoothing op expressed as a distributed
+    scatter-gather: each (x, y, value) row emits one partial row to
+    itself and its 8 grid neighbors; a downstream partial→final
+    group-sum on (x, y) yields the focal sum at EVERY cell that
+    receives mass (halo cells included). Neighbors falling outside
+    [0, 2^z) are dropped (no wraparound). Sum is associative, so this
+    runs correctly on pre-aggregated partials too. Vectorized tile +
+    repeat — no Python per row."""
+    n = len(batch)
+    x = batch[x_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    y = batch[y_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+    dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+    nx = np.repeat(x, 9) + np.tile(dx, n)
+    ny = np.repeat(y, 9) + np.tile(dy, n)
+    nv = np.repeat(v, 9)
+    lim = np.int64(1) << np.int64(z)
+    keep = (nx >= 0) & (nx < lim) & (ny >= 0) & (ny < lim)
+    return pa.table(
+        {
+            x_col: pa.array(nx[keep], pa.int64()),
+            y_col: pa.array(ny[keep], pa.int64()),
+            val_col: pa.array(nv[keep]),
+        }
+    )

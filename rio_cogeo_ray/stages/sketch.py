@@ -302,3 +302,91 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> float:
     for row in rows.take_all():
         regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.int8))
     return hll_estimate(regs)
+
+
+def grouped_quantile(
+    ds, group_col: str, col: str, qs, scale: int = 100, n_buckets: int = 64
+):
+    """Per-group EXACT lower (type-1) quantiles — the grouped
+    order-statistic operator:
+
+    1. quantize ``floor(v·scale + 0.5)`` (int64, deterministic).
+    2. (group, qv) partial→final counts — duplicate value mass
+       collapses inside ``map_batches`` BEFORE the shuffle, so the
+       exchange moves one row per distinct (group, value), not per row.
+    3. per-group order statistic inside a bucketed ``map_groups``
+       (hash(group) → ``n_buckets`` reduce buckets — O(n_buckets)
+       Python, not O(groups)): sort by (group, qv), one global cumsum,
+       and a single ``searchsorted`` per quantile resolves EVERY
+       group's rank at once (the global cumsum is strictly increasing
+       because counts are positive, so each group's threshold lands
+       inside its own run).
+
+    Quantile definition mirrors ``exact_quantiles``: smallest quantized
+    value with cumulative count ≥ ``ceil(q·n)`` (SQL: window cumsum
+    partitioned by group). Returns rows (group, q, value=qv/scale).
+
+    Partitioning contract: one group's distinct VALUES (not rows) fit a
+    reduce task; hot groups with pathological value cardinality would
+    need the histogram-refine path of ``exact_quantiles`` per group.
+    """
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    qs = [float(q) for q in qs]
+
+    def _quant(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        qv = np.floor(v * float(scale) + 0.5).astype(np.int64)
+        return pa.table({group_col: g, "qv": pa.array(qv, pa.int64())})
+
+    counts = partial_group_agg(
+        ds.map_batches(_quant, batch_format="pyarrow"),
+        keys=[group_col, "qv"],
+        count_as="cnt",
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, [group_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _per_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(group_col, "ascending"), ("qv", "ascending")])
+        grp = t[group_col].combine_chunks()
+        qv = t["qv"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.ones(len(t), dtype=bool)
+        if len(t) > 1:
+            first[1:] = np.asarray(
+                pa.compute.not_equal(grp.slice(1), grp.slice(0, len(t) - 1))
+            )
+        rs = np.flatnonzero(first)
+        C = np.cumsum(cnt)
+        c_before = C[rs] - cnt[rs]
+        re = np.append(rs[1:], len(t)) - 1
+        tot = C[re] - c_before
+        out_g, out_q, out_v = [], [], []
+        for q in qs:
+            thr = c_before + np.ceil(q * tot).astype(np.int64)
+            pos = np.searchsorted(C, thr, side="left")
+            out_g.append(grp.take(pa.array(rs, pa.int64())))
+            out_q.append(np.full(len(rs), q))
+            out_v.append(qv[pos].astype(np.float64) / float(scale))
+        return pa.table(
+            {
+                group_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_g]
+                ),
+                "q": pa.array(np.concatenate(out_q), pa.float64()),
+                "value": pa.array(np.concatenate(out_v), pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_per_group, batch_format="pyarrow")
+    )

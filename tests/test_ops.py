@@ -717,3 +717,70 @@ def test_interval_lookup_overlapping_fanout():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["id", "value", "name"]], want)
+
+
+def test_focal_scatter_matches_dense_convolution():
+    """focal_scatter + group-sum == dense 3×3 box filter over the grid
+    (edges truncated, no wrap)."""
+    rng = np.random.default_rng(11)
+    z = 3
+    side = 1 << z
+    grid = rng.integers(0, 5, (side, side)).astype(np.int64)
+    ys, xs = np.nonzero(grid)
+    t = pa.table(
+        {
+            "x": pa.array(xs.astype(np.int64)),
+            "y": pa.array(ys.astype(np.int64)),
+            "pages": pa.array(grid[ys, xs]),
+        }
+    )
+    from rio_cogeo_ray.stages import rasterize
+
+    sc = rasterize.focal_scatter(t, z).to_pandas()
+    got = sc.groupby(["x", "y"], as_index=False)["pages"].sum()
+    dense = np.zeros_like(grid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            src = grid[
+                max(0, -dy): side - max(0, dy), max(0, -dx): side - max(0, dx)
+            ]
+            dense[max(0, dy): side + min(0, dy), max(0, dx): side + min(0, dx)] += src
+    want = np.zeros_like(dense)
+    for _, r in got.iterrows():
+        want[int(r["y"]), int(r["x"])] = r["pages"]
+    # every cell with any mass in its neighborhood must match; cells
+    # with zero focal sum produce no row (sparse representation)
+    assert np.array_equal(want, dense)
+
+
+def test_grouped_quantile_matches_pandas(ray_session):
+    """grouped_quantile == per-group lower quantile of the quantized
+    values (pandas oracle), across batch splits and buckets."""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    t = pa.table(
+        {
+            "g": pa.array([f"g{int(i)}" for i in rng.integers(0, 37, n)]),
+            "v": pa.array(rng.normal(50.0, 20.0, n)),
+        }
+    )
+    got = (
+        sketch.grouped_quantile(
+            rd.from_arrow(t).repartition(13), "g", "v", (0.5, 0.9), scale=100
+        )
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["qv"] = np.floor(df["v"] * 100.0 + 0.5).astype(np.int64)
+    rows = []
+    for g, sub in df.groupby("g"):
+        s = np.sort(sub["qv"].to_numpy())
+        for q in (0.5, 0.9):
+            rank = int(np.ceil(q * len(s)))
+            rows.append({"g": g, "q": q, "value": s[rank - 1] / 100.0})
+    want = pd.DataFrame(rows).sort_values(["g", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "q", "value"]], want)
