@@ -1884,6 +1884,25 @@ SQL_VALUE_QUANTILES_BY_TYPE = (
 )
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition (Markov bigram) counts
+    (stages/window.py:event_transitions)."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    return window.event_transitions(ds)
+
+
+SQL_EVENT_TRANSITIONS = (
+    "WITH o AS (SELECT user_id, event_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "FROM events) "
+    "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1945,6 +1964,7 @@ def queries() -> Dict[str, Callable]:
         "focal_density": q_focal_density,
         "zonal_stats": q_zonal_stats,
         "value_quantiles_by_type": q_value_quantiles_by_type,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -1999,6 +2019,7 @@ def oracle_sql() -> Dict[str, str]:
         "focal_density": SQL_FOCAL_DENSITY,
         "zonal_stats": SQL_ZONAL_STATS,
         "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -194,3 +194,88 @@ def watermark_filter(ds, ts_col: str = "ts", delay_us: int = US_PER_HOUR):
         lambda t: t.filter(pc.greater_equal(t[ts_col], pa.scalar(wm, pa.int64()))),
         batch_format="pyarrow",
     )
+
+
+def event_transitions(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Per-user consecutive-event TRANSITION counts (the sequence /
+    Markov-bigram operator): for each user's events ordered by
+    (ts, id) — the id tie-break makes exact-timestamp ties
+    deterministic in both engines — count (prev_type → type) pairs
+    over the whole corpus.
+
+    Partitioning: every event of one user lands in one reduce bucket
+    (``hash(user) % n_buckets``, the sessionize contract); each bucket
+    sorts and shifts ALL its users in one vectorized pass (pair exists
+    only where the shifted row is the same user), collapses pairs with
+    an in-memory Arrow group-count, and a final partial→final group-sum
+    merges buckets. Python cost O(n_buckets), shuffle rows bounded by
+    distinct (bucket, pair) counts. SQL mirror: LAG() OVER (PARTITION
+    BY user ORDER BY ts, id)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _cast(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                user_col: u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                type_col: t[type_col].combine_chunks(),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        if len(g) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    type_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        u = g[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = g[type_col].combine_chunks()
+        same = u[1:] == u[:-1]
+        idx = np.flatnonzero(same)
+        pairs = pa.table(
+            {
+                "prev_type": ty.take(pa.array(idx, pa.int64())),
+                type_col: ty.take(pa.array(idx + 1, pa.int64())),
+            }
+        )
+        counted = pairs.group_by(["prev_type", type_col]).aggregate(
+            [([], "count_all")]
+        )
+        return counted.rename_columns(["prev_type", type_col, "n"]).set_column(
+            2, "n", counted["count_all"].cast(pa.int64())
+        )
+
+    slim = ds.map_batches(_cast, batch_format="pyarrow")
+    per_bucket = slim.groupby("__bucket").map_groups(
+        lambda g: _pairs(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+    )
+    out = partial_group_agg(
+        per_bucket, keys=["prev_type", type_col], sum_cols=["n"], count_as=None
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"prev_type": t["prev_type"], type_col: t[type_col], "n": t["sum_n"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -784,3 +784,40 @@ def test_grouped_quantile_matches_pandas(ray_session):
             rows.append({"g": g, "q": q, "value": s[rank - 1] / 100.0})
     want = pd.DataFrame(rows).sort_values(["g", "q"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "q", "value"]], want)
+
+
+def test_event_transitions_matches_pandas(ray_session):
+    """event_transitions: bigram counts across batch splits, exact-ts
+    ties broken by event_id (mirrors the SQL LAG ordering)."""
+    from rio_cogeo_ray.stages import window as win
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 50, n), pa.int64()),  # many ties
+            "user_id": pa.array(rng.integers(0, 200, n), pa.int64()),
+            "event_type": pa.array(
+                [f"t{int(i)}" for i in rng.integers(0, 6, n)]
+            ),
+        }
+    )
+    got = (
+        win.event_transitions(rd.from_arrow(t).repartition(11))
+        .to_pandas()
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["prev_type"] = df.groupby("user_id")["event_type"].shift(1)
+    want = (
+        df.dropna(subset=["prev_type"])
+        .groupby(["prev_type", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got[["prev_type", "event_type", "n"]], want)
