@@ -1903,6 +1903,32 @@ SQL_EVENT_TRANSITIONS = (
 )
 
 
+def q_tfidf_top(sf_dir: str):
+    """Top-3 distinctive terms per doc by tf·idf (stages/text.py:
+    tfidf_topk — the inverted-index pipeline). Ranking is over the
+    ppm-quantized integer score in BOTH engines, so order (incl. the
+    token tie-break) is bit-identical; ln() agrees to the last ulp
+    (same libm doctrine as the mercator mirror)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(path).num_rows
+    ds = _read(path, ["doc_id", "text"])
+    return text.tfidf_topk(ds, n_docs, k=3)
+
+
+SQL_TFIDF_TOP = (
+    r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents), "
+    "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token), "
+    "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents), "
+    "s AS (SELECT tf.doc_id, tf.token, "
+    "CAST(FLOOR(CAST(tf.tf AS DOUBLE) * LN(n.nn / CAST(df.df AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS score_ppm "
+    "FROM tf JOIN df USING (token), n), "
+    "r AS (SELECT doc_id, token, score_ppm, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS rk FROM s) "
+    "SELECT doc_id, token, score_ppm, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 3"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -1965,6 +1991,7 @@ def queries() -> Dict[str, Callable]:
         "zonal_stats": q_zonal_stats,
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "event_transitions": q_event_transitions,
+        "tfidf_top": q_tfidf_top,
     }
 
 
@@ -2020,6 +2047,7 @@ def oracle_sql() -> Dict[str, str]:
         "zonal_stats": SQL_ZONAL_STATS,
         "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "tfidf_top": SQL_TFIDF_TOP,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

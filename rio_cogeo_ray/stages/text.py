@@ -367,3 +367,114 @@ def token_topk_per_group(ds, group_col: str, text_col: str = "text", k: int = 10
     return per_group_topk(
         merged, group_col, [("n", False), ("token", True)], k, rank_col="rank"
     )
+
+
+def doc_token_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-batch (doc, token, n) partial term frequencies — the
+    inverted-index combiner. Tokens are the ``\\S+`` matches (same
+    mirror as token_value_counts); the in-batch Arrow group-count
+    collapses repeated terms before the shuffle."""
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.split_pattern_regex(t.cast(pa.string()), r"\s+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    pairs = pa.table(
+        {
+            id_col: ids.take(pa.array(rep[keep], pa.int64())),
+            "token": flat.filter(pa.array(keep)),
+        }
+    )
+    counted = pairs.group_by([id_col, "token"]).aggregate([([], "count_all")])
+    return counted.set_column(
+        2, "n", counted["count_all"].cast(pa.int64())
+    ).rename_columns([id_col, "token", "n"])
+
+
+def tfidf_topk(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, n_buckets: int = 64):
+    """Top-k distinctive terms per document by tf·idf — the
+    inverted-index pipeline as THREE linear shuffle stages (no
+    self-join, no double consumption of the index):
+
+    1. (doc, token) partial→final term frequencies (combiner above).
+    2. bucket by hash(token): every posting of one term lands in one
+       reduce bucket, so document frequency is a per-bucket bincount
+       over the dictionary-encoded term column; the idf score attaches
+       to each posting in place — this replaces the classic tf⋈df
+       self-join (which would either re-execute or materialize the
+       index twice).
+    3. bucket by hash(doc): per-doc rank by (score desc, token asc) —
+       an integer sort, because the score is quantized to ppm
+       (``floor(tf·ln(N/df)·1e6 + 0.5)``, int64) BEFORE ranking, so
+       rank order is bit-identical to the SQL mirror's.
+
+    ``n_docs`` is the corpus document count (an O(1) parquet-metadata
+    read on the driver). Python cost O(n_buckets) per stage."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    tf = partial_group_agg(
+        ds.map_batches(
+            lambda t: doc_token_counts(t, id_col, text_col), batch_format="pyarrow"
+        ),
+        keys=[id_col, "token"],
+        sum_cols=["n"],
+        count_as=None,
+    )
+
+    def _bucket_by(col):
+        def _b(t: pa.Table) -> pa.Table:
+            b = (hash_columns(t, [col]) % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("__bucket", pa.array(b, pa.int64()))
+        return _b
+
+    n_f = float(n_docs)
+
+    def _score_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        tok = g["token"].combine_chunks()
+        de = tok.dictionary_encode()
+        idx = de.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(idx)[idx].astype(np.float64)  # postings per term == df (rows are distinct (doc, token))
+        tf_v = g["sum_n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.floor(tf_v * np.log(n_f / df) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "token": tok,
+                "score_ppm": pa.array(score, pa.int64()),
+            }
+        )
+
+    def _rank_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(
+            [(id_col, "ascending"), ("score_ppm", "descending"), ("token", "ascending")]
+        )
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = rank <= k
+        out = g.filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep], pa.int64()))
+
+    scored = (
+        tf.map_batches(_bucket_by("token"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_score_bucket, batch_format="pyarrow")
+    )
+    return (
+        scored.map_batches(_bucket_by(id_col), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_rank_bucket, batch_format="pyarrow")
+    )

@@ -821,3 +821,29 @@ def test_event_transitions_matches_pandas(ray_session):
     )
     want["n"] = want["n"].astype("int64")
     pd.testing.assert_frame_equal(got[["prev_type", "event_type", "n"]], want)
+
+
+def test_tfidf_top_ranks_rare_terms(ray_session):
+    """tfidf_topk: a term unique to one doc outranks corpus-wide terms;
+    ubiquitous terms (df == N) score exactly 0."""
+    docs = [
+        "common common zebra",
+        "common common common",
+        "common xylophone xylophone",
+        "common filler words here",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs)), pa.int64()), "text": pa.array(docs)}
+    )
+    out = (
+        text.tfidf_topk(rd.from_arrow(t).repartition(3), n_docs=len(docs), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    top = out[out["rank"] == 1].set_index("doc_id")["token"]
+    assert top[0] == "zebra"
+    assert top[2] == "xylophone"
+    # 'common' appears in every doc -> ln(N/df) = 0 -> score 0
+    common = out[out["token"] == "common"]
+    assert (common["score_ppm"] == 0).all()
