@@ -614,6 +614,16 @@ def q_minhash_clusters(sf_dir: str):
     return dedup.connected_components(edges, max_rounds=4)
 
 
+def q_neardup_verified(sf_dir: str):
+    """MinHash-LSH candidates + EXACT shingle-Jaccard verification
+    before clustering (stages/dedup.py:text_neardup_verified — the full
+    dedup-verify pipeline). No SQL mirror (iterative + LSH); pinned by
+    pytest with a planted banding false positive that verification
+    must prune."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return dedup.text_neardup_verified(ds, threshold=0.5)
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash fingerprints + bands (deterministic; rows-only
     driver check, bit-level pins in pytest)."""
@@ -1992,6 +2002,7 @@ def queries() -> Dict[str, Callable]:
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "event_transitions": q_event_transitions,
         "tfidf_top": q_tfidf_top,
+        "neardup_verified": q_neardup_verified,
     }
 
 

@@ -168,9 +168,13 @@ def minhash_band_rows(
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
+    carry_cols: tuple = (),
 ) -> pa.Table:
     """Explode each doc into (id, band, band_hash) LSH bucket rows —
-    the shingle→minhash→band map stage."""
+    the shingle→minhash→band map stage. ``carry_cols`` replicates
+    payload columns onto every band row (bands× shuffle volume — use
+    only when downstream in-bucket verification needs the payload;
+    re-join by id instead when the payload dominates)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(batch[text_col].combine_chunks(), num_perm)
     n = len(batch)
@@ -182,13 +186,18 @@ def minhash_band_rows(
         for r in range(rows_per_band):
             bh = bh * np.uint64(1099511628211) ^ sig[:, r::rows_per_band][:, :bands]
         bh = splitmix64(bh)
-    return pa.table(
+    out = pa.table(
         {
             id_col: pa.array(doc_rep),
             "band": pa.array(band_ids, pa.int64()),
             "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
         }
     )
+    if carry_cols:
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands), pa.int64())
+        for c in carry_cols:
+            out = out.append_column(c, batch[c].combine_chunks().take(rep))
+    return out
 
 
 def _bucket_edges_vec(group: pa.Table, id_col: str) -> pa.Table:
@@ -567,3 +576,124 @@ def jaccard_shingles(text_a: str, text_b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _row_shingle_sets(texts: pa.Array, k: int):
+    """Per-row sorted-unique shingle-hash arrays (verification support).
+    One vectorized shingle pass for the whole bucket; per-row np.unique
+    only for rows that actually participate in a candidate pair."""
+    doc_idx, sh = _char_shingle_hashes(texts, k)
+    n = len(texts)
+    bounds = np.searchsorted(doc_idx, np.arange(n + 1))
+    cache: dict = {}
+
+    def get(row: int) -> np.ndarray:
+        s = cache.get(row)
+        if s is None:
+            s = np.unique(sh[bounds[row]:bounds[row + 1]])
+            cache[row] = s
+        return s
+
+    return get
+
+
+def _bucket_star_edges_verified(
+    group: pa.Table, id_col: str, text_col: str, shingle_k: int, threshold: float
+) -> pa.Table:
+    """Star edges member → bucket-min, kept only when the EXACT k-char
+    shingle Jaccard of the pair meets ``threshold``. Candidate pairs
+    are deduplicated across bands FIRST (np.unique over packed id
+    pairs) so each pair's set intersection runs once; the per-pair
+    kernel is numpy ``intersect1d`` over pre-hashed sorted shingle
+    sets — Python cost O(candidate pairs), which LSH banding keeps a
+    vanishing fraction of the corpus."""
+    empty = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    if len(group) == 0:
+        return empty
+    group = group.sort_by(
+        [("band", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")]
+    )
+    b = group["band"].combine_chunks().to_numpy(zero_copy_only=False)
+    h = group["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], (b[1:] != b[:-1]) | (h[1:] != h[:-1])))
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(b)))
+    first_row = np.repeat(starts, lens)
+    member = ~new
+    m_rows = np.flatnonzero(member)
+    f_rows = first_row[m_rows]
+    if len(m_rows) == 0:
+        return empty
+    # drop self-pairs (same doc in one bucket twice) and dedup across bands
+    pair_ids = np.column_stack((ids[m_rows], ids[f_rows]))
+    ok = pair_ids[:, 0] != pair_ids[:, 1]
+    m_rows, f_rows, pair_ids = m_rows[ok], f_rows[ok], pair_ids[ok]
+    if len(m_rows) == 0:
+        return empty
+    packed = np.ascontiguousarray(pair_ids).view("V16").ravel()
+    _, keep_idx = np.unique(packed, return_index=True)
+    m_rows, f_rows = m_rows[keep_idx], f_rows[keep_idx]
+    sets = _row_shingle_sets(group[text_col].combine_chunks(), shingle_k)
+    src_out, dst_out = [], []
+    for m, f in zip(m_rows.tolist(), f_rows.tolist()):
+        sa, sb_ = sets(m), sets(f)
+        union = len(sa) + len(sb_) - len(np.intersect1d(sa, sb_, assume_unique=True))
+        jac = 1.0 if union == 0 else (len(sa) + len(sb_) - union) / union
+        if jac >= threshold:
+            src_out.append(ids[m])
+            dst_out.append(ids[f])
+    return pa.table(
+        {
+            "src": pa.array(np.asarray(src_out, dtype=np.int64), pa.int64()),
+            "dst": pa.array(np.asarray(dst_out, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def text_neardup_verified(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    n_buckets: int = 64,
+    max_rounds: "int | None" = None,
+):
+    """Text near-duplicate clusters with EXACT verification — the full
+    dedup-verify pipeline: shingle→minhash→band rows (text carried on
+    the band rows, the embedding_neardup payload pattern) → bucketed
+    star candidates → exact k-char-shingle Jaccard filter (candidates
+    below ``threshold`` are dropped BEFORE clustering, so LSH false
+    positives never merge clusters) → distributed connected
+    components. Returns (node, label) rows for ids in verified edges."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    rows = ds.map_batches(
+        lambda t: minhash_band_rows(
+            t, id_col, text_col, num_perm, bands, carry_cols=(text_col,)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        rb = (hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return t.append_column("__bucket", pa.array(rb, pa.int64()))
+
+    edges = (
+        rows.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_star_edges_verified(
+                g.drop_columns(["__bucket"]), id_col, text_col, shingle_k, threshold
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return connected_components(edges, max_rounds=max_rounds)

@@ -847,3 +847,31 @@ def test_tfidf_top_ranks_rare_terms(ray_session):
     # 'common' appears in every doc -> ln(N/df) = 0 -> score 0
     common = out[out["token"] == "common"]
     assert (common["score_ppm"] == 0).all()
+
+
+def test_text_neardup_verified_prunes_false_positives(ray_session):
+    """text_neardup_verified: true near-dups cluster; a pair that shares
+    a few LSH bands but has low exact Jaccard is pruned by the verify
+    step (lsh_candidate_edges without verification links it)."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-20] + "and then it slept soundly"
+    # moderate overlap: shares half the shingles -> likely to share a
+    # band at 16 bands/64 perms, but exact jaccard is ~0.49
+    half = base[: len(base) // 2] + "completely different second half of text " * 4
+    far = "unrelated content about distributed query engines " * 6
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [base, base, near, half, far],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    labels = dedup.text_neardup_verified(ds, threshold=0.6).to_pandas()
+    lab = dict(zip(labels["node"], labels["label"]))
+    assert lab.get(0, 0) == 0 and lab.get(1, 1) == 0  # identical pair
+    assert lab.get(2, 2) == 0  # true near-dup joins (jaccard ~0.63)
+    assert lab.get(3, -1) != 0  # half-overlap pruned (jaccard ~0.49)
+    assert lab.get(4, -1) != 0  # far never links
+    # sanity: the threshold separates the two pairs
+    assert dedup.jaccard_shingles(base, half) < 0.6
+    assert dedup.jaccard_shingles(base, near) >= 0.6
