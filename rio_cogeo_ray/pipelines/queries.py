@@ -1939,6 +1939,34 @@ SQL_TFIDF_TOP = (
 )
 
 
+WEIGHTED_K = 50
+
+
+def q_sample_weighted(sf_dir: str):
+    """Weighted sample w/o replacement, k orders ∝ o_totalprice
+    (stages/sketch.py:weighted_sample — Efraimidis–Spirakis A-ES with a
+    deterministic SQL-mirrorable uniform)."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _read(os.path.join(sf_dir, "orders.parquet"), ["o_orderkey", "o_totalprice"])
+    picked = sketch.weighted_sample(ds, "o_orderkey", "o_totalprice", WEIGHTED_K)
+    # the float key is selection-only: numpy and DuckDB LN() can differ
+    # in the LAST ulp near u→1, which is harmless for ranking (key gaps
+    # are ~1e11 ulps) but would fail the bit-exact value compare — so
+    # both sides emit the selected (id, weight) rows without the key.
+    return picked.map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice"]), batch_format="pyarrow"
+    )
+
+
+SQL_SAMPLE_WEIGHTED = (
+    "WITH h AS (SELECT o_orderkey, o_totalprice, "
+    "(((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967296.0 AS u FROM orders) "
+    "SELECT o_orderkey, o_totalprice FROM h "
+    f"ORDER BY LN(u) / o_totalprice DESC, o_orderkey LIMIT {WEIGHTED_K}"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2003,6 +2031,7 @@ def queries() -> Dict[str, Callable]:
         "event_transitions": q_event_transitions,
         "tfidf_top": q_tfidf_top,
         "neardup_verified": q_neardup_verified,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -2059,6 +2088,7 @@ def oracle_sql() -> Dict[str, str]:
         "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "tfidf_top": SQL_TFIDF_TOP,
+        "sample_weighted": SQL_SAMPLE_WEIGHTED,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -390,3 +390,33 @@ def grouped_quantile(
         .groupby("__bucket")
         .map_groups(_per_group, batch_format="pyarrow")
     )
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int, salt: int = 0):
+    """Weighted sample WITHOUT replacement of exactly k rows —
+    Efraimidis–Spirakis A-ES (the training-data importance-sampling
+    op): each row gets the deterministic uniform
+    ``u = (knuth32(id) + 1) / 2^32`` ∈ (0, 1] and sort key
+    ``ln(u) / w`` (weights must be > 0); the k LARGEST keys are the
+    sample, with inclusion probability proportional to weight. The key
+    is the same expression in SQL; libm LN can differ in the LAST ulp
+    between engines, which cannot flip the selected SET (key gaps are
+    ~1e11 ulps) but means callers should compare the selected rows,
+    not the raw key. Ties fall through to id, so the result SET is
+    deterministic.
+
+    Distributed exactly like ``bottomk_sample``: partial top-k per
+    batch (each batch forwards ≤ k rows) → one tiny final sort+limit —
+    shuffle volume O(k·batches), no full sort."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = t[weight_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (knuth32(ids, salt).astype(np.float64) + 1.0) / 4294967296.0
+        key = np.log(u) / w
+        t = t.append_column("skey", pa.array(key, pa.float64()))
+        order = np.lexsort((ids, -key))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partials.sort(["skey", id_col], descending=[True, False]).limit(k)

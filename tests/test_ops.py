@@ -875,3 +875,33 @@ def test_text_neardup_verified_prunes_false_positives(ray_session):
     # sanity: the threshold separates the two pairs
     assert dedup.jaccard_shingles(base, half) < 0.6
     assert dedup.jaccard_shingles(base, near) >= 0.6
+
+
+def test_weighted_sample_matches_oracle_and_favors_heavy(ray_session):
+    """weighted_sample: exact A-ES selection vs a numpy oracle for one
+    salt; across salts, a 100×-weight row is picked far more often."""
+    from rio_cogeo_ray.stages import sketch
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.full(n, 1.0)
+    w[7] = 100.0
+    t = pa.table({"id": pa.array(ids), "w": pa.array(w, pa.float64())})
+    ds = rd.from_arrow(t).repartition(7)
+    got = (
+        sketch.weighted_sample(ds, "id", "w", 25, salt=3)
+        .to_pandas()["id"]
+        .tolist()
+    )
+    u = (sketch.knuth32(ids, 3).astype(np.float64) + 1.0) / 4294967296.0
+    key = np.log(u) / w
+    want = ids[np.lexsort((ids, -key))[:25]].tolist()
+    assert got == want
+    hits = 0
+    for salt in range(30):
+        u = (sketch.knuth32(ids, salt).astype(np.float64) + 1.0) / 4294967296.0
+        key = np.log(u) / w
+        if 7 in ids[np.lexsort((ids, -key))[:25]]:
+            hits += 1
+    # P(include) ≈ 1 - (1 - 25/~n)^100 >> uniform 25/2000
+    assert hits >= 20
