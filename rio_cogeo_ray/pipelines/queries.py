@@ -1967,6 +1967,51 @@ SQL_SAMPLE_WEIGHTED = (
 )
 
 
+def q_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered large-large SEMI join (stages/join.py:
+    bloom_semi_join): lineitems of high-value orders. The right side's
+    keys tree-OR-merge into ONE broadcast bitmap; non-matching left
+    rows never enter the shuffle; an exact bucketed semi join removes
+    the bloom's false positives, so the result is identical to the
+    plain semi join (and to the EXISTS SQL). Aggregated output keeps
+    the compare small."""
+    import pyarrow.dataset as pads
+
+    li = _read(
+        os.path.join(sf_dir, "lineitem.parquet"), ["l_orderkey", "l_quantity"]
+    )
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"],
+        filter=pads.field("o_totalprice") > 400000.0,
+    ).map_batches(lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow")
+    kept = join_mod.bloom_semi_join(li, big, on="l_orderkey", m_bits=1 << 20)
+
+    def _q(t: pa.Table) -> pa.Table:
+        v = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "qty": pa.array(np.floor(v + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.partial_group_agg(
+        kept.map_batches(_q, batch_format="pyarrow"),
+        keys=["l_orderkey"],
+        sum_cols=["qty"],
+        count_as="items",
+    )
+
+
+SQL_BLOOM_SEMI = (
+    "SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(COUNT(*) AS BIGINT) AS items FROM lineitem "
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+    "AND o_totalprice > 400000.0) GROUP BY l_orderkey"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2032,6 +2077,7 @@ def queries() -> Dict[str, Callable]:
         "tfidf_top": q_tfidf_top,
         "neardup_verified": q_neardup_verified,
         "sample_weighted": q_sample_weighted,
+        "bloom_semi": q_bloom_semi,
     }
 
 
@@ -2089,6 +2135,7 @@ def oracle_sql() -> Dict[str, str]:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "tfidf_top": SQL_TFIDF_TOP,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
+        "bloom_semi": SQL_BLOOM_SEMI,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

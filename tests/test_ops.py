@@ -905,3 +905,46 @@ def test_weighted_sample_matches_oracle_and_favors_heavy(ray_session):
             hits += 1
     # P(include) ≈ 1 - (1 - 25/~n)^100 >> uniform 25/2000
     assert hits >= 20
+
+
+def test_bloom_semi_join_equals_exact_semi(ray_session):
+    """bloom_semi_join result set == plain bucketed semi join; the
+    bloom probe alone keeps every true match (no false negatives) and
+    prunes most non-matches."""
+    rng = np.random.default_rng(9)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 100000, 5000), pa.int64()),
+            "v": pa.array(np.arange(5000), pa.int64()),
+        }
+    )
+    right = pa.table({"k": pa.array(rng.integers(0, 100000, 300), pa.int64())})
+    lds = rd.from_arrow(left).repartition(5)
+    rds = rd.from_arrow(right).repartition(3)
+    got = (
+        join_mod.bloom_semi_join(lds, rds, on="k", m_bits=1 << 16)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        join_mod.bucketed_hash_join(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(3),
+            on="k",
+            how="semi",
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+    # probe-only: no false negatives, high selectivity
+    bloom = join_mod.build_bloom(rd.from_arrow(right), "k", m_bits=1 << 16)
+    probe = join_mod.BloomProbe(bloom, "k")
+    kept = probe(left)
+    true_keys = set(right["k"].to_pylist())
+    assert set(want["k"]) <= set(kept["k"].to_pylist())
+    fp = sum(1 for k in kept["k"].to_pylist() if k not in true_keys)
+    assert fp < 0.1 * len(left)
