@@ -2012,6 +2012,34 @@ SQL_BLOOM_SEMI = (
 )
 
 
+CHUNK_W, CHUNK_S = 120, 80
+
+
+def q_doc_chunks(sf_dir: str):
+    """Overlapping character-window chunking (stages/text.py:
+    chunk_texts) — the RAG/context-packing explode every LLM data
+    pipeline needs. Pure map-side flat explode (no shuffle); chunk i
+    covers [i*stride, i*stride+window) code points and the last chunk
+    always reaches end-of-doc. Mirrored exactly by a lateral
+    generate_series + substring (both engines count code points)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text.chunk_texts(t, window=CHUNK_W, stride=CHUNK_S),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_CHUNKS = (
+    f"WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), "
+    f"n AS (SELECT doc_id, text, CASE WHEN L <= {CHUNK_W} THEN 1 "
+    f"ELSE CAST(CEIL((L - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1 END AS n_chunks FROM d) "
+    f"SELECT n.doc_id, CAST(g - 1 AS BIGINT) AS chunk_id, "
+    f"substring(n.text, CAST((g - 1) * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W}) AS chunk_text, "
+    f"CAST(length(substring(n.text, CAST((g - 1) * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W})) AS BIGINT) AS chunk_len "
+    f"FROM n CROSS JOIN generate_series(1, 1024) AS gs(g) WHERE g <= n.n_chunks"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2078,6 +2106,7 @@ def queries() -> Dict[str, Callable]:
         "neardup_verified": q_neardup_verified,
         "sample_weighted": q_sample_weighted,
         "bloom_semi": q_bloom_semi,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2136,6 +2165,7 @@ def oracle_sql() -> Dict[str, str]:
         "tfidf_top": SQL_TFIDF_TOP,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "bloom_semi": SQL_BLOOM_SEMI,
+        "doc_chunks": SQL_DOC_CHUNKS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -478,3 +478,55 @@ def tfidf_topk(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
         .groupby("__bucket")
         .map_groups(_rank_bucket, batch_format="pyarrow")
     )
+
+
+def chunk_texts(
+    batch: pa.Table,
+    text_col: str = "text",
+    window: int = 120,
+    stride: int = 80,
+) -> pa.Table:
+    """Explode each row into overlapping character-window chunks — the
+    standard LLM-pipeline chunker (RAG indexing / context packing).
+
+    Chunk i of a doc with L code points covers [i*stride, i*stride +
+    window); n_chunks = 1 if L <= window else ceil((L-window)/stride)+1,
+    so the last chunk always reaches the end of the doc (it may be
+    shorter than ``window``). Pure map-side explode: no shuffle, output
+    fan-out bounded by ceil(L/stride) per row, carries every non-text
+    column through unchanged.
+
+    SQL mirror (exact): lateral ``generate_series(1, n_chunks)`` +
+    ``substring(text, (g-1)*stride + 1, window)`` — both engines count
+    Unicode code points.
+    """
+    texts = batch[text_col].combine_chunks()
+    lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = np.where(
+        lens <= window, 1, -(-(lens - window) // stride) + 1
+    ).astype(np.int64)
+    order = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    chunk_id = np.concatenate([np.arange(n, dtype=np.int64) for n in n_chunks]) if len(batch) else np.empty(0, np.int64)
+    out = batch.take(pa.array(order))
+    exploded_text = out[text_col].combine_chunks()
+    # Vectorized variable-offset slice: one utf8_slice_codeunits call per
+    # distinct chunk index (<= ceil(max_len/stride) calls, each over all
+    # rows sharing that index). NOTE utf8_slice_codeunits counts code
+    # POINTS despite the name (arrow kernel semantics), matching SQL
+    # substring.
+    pieces = np.empty(len(order), dtype=object)
+    for ci in np.unique(chunk_id) if len(order) else []:
+        sel = chunk_id == ci
+        sl = pc.utf8_slice_codeunits(
+            exploded_text.filter(pa.array(sel)),
+            start=int(ci) * stride,
+            stop=int(ci) * stride + window,
+        )
+        pieces[sel] = sl.to_numpy(zero_copy_only=False)
+    chunk_arr = pa.array(pieces, pa.string())
+    out = out.drop_columns([text_col])
+    out = out.append_column("chunk_id", pa.array(chunk_id, pa.int64()))
+    out = out.append_column("chunk_text", chunk_arr)
+    return out.append_column(
+        "chunk_len", pc.utf8_length(chunk_arr).cast(pa.int64())
+    )

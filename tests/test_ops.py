@@ -948,3 +948,32 @@ def test_bloom_semi_join_equals_exact_semi(ray_session):
     assert set(want["k"]) <= set(kept["k"].to_pylist())
     fp = sum(1 for k in kept["k"].to_pylist() if k not in true_keys)
     assert fp < 0.1 * len(left)
+
+
+def test_chunk_texts_invariants():
+    """Chunker properties: last chunk reaches end-of-doc, stride-prefix
+    concatenation reconstructs the doc, unicode counted by code points,
+    and the empty/short-doc edge yields exactly one chunk."""
+    docs = [
+        "",
+        "short",
+        "x" * 120,            # exactly one window
+        "y" * 121,            # just over → 2 chunks
+        "héllö wörld " * 40,  # non-ascii, 480 cps → 6 chunks
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)), "text": docs})
+    out = text.chunk_texts(t, window=120, stride=80).to_pandas()
+    for i, d in enumerate(docs):
+        rows = out[out.doc_id == i].sort_values("chunk_id")
+        L = len(d)
+        expect_n = 1 if L <= 120 else -(-(L - 120) // 80) + 1
+        assert len(rows) == expect_n
+        # per-chunk content check
+        for _, r in rows.iterrows():
+            s = int(r.chunk_id) * 80
+            assert r.chunk_text == d[s : s + 120]
+            assert r.chunk_len == len(r.chunk_text)
+        # stride-prefix concat reconstructs the doc exactly
+        recon = "".join(r.chunk_text[:80] if k < len(rows) - 1 else r.chunk_text
+                        for k, (_, r) in enumerate(rows.iterrows()))
+        assert recon == d
