@@ -2040,6 +2040,38 @@ SQL_DOC_CHUNKS = (
 )
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.py: decontaminate):
+    drop training docs (source <> 'src0') whose 16-code-point text
+    prefix appears in the eval set (source = 'src0'). Broadcast
+    anti-join — eval keys ship once via ray.put; the training side is
+    filtered in place with zero shuffle. SQL mirror: NOT EXISTS on the
+    same substring key."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    train = rd.read_parquet(
+        path, columns=["doc_id", "source", "text"], filter=pads.field("source") != "src0"
+    )
+    ev = rd.read_parquet(path, columns=["text"], filter=pads.field("source") == "src0")
+
+    def _key(t: pa.Table) -> pa.Array:
+        return pc.utf8_slice_codeunits(t["text"].combine_chunks(), start=0, stop=16)
+
+    kept = dedup.decontaminate(train, ev, key_fn=_key)
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+SQL_DECONTAM = (
+    "SELECT d.doc_id, d.source FROM documents d WHERE d.source <> 'src0' "
+    "AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.source = 'src0' "
+    "AND substring(e.text, 1, 16) = substring(d.text, 1, 16))"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2107,6 +2139,7 @@ def queries() -> Dict[str, Callable]:
         "sample_weighted": q_sample_weighted,
         "bloom_semi": q_bloom_semi,
         "doc_chunks": q_doc_chunks,
+        "decontam": q_decontam,
     }
 
 
@@ -2166,6 +2199,7 @@ def oracle_sql() -> Dict[str, str]:
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "bloom_semi": SQL_BLOOM_SEMI,
         "doc_chunks": SQL_DOC_CHUNKS,
+        "decontam": SQL_DECONTAM,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -697,3 +697,74 @@ def text_neardup_verified(
         )
     )
     return connected_components(edges, max_rounds=max_rounds)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark-overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def collect_eval_keys(eval_ds, key_col: str = "__key") -> "pa.Array":
+    """Distinct key values of the (SMALL) eval/benchmark side, collected
+    to the driver. Contract: eval sets are benchmark-sized (10^3–10^6
+    rows), so the distinct-key array fits in one object — the big
+    training side never leaves the cluster. Dedup happens distributed
+    (partial per-batch unique → final) so the driver receives distinct
+    values only."""
+    import pyarrow.compute as pc
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: pc.unique(t[key_col].combine_chunks())})
+
+    rows = eval_ds.map_batches(_uniq, batch_format="pyarrow", batch_size=65536)
+    # one more fan-in level so the driver sees near-distinct rows
+    rows = rows.map_batches(_uniq, batch_format="pyarrow", batch_size=4096)
+    tbl = pa.Table.from_pylist(rows.take_all(), schema=pa.schema([(key_col, pa.string())]))
+    import pyarrow.compute as pc2
+
+    return pc2.unique(tbl[key_col].combine_chunks())
+
+
+class DecontamFilter:
+    """Actor stage: drop training rows whose contamination key appears
+    in the broadcast eval-key set (`ray.put` once, shared zero-copy by
+    every actor on a node). Vectorized membership via pc.is_in."""
+
+    def __init__(self, keys_ref, key_fn):
+        import ray as _ray
+
+        self.keys = _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        self.key_fn = key_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = self.key_fn(batch)
+        return batch.filter(pc.invert(pc.is_in(k, value_set=self.keys)))
+
+
+def decontaminate(train_ds, eval_ds, key_fn, eval_key_fn=None, concurrency: int = 2):
+    """Benchmark decontamination: remove training rows whose key
+    (e.g. a normalized text prefix or fingerprint) collides with any
+    eval-set row's key — the standard pre-training hygiene step.
+
+    Broadcast anti-join: eval keys (small side) collect → `ray.put`
+    once → every DecontamFilter actor filters its batches locally.
+    ZERO shuffle of the training side. `key_fn(batch) -> pa.Array`
+    computes the contamination key; eval_key_fn defaults to key_fn.
+    """
+    import ray as _ray
+
+    ekf = eval_key_fn or key_fn
+
+    def _keys(t: pa.Table) -> pa.Table:
+        return pa.table({"__key": ekf(t)})
+
+    keys = collect_eval_keys(eval_ds.map_batches(_keys, batch_format="pyarrow"))
+    keys_ref = _ray.put(keys)
+    return train_ds.map_batches(
+        DecontamFilter,
+        fn_constructor_args=(keys_ref, key_fn),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -977,3 +977,31 @@ def test_chunk_texts_invariants():
         recon = "".join(r.chunk_text[:80] if k < len(rows) - 1 else r.chunk_text
                         for k, (_, r) in enumerate(rows.iterrows()))
         assert recon == d
+
+
+def test_decontaminate_removes_planted_eval_overlap(ray_session):
+    """decontaminate drops exactly the training rows whose key matches
+    an eval-set key, keeps everything else, and never ships the train
+    side through a shuffle (pure filter semantics)."""
+    import pyarrow.compute as pc
+
+    from rio_cogeo_ray.stages import dedup as dd
+
+    ev_texts = [f"benchmark question {i} about topic {i*7}" for i in range(50)]
+    train_texts = [f"clean training doc {i} words" for i in range(300)]
+    # plant 30 contaminated rows (eval texts verbatim)
+    for i in range(30):
+        train_texts[i * 10] = ev_texts[i]
+    train = pa.table(
+        {"doc_id": pa.array(np.arange(300, dtype=np.int64)), "text": train_texts}
+    )
+    ev = pa.table({"text": ev_texts})
+
+    def key(t):
+        return t["text"].combine_chunks()
+
+    kept = dd.decontaminate(
+        rd.from_arrow(train).repartition(4), rd.from_arrow(ev).repartition(2), key_fn=key
+    ).to_pandas()
+    assert len(kept) == 270
+    assert set(kept["doc_id"]) == {i for i in range(300) if not (i % 10 == 0 and i // 10 < 30)}
