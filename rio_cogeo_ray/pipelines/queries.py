@@ -2072,6 +2072,35 @@ SQL_DECONTAM = (
 )
 
 
+PACK_BUDGET = 200
+
+
+def q_pack_sequences(sf_dir: str):
+    """Context-window sequence packing (stages/text.py:
+    pack_sequences): greedily pack docs into <=200-token training
+    sequences per source shard, in doc_id order. Engine kernel is
+    O(n_sequences·log n) searchsorted over the cumsum (verified
+    against a pure sequential reference); SQL mirror is the literal
+    sequential recursion (recursive CTE)."""
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+    return text.pack_sequences(ds, budget=PACK_BUDGET)
+
+
+SQL_PACK_SEQUENCES = (
+    "WITH RECURSIVE d AS (SELECT source, doc_id, "
+    "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks, "
+    "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents), "
+    "r AS (SELECT source, doc_id, toks, rn, CAST(0 AS BIGINT) AS seq_id, toks AS acc "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    f"SELECT d.source, d.doc_id, d.toks, d.rn, "
+    f"CASE WHEN r.acc + d.toks > {PACK_BUDGET} THEN r.seq_id + 1 ELSE r.seq_id END, "
+    f"CASE WHEN r.acc + d.toks > {PACK_BUDGET} THEN d.toks ELSE r.acc + d.toks END "
+    "FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1) "
+    "SELECT source, doc_id, toks, seq_id FROM r"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2140,6 +2169,7 @@ def queries() -> Dict[str, Callable]:
         "bloom_semi": q_bloom_semi,
         "doc_chunks": q_doc_chunks,
         "decontam": q_decontam,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2200,6 +2230,7 @@ def oracle_sql() -> Dict[str, str]:
         "bloom_semi": SQL_BLOOM_SEMI,
         "doc_chunks": SQL_DOC_CHUNKS,
         "decontam": SQL_DECONTAM,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -530,3 +530,66 @@ def chunk_texts(
     return out.append_column(
         "chunk_len", pc.utf8_length(chunk_arr).cast(pa.int64())
     )
+
+
+def _greedy_pack(tokens: np.ndarray, budget: int) -> np.ndarray:
+    """Sequential greedy packing: walk the (ordered) token counts,
+    opening a new sequence whenever adding the next doc would overflow
+    ``budget`` (a doc larger than the budget gets its own sequence).
+    O(n_bins * log n) via searchsorted on the cumsum — NOT a per-row
+    Python loop; the iteration count is the number of output sequences.
+    Returns int64 seq ids (0-based) per input row."""
+    n = len(tokens)
+    out = np.empty(n, dtype=np.int64)
+    c = np.cumsum(tokens.astype(np.int64))
+    s = 0
+    seq = 0
+    while s < n:
+        offset = c[s - 1] if s else 0
+        j = int(np.searchsorted(c, offset + budget, side="right"))
+        j = max(j, s + 1)  # an oversized doc still occupies one sequence
+        out[s:j] = seq
+        seq += 1
+        s = j
+    return out
+
+
+def pack_sequences(
+    ds,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Context-window sequence packing — group docs into training
+    sequences of at most ``budget`` tokens (whitespace tokens), greedily
+    in ``order_col`` order WITHIN each ``group_col`` shard.
+
+    Per-shard packing keeps the operator embarrassingly parallel at
+    100 TB: the only shuffle is the groupby on the shard key (which a
+    sharded layout already satisfies — at scale, read each shard as its
+    own dataset and skip the shuffle entirely). Deterministic: same
+    input → same sequence ids regardless of parallelism.
+
+    Output: (group_col, order_col, toks, seq_id) rows.
+    """
+
+    def _toks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: t[group_col].combine_chunks(),
+                order_col: t[order_col].combine_chunks(),
+                "toks": token_count(t[text_col].combine_chunks()),
+            }
+        )
+
+    def _pack_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(order_col, "ascending")])
+        toks = g["toks"].combine_chunks().to_numpy(zero_copy_only=False)
+        return g.append_column("seq_id", pa.array(_greedy_pack(toks, budget), pa.int64()))
+
+    return (
+        ds.map_batches(_toks, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_pack_group, batch_format="pyarrow")
+    )

@@ -1005,3 +1005,34 @@ def test_decontaminate_removes_planted_eval_overlap(ray_session):
     ).to_pandas()
     assert len(kept) == 270
     assert set(kept["doc_id"]) == {i for i in range(300) if not (i % 10 == 0 and i // 10 < 30)}
+
+
+def test_pack_sequences_budget_invariant_and_determinism(ray_session):
+    """Every packed sequence fits the budget (unless a single oversized
+    doc), packing is contiguous in order, and the result is identical
+    across different input partitionings."""
+    rng = np.random.default_rng(3)
+    words = [" ".join(["w"] * int(n)) for n in rng.integers(1, 90, 400)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+            "source": pa.array([f"s{i % 4}" for i in range(400)]),
+            "text": words,
+        }
+    )
+    outs = []
+    for parts in (2, 7):
+        df = (
+            text.pack_sequences(rd.from_arrow(t).repartition(parts), budget=128)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    df = outs[0]
+    for (_, _), grp in df.groupby(["source", "seq_id"]):
+        assert grp.toks.sum() <= 128 or len(grp) == 1
+    # contiguity: within a source, seq_id is non-decreasing in doc order
+    for _, grp in df.groupby("source"):
+        assert (np.diff(grp.seq_id.values) >= 0).all()
