@@ -2101,6 +2101,61 @@ SQL_PACK_SEQUENCES = (
 )
 
 
+def q_customer_urgent_profile(sf_dir: str):
+    """LEFT OUTER flavor of the large-large bucketed join
+    (stages/join.py: bucketed_hash_join how='left'): every customer
+    row survives; customers with no urgent orders carry null-padded
+    right columns, coalesced to 0 — exercising the outer-join
+    null-extension path the semi/anti queries never touch."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    cust = _read(os.path.join(sf_dir, "customer.parquet"), ["c_custkey"])
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"].combine_chunks(),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = agg.partial_group_agg(
+        urgent.map_batches(_cents, batch_format="pyarrow"),
+        keys=["c_custkey"],
+        sum_cols=["cents"],
+        count_as="n_urgent",
+    )
+    joined = join_mod.bucketed_hash_join(cust, per_cust, on="c_custkey", how="left", n_buckets=16)
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].combine_chunks(),
+                "n_urgent": pc.fill_null(t["n_urgent"].combine_chunks(), 0),
+                "urgent_cents": pc.fill_null(t["sum_cents"].combine_chunks(), 0),
+            }
+        )
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_URGENT_PROFILE = (
+    "SELECT c.c_custkey, COALESCE(o.n_urgent, 0) AS n_urgent, "
+    "COALESCE(o.sum_cents, 0) AS urgent_cents FROM customer c LEFT JOIN ("
+    "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+    "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o "
+    "ON o.o_custkey = c.c_custkey"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2170,6 +2225,7 @@ def queries() -> Dict[str, Callable]:
         "doc_chunks": q_doc_chunks,
         "decontam": q_decontam,
         "pack_sequences": q_pack_sequences,
+        "customer_urgent_profile": q_customer_urgent_profile,
     }
 
 
@@ -2231,6 +2287,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "decontam": SQL_DECONTAM,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "customer_urgent_profile": SQL_CUSTOMER_URGENT_PROFILE,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

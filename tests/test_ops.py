@@ -1036,3 +1036,35 @@ def test_pack_sequences_budget_invariant_and_determinism(ray_session):
     # contiguity: within a source, seq_id is non-decreasing in doc order
     for _, grp in df.groupby("source"):
         assert (np.diff(grp.seq_id.values) >= 0).all()
+
+
+def test_bucketed_left_outer_join_null_extends(ray_session):
+    """how='left' keeps every left row; unmatched rows carry typed
+    nulls; matched rows agree with the inner join."""
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "lv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {"k": pa.array([2, 4], pa.int64()), "rv": pa.array([200, 400], pa.int64())}
+    )
+    out = (
+        join_mod.bucketed_hash_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            on="k",
+            how="left",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 3, 4, 5]
+    assert out["rv"].tolist() == [None, 200, None, 400, None] or (
+        out["rv"].isna().tolist() == [True, False, True, False, True]
+        and out.loc[1, "rv"] == 200
+        and out.loc[3, "rv"] == 400
+    )
