@@ -719,10 +719,10 @@ def collect_eval_keys(eval_ds, key_col: str = "__key") -> "pa.Array":
     rows = eval_ds.map_batches(_uniq, batch_format="pyarrow", batch_size=65536)
     # one more fan-in level so the driver sees near-distinct rows
     rows = rows.map_batches(_uniq, batch_format="pyarrow", batch_size=4096)
-    tbl = pa.Table.from_pylist(rows.take_all(), schema=pa.schema([(key_col, pa.string())]))
-    import pyarrow.compute as pc2
-
-    return pc2.unique(tbl[key_col].combine_chunks())
+    # key type follows whatever key_fn produced (string, int hash, ...)
+    key_type = rows.schema().base_schema.field(key_col).type
+    vals = pa.array([r[key_col] for r in rows.take_all()], key_type)
+    return pc.unique(vals)
 
 
 class DecontamFilter:

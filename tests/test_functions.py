@@ -295,3 +295,59 @@ def test_kernel_taps_dc_sum_any_base():
             assert np.array_equal(ws, ws[::-1])
             # offsets cover at least one full child block
             assert offs.min() <= 0 and offs.max() >= b - 1
+
+
+# Property-based checks for the round-2 text kernels (no Ray needed).
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pyarrow as pa
+
+from rio_cogeo_ray.stages import text as text_mod
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+    budget=st.integers(min_value=1, max_value=600),
+)
+def test_greedy_pack_matches_sequential_reference(tokens, budget):
+    got = text_mod._greedy_pack(np.asarray(tokens, dtype=np.int64), budget).tolist()
+    # sequential reference with the engine/SQL semantics: the stream's
+    # first doc never opens a new bin; after that, a doc whose addition
+    # would overflow the budget starts a new bin containing itself
+    # (this matters for zero-token docs at a bin start — acc can be 0
+    # while the bin is non-empty).
+    seq, acc, want = 0, 0, []
+    for i, t in enumerate(tokens):
+        if i and acc + t > budget:
+            seq += 1
+            acc = 0
+        acc += t
+        want.append(seq)
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    doc=st.text(min_size=0, max_size=400),
+    window=st.integers(min_value=1, max_value=50),
+    stride_frac=st.integers(min_value=1, max_value=50),
+)
+def test_chunk_texts_covers_and_reconstructs(doc, window, stride_frac):
+    stride = min(stride_frac, window)  # stride <= window (overlap >= 0)
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": [doc]})
+    out = text_mod.chunk_texts(t, window=window, stride=stride).to_pandas()
+    out = out.sort_values("chunk_id").reset_index(drop=True)
+    L = len(doc)
+    expect_n = 1 if L <= window else -(-(L - window) // stride) + 1
+    assert len(out) == expect_n
+    for _, r in out.iterrows():
+        s = int(r.chunk_id) * stride
+        assert r.chunk_text == doc[s : s + window]
+    # stride-prefix concatenation reconstructs the doc
+    recon = "".join(
+        r.chunk_text[:stride] if k < len(out) - 1 else r.chunk_text
+        for k, (_, r) in enumerate(out.iterrows())
+    )
+    assert recon == doc
