@@ -505,31 +505,33 @@ def chunk_texts(
     n_chunks = np.where(
         lens <= window, 1, -(-(lens - window) // stride) + 1
     ).astype(np.int64)
-    order = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
-    chunk_id = np.concatenate([np.arange(n, dtype=np.int64) for n in n_chunks]) if len(batch) else np.empty(0, np.int64)
-    out = batch.take(pa.array(order))
-    exploded_text = out[text_col].combine_chunks()
-    # Vectorized variable-offset slice: one utf8_slice_codeunits call per
-    # distinct chunk index (<= ceil(max_len/stride) calls, each over all
-    # rows sharing that index). NOTE utf8_slice_codeunits counts code
-    # POINTS despite the name (arrow kernel semantics), matching SQL
-    # substring.
-    pieces = np.empty(len(order), dtype=object)
-    for ci in np.unique(chunk_id) if len(order) else []:
-        sel = chunk_id == ci
-        sl = pc.utf8_slice_codeunits(
-            exploded_text.filter(pa.array(sel)),
-            start=int(ci) * stride,
-            stop=int(ci) * stride + window,
-        )
-        pieces[sel] = sl.to_numpy(zero_copy_only=False)
-    chunk_arr = pa.array(pieces, pa.string())
-    out = out.drop_columns([text_col])
-    out = out.append_column("chunk_id", pa.array(chunk_id, pa.int64()))
-    out = out.append_column("chunk_text", chunk_arr)
-    return out.append_column(
-        "chunk_len", pc.utf8_length(chunk_arr).cast(pa.int64())
+    keep_cols = [c for c in batch.column_names if c != text_col]
+    out_schema = pa.schema(
+        [batch.schema.field(c) for c in keep_cols]
+        + [("chunk_id", pa.int64()), ("chunk_text", pa.string()), ("chunk_len", pa.int64())]
     )
+    # Fully Arrow-native explode: one filter + utf8_slice_codeunits call
+    # per distinct chunk index (<= ceil(max_len/stride) iterations, each
+    # a vectorized kernel over every row having that chunk) — chunk text
+    # never round-trips through Python objects. NOTE utf8_slice_codeunits
+    # counts code POINTS (arrow kernel semantics), matching SQL substring.
+    parts = []
+    max_n = int(n_chunks.max()) if len(batch) else 0
+    for ci in range(max_n):
+        sel = n_chunks > ci
+        sub = batch.filter(pa.array(sel))
+        chunk = pc.utf8_slice_codeunits(
+            sub[text_col].combine_chunks(), start=ci * stride, stop=ci * stride + window
+        )
+        cols = [sub[c] for c in keep_cols] + [
+            pa.array(np.full(len(sub), ci, dtype=np.int64), pa.int64()),
+            chunk,
+            pc.utf8_length(chunk).cast(pa.int64()),
+        ]
+        parts.append(pa.table(dict(zip(out_schema.names, cols))).cast(out_schema))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)
 
 
 def _greedy_pack(tokens: np.ndarray, budget: int) -> np.ndarray:
