@@ -2036,7 +2036,11 @@ SQL_DOC_CHUNKS = (
     f"SELECT n.doc_id, CAST(g - 1 AS BIGINT) AS chunk_id, "
     f"substring(n.text, CAST((g - 1) * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W}) AS chunk_text, "
     f"CAST(length(substring(n.text, CAST((g - 1) * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W})) AS BIGINT) AS chunk_len "
-    f"FROM n CROSS JOIN generate_series(1, 1024) AS gs(g) WHERE g <= n.n_chunks"
+    # series bound: this DuckDB build rejects lateral generate_series
+    # (column arg), so the series is fixed and filtered; 8192 covers
+    # docs up to stride*8191 + window = 655,400 code points — far above
+    # the corpus max (577) — while keeping the cross join small.
+    f"FROM n CROSS JOIN generate_series(1, 8192) AS gs(g) WHERE g <= n.n_chunks"
 )
 
 

@@ -719,10 +719,19 @@ def collect_eval_keys(eval_ds, key_col: str = "__key") -> "pa.Array":
     rows = eval_ds.map_batches(_uniq, batch_format="pyarrow", batch_size=65536)
     # one more fan-in level so the driver sees near-distinct rows
     rows = rows.map_batches(_uniq, batch_format="pyarrow", batch_size=4096)
-    # key type follows whatever key_fn produced (string, int hash, ...)
-    key_type = rows.schema().base_schema.field(key_col).type
-    vals = pa.array([r[key_col] for r in rows.take_all()], key_type)
-    return pc.unique(vals)
+    # single execution, blocks fetched as Arrow (no per-row Python);
+    # key type follows whatever key_fn produced (string, int hash, ...).
+    # Null keys are dropped: a null contamination key never matches
+    # anything (SQL NULL = NULL semantics — see DecontamFilter).
+    import ray as _ray
+
+    blocks = _ray.get(rows.materialize().to_arrow_refs())
+    tbl = pa.concat_tables([b for b in blocks if b.num_rows], promote_options="default") if any(
+        b.num_rows for b in blocks
+    ) else None
+    if tbl is None:
+        return pa.array([], pa.string())
+    return pc.unique(pc.drop_null(tbl[key_col].combine_chunks()))
 
 
 class DecontamFilter:
@@ -740,7 +749,11 @@ class DecontamFilter:
         import pyarrow.compute as pc
 
         k = self.key_fn(batch)
-        return batch.filter(pc.invert(pc.is_in(k, value_set=self.keys)))
+        # null keys never match (SQL NULL = NULL is not true): the
+        # value_set is null-free (collect_eval_keys drops nulls) and a
+        # null probe's is_in result is nulled out to "no hit".
+        hit = pc.fill_null(pc.and_(pc.is_in(k, value_set=self.keys), pc.is_valid(k)), False)
+        return batch.filter(pc.invert(hit))
 
 
 def decontaminate(train_ds, eval_ds, key_fn, eval_key_fn=None, concurrency: int = 2):

@@ -530,7 +530,14 @@ def build_bloom(ds, key_col: str, m_bits: int = 1 << 23, k_hashes: int = 4) -> b
     the driver receives a handful of bitmaps, never O(#blocks) rows.
     Hash family: splitmix64(key + odd seed_i) % m (k independent
     probes). 1 MiB default (2^23 bits) holds ~10^6 keys at ~2% FP with
-    k=4; scale m_bits with the right side."""
+    k=4; scale m_bits with the right side. The merge fan-in shrinks as
+    m_bits grows (capped at ~64 MiB of bitmaps per merge task) so a
+    big filter never concentrates GiBs in one reducer."""
+    if m_bits % 8 or m_bits <= 0:
+        # BloomProbe recovers m from the blob's BYTE length, so a
+        # non-multiple-of-8 m_bits would silently change the modulus
+        # and break the exact-semi-join contract (false negatives).
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
     m = np.uint64(m_bits)
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -543,13 +550,17 @@ def build_bloom(ds, key_col: str, m_bits: int = 1 << 23, k_hashes: int = 4) -> b
 
     def _merge(t: pa.Table) -> pa.Table:
         acc = np.zeros(m_bits // 8, dtype=np.uint8)
-        for row in t["bloom"].combine_chunks().to_pylist():
-            acc |= np.frombuffer(row, dtype=np.uint8)
+        col = t["bloom"].combine_chunks()
+        for i in range(len(col)):
+            # zero-copy view of the binary scalar's buffer (no bytes copy)
+            acc |= np.frombuffer(col[i].as_buffer(), dtype=np.uint8)
         return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
 
+    # fan-in sized so one merge task holds <= ~64 MiB of bitmaps
+    fan_in = max(2, min(256, (64 << 20) // max(1, m_bits // 8)))
     rows = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
     for _ in range(2):
-        rows = rows.map_batches(_merge, batch_format="pyarrow", batch_size=256)
+        rows = rows.map_batches(_merge, batch_format="pyarrow", batch_size=fan_in)
     acc = np.zeros(m_bits // 8, dtype=np.uint8)
     for row in rows.take_all():
         acc |= np.frombuffer(row["bloom"], dtype=np.uint8)
@@ -593,7 +604,7 @@ def bloom_semi_join(
     (non-matching rows — the vast majority in a selective semi join —
     never enter the shuffle), and the survivors (matches + ~2% false
     positives) go through the exact bucketed semi join. Result is
-    IDENTICAL to ``bucketed_hash_join(mode='semi')``; the bloom only
+    IDENTICAL to ``bucketed_hash_join(how='semi')``; the bloom only
     cuts shuffle volume. Anti joins cannot prefilter this way (a false
     positive would wrongly drop a row) — use the exact path."""
     bloom = build_bloom(right, on, m_bits, k_hashes)

@@ -500,6 +500,9 @@ def chunk_texts(
     ``substring(text, (g-1)*stride + 1, window)`` — both engines count
     Unicode code points.
     """
+    # null text produces ZERO chunks (mirrors the SQL: g <= NULL is
+    # never true) — and keeps the NaN length out of the int64 cast.
+    batch = batch.filter(pc.is_valid(batch[text_col].combine_chunks()))
     texts = batch[text_col].combine_chunks()
     lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chunks = np.where(

@@ -1068,3 +1068,30 @@ def test_bucketed_left_outer_join_null_extends(ray_session):
         and out.loc[1, "rv"] == 200
         and out.loc[3, "rv"] == 400
     )
+
+
+def test_chunk_and_decontam_null_text_semantics(ray_session):
+    """Null text: chunk_texts emits zero rows (SQL g <= NULL); a null
+    contamination key never matches an eval key (SQL NULL = NULL)."""
+    import pyarrow.compute as pc
+
+    from rio_cogeo_ray.stages import dedup as dd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", None, "zz"], pa.string()),
+        }
+    )
+    out = text.chunk_texts(t, window=5, stride=3).to_pandas()
+    assert set(out.doc_id) == {1, 3}
+
+    def key(b):
+        return b["text"].combine_chunks()
+
+    ev = pa.table({"text": pa.array(["hello world", None], pa.string())})
+    kept = dd.decontaminate(
+        rd.from_arrow(t).repartition(2), rd.from_arrow(ev), key_fn=key
+    ).to_pandas()
+    # doc 1 matches and drops; docs 2 (null) and 3 survive
+    assert set(kept.doc_id) == {2, 3}
