@@ -2160,6 +2160,57 @@ SQL_CUSTOMER_URGENT_PROFILE = (
 )
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed end-to-end training-corpus prep — the flagship LLM
+    data pipeline chaining four operators: quality filter
+    (text.QualityScore) → exact dedup keepers (dedup.exact_dedup)
+    → bloom-prefiltered semi join back to the text
+    (join_mod.bloom_semi_join on doc_id) → overlapping-window
+    chunking (text.chunk_texts). Every stage is the production
+    operator; the SQL mirrors the whole chain."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(
+        text.QualityScore, batch_format="pyarrow", concurrency=2, batch_size=4096
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(t["quality_ok"].combine_chunks()).select(["doc_id", "text"])
+
+    q = scored.map_batches(_keep, batch_format="pyarrow")
+    keepers = dedup.exact_dedup(q, key_col="text", id_col="doc_id")
+    # recover the keeper rows' text: exact semi join on doc_id with a
+    # bloom prefilter (keeper ids are NOT broadcast-small at 100 TB)
+    scored2 = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text.QualityScore, batch_format="pyarrow", concurrency=2, batch_size=4096
+    )
+    q2 = scored2.map_batches(_keep, batch_format="pyarrow")
+    kept = join_mod.bloom_semi_join(q2, keepers, on="doc_id", m_bits=1 << 20)
+    return kept.map_batches(
+        lambda t: text.chunk_texts(t, window=CHUNK_W, stride=CHUNK_S),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CORPUS_PREP = (
+    r"WITH q AS (SELECT doc_id, text FROM documents WHERE "
+    r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) >= 5 "
+    r"AND 2 * length(text) >= 4 * len(regexp_extract_all(text, '\S+')) "
+    r"AND 2 * length(text) <= 24 * len(regexp_extract_all(text, '\S+'))), "
+    "k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text), "
+    "kept AS (SELECT q.doc_id, q.text FROM q WHERE EXISTS "
+    "(SELECT 1 FROM k WHERE k.doc_id = q.doc_id)), "
+    "d AS (SELECT doc_id, text, length(text) AS L FROM kept), "
+    f"n AS (SELECT doc_id, text, CASE WHEN L <= {CHUNK_W} THEN 1 "
+    f"ELSE CAST(CEIL((L - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1 END AS n_chunks FROM d) "
+    f"SELECT n.doc_id, CAST(g - 1 AS BIGINT) AS chunk_id, "
+    f"substring(n.text, CAST((g - 1) * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W}) AS chunk_text, "
+    f"CAST(length(substring(n.text, CAST((g - 1) * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W})) AS BIGINT) AS chunk_len "
+    f"FROM n CROSS JOIN generate_series(1, 8192) AS gs(g) WHERE g <= n.n_chunks"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2230,6 +2281,7 @@ def queries() -> Dict[str, Callable]:
         "decontam": q_decontam,
         "pack_sequences": q_pack_sequences,
         "customer_urgent_profile": q_customer_urgent_profile,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -2292,6 +2344,7 @@ def oracle_sql() -> Dict[str, str]:
         "decontam": SQL_DECONTAM,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "customer_urgent_profile": SQL_CUSTOMER_URGENT_PROFILE,
+        "corpus_prep": SQL_CORPUS_PREP,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /
