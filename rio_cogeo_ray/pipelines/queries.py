@@ -2211,6 +2211,33 @@ SQL_CORPUS_PREP = (
 )
 
 
+PIVOT_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def q_lang_pivot(sf_dir: str):
+    """Crosstab (stages/agg.py: pivot_counts): one row per source,
+    one int64 count column per language (+ other). The wide schema is
+    fixed up front (caller-supplied domain), so the reshape is a plain
+    partial→final aggregate over one-hot counts — one partial row per
+    (source, batch) through the shuffle. SQL mirror: the explicit
+    SUM(CASE WHEN ...) list."""
+    ds = _docs(sf_dir, ["source", "lang"])
+    return agg.pivot_counts(ds, row_key="source", col_key="lang", col_values=PIVOT_LANGS)
+
+
+SQL_LANG_PIVOT = (
+    "SELECT source, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN lang = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{v}"
+        for v in PIVOT_LANGS
+    )
+    + ", CAST(SUM(CASE WHEN lang NOT IN ("
+    + ", ".join(f"'{v}'" for v in PIVOT_LANGS)
+    + ") OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_other "
+    "FROM documents GROUP BY source"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2282,6 +2309,7 @@ def queries() -> Dict[str, Callable]:
         "pack_sequences": q_pack_sequences,
         "customer_urgent_profile": q_customer_urgent_profile,
         "corpus_prep": q_corpus_prep,
+        "lang_pivot": q_lang_pivot,
     }
 
 
@@ -2345,6 +2373,7 @@ def oracle_sql() -> Dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "customer_urgent_profile": SQL_CUSTOMER_URGENT_PROFILE,
         "corpus_prep": SQL_CORPUS_PREP,
+        "lang_pivot": SQL_LANG_PIVOT,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

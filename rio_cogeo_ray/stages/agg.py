@@ -182,3 +182,53 @@ def latest_by(
         lambda g: _argmax_rows(g.drop_columns(["__bucket"]), keys, order_by),
         batch_format="pyarrow",
     )
+
+
+def pivot_counts(
+    ds,
+    row_key: str,
+    col_key: str,
+    col_values: Sequence[str],
+    prefix: str = "n_",
+    n_buckets: int = 16,
+):
+    """Crosstab / pivot: one output row per ``row_key`` value with one
+    int64 count column per listed ``col_key`` value (``prefix`` +
+    value), plus ``other`` for values outside the list.
+
+    The column domain is CALLER-SUPPLIED (a pivot's schema must be
+    known up front — the SQL equivalent is the explicit
+    SUM(CASE WHEN ...) list), so the wide schema is fixed and the
+    whole reshape is just a partial_group_agg over per-batch
+    one-hot-expanded counts: shuffle volume is one partial row per
+    (row_key, batch), never raw rows, regardless of fan-in.
+    """
+    cols = list(col_values)
+    out_names = [prefix + str(v) for v in cols] + [prefix + "other"]
+
+    def _expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cv = t[col_key].combine_chunks()
+        arrs = {row_key: t[row_key].combine_chunks()}
+        hit_any = np.zeros(len(t), dtype=bool)
+        for v, name in zip(cols, out_names):
+            # null col_key counts as non-match (lands in "other")
+            m = pc.fill_null(pc.equal(cv, v), False).to_numpy(zero_copy_only=False)
+            arrs[name] = pa.array(m.astype(np.int64), pa.int64())
+            hit_any |= m
+        arrs[out_names[-1]] = pa.array((~hit_any).astype(np.int64), pa.int64())
+        return pa.table(arrs)
+
+    agged = partial_group_agg(
+        ds.map_batches(_expand, batch_format="pyarrow"),
+        keys=[row_key],
+        sum_cols=out_names,
+        count_as=None,
+        n_buckets=n_buckets,
+    )
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([row_key] + out_names)
+
+    return agged.map_batches(_rename, batch_format="pyarrow")

@@ -1095,3 +1095,33 @@ def test_chunk_and_decontam_null_text_semantics(ray_session):
     ).to_pandas()
     # doc 1 matches and drops; docs 2 (null) and 3 survive
     assert set(kept.doc_id) == {2, 3}
+
+
+def test_pivot_counts_matches_pandas_crosstab(ray_session):
+    """pivot_counts == pandas crosstab on a synthetic table with nulls
+    and out-of-domain values (both land in the 'other' column)."""
+    rng = np.random.default_rng(11)
+    langs = np.array(["en", "de", "xx", "fr"], dtype=object)
+    t = pa.table(
+        {
+            "src": pa.array([f"s{i % 5}" for i in range(400)]),
+            "lang": pa.array(
+                [None if i % 37 == 0 else langs[rng.integers(0, 4)] for i in range(400)],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        agg.pivot_counts(
+            rd.from_arrow(t).repartition(4), "src", "lang", ["en", "de", "fr"]
+        )
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    for s, grp in df.groupby("src"):
+        row = got[got.src == s].iloc[0]
+        for v in ["en", "de", "fr"]:
+            assert row[f"n_{v}"] == (grp.lang == v).sum()
+        assert row["n_other"] == ((~grp.lang.isin(["en", "de", "fr"])) | grp.lang.isna()).sum()
