@@ -2238,6 +2238,32 @@ SQL_LANG_PIVOT = (
 )
 
 
+def q_running_total(sf_dir: str):
+    """Per-user running cumulative spend (stages/window.py:
+    running_total) — the analytic-window operator: SUM() OVER
+    (PARTITION BY user ORDER BY ts, id). One bucket sort + one global
+    cumsum minus per-key segment offsets computes every user's series
+    vectorized."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "value"],
+    )
+    out = window.running_total(ds, "user_id", "ts", "event_id", "value", scale=100)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "ts", "event_id", "running"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RUNNING_TOTAL = (
+    "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_id, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running "
+    "FROM events"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2310,6 +2336,7 @@ def queries() -> Dict[str, Callable]:
         "customer_urgent_profile": q_customer_urgent_profile,
         "corpus_prep": q_corpus_prep,
         "lang_pivot": q_lang_pivot,
+        "running_total": q_running_total,
     }
 
 
@@ -2374,6 +2401,7 @@ def oracle_sql() -> Dict[str, str]:
         "customer_urgent_profile": SQL_CUSTOMER_URGENT_PROFILE,
         "corpus_prep": SQL_CORPUS_PREP,
         "lang_pivot": SQL_LANG_PIVOT,
+        "running_total": SQL_RUNNING_TOTAL,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

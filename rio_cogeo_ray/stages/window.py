@@ -279,3 +279,68 @@ def event_transitions(
         ),
         batch_format="pyarrow",
     )
+
+
+def running_total(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+    n_buckets: int = 64,
+):
+    """Per-key running cumulative sum ordered by (ts, id) — the
+    analytic-window operator (SQL ``SUM() OVER (PARTITION BY key
+    ORDER BY ts, id)``). Values quantize to int64 (``floor(v*scale +
+    0.5)``) so the running sums are associative and bit-exact at any
+    parallelism.
+
+    Partitioning: one key's FULL history co-locates in one reduce
+    bucket (``hash(key) % n_buckets`` — the sessionize contract); the
+    bucket sorts once and computes EVERY key's cumsum in one
+    vectorized pass (global cumsum minus the per-key segment offset),
+    so Python cost is O(n_buckets), not O(keys).
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.int64())
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (
+            splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: k,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "v_q": pa.array(np.floor(v * scale + 0.5).astype(np.int64), pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _cumsum_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        keys = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = g["v_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = np.cumsum(vals)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        # cumsum BEFORE each key's first row, repeated over its run
+        seg_off = np.repeat(
+            np.where(starts > 0, c[starts - 1], 0),
+            np.diff(np.append(starts, len(g))),
+        )
+        return g.append_column("running", pa.array(c - seg_off, pa.int64()))
+
+    return (
+        ds.map_batches(_cast, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_cumsum_bucket, batch_format="pyarrow")
+    )

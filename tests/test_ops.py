@@ -1125,3 +1125,30 @@ def test_pivot_counts_matches_pandas_crosstab(ray_session):
         for v in ["en", "de", "fr"]:
             assert row[f"n_{v}"] == (grp.lang == v).sum()
         assert row["n_other"] == ((~grp.lang.isin(["en", "de", "fr"])) | grp.lang.isna()).sum()
+
+
+def test_running_total_matches_pandas_cumsum(ray_session):
+    """Running totals per key equal the pandas groupby-cumsum oracle,
+    including exact-timestamp ties broken by id."""
+    rng = np.random.default_rng(5)
+    n = 600
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 50, n), pa.int64()),  # many ties
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(rng.uniform(-5, 5, n), pa.float64()),
+        }
+    )
+    got = (
+        window.running_total(rd.from_arrow(t).repartition(5))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["v_q"] = np.floor(df.value * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["want"] = df.groupby("user_id")["v_q"].cumsum()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert (got["running"].values == df["want"].values).all()
