@@ -2264,6 +2264,47 @@ SQL_RUNNING_TOTAL = (
 )
 
 
+def q_lineitem_melt(sf_dir: str):
+    """Unpivot (stages/agg.py: melt — the inverse of pivot_counts):
+    each lineitem explodes into one (orderkey, linenumber, metric,
+    val) row per quantized metric. Pure map-side reshape, no shuffle.
+    SQL mirror: the UNION ALL list."""
+    ds = _read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _q(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "l_linenumber": t["l_linenumber"].combine_chunks(),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64), pa.int64()),
+                "price_cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64), pa.int64()),
+                "disc_bp": pa.array(np.floor(d * 10000 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.melt(
+        ds.map_batches(_q, batch_format="pyarrow"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["qty", "price_cents", "disc_bp"],
+    )
+
+
+SQL_LINEITEM_MELT = (
+    "SELECT l_orderkey, l_linenumber, 'qty' AS metric, "
+    "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS val FROM lineitem "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'price_cents' AS metric, "
+    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val FROM lineitem "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'disc_bp' AS metric, "
+    "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS val FROM lineitem"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2337,6 +2378,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_prep": q_corpus_prep,
         "lang_pivot": q_lang_pivot,
         "running_total": q_running_total,
+        "lineitem_melt": q_lineitem_melt,
     }
 
 
@@ -2402,6 +2444,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_prep": SQL_CORPUS_PREP,
         "lang_pivot": SQL_LANG_PIVOT,
         "running_total": SQL_RUNNING_TOTAL,
+        "lineitem_melt": SQL_LINEITEM_MELT,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -232,3 +232,32 @@ def pivot_counts(
         return t.rename_columns([row_key] + out_names)
 
     return agged.map_batches(_rename, batch_format="pyarrow")
+
+
+def melt(
+    ds,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "val",
+):
+    """Unpivot (wide → long, the inverse of pivot_counts): each input
+    row explodes into one (id_cols..., metric, val) row per listed
+    value column. Pure map-side reshape — no shuffle, fan-out =
+    len(value_cols) — built from one sub-table concat per metric (no
+    per-row Python). All value columns must share one type (the long
+    ``val`` column's type); the SQL equivalent is the UNION ALL list.
+    """
+    ids = list(id_cols)
+    vals = list(value_cols)
+
+    def _melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for v in vals:
+            cols = {c: t[c] for c in ids}
+            cols[var_name] = pa.array([v] * len(t), pa.string())
+            cols[value_name] = t[v]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
