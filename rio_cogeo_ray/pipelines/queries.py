@@ -2305,6 +2305,23 @@ SQL_LINEITEM_MELT = (
 )
 
 
+def q_user_paths(sf_dir: str):
+    """Per-user event journey (stages/window.py: path_agg) — ordered
+    string_agg, built at the O(output-chars) floor with two Arrow
+    kernels (ListArray over group offsets + binary_join)."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "event_type"],
+    )
+    return window.path_agg(ds, "user_id", "ts", "event_id", "event_type")
+
+
+SQL_USER_PATHS = (
+    "SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+    "FROM events GROUP BY user_id"
+)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2379,6 +2396,7 @@ def queries() -> Dict[str, Callable]:
         "lang_pivot": q_lang_pivot,
         "running_total": q_running_total,
         "lineitem_melt": q_lineitem_melt,
+        "user_paths": q_user_paths,
     }
 
 
@@ -2445,6 +2463,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_pivot": SQL_LANG_PIVOT,
         "running_total": SQL_RUNNING_TOTAL,
         "lineitem_melt": SQL_LINEITEM_MELT,
+        "user_paths": SQL_USER_PATHS,
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -344,3 +344,70 @@ def running_total(
         .groupby("__bucket")
         .map_groups(_cumsum_bucket, batch_format="pyarrow")
     )
+
+
+def path_agg(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+    sep: str = ">",
+    n_buckets: int = 64,
+):
+    """Ordered per-key string aggregation (SQL ``string_agg(value, sep
+    ORDER BY ts, id)``) — the journey/path operator. Output size IS the
+    concatenated strings, so the per-key cost floor is O(output chars);
+    the implementation hits that floor fully vectorized: one bucket
+    sort, then ``pa.ListArray.from_arrays`` over the group offsets +
+    ``pc.binary_join`` build every key's path in two Arrow kernel
+    calls (no per-key Python).
+
+    Partitioning: one key's events co-locate in one reduce bucket
+    (``hash(key) % n_buckets``); a key's full path must fit a worker —
+    cap pathological keys upstream if value counts are unbounded.
+    """
+    import pyarrow.compute as pc
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: k,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                value_col: t[value_col].combine_chunks(),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _join_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"]).sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        keys = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        offsets = pa.array(np.append(starts, len(g)).astype(np.int32), pa.int32())
+        lists = pa.ListArray.from_arrays(offsets, g[value_col].combine_chunks())
+        joined = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], pa.int64()),
+                "path": joined,
+            }
+        )
+
+    return (
+        ds.map_batches(_cast, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_join_bucket, batch_format="pyarrow")
+    )

@@ -1152,3 +1152,27 @@ def test_running_total_matches_pandas_cumsum(ray_session):
     df["want"] = df.groupby("user_id")["v_q"].cumsum()
     df = df.sort_values("event_id").reset_index(drop=True)
     assert (got["running"].values == df["want"].values).all()
+
+
+def test_path_agg_matches_pandas_ordered_join(ray_session):
+    """Ordered per-key concat equals the pandas oracle, with ties on ts
+    broken by id, across arbitrary partitioning."""
+    rng = np.random.default_rng(7)
+    n = 300
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 30, n), pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "event_type": pa.array([f"e{int(x)}" for x in rng.integers(0, 5, n)]),
+        }
+    )
+    got = (
+        window.path_agg(rd.from_arrow(t).repartition(6))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = df.groupby("user_id")["event_type"].agg(">".join)
+    assert dict(zip(got.user_id, got.path)) == want.to_dict()
