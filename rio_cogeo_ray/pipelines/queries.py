@@ -2322,6 +2322,26 @@ SQL_USER_PATHS = (
 )
 
 
+def q_token_mg(sf_dir: str):
+    """Approximate heavy hitters (stages/sketch.py: misra_gries_topk)
+    — the 100 TB scale path beside the exact token_topk: mergeable MG
+    summaries (≤k rows per batch, shuffle-free tree merge). Rows-only
+    (under-estimates are sketch-defined); the ±n/(k+1) guarantee is
+    pinned by pytest."""
+    import pyarrow.compute as pc
+
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _toks(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["text"].combine_chunks().cast(pa.string()), r"\s+")
+        toks = lists.flatten()
+        return pa.table({"token": toks.filter(pc.not_equal(toks, ""))})
+
+    return sketch.misra_gries_topk(ds.map_batches(_toks, batch_format="pyarrow"), "token", k=32)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "tile_assign": q_tile_assign,
@@ -2397,6 +2417,7 @@ def queries() -> Dict[str, Callable]:
         "running_total": q_running_total,
         "lineitem_melt": q_lineitem_melt,
         "user_paths": q_user_paths,
+        "token_mg": q_token_mg,
     }
 
 
@@ -2464,6 +2485,7 @@ def oracle_sql() -> Dict[str, str]:
         "running_total": SQL_RUNNING_TOTAL,
         "lineitem_melt": SQL_LINEITEM_MELT,
         "user_paths": SQL_USER_PATHS,
+        # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
         # non-SQL-expressible (approximate / iterative / heuristic /

@@ -420,3 +420,57 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, salt: int = 0):
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     return partials.sort(["skey", id_col], descending=[True, False]).limit(k)
+
+
+def _mg_prune(tokens: pa.Array, counts: np.ndarray, k: int):
+    """Keep at most k (token, count) pairs by subtracting the (k+1)-th
+    largest count from every counter and dropping the non-positive —
+    the Misra-Gries decrement step, vectorized."""
+    if len(counts) <= k:
+        return tokens, counts
+    thr = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    dec = counts - thr
+    keep = dec > 0
+    return tokens.filter(pa.array(keep)), dec[keep]
+
+
+def misra_gries_topk(ds, col: str, k: int = 64, fan_in: int = 256):
+    """Approximate heavy hitters via MERGEABLE Misra-Gries summaries
+    (Agarwal et al., "Mergeable Summaries"): each batch reduces to an
+    exact value_counts pruned to k counters; summaries then tree-merge
+    (concat → sum per token → prune) through ≤``fan_in``-row fan-in
+    levels with NO key-partitioned shuffle — the HLL register-reduce
+    shape. The driver receives one ≤k-row summary.
+
+    Guarantee: every value with true frequency > n/(k+1) survives, and
+    each reported count is an UNDER-estimate within n/(k+1) of truth.
+    This is the 100 TB scale path beside the exact ``text.topk_tokens``
+    (which shuffles every distinct token): MG moves O(k) rows per batch
+    regardless of cardinality. Returns a pa.Table (token, est_count)
+    sorted by est_count desc, token asc.
+    """
+    import pyarrow.compute as pc
+
+    def _batch_summary(t: pa.Table) -> pa.Table:
+        vc = t[col].combine_chunks().value_counts()
+        toks = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, cnts = _mg_prune(toks, cnts, k)
+        return pa.table({"token": toks, "cnt": pa.array(cnts, pa.int64())})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("cnt", "sum")])
+        toks = g["token"].combine_chunks()
+        cnts = g["cnt_sum"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, cnts = _mg_prune(toks, cnts, k)
+        return pa.table({"token": toks, "cnt": pa.array(cnts, pa.int64())})
+
+    rows = ds.map_batches(_batch_summary, batch_format="pyarrow", batch_size=65536)
+    for _ in range(2):
+        rows = rows.map_batches(_merge, batch_format="pyarrow", batch_size=fan_in)
+    final = _merge(pa.Table.from_pylist(
+        rows.take_all(), schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+    ))
+    return final.sort_by([("cnt", "descending"), ("token", "ascending")]).rename_columns(
+        ["token", "est_count"]
+    )

@@ -1176,3 +1176,28 @@ def test_path_agg_matches_pandas_ordered_join(ray_session):
     df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
     want = df.groupby("user_id")["event_type"].agg(">".join)
     assert dict(zip(got.user_id, got.path)) == want.to_dict()
+
+
+def test_misra_gries_guarantee_on_zipf_stream(ray_session):
+    """MG sketch: every value with true freq > n/(k+1) survives; every
+    estimate is an under-estimate within n/(k+1) of truth."""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.default_rng(13)
+    vals = [f"t{int(v)}" for v in rng.zipf(1.5, 20000) if v < 500]
+    n, k = len(vals), 16
+    t = pa.table({"token": pa.array(vals, pa.string())})
+    got = sketch.misra_gries_topk(
+        rd.from_arrow(t).repartition(8), "token", k=k
+    ).to_pandas()
+    est = dict(zip(got.token, got.est_count))
+    import collections
+
+    true = collections.Counter(vals)
+    bound = n / (k + 1)
+    for tok, c in true.items():
+        if c > bound:
+            assert tok in est, (tok, c, bound)
+    for tok, e in est.items():
+        assert e <= true[tok]
+        assert true[tok] - e <= bound
