@@ -2168,8 +2168,6 @@ def q_corpus_prep(sf_dir: str):
     (join_mod.bloom_semi_join on doc_id) → overlapping-window
     chunking (text.chunk_texts). Every stage is the production
     operator; the SQL mirrors the whole chain."""
-    import pyarrow.compute as pc
-
     ds = _docs(sf_dir, ["doc_id", "text"])
     scored = ds.map_batches(
         text.QualityScore, batch_format="pyarrow", concurrency=2, batch_size=4096
@@ -2181,12 +2179,10 @@ def q_corpus_prep(sf_dir: str):
     q = scored.map_batches(_keep, batch_format="pyarrow")
     keepers = dedup.exact_dedup(q, key_col="text", id_col="doc_id")
     # recover the keeper rows' text: exact semi join on doc_id with a
-    # bloom prefilter (keeper ids are NOT broadcast-small at 100 TB)
-    scored2 = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        text.QualityScore, batch_format="pyarrow", concurrency=2, batch_size=4096
-    )
-    q2 = scored2.map_batches(_keep, batch_format="pyarrow")
-    kept = join_mod.bloom_semi_join(q2, keepers, on="doc_id", m_bits=1 << 20)
+    # bloom prefilter (keeper ids are NOT broadcast-small at 100 TB);
+    # reusing q re-executes its lineage for this branch — same cost as
+    # a second read, no duplicated code
+    kept = join_mod.bloom_semi_join(q, keepers, on="doc_id", m_bits=1 << 20)
     return kept.map_batches(
         lambda t: text.chunk_texts(t, window=CHUNK_W, stride=CHUNK_S),
         batch_format="pyarrow",

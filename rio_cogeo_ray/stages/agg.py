@@ -204,7 +204,14 @@ def pivot_counts(
     (row_key, batch), never raw rows, regardless of fan-in.
     """
     cols = list(col_values)
+    if "other" in cols:
+        raise ValueError(
+            "col_values may not contain the literal 'other' — it names the "
+            "catch-all column; rename the category or change prefix"
+        )
     out_names = [prefix + str(v) for v in cols] + [prefix + "other"]
+    if row_key in out_names or len(set(out_names)) != len(out_names):
+        raise ValueError(f"pivot output column collision in {out_names!r}")
 
     def _expand(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -255,7 +262,7 @@ def melt(
         parts = []
         for v in vals:
             cols = {c: t[c] for c in ids}
-            cols[var_name] = pa.array([v] * len(t), pa.string())
+            cols[var_name] = pa.repeat(pa.scalar(v, pa.string()), len(t))
             cols[value_name] = t[v]
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)

@@ -725,12 +725,13 @@ def collect_eval_keys(eval_ds, key_col: str = "__key") -> "pa.Array":
     # anything (SQL NULL = NULL semantics — see DecontamFilter).
     import ray as _ray
 
-    blocks = _ray.get(rows.materialize().to_arrow_refs())
-    tbl = pa.concat_tables([b for b in blocks if b.num_rows], promote_options="default") if any(
-        b.num_rows for b in blocks
-    ) else None
-    if tbl is None:
-        return pa.array([], pa.string())
+    mat = rows.materialize()
+    blocks = [b for b in _ray.get(mat.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        # typed empty set (key type follows key_fn even when no rows)
+        key_type = mat.schema().base_schema.field(key_col).type
+        return pa.array([], key_type)
+    tbl = pa.concat_tables(blocks, promote_options="default")
     return pc.unique(pc.drop_null(tbl[key_col].combine_chunks()))
 
 

@@ -466,11 +466,18 @@ def misra_gries_topk(ds, col: str, k: int = 64, fan_in: int = 256):
         return pa.table({"token": toks, "cnt": pa.array(cnts, pa.int64())})
 
     rows = ds.map_batches(_batch_summary, batch_format="pyarrow", batch_size=65536)
-    for _ in range(2):
-        rows = rows.map_batches(_merge, batch_format="pyarrow", batch_size=fan_in)
-    final = _merge(pa.Table.from_pylist(
-        rows.take_all(), schema=pa.schema([("token", pa.string()), ("cnt", pa.int64())])
-    ))
+    # fan-in is denominated in SUMMARIES (each up to k rows), so each
+    # merge level really coalesces fan_in summaries; three levels give
+    # fan_in^3 (~10^7 batches) reduction before the driver sees rows
+    for _ in range(3):
+        rows = rows.map_batches(_merge, batch_format="pyarrow", batch_size=fan_in * k)
+    import ray as _ray
+
+    blocks = _ray.get(rows.materialize().to_arrow_refs())
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return pa.table({"token": pa.array([], pa.string()), "est_count": pa.array([], pa.int64())})
+    final = _merge(pa.concat_tables(blocks))
     return final.sort_by([("cnt", "descending"), ("token", "ascending")]).rename_columns(
         ["token", "est_count"]
     )

@@ -396,9 +396,12 @@ def path_agg(
         if len(g) > 1:
             new[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(new)
-        offsets = pa.array(np.append(starts, len(g)).astype(np.int32), pa.int32())
-        lists = pa.ListArray.from_arrays(offsets, g[value_col].combine_chunks())
-        joined = pc.binary_join(lists, sep)
+        # int64 offsets + large_string values: a bucket may legitimately
+        # hold > 2^31 bytes of path data at scale — no 32-bit ceiling
+        offsets = pa.array(np.append(starts, len(g)).astype(np.int64), pa.int64())
+        vals = g[value_col].combine_chunks().cast(pa.large_string())
+        lists = pa.LargeListArray.from_arrays(offsets, vals)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string())).cast(pa.string())
         return pa.table(
             {
                 key_col: pa.array(keys[starts], pa.int64()),
