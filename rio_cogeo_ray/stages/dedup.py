@@ -22,6 +22,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -89,9 +90,10 @@ def _char_shingle_hashes(texts: pa.Array, k: int) -> Tuple[np.ndarray, np.ndarra
     Returns (doc_idx, shingle_hash) flat arrays."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    if pa.types.is_large_string(texts.type):
-        texts = texts.cast(pa.string())
-    off = np.frombuffer(texts.buffers()[1], dtype=np.int32)
+    # branch on the offset width rather than casting large_string down:
+    # a batch holding > 2 GiB of text would make the int32 cast raise
+    off_dt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    off = np.frombuffer(texts.buffers()[1], dtype=off_dt)
     off = off[texts.offset : texts.offset + len(texts) + 1].astype(np.int64)
     values = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
     lens = np.diff(off)
@@ -334,6 +336,31 @@ def connected_components(edges, max_rounds: "int | None" = None, round_cap: int 
 
     from ray.data.aggregate import Sum as _Sum
 
+    def _pointer_jump(labels):
+        """Path halving: label(n) ← label(label(n)) via one bucketed
+        hash join of the label table against itself (every label value
+        IS a node id with its own row, so the inner join is total and
+        1:1). Propagation alone moves the component min ONE hop per
+        round — O(diameter) rounds on a chain; contracting label chains
+        each round makes the fixpoint mode O(log diameter). Labels stay
+        monotone non-increasing (label(label(n)) ≤ label(n)), so the
+        Σlabel convergence check is unaffected."""
+        from rio_cogeo_ray.stages import join as join_mod
+
+        right = labels.map_batches(
+            lambda t: t.rename_columns(["label", "label2"]), batch_format="pyarrow"
+        )
+        joined = join_mod.bucketed_hash_join(labels, right, on="label", how="inner")
+        return joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].combine_chunks().cast(pa.int64()),
+                    "label": t["label2"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     n_buckets = 64
     prev_sum = None
     fixpoint = max_rounds is None
@@ -362,9 +389,10 @@ def connected_components(edges, max_rounds: "int | None" = None, round_cap: int 
         )
         labels = _min_labels(msgs)
         if fixpoint:
-            # labels are monotone non-increasing, so an unchanged Σlabel
-            # means no label changed anywhere — converged.
-            labels = labels.materialize()
+            # contract label chains (see _pointer_jump) then check the
+            # monotone Σlabel: unchanged Σ means no label moved anywhere
+            # in EITHER step — converged.
+            labels = _pointer_jump(labels.materialize()).materialize()
             cur = labels.aggregate(_Sum("label"))["sum(label)"]
             if cur == prev_sum:
                 break
@@ -430,6 +458,14 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=16)
+def _srp_hyperplanes(d: int, n_bits: int, seed: int) -> np.ndarray:
+    """SRP hyperplane matrix — a pure function of (dim, n_bits, seed),
+    built ONCE PER WORKER PROCESS via lru_cache (never per batch, never
+    shipped through the object store)."""
+    return np.random.RandomState(seed).standard_normal((d, n_bits))
+
+
 def embedding_band_rows(
     batch: pa.Table,
     id_col: str = "vec_id",
@@ -437,21 +473,22 @@ def embedding_band_rows(
     n_bits: int = 64,
     bands: int = 8,
     seed: int = 7,
+    carry_payload: bool = True,
 ) -> pa.Table:
-    """(id, band, band_hash, embedding) LSH rows for cosine similarity:
+    """(id, band, band_hash[, embedding]) LSH rows for cosine similarity:
     sign bits of projections onto ``n_bits`` seeded random hyperplanes
     (the classic SRP-LSH — collision probability 1 - θ/π per bit),
     packed into ``bands`` band hashes. The hyperplane matrix is a pure
-    function of (dim, n_bits, seed) regenerated per actor — tiny, never
-    shipped. Rows carry the (normalized) embedding so candidate edges
-    can be cosine-verified WITHOUT a second join; at extreme scale
-    prefer re-joining embeddings by id instead of paying bands× payload
-    through the shuffle (documented tradeoff)."""
+    function of (dim, n_bits, seed), cached per worker process — tiny,
+    never shipped. ``carry_payload=True`` replicates the normalized
+    embedding onto every band row (bands× payload through the shuffle
+    but no second join); ``False`` emits only (id, band, band_hash) —
+    the 100 TB path, with embeddings re-joined by id before verify."""
     from rio_cogeo_ray.stages.ann import _matrix, _normalize
 
     X = _normalize(_matrix(batch[emb_col]))
     n, d = X.shape
-    H = np.random.RandomState(seed).standard_normal((d, n_bits))
+    H = _srp_hyperplanes(d, n_bits, seed)
     bits = (X @ H) >= 0.0
     per = n_bits // bands
     weights = (np.int64(1) << np.arange(per, dtype=np.int64))
@@ -460,17 +497,19 @@ def embedding_band_rows(
         hashes[:, b] = bits[:, b * per : (b + 1) * per] @ weights
     rep = np.repeat(np.arange(n, dtype=np.int64), bands)
     ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-    emb = pa.FixedSizeListArray.from_arrays(
-        pa.array(X[rep].reshape(-1), pa.float32()), d
-    )
-    return pa.table(
+    out = pa.table(
         {
             id_col: pa.array(ids[rep], pa.int64()),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()),
             "band_hash": pa.array(hashes.reshape(-1), pa.int64()),
-            "emb": emb,
         }
     )
+    if carry_payload:
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(X[rep].reshape(-1), pa.float32()), d
+        )
+        out = out.append_column("emb", emb)
+    return out
 
 
 def _bucket_star_edges_emb(group: pa.Table, id_col: str) -> pa.Table:
@@ -524,6 +563,7 @@ def embedding_neardup(
     n_buckets: int = 64,
     seed: int = 7,
     max_rounds: "int | None" = None,
+    carry_payload: bool = False,
 ):
     """Embedding-cosine near-duplicate clusters: SRP-LSH banding →
     bucketed star edges → EXACT cosine verify (edges below ``threshold``
@@ -532,32 +572,64 @@ def embedding_neardup(
     near-dup edge; label = min reachable id (cluster representative).
     Pair semantics: members verify against their bucket minimum (the
     standard star compromise — a pair sharing no band with a common
-    representative may be missed; raise ``bands`` for recall)."""
-    from rio_cogeo_ray.functions.hashing import hash_columns
+    representative may be missed; raise ``bands`` for recall).
 
-    rows = ds.map_batches(
-        lambda t: embedding_band_rows(t, id_col, emb_col, n_bits, bands, seed),
-        batch_format="pyarrow",
-    )
+    ``carry_payload=False`` (default, the 100 TB path): band rows ship
+    only (id, band, band_hash); candidate pair embeddings are
+    re-joined by id through a bloom-prefiltered bucketed join before
+    the exact cosine verify. ``True`` replicates the normalized
+    embedding onto every band row (bands× payload, one fewer join).
+    Both paths verify the identical candidate-pair set and yield
+    identical clusters."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
 
     def _route(t: pa.Table) -> pa.Table:
         rb = (hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("__bucket", pa.array(rb, pa.int64()))
 
-    cand = rows.map_batches(_route, batch_format="pyarrow").groupby(
-        "__bucket"
-    ).map_groups(
-        lambda g: _bucket_star_edges_emb(g.drop_columns(["__bucket"]), id_col),
-        batch_format="pyarrow",
-    )
+    if carry_payload:
+        rows = ds.map_batches(
+            lambda t: embedding_band_rows(
+                t, id_col, emb_col, n_bits, bands, seed, carry_payload=True
+            ),
+            batch_format="pyarrow",
+        )
+        cand = rows.map_batches(_route, batch_format="pyarrow").groupby(
+            "__bucket"
+        ).map_groups(
+            lambda g: _bucket_star_edges_emb(g.drop_columns(["__bucket"]), id_col),
+            batch_format="pyarrow",
+        )
 
-    def _verify(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def _verify(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        keep = pc.greater_equal(t["cos"], pa.scalar(threshold, pa.float64()))
-        return t.filter(keep).select(["src", "dst"])
+            keep = pc.greater_equal(t["cos"], pa.scalar(threshold, pa.float64()))
+            return t.filter(keep).select(["src", "dst"])
 
-    edges = cand.map_batches(_verify, batch_format="pyarrow")
+        edges = cand.map_batches(_verify, batch_format="pyarrow")
+    else:
+        rows = ds.map_batches(
+            lambda t: embedding_band_rows(
+                t, id_col, emb_col, n_bits, bands, seed, carry_payload=False
+            ),
+            batch_format="pyarrow",
+        )
+        cand = rows.map_batches(_route, batch_format="pyarrow").groupby(
+            "__bucket"
+        ).map_groups(
+            lambda g: _bucket_edges_vec(g.drop_columns(["__bucket"]), id_col),
+            batch_format="pyarrow",
+        )
+        paired = _rejoin_pair_payload(
+            cand, ds, id_col, [emb_col], n_buckets,
+            encode_fn=lambda t: _encode_emb_binary(t, emb_col),
+        )
+        edges = _verify_pairs_rejoined(
+            paired,
+            lambda g: _verify_emb_pairs_bucket(g, emb_col, threshold),
+            n_buckets,
+        )
     # default max_rounds=None → fixpoint-detected convergence (clusters
     # chained across bands can exceed any fixed round bound)
     return connected_components(edges, max_rounds=max_rounds)
@@ -653,6 +725,217 @@ def _bucket_star_edges_verified(
     )
 
 
+# ---------------------------------------------------------------------------
+# Payload-free candidate verification (re-join payloads by id)
+# ---------------------------------------------------------------------------
+
+
+def _rejoin_pair_payload(
+    pairs,
+    ds,
+    id_col: str,
+    payload_cols,
+    n_buckets: int = 64,
+    m_bits: int = 1 << 23,
+    concurrency: int = 2,
+    encode_fn=None,
+):
+    """UNVERIFIED candidate edges (src, dst) → (probe, src, dst,
+    <payload…>) rows, exactly two per distinct pair (probe ∈ {src,
+    dst}), with payloads RE-JOINED from the corpus by id — the 100 TB
+    alternative to carrying payload on every band row (bands× payload
+    through the LSH shuffle):
+
+    1. distinct pairs (partial→final groupby; dst < src by star-edge
+       construction, so no orientation dedup needed);
+    2. explode to two probe rows per pair;
+    3. bloom-prefilter the corpus by the candidate-id set MAP-SIDE
+       (build_bloom's two-level tree merge; false positives only add a
+       few stray payload rows, dropped by the exact join);
+    4. exact bucketed hash join on the probe id.
+
+    Shuffle volume: candidate payloads ×1 (plus bloom FPs), never the
+    corpus — candidates are a vanishing fraction of rows under LSH.
+
+    ``encode_fn``: optional map over the renamed (probe, payload…)
+    corpus table BEFORE the join — needed because Arrow's hash join
+    rejects list-typed non-key columns (encode lists to binary; decode
+    in the verify kernel)."""
+    import ray
+
+    from rio_cogeo_ray.stages import join as join_mod
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    payload_cols = list(payload_cols)
+    pairs = partial_group_agg(pairs, keys=["src", "dst"], count_as=None)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().cast(pa.int64())
+        d = t["dst"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, s]),
+                "dst": pa.concat_arrays([d, d]),
+                "probe": pa.concat_arrays([s, d]),
+            }
+        )
+
+    probes = pairs.map_batches(_explode, batch_format="pyarrow")
+    bloom_ref = ray.put(join_mod.build_bloom(probes, "probe", m_bits=m_bits))
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["probe"] + payload_cols)
+        return encode_fn(t) if encode_fn is not None else t
+
+    corpus = ds.select_columns([id_col] + payload_cols).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+    pref = corpus.map_batches(
+        join_mod.BloomProbe,
+        fn_constructor_args=(bloom_ref, "probe"),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return join_mod.bucketed_hash_join(
+        probes, pref, on="probe", how="inner", n_buckets=n_buckets
+    )
+
+
+def _pair_runs_of_two(g: pa.Table):
+    """Sorted (src, dst, probe) pair rows → (row index of first member,
+    row index of second member) for every pair that re-joined BOTH
+    payloads. probe==dst sorts first (dst < src by construction)."""
+    src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+    dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(src)))
+    ok = lens == 2
+    return starts[ok], starts[ok] + 1
+
+
+def _verify_pairs_rejoined(
+    paired, verify_bucket, n_buckets: int = 64
+):
+    """(probe, src, dst, payload…) rows → verified (src, dst) edges via
+    a bucketed per-pair exact-verify kernel (hash(src,dst) routing)."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    def _route(t: pa.Table) -> pa.Table:
+        rb = (hash_columns(t, ["src", "dst"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(rb, pa.int64()))
+
+    return (
+        paired.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: verify_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_EMPTY_EDGES = pa.table(
+    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+
+
+def _verify_text_pairs_bucket(
+    g: pa.Table, text_col: str, shingle_k: int, threshold: float
+) -> pa.Table:
+    """Exact k-char shingle Jaccard over re-joined candidate pairs."""
+    if len(g) == 0:
+        return _EMPTY_EDGES
+    g = g.sort_by(
+        [("src", "ascending"), ("dst", "ascending"), ("probe", "ascending")]
+    )
+    a_rows, b_rows = _pair_runs_of_two(g)
+    if len(a_rows) == 0:
+        return _EMPTY_EDGES
+    src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+    dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+    sets = _row_shingle_sets(g[text_col].combine_chunks(), shingle_k)
+    src_out, dst_out = [], []
+    for a, b in zip(a_rows.tolist(), b_rows.tolist()):
+        sa, sb_ = sets(a), sets(b)
+        union = len(sa) + len(sb_) - len(np.intersect1d(sa, sb_, assume_unique=True))
+        jac = 1.0 if union == 0 else (len(sa) + len(sb_) - union) / union
+        if jac >= threshold:
+            src_out.append(src[a])
+            dst_out.append(dst[a])
+    return pa.table(
+        {
+            "src": pa.array(np.asarray(src_out, dtype=np.int64), pa.int64()),
+            "dst": pa.array(np.asarray(dst_out, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def _encode_emb_binary(t: pa.Table, emb_col: str) -> pa.Table:
+    """list<float> embedding column → raw little-endian float64 binary
+    (Arrow's hash join rejects list-typed non-key columns)."""
+    from rio_cogeo_ray.stages.ann import _matrix
+
+    X = _matrix(t[emb_col])
+    n, d = X.shape
+    flat = np.ascontiguousarray(X, dtype="<f8")
+    offsets = (np.arange(n + 1, dtype=np.int32) * np.int32(d * 8))
+    arr = pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+    return t.set_column(t.schema.get_field_index(emb_col), emb_col, arr)
+
+
+def _decode_emb_binary(col: pa.ChunkedArray) -> np.ndarray:
+    """Inverse of :func:`_encode_emb_binary` — zero-copy reshape over
+    the values buffer (binary value regions are contiguous in offset
+    order by construction)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    off = off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    widths = np.diff(off)
+    if len(widths) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    d = int(widths[0]) // 8
+    flat = np.frombuffer(
+        arr.buffers()[2], dtype="<f8",
+        count=(int(off[-1]) - int(off[0])) // 8, offset=int(off[0]),
+    )
+    return flat.reshape(len(arr), d)
+
+
+def _verify_emb_pairs_bucket(
+    g: pa.Table, emb_col: str, threshold: float
+) -> pa.Table:
+    """Exact cosine over re-joined candidate pairs (embeddings are raw
+    from the corpus here — normalize before the rowwise dot)."""
+    from rio_cogeo_ray.stages.ann import _matrix, _normalize
+
+    if len(g) == 0:
+        return _EMPTY_EDGES
+    g = g.sort_by(
+        [("src", "ascending"), ("dst", "ascending"), ("probe", "ascending")]
+    )
+    a_rows, b_rows = _pair_runs_of_two(g)
+    if len(a_rows) == 0:
+        return _EMPTY_EDGES
+    src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+    dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+    col = g[emb_col].combine_chunks()
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        X = _normalize(_decode_emb_binary(col))
+    else:
+        X = _normalize(_matrix(col))
+    cos = (X[a_rows] * X[b_rows]).sum(axis=1)
+    ok = cos >= threshold
+    return pa.table(
+        {
+            "src": pa.array(src[a_rows[ok]].astype(np.int64), pa.int64()),
+            "dst": pa.array(dst[a_rows[ok]].astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def text_neardup_verified(
     ds,
     id_col: str = "doc_id",
@@ -663,39 +946,60 @@ def text_neardup_verified(
     threshold: float = 0.7,
     n_buckets: int = 64,
     max_rounds: "int | None" = None,
+    carry_payload: bool = False,
 ):
     """Text near-duplicate clusters with EXACT verification — the full
-    dedup-verify pipeline: shingle→minhash→band rows (text carried on
-    the band rows, the embedding_neardup payload pattern) → bucketed
-    star candidates → exact k-char-shingle Jaccard filter (candidates
-    below ``threshold`` are dropped BEFORE clustering, so LSH false
-    positives never merge clusters) → distributed connected
-    components. Returns (node, label) rows for ids in verified edges."""
+    dedup-verify pipeline: shingle→minhash→band rows → bucketed star
+    candidates → exact k-char-shingle Jaccard filter (candidates below
+    ``threshold`` are dropped BEFORE clustering, so LSH false positives
+    never merge clusters) → distributed connected components. Returns
+    (node, label) rows for ids in verified edges.
+
+    ``carry_payload=False`` (default, the 100 TB path): band rows ship
+    only (id, band, band_hash); candidate pair payloads are re-joined
+    by id through a bloom-prefiltered bucketed join before the exact
+    verify — the LSH shuffle moves hashes, never text. ``True``
+    replicates the text onto every band row (bands× payload through
+    the shuffle; one fewer join — fine for small corpora). Both paths
+    verify the identical candidate-pair set and yield identical
+    clusters."""
     from rio_cogeo_ray.functions.hashing import hash_columns
 
-    rows = ds.map_batches(
-        lambda t: minhash_band_rows(
-            t, id_col, text_col, num_perm, bands, carry_cols=(text_col,)
-        ),
-        batch_format="pyarrow",
-    )
-
-    def _route(t: pa.Table) -> pa.Table:
-        rb = (hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)).astype(
-            np.int64
-        )
-        return t.append_column("__bucket", pa.array(rb, pa.int64()))
-
-    edges = (
-        rows.map_batches(_route, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(
-            lambda g: _bucket_star_edges_verified(
-                g.drop_columns(["__bucket"]), id_col, text_col, shingle_k, threshold
+    if carry_payload:
+        rows = ds.map_batches(
+            lambda t: minhash_band_rows(
+                t, id_col, text_col, num_perm, bands, carry_cols=(text_col,)
             ),
             batch_format="pyarrow",
         )
-    )
+
+        def _route(t: pa.Table) -> pa.Table:
+            rb = (
+                hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return t.append_column("__bucket", pa.array(rb, pa.int64()))
+
+        edges = (
+            rows.map_batches(_route, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: _bucket_star_edges_verified(
+                    g.drop_columns(["__bucket"]), id_col, text_col, shingle_k, threshold
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        cand = lsh_candidate_edges(
+            ds, id_col=id_col, text_col=text_col,
+            num_perm=num_perm, bands=bands, n_buckets=n_buckets,
+        )
+        paired = _rejoin_pair_payload(cand, ds, id_col, [text_col], n_buckets)
+        edges = _verify_pairs_rejoined(
+            paired,
+            lambda g: _verify_text_pairs_bucket(g, text_col, shingle_k, threshold),
+            n_buckets,
+        )
     return connected_components(edges, max_rounds=max_rounds)
 
 

@@ -226,7 +226,9 @@ class IntervalLookup:
         # value in segment s is inside interval i iff lo[i] <= B[s] and
         # B[s+1] <= hi[i] (containment is constant within a segment).
         bounds = np.unique(np.concatenate((lo, hi)))
-        n_seg = len(bounds) - 1
+        # empty right table: len(bounds)==0 would make n_seg == -1 and
+        # np.zeros(-1) raise; clamp so __call__'s empty-bounds path is live
+        n_seg = max(len(bounds) - 1, 0)
         seg_ids: list = []
         offsets = np.zeros(n_seg + 1, dtype=np.int64)
         s_lo = np.searchsorted(bounds, lo, side="left")

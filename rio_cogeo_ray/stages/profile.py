@@ -66,7 +66,9 @@ def profile_columns(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    acc = {}
+    # seed every requested column so an empty dataset (zero batches)
+    # yields n=0/nulls=0/min=max=null rows instead of a KeyError below
+    acc = {c: {"n": 0, "nulls": 0, "min": None, "max": None} for c in cols}
     for row in partials.take_all():
         c = row["column"]
         cur = acc.setdefault(c, {"n": 0, "nulls": 0, "min": None, "max": None})

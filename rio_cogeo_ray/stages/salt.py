@@ -44,8 +44,8 @@ def detect_hot_keys(ds, key_col: str, threshold: int) -> pa.Table:
         return t.filter(pc.greater(t["n"], threshold))
 
     hot = counts.map_batches(_filter, batch_format="pyarrow")
-    tbl = pa.Table.from_pandas(hot.to_pandas(), preserve_index=False)
-    return tbl
+    refs = hot.to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs]).combine_chunks()
 
 
 def add_salt(

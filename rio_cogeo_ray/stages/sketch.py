@@ -370,7 +370,11 @@ def grouped_quantile(
         tot = C[re] - c_before
         out_g, out_q, out_v = [], [], []
         for q in qs:
-            thr = c_before + np.ceil(q * tot).astype(np.int64)
+            # clamp rank to [1, tot] (mirrors exact_quantiles): q=0 would
+            # make thr == c_before and searchsorted land on the PREVIOUS
+            # group's last cumsum entry, returning a wrong group's value
+            rank = np.clip(np.ceil(q * tot).astype(np.int64), 1, tot)
+            thr = c_before + rank
             pos = np.searchsorted(C, thr, side="left")
             out_g.append(grp.take(pa.array(rs, pa.int64())))
             out_q.append(np.full(len(rs), q))

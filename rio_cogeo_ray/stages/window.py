@@ -401,7 +401,14 @@ def path_agg(
         offsets = pa.array(np.append(starts, len(g)).astype(np.int64), pa.int64())
         vals = g[value_col].combine_chunks().cast(pa.large_string())
         lists = pa.LargeListArray.from_arrays(offsets, vals)
-        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string())).cast(pa.string())
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        # Downcast to string only when it provably fits: a bucket holding
+        # > 2^31 total path bytes must stay large_string or the cast
+        # itself re-imposes the 32-bit offset ceiling the large path
+        # exists to avoid.
+        total = pc.sum(pc.binary_length(joined)).as_py() or 0
+        if total < (1 << 31):
+            joined = joined.cast(pa.string())
         return pa.table(
             {
                 key_col: pa.array(keys[starts], pa.int64()),

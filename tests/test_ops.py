@@ -1201,3 +1201,102 @@ def test_misra_gries_guarantee_on_zipf_stream(ray_session):
     for tok, e in est.items():
         assert e <= true[tok]
         assert true[tok] - e <= bound
+
+
+def test_neardup_payload_paths_identical(ray_session):
+    """carry_payload=True (text/emb on every band row) and the default
+    payload-free re-join-by-id path verify the SAME candidate set and
+    produce IDENTICAL clusters — the 100 TB shuffle-volume optimization
+    must not change results."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-20] + "and then it slept soundly"
+    far = "unrelated content about distributed query engines " * 6
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [base, base, near, far],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    a = dedup.text_neardup_verified(ds, threshold=0.6, carry_payload=False).to_pandas()
+    b = dedup.text_neardup_verified(ds, threshold=0.6, carry_payload=True).to_pandas()
+    key = ["node", "label"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.standard_normal((30, 16))
+    X = np.vstack([X, X[:8] + 0.01 * rng.standard_normal((8, 16))])
+    ids = np.concatenate([np.arange(30), 100 + np.arange(8)])
+    e = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float64())),
+        }
+    )
+    eds = rd.from_arrow(e).repartition(2)
+    ea = dedup.embedding_neardup(eds, threshold=0.98, carry_payload=False).to_pandas()
+    eb = dedup.embedding_neardup(eds, threshold=0.98, carry_payload=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        ea.sort_values(key).reset_index(drop=True),
+        eb.sort_values(key).reset_index(drop=True),
+    )
+    assert len(ea) >= 16  # the 8 planted pairs all clustered
+
+
+def test_srp_hyperplanes_cached_per_process():
+    """The SRP hyperplane matrix is built once per (d, n_bits, seed) per
+    process (lru_cache), not per batch, and band hashes are unchanged
+    by the caching."""
+    dedup._srp_hyperplanes.cache_clear()
+    h1 = dedup._srp_hyperplanes(16, 64, 7)
+    h2 = dedup._srp_hyperplanes(16, 64, 7)
+    assert h1 is h2  # same object — no per-batch regeneration
+    assert dedup._srp_hyperplanes.cache_info().hits == 1
+    np.testing.assert_array_equal(
+        h1, np.random.RandomState(7).standard_normal((16, 64))
+    )
+
+
+def test_shingle_hashes_large_string_offsets():
+    """_char_shingle_hashes reads 64-bit offsets natively for
+    large_string input (no int32 downcast that would raise on > 2 GiB
+    batches) and produces identical hashes to the string path."""
+    texts = ["hello world shingles", "tiny", "", "abcdefghij" * 3]
+    small = pa.array(texts, pa.string())
+    large = pa.array(texts, pa.large_string())
+    di_s, h_s = dedup._char_shingle_hashes(small, 5)
+    di_l, h_l = dedup._char_shingle_hashes(large, 5)
+    np.testing.assert_array_equal(di_s, di_l)
+    np.testing.assert_array_equal(h_s, h_l)
+    assert len(h_s) > 0
+
+
+def test_cc_long_chain_fixpoint_through_lsh(ray_session):
+    """A 200-link near-duplicate CHAIN built through LSH banding (not
+    direct edges): doc_i = block_i + block_{i+1}, so only adjacent docs
+    share content (jaccard ≈ 1/3) and the candidate graph is a path of
+    diameter 200. max_rounds=None must converge to ONE cluster labeled
+    by the min id — pointer jumping makes that O(log 200) rounds, not
+    200."""
+    rng = np.random.RandomState(23)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    blocks = ["".join(rng.choice(letters, 120)) for _ in range(201)]
+    docs = [blocks[i] + blocks[i + 1] for i in range(200)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    labels = dedup.text_neardup_verified(
+        ds, num_perm=64, bands=64, threshold=0.25, max_rounds=None
+    ).to_pandas()
+    lab = dict(zip(labels["node"], labels["label"]))
+    assert set(lab) == set(range(200))
+    assert all(v == 0 for v in lab.values()), sorted(
+        (k, v) for k, v in lab.items() if v != 0
+    )[:5]
