@@ -231,6 +231,9 @@ def downsample_general(
             elif spec.resampling == "mode":
                 p = (gx // b, gy // b)
                 acc.setdefault(p, []).append(((gy % b) * b + gx % b, v))
+            elif spec.resampling == "rms":
+                p = (gx // b, gy // b)
+                acc[p] = acc.get(p, 0) + v * v
             else:  # sum / average
                 p = (gx // b, gy // b)
                 acc[p] = acc.get(p, 0) + v
@@ -240,6 +243,10 @@ def downsample_general(
     for p, payload in acc.items():
         if is_conv:
             v = payload // (wsum * wsum)  # python floor division
+            if v == 0:
+                continue
+        elif spec.resampling == "rms":
+            v = int(np.floor(np.sqrt(float(payload) / (b * b))))
             if v == 0:
                 continue
         elif spec.resampling == "mode":
@@ -285,7 +292,7 @@ def pyramid(
     prepared = prepare(table, spec, source=source)
     levels = {spec.zoom: base_tiles(prepared, spec, weight_col)}
     cur = levels[spec.zoom]
-    use_general = spec.is_conv or not spec.is_pow2_base
+    use_general = spec.is_conv or spec.is_rms or not spec.is_pow2_base
     for j, z in enumerate(spec.zooms[1:], start=1):
         cur = downsample_general(cur, spec, j) if use_general else downsample(cur, spec, j)
         levels[z] = cur

@@ -295,9 +295,9 @@ def create(
     # all-to-all per near-empty level is pure fixed overhead.
     local_table: Optional[pa.Table] = None
     base_b = spec.decimation_base
-    # conv kernels aggregate raw sums and normalize post-merge; their
-    # merge path is the plain 'sum' combiner.
-    merge_kernel = "sum" if spec.is_conv else spec.resampling
+    # conv and rms kernels aggregate raw sums and normalize post-merge;
+    # their merge path is the plain 'sum' combiner.
+    merge_kernel = "sum" if (spec.is_conv or spec.is_rms) else spec.resampling
     for j, z in enumerate(zooms[1:], start=1):
         if z in levels_done:
             local_table = None  # resume hole: re-read below if needed
@@ -314,6 +314,11 @@ def create(
                     t, spec.tile_px, spec.resampling, base_b,
                     spec.level_dim(_j), _cov,
                 )
+            if spec.is_rms:
+                # square the child level's finalized values, then the
+                # ladder step is the ordinary additive pre-sum
+                t = rasterize.square_tile_values(t)
+                return rasterize.pyramid_partials(t, spec.tile_px, "sum", base_b)
             return rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, base_b)
 
         if local_table is None:
@@ -331,6 +336,8 @@ def create(
                 merged_t = rasterize.finalize_conv_tiles(
                     merged_t, spec.resampling, base_b
                 )
+            elif spec.is_rms:
+                merged_t = rasterize.finalize_rms_tiles(merged_t, base_b)
             entry = _write_level_table(
                 merged_t, out_dir, z, decimation=base_b**j, codec=codec,
             )
@@ -345,6 +352,11 @@ def create(
             if spec.is_conv:
                 merged = merged.map_batches(
                     lambda t: rasterize.finalize_conv_tiles(t, spec.resampling, base_b),
+                    batch_format="pyarrow",
+                )
+            elif spec.is_rms:
+                merged = merged.map_batches(
+                    lambda t: rasterize.finalize_rms_tiles(t, base_b),
                     batch_format="pyarrow",
                 )
             _write_level(merged, out_dir, z, codec=codec)

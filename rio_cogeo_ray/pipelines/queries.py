@@ -992,6 +992,67 @@ SQL_PYRAMID_BILINEAR = _sql_conv_level("bilinear")
 SQL_PYRAMID_LANCZOS = _sql_conv_level("lanczos")
 
 
+def q_pyramid_rms(sf_dir: str):
+    """One ROOT-MEAN-SQUARE pyramid step (z=5 n_chars-weighted grid →
+    z=4; reference enum slot rio_cogeo/cogeo.py:57) exploded to
+    per-pixel rows: child cells squared map-side
+    (rasterize.square_tile_values), Σc² through the ordinary additive
+    merge, floor-sqrt normalized exactly once per level
+    (rasterize.finalize_rms_tiles) — the lossy sqrt never enters the
+    distributed aggregation."""
+    ds = _valid_only(_prepared_docs(sf_dir, RASTER_Z, columns=("doc_id", "n_chars")))
+    partials = ds.map_batches(
+        lambda t: rasterize.density_partials(t, RASTER_G, "n_chars"),
+        batch_format="pyarrow",
+    )
+    merged = rasterize.merge_sparse_tiles(partials, "sum", level=0, tile_px=RASTER_G)
+    sq = merged.map_batches(
+        lambda t: rasterize.pyramid_partials(
+            rasterize.square_tile_values(t), RASTER_G, "sum", 2
+        ),
+        batch_format="pyarrow",
+    )
+    smerged = rasterize.merge_sparse_tiles(sq, "sum", level=1, tile_px=RASTER_G)
+    final = smerged.map_batches(
+        lambda t: rasterize.finalize_rms_tiles(t, 2), batch_format="pyarrow"
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        cells = t["cells"].combine_chunks()
+        lens = np.diff(cells.offsets.to_numpy(zero_copy_only=False))
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        return pa.table(
+            {
+                "x": t["x"].combine_chunks().take(pa.array(rep)),
+                "y": t["y"].combine_chunks().take(pa.array(rep)),
+                "cell": cells.flatten().cast(pa.int64()),
+                "cnt": t["counts"].combine_chunks().flatten(),
+            }
+        )
+
+    return final.map_batches(_explode, batch_format="pyarrow")
+
+
+# IEEE double division and sqrt are correctly rounded in both numpy and
+# DuckDB, and Σv² stays far below 2^53 at test scale, so FLOOR(SQRT(.))
+# mirrors finalize_rms_tiles bit-for-bit.
+SQL_PYRAMID_RMS = (
+    _geo_cte() + f", t AS ({_tile_sql(RASTER_Z)}), "
+    f"p AS (SELECT x, y, n_chars, "
+    f"LEAST(GREATEST(CAST(FLOOR((mx - (x * {_S5} - {_O})) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS px, "
+    f"LEAST(GREATEST(CAST(FLOOR((({_O} - y * {_S5}) - my) / ({_S5} / {float(RASTER_G)!r})) AS BIGINT), 0), {RASTER_G - 1}) AS py "
+    f"FROM t), "
+    f"base AS (SELECT x * {RASTER_G} + px AS gx, y * {RASTER_G} + py AS gy, "
+    f"CAST(SUM(n_chars) AS BIGINT) AS v FROM p GROUP BY gx, gy), "
+    f"par AS (SELECT gx // 2 AS pgx, gy // 2 AS pgy, "
+    f"CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / 4.0)) AS BIGINT) AS cnt "
+    f"FROM base GROUP BY pgx, pgy) "
+    f"SELECT pgx // {RASTER_G} AS x, pgy // {RASTER_G} AS y, "
+    f"(pgy % {RASTER_G}) * {RASTER_G} + (pgx % {RASTER_G}) AS cell, cnt "
+    f"FROM par WHERE cnt <> 0"
+)
+
+
 # lon/lat derived as EXACT integer-arithmetic floats from c_custkey so
 # the Ray pipeline and the SQL mirror agree bit-for-bit.
 _LL_LON = "((CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0) - 180.0)"
@@ -2349,6 +2410,7 @@ def queries() -> Dict[str, Callable]:
         # -- SQL-exact, never driver-checked before round 3 ----------------
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
+        "pyramid_rms": q_pyramid_rms,
         "pii_scrub": q_pii_scrub,
         "host_stats": q_host_stats,
         "repetition": q_repetition,
@@ -2435,6 +2497,7 @@ def oracle_sql() -> Dict[str, str]:
         "pyramid_counts": SQL_PYRAMID_COUNTS,
         "pyramid_bilinear": SQL_PYRAMID_BILINEAR,
         "pyramid_base3": SQL_PYRAMID_BASE3,
+        "pyramid_rms": SQL_PYRAMID_RMS,
         "price_bands": SQL_PRICE_BANDS,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,

@@ -24,11 +24,12 @@ SUMMABLE_RESAMPLINGS = ("sum", "average", "nearest", "mode")
 #: Interpolating kernels — separable integer-tap convolutions, imported
 #: from stages/rasterize.py (the kernel implementations' own registry)
 #: so the planner can never accept a kernel the pipeline lacks.
-#: Full reference enum (cogeo.py:48-72) — all implemented for density
-#: grids ('sum' replaces the reference's rms slot; density grids are
-#: counts, so rms has no meaningful analog and 'sum' is the engine's
-#: ninth kernel).
-RESAMPLINGS = SUMMABLE_RESAMPLINGS + CONV_RESAMPLINGS
+#: Full reference enum (cogeo.py:48-72), all ten implemented for
+#: density grids: rms squares each child level's values, sums them
+#: through the ordinary additive merge, and floor-sqrt-normalizes once
+#: per level (rasterize.finalize_rms_tiles); 'sum' is the engine's own
+#: tenth kernel (the natural density-grid aggregate).
+RESAMPLINGS = SUMMABLE_RESAMPLINGS + ("rms",) + CONV_RESAMPLINGS
 RIO_RESAMPLINGS = RESAMPLINGS
 
 INVALID_POLICIES = ("mask", "drop")
@@ -104,6 +105,11 @@ class TilingSpec:
     def is_conv(self) -> bool:
         """True for interpolating (convolution) resampling kernels."""
         return self.resampling in CONV_RESAMPLINGS
+
+    @property
+    def is_rms(self) -> bool:
+        """True for root-mean-square decimation (cogeo.py:57 slot)."""
+        return self.resampling == "rms"
 
     @property
     def zoom_step(self) -> int:

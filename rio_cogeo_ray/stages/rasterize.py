@@ -524,23 +524,69 @@ def finalize_conv_tiles(table: pa.Table, kernel: str, base: int) -> pa.Table:
     ``(Σw)²`` and drop cells that land on exactly 0 (sparse ≡ 0). Runs
     on final (post-merge) values only, so the lossy division never
     enters the distributed aggregation — same doctrine as 'average'."""
-    if len(table) == 0:
-        return table
     _, _, wsum = kernel_taps(kernel, base)
     W2 = np.int64(wsum) * np.int64(wsum)
+    # numpy floor division (negative lobes round toward -inf)
+    return _finalize_tiles(table, lambda v: v // W2)
+
+
+def square_tile_values(table: pa.Table) -> pa.Table:
+    """Cell values c → c² (the rms ladder-step lift, reference enum
+    slot rio_cogeo/cogeo.py:57): each step squares the child level's
+    finalized values, then the merge is the ordinary ADDITIVE sum (Σc²
+    is distributive) and the lossy sqrt happens exactly once per level
+    at :func:`finalize_rms_tiles`. Overflow headroom: |c| ≲ 3·10⁹ per
+    cell keeps c² inside int64 — far above any real density."""
+    if len(table) == 0:
+        return table
+    vals = table["counts"].combine_chunks()
+    off = vals.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(off)
+    flat = vals.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = flat * flat
+    new_off = pa.array(
+        np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32()
+    )
+    new = pa.ListArray.from_arrays(new_off, pa.array(sq, pa.int64()))
+    return table.set_column(
+        table.schema.get_field_index("counts"), "counts", new
+    )
+
+
+def finalize_rms_tiles(table: pa.Table, base: int) -> pa.Table:
+    """Normalize MERGED rms tiles: cell ← ``floor(sqrt(ss / base²))``;
+    cells flooring to 0 drop (sparse ≡ 0). Engine rms semantics
+    (documented — the reference delegates the kernel to GDAL,
+    cogeo.py:57): each level is the root-mean-square of the PREVIOUS
+    level's cells over its base² footprint (recursive successive-
+    overview build, absent cells counting as 0), the same per-level
+    doctrine as the conv kernels. IEEE division and sqrt are correctly
+    rounded in both numpy and DuckDB, so the SQL mirror
+    ``CAST(FLOOR(SQRT(CAST(ss AS DOUBLE) / n)) AS BIGINT)`` is exact."""
+    n = float(base * base)
+    return _finalize_tiles(
+        table,
+        lambda v: np.floor(np.sqrt(v.astype(np.float64) / n)).astype(np.int64),
+    )
+
+
+def _finalize_tiles(table: pa.Table, qfn) -> pa.Table:
+    """Shared post-merge normalize: map cell values through ``qfn``,
+    drop cells landing on exactly 0, drop tiles left with no cells and
+    no pages (they only existed as contribution targets)."""
+    if len(table) == 0:
+        return table
     cells_list = table["cells"].combine_chunks()
     offsets = cells_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     lens = np.diff(offsets)
     cells = cells_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     vals = table["counts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    q = vals // W2  # numpy floor division (negative lobes round toward -inf)
+    q = qfn(vals)
     keep = q != 0
     row_idx = np.repeat(np.arange(len(table), dtype=np.int64), lens)
     ncells = np.bincount(row_idx[keep], minlength=len(table)).astype(np.int64)
     keys = table["tile_key"].combine_chunks().to_numpy(zero_copy_only=False)
     pages = table["page_count"].combine_chunks().to_numpy(zero_copy_only=False)
-    # a tile whose ringing all floored to zero and that owns no pages is
-    # not a tile (it only existed as a contribution target)
     keep_row = (ncells > 0) | (pages > 0)
     if not keep_row.all():
         sel = np.repeat(keep_row, lens) & keep

@@ -1,0 +1,189 @@
+"""Training-shard output operators: deterministic global shuffle →
+fixed shard layout, and weighted multi-corpus mixing.
+
+The step every training-data pipeline runs AFTER corpus prep (filter →
+dedup → decontam → chunk/pack, see queries.q_corpus_prep): randomize
+example order globally, split into equal-ish shards sized for one data
+loader worker, and optionally blend several corpora at fixed sampling
+weights. No analog exists in the reference (rio_cogeo stops at the COG
+file); semantics follow the standard webtext-pipeline recipe.
+
+Determinism doctrine: every random choice is a knuth32 hash of the
+row id (sketch.knuth32 — ``((id + salt) * 2654435761) mod 2^32``), so
+results are bit-identical at any parallelism AND expressible in ANSI
+SQL, keeping all three operators oracle-checkable:
+
+- shard id      = knuth32(id, salt)      % num_shards
+- within-shard  = ORDER BY knuth32(id, salt+1), id   (decorrelated)
+- source keep   = knuth32(id, salt_i) % den_i < num_i (Bernoulli)
+
+Partitioning contract (100 TB): a global shuffle is inherently one
+all-to-all exchange — the design keeps it to EXACTLY one. Shard
+assignment and order keys are pure map-side; the single
+``groupby(shard)`` co-locates each shard, and each shard sorts
+independently (O(rows/shard · log) per group, no global sort). Size
+``num_shards`` so corpus_bytes / num_shards fits a worker heap (at
+100 TB with 1 GiB shards that is ~100k groups — far above any hot-key
+skew threshold, since knuth32 spreads ids uniformly). ``corpus_mix``
+is shuffle-FREE: per-source Bernoulli filters are stateless map
+stages and the union is a metadata concatenation; feed its output to
+``shard_shuffle`` for the final randomized layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from rio_cogeo_ray.stages.sketch import knuth32
+
+
+def shard_keys_batch(
+    batch: pa.Table, id_col: str, num_shards: int, salt: int = 0
+) -> pa.Table:
+    """Map-side shard assignment: append ``shard`` (hash-partition id)
+    and ``__h2`` (the within-shard permutation key, salt+1 so it is
+    decorrelated from the shard choice). Pure, stateless."""
+    ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    shard = (knuth32(ids, salt) % np.uint64(num_shards)).astype(np.int64)
+    h2 = knuth32(ids, salt + 1).astype(np.int64)
+    return batch.append_column(
+        "shard", pa.array(shard, pa.int64())
+    ).append_column("__h2", pa.array(h2, pa.int64()))
+
+
+def shard_shuffle(ds, id_col: str, num_shards: int, salt: int = 0):
+    """Deterministic seeded global shuffle: every row gets a ``shard``
+    in [0, num_shards) and a ``pos`` (0-based rank inside its shard
+    under the seeded permutation ORDER BY knuth32(id, salt+1), id).
+
+    SQL mirror: ``ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2,
+    id) - 1``. One all-to-all (the groupby) — the minimum any global
+    shuffle can do; per-shard sort is local and vectorized.
+    """
+
+    def _rank(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("__h2", "ascending"), (id_col, "ascending")])
+        pos = pa.array(np.arange(len(g), dtype=np.int64), pa.int64())
+        return g.drop_columns(["__h2"]).append_column("pos", pos)
+
+    keyed = ds.map_batches(
+        lambda t: shard_keys_batch(t, id_col, num_shards, salt),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("shard").map_groups(_rank, batch_format="pyarrow")
+
+
+def write_shards(
+    ds,
+    out_dir: str,
+    id_col: str,
+    num_shards: int,
+    salt: int = 0,
+) -> dict:
+    """Materialize the shuffled corpus as ``out_dir/shard=K/*.parquet``
+    (one directory per shard — the resumable layout doctrine of
+    pipelines/create.py: a re-run can skip finished shard dirs).
+    Returns a small manifest dict (shard → rows) written alongside as
+    ``_manifest.json``."""
+    import json
+
+    shuffled = shard_shuffle(ds, id_col, num_shards, salt)
+    shuffled.write_parquet(out_dir, partition_cols=["shard"])
+    import pyarrow.dataset as pads
+
+    counts: dict = {}
+    dset = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    tbl = dset.to_table(columns=["shard"])
+    vals, cnts = np.unique(
+        tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64),
+        return_counts=True,
+    )
+    counts = {int(v): int(c) for v, c in zip(vals, cnts)}
+    manifest = {
+        "num_shards": int(num_shards),
+        "salt": int(salt),
+        "id_col": id_col,
+        "rows": int(sum(counts.values())),
+        "shard_rows": counts,
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def bernoulli_tag_batch(
+    batch: pa.Table,
+    id_col: str,
+    source: str,
+    rate_num: int,
+    rate_den: int,
+    salt: int,
+    order_salt: int,
+) -> pa.Table:
+    """Per-source mixing filter: keep ``rate_num/rate_den`` of rows by
+    id hash, tag with the source name, and append the shared interleave
+    key ``h2`` (one salt for ALL sources, so sorting the union by
+    (h2, source, id) yields the deterministic blended order)."""
+    ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    keep = (knuth32(ids, salt) % np.uint64(rate_den)) < np.uint64(rate_num)
+    kept = batch.filter(pa.array(keep))
+    kids = kept[id_col].combine_chunks().cast(pa.int64())
+    h2 = knuth32(
+        kids.to_numpy(zero_copy_only=False), order_salt
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array([source] * len(kept), pa.string()),
+            "rid": kids,
+            "text": kept["text"].combine_chunks().cast(pa.string()),
+            "h2": pa.array(h2, pa.int64()),
+        }
+    )
+
+
+def corpus_mix(
+    sources: Sequence[Tuple[str, "object", int, int, int]],
+    id_col: str = "rid",
+    order_salt: int = 7,
+):
+    """Weighted multi-corpus mix: each source is (name, dataset with
+    columns (id, text), rate_num, rate_den, salt). Every source is
+    independently Bernoulli-thinned by its own id hash (deterministic
+    credit: expected share = num/den of ITS corpus), tagged, and
+    unioned with a shared interleave key ``h2``.
+
+    Zero shuffle — filters are map-side, union is metadata-only.
+    Downstream consumers read in (h2, source, rid) order (or feed to
+    shard_shuffle) for the blended stream. SQL mirror: UNION ALL of
+    per-source WHERE hash-filters.
+    """
+    parts = []
+    for name, ds, num, den, salt in sources:
+        cols = None
+
+        def _one(t: pa.Table, _name=name, _num=num, _den=den, _salt=salt):
+            # normalize: first col is the id, second is the text
+            id_c, text_c = t.schema.names[0], t.schema.names[1]
+            t2 = pa.table(
+                {
+                    "rid": t[id_c].combine_chunks().cast(pa.int64()),
+                    "text": t[text_c].combine_chunks().cast(pa.string()),
+                }
+            )
+            return bernoulli_tag_batch(
+                t2, "rid", _name, _num, _den, _salt, order_salt
+            )
+
+        parts.append(ds.map_batches(_one, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

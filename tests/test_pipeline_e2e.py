@@ -64,6 +64,10 @@ def _assert_levels_equal(out_dir: str, spec, oracle_levels):
         ("pages_nodata", "cubic_spline"),
         ("pages_north", "lanczos"),
         ("pages_tiny", "gauss"),
+        # root-mean-square (reference enum slot cogeo.py:57): squared
+        # child values through the additive merge, floor-sqrt per level
+        ("pages_rgb", "rms"),
+        ("pages_skew", "rms"),
     ],
 )
 def test_create_matches_oracle(ray_session, tmp_path, scenario, resampling):
@@ -96,6 +100,7 @@ def test_create_matches_oracle(ray_session, tmp_path, scenario, resampling):
         # stays a real TMS ladder (2 zooms per step).
         (3, "sum"),
         (3, "bilinear"),
+        (3, "rms"),
         (5, "mode"),
         (4, "sum"),
         (4, "cubic"),

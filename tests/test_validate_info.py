@@ -196,8 +196,9 @@ def test_spec_plan_time_refusals():
         ok(decimation_base=3, tile_cover=(0, 0, 3, 3))  # cover needs pow2
     with pytest.raises(errors.IncompatibleOptions):
         ok(decimation_base=4, aligned_levels=2)  # aligned needs base 2
+    ok(resampling="rms")  # completed the reference enum in round 3
     with pytest.raises(errors.IncompatibleOptions):
-        ok(resampling="rms")  # not an engine kernel
+        ok(resampling="med")  # not an engine kernel
     with pytest.raises(errors.IncompatibleOptions):
         ok(invalid_policy="ignore")
     with pytest.raises(errors.IncompatibleOptions):
