@@ -2399,6 +2399,84 @@ def q_token_mg(sf_dir: str):
     return sketch.misra_gries_topk(ds.map_batches(_toks, batch_format="pyarrow"), "token", k=32)
 
 
+SHARD_N = 8
+
+
+def q_shard_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle → training-shard layout
+    (the step after corpus_prep in any real training-data pipeline):
+    shard = knuth32(id) % 8, within-shard order = the salt-1 hash
+    permutation. One all-to-all (the shard groupby); per-shard rank is
+    a local vectorized sort."""
+    from rio_cogeo_ray.stages import shard as shard_mod
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return shard_mod.shard_shuffle(ds, "doc_id", SHARD_N)
+
+
+SQL_SHARD_SHUFFLE = (
+    "WITH h AS (SELECT doc_id, lang, "
+    f"((doc_id * 2654435761) % 4294967296) % {SHARD_N} AS shard, "
+    "(((doc_id + 1) * 2654435761) % 4294967296) AS h2 FROM documents) "
+    "SELECT doc_id, lang, shard, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1 "
+    "AS BIGINT) AS pos FROM h"
+)
+
+
+def q_corpus_mix(sf_dir: str):
+    """Weighted multi-corpus mixing (three text sources blended at
+    1/2 : 1/4 : 1/8 deterministic Bernoulli credits, shared interleave
+    key) — zero shuffle: per-source map-side hash filters + a
+    metadata-only union."""
+    from rio_cogeo_ray.stages import shard as shard_mod
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    orders = _read(os.path.join(sf_dir, "orders.parquet"), ["o_orderkey", "o_orderpriority"])
+    li = _read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_linenumber", "l_returnflag"],
+    )
+
+    def _li_id(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ln = t["l_linenumber"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "li_id": pa.array(ok * 8 + ln, pa.int64()),
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+            }
+        )
+
+    li_keyed = li.map_batches(_li_id, batch_format="pyarrow")
+    return shard_mod.corpus_mix(
+        [
+            ("docs", docs, 1, 2, 0),
+            ("orders", orders, 1, 4, 1),
+            ("lineitem", li_keyed, 1, 8, 2),
+        ]
+    )
+
+
+SQL_CORPUS_MIX = (
+    "WITH u AS ("
+    "SELECT 'docs' AS source, doc_id AS rid, text FROM documents "
+    "WHERE ((doc_id * 2654435761) % 4294967296) % 2 < 1 "
+    "UNION ALL "
+    "SELECT 'orders', o_orderkey, o_orderpriority FROM orders "
+    "WHERE (((o_orderkey + 1) * 2654435761) % 4294967296) % 4 < 1 "
+    "UNION ALL "
+    "SELECT 'lineitem', l_orderkey * 8 + l_linenumber, l_returnflag FROM lineitem "
+    "WHERE ((((l_orderkey * 8 + l_linenumber) + 2) * 2654435761) % 4294967296) % 8 < 1"
+    ") SELECT source, rid, text, "
+    "((rid + 7) * 2654435761) % 4294967296 AS h2 FROM u"
+)
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -2411,6 +2489,8 @@ def queries() -> Dict[str, Callable]:
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
+        "shard_shuffle": q_shard_shuffle,
+        "corpus_mix": q_corpus_mix,
         "pii_scrub": q_pii_scrub,
         "host_stats": q_host_stats,
         "repetition": q_repetition,
@@ -2498,6 +2578,8 @@ def oracle_sql() -> Dict[str, str]:
         "pyramid_bilinear": SQL_PYRAMID_BILINEAR,
         "pyramid_base3": SQL_PYRAMID_BASE3,
         "pyramid_rms": SQL_PYRAMID_RMS,
+        "shard_shuffle": SQL_SHARD_SHUFFLE,
+        "corpus_mix": SQL_CORPUS_MIX,
         "price_bands": SQL_PRICE_BANDS,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,

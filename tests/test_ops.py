@@ -1300,3 +1300,93 @@ def test_cc_long_chain_fixpoint_through_lsh(ray_session):
     assert all(v == 0 for v in lab.values()), sorted(
         (k, v) for k, v in lab.items() if v != 0
     )[:5]
+
+
+# ---------------------------------------------------------------------------
+# Training-shard output ops (stages/shard.py)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_shuffle_deterministic_permutation(ray_session):
+    """shard_shuffle is a true permutation (each shard's pos is a dense
+    0..n-1 range), deterministic across runs and across partitionings,
+    and matches the driver-side hash oracle."""
+    from rio_cogeo_ray.stages import shard
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    ids = np.arange(777, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "v": pa.array(ids * 3)})
+    a = shard.shard_shuffle(rd.from_arrow(t).repartition(2), "doc_id", 8).to_pandas()
+    b = shard.shard_shuffle(rd.from_arrow(t).repartition(7), "doc_id", 8).to_pandas()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(b.columns)],
+    )
+    # oracle: shard + rank computed directly
+    h = knuth32(ids)
+    exp_shard = (h % np.uint64(8)).astype(np.int64)
+    h2 = knuth32(ids, 1).astype(np.int64)
+    got = a.set_index("doc_id")
+    assert (got.loc[ids, "shard"].to_numpy() == exp_shard).all()
+    for s in range(8):
+        members = ids[exp_shard == s]
+        order = members[np.lexsort((members, h2[members]))]
+        np.testing.assert_array_equal(
+            got.loc[order, "pos"].to_numpy(), np.arange(len(order))
+        )
+
+
+def test_write_shards_layout_and_roundtrip(ray_session, tmp_path):
+    """write_shards produces one hive directory per shard (the
+    resumable layout), a manifest whose per-shard counts sum to the
+    input, and a lossless re-read."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    from rio_cogeo_ray.stages import shard
+
+    ids = np.arange(300, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(["en"] * 300)})
+    out = str(tmp_path / "shards")
+    m = shard.write_shards(rd.from_arrow(t), out, "doc_id", 4)
+    assert m["rows"] == 300 and sum(m["shard_rows"].values()) == 300
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in sorted(m["shard_rows"])]
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f)["num_shards"] == 4
+    back = pads.dataset(out, format="parquet", partitioning="hive").to_table()
+    assert sorted(back["doc_id"].to_pylist()) == list(range(300))
+
+
+def test_corpus_mix_weights_and_interleave_key(ray_session):
+    """corpus_mix keeps each source's deterministic Bernoulli share,
+    tags provenance, and assigns the SHARED order_salt interleave hash
+    (so the blended order is reconstructible by sorting h2)."""
+    from rio_cogeo_ray.stages import shard
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    na, nb = 1000, 800
+    a = pa.table(
+        {"doc_id": pa.array(np.arange(na, dtype=np.int64)),
+         "text": pa.array([f"a{i}" for i in range(na)])}
+    )
+    b = pa.table(
+        {"k": pa.array(np.arange(nb, dtype=np.int64)),
+         "txt": pa.array([f"b{i}" for i in range(nb)])}
+    )
+    mix = shard.corpus_mix(
+        [("A", rd.from_arrow(a), 1, 2, 0), ("B", rd.from_arrow(b), 1, 4, 5)]
+    ).to_pandas()
+    ga = mix[mix.source == "A"]
+    gb = mix[mix.source == "B"]
+    exp_a = ((knuth32(np.arange(na)) % np.uint64(2)) < 1).sum()
+    exp_b = ((knuth32(np.arange(nb), 5) % np.uint64(4)) < 1).sum()
+    assert len(ga) == exp_a and len(gb) == exp_b
+    # shared interleave key: same formula for both sources
+    rid = mix["rid"].to_numpy()
+    np.testing.assert_array_equal(
+        mix["h2"].to_numpy(), knuth32(rid, 7).astype(np.int64)
+    )
