@@ -2399,6 +2399,55 @@ def q_token_mg(sf_dir: str):
     return sketch.misra_gries_topk(ds.map_batches(_toks, batch_format="pyarrow"), "token", k=32)
 
 
+def _bpe_merges(sf_dir: str, max_words: int = 4000, n_merges: int = 200):
+    """Train the corpus BPE once per (sf_dir, params) per process —
+    distributed word-frequency reduction + driver-side merge learning
+    over the bounded table (stages/tokenizer.py doctrine)."""
+    from rio_cogeo_ray.stages import tokenizer
+
+    key = (sf_dir, max_words, n_merges)
+    cached = _BPE_CACHE.get(key)
+    if cached is None:
+        wf = tokenizer.word_frequencies(
+            _docs(sf_dir, ["text"]), "text", max_words=max_words
+        )
+        cached = tokenizer.train_bpe_merges(wf, n_merges)
+        _BPE_CACHE[key] = cached
+    return cached
+
+
+_BPE_CACHE: Dict[tuple, list] = {}
+
+
+def q_bpe_tokens(sf_dir: str):
+    """Trainable-BPE token counts per document (Sennrich et al. 2016,
+    subword units): merges learned from THIS corpus's word-frequency
+    table, encode as an actor-pool stage with per-actor word cache.
+    Iterative merge learning is not SQL-expressible ⇒ rows-only;
+    exactness pinned vs a naive reimplementation in
+    tests/test_tokenizer.py."""
+    from rio_cogeo_ray.stages import tokenizer
+
+    merges = _bpe_merges(sf_dir)
+    return tokenizer.bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]), merges)
+
+
+def q_bpe_pack(sf_dir: str):
+    """Tokenizer-aware sequence packing: BPE token counts (actor-pool
+    encode) → per-lang greedy packing into 1024-token training
+    sequences (text.pack_counted). Rows-only (BPE upstream)."""
+    from rio_cogeo_ray.stages import tokenizer
+
+    merges = _bpe_merges(sf_dir)
+    counted = tokenizer.bpe_token_counts(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), merges, keep_cols=("lang",)
+    )
+    return text.pack_counted(
+        counted, 1024, group_col="lang", order_col="doc_id",
+        count_col="n_bpe_tokens",
+    )
+
+
 SHARD_N = 8
 
 
@@ -2565,6 +2614,8 @@ def queries() -> Dict[str, Callable]:
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "token_mg": q_token_mg,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_pack": q_bpe_pack,
     }
 
 

@@ -588,13 +588,33 @@ def pack_sequences(
             }
         )
 
+    return pack_counted(
+        ds.map_batches(_toks, batch_format="pyarrow"),
+        budget,
+        group_col=group_col,
+        order_col=order_col,
+        count_col="toks",
+    )
+
+
+def pack_counted(
+    ds,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    count_col: str = "toks",
+):
+    """Sequence packing over PRECOMPUTED token counts (``count_col``) —
+    the tokenizer-aware variant: feed it stages/tokenizer.py
+    bpe_token_counts output instead of whitespace counts. Same
+    per-shard greedy kernel and partitioning contract as
+    :func:`pack_sequences`."""
+
     def _pack_group(g: pa.Table) -> pa.Table:
         g = g.sort_by([(order_col, "ascending")])
-        toks = g["toks"].combine_chunks().to_numpy(zero_copy_only=False)
-        return g.append_column("seq_id", pa.array(_greedy_pack(toks, budget), pa.int64()))
+        toks = g[count_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "seq_id", pa.array(_greedy_pack(toks, budget), pa.int64())
+        )
 
-    return (
-        ds.map_batches(_toks, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(_pack_group, batch_format="pyarrow")
-    )
+    return ds.groupby(group_col).map_groups(_pack_group, batch_format="pyarrow")
