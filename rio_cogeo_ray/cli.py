@@ -148,11 +148,33 @@ def cmd_append(args) -> int:
     return 0
 
 
-def cmd_validate(args) -> int:
-    """Thin verdict wrapper (cli.py:334-357 analog)."""
-    from rio_cogeo_ray.pipelines.validate import validate
+def cmd_export(args) -> int:
+    """Single-file pyramid export (the use_cog_driver alternate writer,
+    reference cogeo.py:442-464)."""
+    from rio_cogeo_ray.pipelines import create as create_mod
 
-    ok, errors, warnings = validate(args.src, strict=args.strict)
+    _ray_init(args.threads)
+    path = create_mod.export_cog(args.src, args.dst, row_group_tiles=args.row_group_tiles)
+    import os
+
+    import ray
+
+    print(json.dumps({"out": path, "bytes": os.path.getsize(path)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Thin verdict wrapper (cli.py:334-357 analog). A FILE path
+    validates as a single-file export; a directory as a pyramid."""
+    import os
+
+    from rio_cogeo_ray.pipelines.validate import validate, validate_cog
+
+    if os.path.isfile(args.src):
+        ok, errors, warnings = validate_cog(args.src, strict=args.strict)
+    else:
+        ok, errors, warnings = validate(args.src, strict=args.strict)
     for w in warnings:
         print(f"WARNING: {w}", file=sys.stderr)
     for e in errors:
@@ -221,6 +243,13 @@ def main(argv=None) -> int:
     a.add_argument("dst", help="existing pyramid dir")
     a.add_argument("--threads", type=_parse_threads, default="all_cpus")
     a.set_defaults(fn=cmd_append)
+
+    e = sub.add_parser("export", help="export a pyramid dir as ONE file (use_cog_driver analog)")
+    e.add_argument("src", help="existing pyramid dir")
+    e.add_argument("dst", help="output single-file path")
+    e.add_argument("--row-group-tiles", type=int, default=4096)
+    e.add_argument("--threads", type=_parse_threads, default="all_cpus")
+    e.set_defaults(fn=cmd_export)
 
     v = sub.add_parser("validate", help="validate a pyramid output")
     v.add_argument("src")

@@ -480,6 +480,113 @@ def export_dense(
         yield key, grid
 
 
+#: File-metadata keys of a single-file export (export_cog).
+COG_MANIFEST_KEY = b"rcr:manifest"
+COG_LAYOUT_KEY = b"rcr:layout"
+COG_LAYOUT = b"z_asc;y,x;level-aligned-row-groups"
+
+
+def export_cog(out_dir: str, dst_path: str, row_group_tiles: int = 4096) -> str:
+    """Single-FILE export of the whole pyramid — the ``use_cog_driver``
+    alternate-writer analog (rio_cogeo/cogeo.py:442-464: GDAL's COG
+    driver emits one file, headers first, overview data before base
+    data). Engine layout, same doctrine re-expressed for parquet:
+
+    - the manifest JSON rides in the parquet FILE metadata (the
+      header-first / ghost-area analog — a reader learns the full level
+      chain without touching row data);
+    - levels are written COARSEST FIRST (z ascending) and sorted (y, x)
+      within each level, so a range reader streaming from byte 0
+      renders previews before the base level arrives;
+    - each level starts its own row group(s) (``row_group_tiles`` rows
+      max), so :func:`read_cog_level` prunes to one level via row-group
+      z statistics — the HTTP-range-request analog.
+
+    Scale: each level streams through the writer in sorted batches (a
+    Ray sort per level, never a whole-pyramid materialization); the
+    single-file sink is serial by the user's own choice, exactly like
+    the reference's one-COG output. Atomic: writes ``dst_path + '.tmp'``
+    then renames."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    m = mani.load_manifest(out_dir)
+    zooms = sorted(lv.z for lv in m.levels)
+    tmp = dst_path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    os.makedirs(os.path.dirname(os.path.abspath(dst_path)), exist_ok=True)
+    writer = None
+    try:
+        for z in zooms:
+            lv = next(l for l in m.levels if l.z == z)
+            lv_bytes = sum(f.bytes for f in lv.files)
+            if lv_bytes < _DRIVER_SIDE_BYTES:
+                t = pq.read_table(mani.level_dir(out_dir, z)).sort_by(
+                    [("y", "ascending"), ("x", "ascending")]
+                )
+                batches = [t]
+            else:
+                ds = read_level(out_dir, z).sort(["y", "x"])
+                batches = (
+                    pa.Table.from_batches([b])
+                    for b in ds.iter_batches(
+                        batch_format="pyarrow", batch_size=row_group_tiles
+                    )
+                )
+            for t in batches:
+                if writer is None:
+                    arrow_schema = t.schema.with_metadata(
+                        {
+                            COG_MANIFEST_KEY: json.dumps(
+                                asdict_manifest(m), sort_keys=True
+                            ).encode(),
+                            COG_LAYOUT_KEY: COG_LAYOUT,
+                        }
+                    )
+                    writer = pq.ParquetWriter(tmp, arrow_schema)
+                writer.write_table(
+                    t.replace_schema_metadata(arrow_schema.metadata),
+                    row_group_size=row_group_tiles,
+                )
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, dst_path)
+    return dst_path
+
+
+def asdict_manifest(m: mani.Manifest) -> dict:
+    from dataclasses import asdict
+
+    return asdict(m)
+
+
+def read_cog_level(
+    dst_path: str, z: int, columns: Optional[List[str]] = None
+) -> pa.Table:
+    """Read ONE level out of a single-file export touching only its row
+    groups (pruned via the z column's row-group statistics — the
+    range-read analog)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(dst_path)
+    zi = pf.schema_arrow.names.index("z")
+    keep = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(zi).statistics
+        if st is None or (st.min <= z <= st.max):
+            keep.append(rg)
+    if not keep:
+        return pf.schema_arrow.empty_table().select(
+            columns or pf.schema_arrow.names
+        )
+    t = pf.read_row_groups(keep, columns=columns and list(set(columns) | {"z"}))
+    t = t.filter(pa.compute.equal(t["z"], z))
+    return t.select(columns) if columns else t
+
+
 def spec_from_manifest(m: mani.Manifest) -> TilingSpec:
     """Reconstruct the TilingSpec an output was built with (manifest
     stores the full plan, geocode included)."""

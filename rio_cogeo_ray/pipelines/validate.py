@@ -189,3 +189,76 @@ def validate(
         errors.extend(warnings)
         warnings = []
     return (len(errors) == 0, errors, warnings)
+
+
+def validate_cog(dst_path: str, strict: bool = False) -> Tuple[bool, List[str], List[str]]:
+    """Validate a single-FILE export (create.export_cog — the
+    ``use_cog_driver`` alternate-writer analog): manifest present in
+    file metadata, levels stored coarsest-first (z ascending), (y, x)
+    sorted within each level, row groups never spanning levels, and
+    per-level tile counts matching the embedded manifest — the
+    single-file mirror of the directory validator's IFD-order checks
+    (reference cogeo.py:586-679)."""
+    import json
+
+    import numpy as np
+
+    from rio_cogeo_ray.pipelines.create import COG_LAYOUT, COG_LAYOUT_KEY, COG_MANIFEST_KEY
+
+    errors: List[str] = []
+    warnings: List[str] = []
+    try:
+        pf = pq.ParquetFile(dst_path)
+    except Exception as e:  # noqa: BLE001
+        return False, [f"The following is not a rio_cogeo_ray single-file export: {e}"], []
+
+    meta = pf.schema_arrow.metadata or {}
+    if COG_MANIFEST_KEY not in meta:
+        return False, ["file metadata lacks the embedded manifest (header-first contract)"], []
+    if meta.get(COG_LAYOUT_KEY) != COG_LAYOUT:
+        warnings.append(
+            f"layout tag {meta.get(COG_LAYOUT_KEY)!r} != {COG_LAYOUT!r}"
+        )
+    mdict = json.loads(meta[COG_MANIFEST_KEY].decode())
+    man_tiles = {int(lv["z"]): int(lv["tiles"]) for lv in mdict.get("levels", [])}
+
+    zi = pf.schema_arrow.names.index("z")
+    prev_zmax = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(zi).statistics
+        if st is None:
+            warnings.append(f"row group {rg}: no z statistics (pruned reads degrade)")
+            continue
+        if st.min != st.max:
+            errors.append(f"row group {rg}: spans levels z∈[{st.min},{st.max}]")
+        if prev_zmax is not None and st.min < prev_zmax:
+            errors.append(
+                f"row group {rg}: z={st.min} after z={prev_zmax} — "
+                "overview-first (z ascending) order violated"
+            )
+        prev_zmax = max(st.max, prev_zmax) if prev_zmax is not None else st.max
+
+    t = pf.read(columns=["z", "y", "x"])
+    zs = t["z"].to_numpy(zero_copy_only=False)
+    ys = t["y"].to_numpy(zero_copy_only=False)
+    xs = t["x"].to_numpy(zero_copy_only=False)
+    if len(zs) and np.any(np.diff(zs) < 0):
+        errors.append("tile rows not z-ascending")
+    for z in np.unique(zs):
+        sel = zs == z
+        key = ys[sel].astype(np.int64) * (2**32) + xs[sel].astype(np.int64)
+        if np.any(np.diff(key) < 0):
+            errors.append(f"z={z}: (y, x) order violated")
+        n = int(sel.sum())
+        if man_tiles and man_tiles.get(int(z)) not in (None, n):
+            errors.append(
+                f"z={z}: {n} tiles in file != {man_tiles[int(z)]} in manifest"
+            )
+    missing = sorted(set(man_tiles) - set(int(z) for z in np.unique(zs)))
+    if missing:
+        errors.append(f"manifest levels missing from file: {missing}")
+
+    if strict:
+        errors.extend(warnings)
+        warnings = []
+    return (len(errors) == 0, errors, warnings)

@@ -207,3 +207,59 @@ def test_spec_plan_time_refusals():
         TilingSpec(zoom=31, min_zoom=0)  # beyond key packing
     with pytest.raises(errors.IncompatibleOptions):
         ok(tile_px=100)  # not a power of two
+
+
+def test_export_cog_single_file_roundtrip(ray_session, tmp_path):
+    """create → export_cog (use_cog_driver analog) → validate_cog green,
+    every level readable back bit-for-bit through the row-group-pruned
+    single-level reader, overview-first layout enforced."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray import fixtures
+    from rio_cogeo_ray.pipelines import create as create_mod
+    from rio_cogeo_ray.pipelines.spec import plan
+    from rio_cogeo_ray.pipelines.validate import validate_cog
+    from rio_cogeo_ray.state import manifest as mani
+
+    spec = plan(zoom=6, geocode=fixtures.scenario_spec("pages_rgb"), overview_levels=3)
+    out = str(tmp_path / "pyr")
+    m = create_mod.create(
+        fixtures.scenario_path("pages_rgb"), out, spec, source="pages", batch_size=512
+    )
+    dst = str(tmp_path / "single.parquet")
+    create_mod.export_cog(out, dst, row_group_tiles=16)
+
+    ok, errors, warnings = validate_cog(dst)
+    assert ok, errors
+
+    # embedded manifest == directory manifest
+    meta = pq.ParquetFile(dst).schema_arrow.metadata
+    emb = json.loads(meta[create_mod.COG_MANIFEST_KEY].decode())
+    assert {int(lv["z"]) for lv in emb["levels"]} == {lv.z for lv in m.levels}
+
+    # per-level pruned reads equal the directory levels
+    for lv in m.levels:
+        got = create_mod.read_cog_level(dst, lv.z).sort_by(
+            [("y", "ascending"), ("x", "ascending")]
+        )
+        exp = pq.read_table(mani.level_dir(out, lv.z)).sort_by(
+            [("y", "ascending"), ("x", "ascending")]
+        )
+        assert got.num_rows == exp.num_rows == lv.tiles
+        for c in exp.column_names:
+            assert got[c].combine_chunks().equals(exp[c].combine_chunks()), (lv.z, c)
+
+    # overview-first: z must ascend across the file
+    allz = pq.read_table(dst, columns=["z"])["z"].to_numpy(zero_copy_only=False)
+    assert (np.diff(allz) >= 0).all()
+
+    # a corrupted (base-level-first) copy must fail validation
+    t = pq.read_table(dst)
+    bad = t.sort_by([("z", "descending")]).replace_schema_metadata(t.schema.metadata)
+    badp = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, badp, row_group_size=16)
+    ok2, errors2, _ = validate_cog(badp)
+    assert not ok2 and any("order" in e or "ascending" in e for e in errors2), errors2
