@@ -244,6 +244,53 @@ def bench_hash_join():
     return q.q_lineitem_orders(SF_DIR).count()
 
 
+def bench_shard_shuffle():
+    """Seeded global shuffle → 64 training shards over the pages corpus
+    (ONE all-to-all + local per-shard rank): id derived map-side from
+    the url hash."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import shard
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return t.append_column("pid", pa.array(h, pa.int64()))
+
+    import numpy as np
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return shard.shard_shuffle(ds, "pid", 64).count()
+
+
+_BPE_MERGES = None
+
+
+def bench_bpe_encode():
+    """BPE actor-pool encode over the pages corpus (per-actor word
+    cache; min-of-N reporting makes this the steady-state encode rate —
+    trial 1 additionally pays one-time merge training)."""
+    global _BPE_MERGES
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import tokenizer
+
+    if _BPE_MERGES is None:
+        wf = tokenizer.word_frequencies(
+            rd.read_parquet(PAGES_DIR, columns=["text"]), "text", max_words=4000
+        )
+        _BPE_MERGES = tokenizer.train_bpe_merges(wf, 200)
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"])
+    return tokenizer.bpe_token_counts(
+        ds, _BPE_MERGES, id_col="url", concurrency=max(2, NUM_CPUS // 2)
+    ).count()
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -259,6 +306,8 @@ BENCHES = {
     "hll_distinct": bench_hll_distinct,
     "quantiles": bench_quantiles,
     "embed_neardup": bench_embed_neardup,
+    "shard_shuffle": bench_shard_shuffle,
+    "bpe_encode": bench_bpe_encode,
 }
 
 

@@ -2399,6 +2399,62 @@ def q_token_mg(sf_dir: str):
     return sketch.misra_gries_topk(ds.map_batches(_toks, batch_format="pyarrow"), "token", k=32)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup: ONE representative per (lang, source)
+    family — the longest document (n_chars desc, doc_id asc tie) — via
+    the hash128 + map-side-argmax-partial path (dedup.exact_dedup_best:
+    content never shuffles, ≤1 candidate row per group per batch)."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        k = pa.compute.binary_join_element_wise(
+            t["lang"].combine_chunks().cast(pa.string()),
+            t["source"].combine_chunks().cast(pa.string()),
+            "\x1f",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "n_chars": t["n_chars"].combine_chunks(),
+                "key": k,
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    return dedup.exact_dedup_best(
+        keyed, key_col="key", id_col="doc_id", score_cols=["n_chars"]
+    )
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "SELECT doc_id, n_chars FROM ("
+    "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
+    "(PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rn "
+    "FROM documents) WHERE rn = 1"
+)
+
+
+SPLITS = (("train", 90), ("val", 5), ("test", 5))
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5 by id hash) — pure
+    map-side, zero shuffle; no example ever migrates between splits
+    under re-partitioning or re-runs."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return sketch.split_assign(ds, "doc_id", SPLITS)
+
+
+SQL_SPLIT_ASSIGN = (
+    "SELECT doc_id, lang, CASE "
+    "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train' "
+    "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val' "
+    "ELSE 'test' END AS split FROM documents"
+)
+
+
 def _bpe_merges(sf_dir: str, max_words: int = 4000, n_merges: int = 200):
     """Train the corpus BPE once per (sf_dir, params) per process —
     distributed word-frequency reduction + driver-side merge learning
@@ -2540,6 +2596,8 @@ def queries() -> Dict[str, Callable]:
         "pyramid_rms": q_pyramid_rms,
         "shard_shuffle": q_shard_shuffle,
         "corpus_mix": q_corpus_mix,
+        "dedup_keep_best": q_dedup_keep_best,
+        "split_assign": q_split_assign,
         "pii_scrub": q_pii_scrub,
         "host_stats": q_host_stats,
         "repetition": q_repetition,
@@ -2631,6 +2689,8 @@ def oracle_sql() -> Dict[str, str]:
         "pyramid_rms": SQL_PYRAMID_RMS,
         "shard_shuffle": SQL_SHARD_SHUFFLE,
         "corpus_mix": SQL_CORPUS_MIX,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+        "split_assign": SQL_SPLIT_ASSIGN,
         "price_bands": SQL_PRICE_BANDS,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,

@@ -79,6 +79,45 @@ def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", with_counts: 
     return agged.map_batches(_rename, batch_format="pyarrow")
 
 
+def exact_dedup_best(
+    ds,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    score_cols: "list[str]" = ("score",),
+):
+    """Keep the BEST row per exact-duplicate group instead of min(id):
+    the argmax of ``score_cols`` (each descending), ties broken by the
+    smallest id — the quality-aware representative selection a webtext
+    pipeline runs after scoring (keep the highest-quality copy of each
+    duplicated page).
+
+    Same scale shape as :func:`exact_dedup`: content leaves the map
+    stage as a 128-bit hash, the shuffle moves ≤1 candidate row per
+    group per batch (argmax partials combine map-side via
+    agg.latest_by), and the final per-bucket argmax is one vectorized
+    sort+mask. SQL mirror: ``ROW_NUMBER() OVER (PARTITION BY <content>
+    ORDER BY score DESC, id) = 1``.
+    """
+    from rio_cogeo_ray.stages.agg import latest_by
+
+    score_cols = list(score_cols)
+
+    def _hash_scored(t: pa.Table) -> pa.Table:
+        out = _hash128_batch(t, key_col, id_col)
+        for c in score_cols:
+            out = out.append_column(c, t[c].combine_chunks())
+        nid = pa.compute.negate(
+            t[id_col].combine_chunks().cast(pa.int64())
+        )
+        return out.append_column("__negid", nid)
+
+    hashed = ds.map_batches(_hash_scored, batch_format="pyarrow")
+    best = latest_by(hashed, keys=["h1", "h2"], order_by=score_cols + ["__negid"])
+    return best.map_batches(
+        lambda t: t.select([id_col] + score_cols), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash
 # ---------------------------------------------------------------------------

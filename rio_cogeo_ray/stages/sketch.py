@@ -485,3 +485,28 @@ def misra_gries_topk(ds, col: str, k: int = 64, fan_in: int = 256):
     return final.sort_by([("cnt", "descending"), ("token", "ascending")]).rename_columns(
         ["token", "est_count"]
     )
+
+
+def split_assign(ds, id_col: str, splits, den: int = 100, salt: int = 0):
+    """Deterministic train/val/test split assignment: ``splits`` is an
+    ordered list of (name, share) with shares summing to ``den``; a row
+    lands in the split whose cumulative range contains
+    ``knuth32(id, salt) % den``. Pure map-side (zero shuffle), stable
+    under any re-partitioning and across runs — the property a training
+    pipeline needs so no example ever migrates between train and eval.
+    SQL mirror: a CASE over the same hash expression."""
+    names = [n for n, _ in splits]
+    shares = np.cumsum([s for _, s in splits])
+    if shares[-1] != den:
+        raise ValueError(f"split shares {list(shares)} must sum to den={den}")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = (knuth32(ids, salt) % np.uint64(den)).astype(np.int64)
+        idx = np.searchsorted(shares, b, side="right")
+        arr = np.array(names, dtype=object)[idx]
+        return t.append_column("split", pa.array(arr, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

@@ -173,19 +173,25 @@ class BPEEncoder:
             batch[self.text_col].combine_chunks().cast(pa.string()), r"\s+"
         )
         lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
-        flat = lists.flatten().to_numpy(zero_copy_only=False)
-        nonempty = flat != ""
-        words = flat[nonempty]
-        uniq, inv = np.unique(words, return_inverse=True)
+        flat = lists.flatten()
+        # C++ hash-based distinct (first-appearance dictionary) — far
+        # cheaper than a numpy string sort; Python touches DISTINCT
+        # words only, and the per-actor cache absorbs those across
+        # batches (Zipf ⇒ steady-state hit rate ≈ 1)
+        enc = pc.dictionary_encode(flat)
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
         per_uniq = np.fromiter(
-            (self._word_len(w) for w in uniq), dtype=np.int64, count=len(uniq)
+            (self._word_len(w) if w else 0 for w in uniq),
+            dtype=np.int64,
+            count=len(uniq),
         )
         per_word = per_uniq[inv]
-        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)[nonempty]
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
         n_tok = np.bincount(doc_of, weights=per_word, minlength=len(batch)).astype(
             np.int64
         )
-        cols = {self.id_col: batch[self.id_col].combine_chunks().cast(pa.int64())}
+        cols = {self.id_col: batch[self.id_col].combine_chunks()}
         for c in self.keep_cols:
             cols[c] = batch[c].combine_chunks()
         cols["n_bpe_tokens"] = pa.array(n_tok, pa.int64())

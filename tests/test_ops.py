@@ -1390,3 +1390,58 @@ def test_corpus_mix_weights_and_interleave_key(ray_session):
     np.testing.assert_array_equal(
         mix["h2"].to_numpy(), knuth32(rid, 7).astype(np.int64)
     )
+
+
+def test_exact_dedup_best_planted_content_dups(ray_session):
+    """Content-key keep-best: each duplicate group keeps its highest-
+    score row (min id on ties) — vs a pandas groupby-argmax oracle."""
+    n = 300
+    texts = [f"dup group {i % 20}" for i in range(n)]  # 20 groups of 15
+    score = [(i * 37) % 101 for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "score": pa.array(score, pa.int64()),
+        }
+    )
+    got = (
+        dedup.exact_dedup_best(
+            rd.from_arrow(t).repartition(6), "text", "doc_id", ["score"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    exp = (
+        df.sort_values(["score", "doc_id"], ascending=[False, True])
+        .groupby("text", as_index=False)
+        .first()
+        .sort_values("doc_id")[["doc_id", "score"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_split_assign_stable_and_partitioned(ray_session):
+    """Split assignment is a pure function of the id: identical across
+    partitionings, shares sum to the whole, and every id's split matches
+    the driver-side hash oracle."""
+    from rio_cogeo_ray.stages import sketch
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    ids = np.arange(5000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    splits = (("train", 90), ("val", 5), ("test", 5))
+    a = sketch.split_assign(rd.from_arrow(t).repartition(3), "doc_id", splits).to_pandas()
+    b = sketch.split_assign(rd.from_arrow(t).repartition(11), "doc_id", splits).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    h = (knuth32(ids) % np.uint64(100)).astype(np.int64)
+    exp = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+    np.testing.assert_array_equal(a["split"].to_numpy(), exp)
+    assert len(a) == 5000
+    with pytest.raises(ValueError):
+        sketch.split_assign(rd.from_arrow(t), "doc_id", (("a", 50), ("b", 49)))
