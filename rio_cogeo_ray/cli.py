@@ -219,8 +219,9 @@ def main(argv=None) -> int:
     c.add_argument("--overview-level", type=int, default=None)
     c.add_argument("--decimation-base", type=int, default=2)
     c.add_argument("--overview-resampling", default="sum",
-                   choices=["sum", "average", "nearest", "mode", "bilinear",
-                            "cubic", "cubic_spline", "lanczos", "gauss"])
+                   choices=["sum", "average", "nearest", "mode", "rms",
+                            "bilinear", "cubic", "cubic_spline", "lanczos",
+                            "gauss"])
     c.add_argument("--aligned-levels", type=int, default=0)
     c.add_argument("--geocode-boxes", default=None,
                    help="'w,s,e,n[,weight];...' spatial distribution")

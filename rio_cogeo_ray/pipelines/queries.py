@@ -2268,6 +2268,63 @@ SQL_CORPUS_PREP = (
 )
 
 
+def q_corpus_to_shards(sf_dir: str):
+    """The FULL training-data flagship, end to end: corpus prep
+    (quality filter → exact dedup → bloom semi join → chunking)
+    → deterministic 90/5/5 split on the chunk id → seeded global
+    shuffle of the train split into 4 shards with per-shard positions.
+    Seven production operators in one streaming chain; the SQL mirrors
+    the whole thing in one statement."""
+    from rio_cogeo_ray.stages import shard as shard_mod
+    from rio_cogeo_ray.stages import sketch
+
+    chunks = q_corpus_prep(sf_dir)
+
+    def _cid(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = t["chunk_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "chunk_id": t["chunk_id"].combine_chunks(),
+                "chunk_len": t["chunk_len"].combine_chunks(),
+                "cid": pa.array(d * 8192 + c, pa.int64()),
+            }
+        )
+
+    keyed = chunks.map_batches(_cid, batch_format="pyarrow")
+    split = sketch.split_assign(keyed, "cid", SPLITS)
+
+    def _train(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pa.compute.equal(t["split"].combine_chunks(), "train")
+        ).drop_columns(["split"])
+
+    train = split.map_batches(_train, batch_format="pyarrow")
+    sh = shard_mod.shard_shuffle(train, "cid", 4)
+    return sh.map_batches(
+        lambda t: t.select(["doc_id", "chunk_id", "chunk_len", "shard", "pos"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CORPUS_TO_SHARDS = (
+    "WITH c AS (" + SQL_CORPUS_PREP + "), "
+    "w AS (SELECT doc_id, chunk_id, chunk_len, doc_id * 8192 + chunk_id AS cid FROM c), "
+    "tr AS (SELECT * FROM w WHERE ((cid * 2654435761) % 4294967296) % 100 < 90), "
+    "s AS (SELECT doc_id, chunk_id, chunk_len, cid, "
+    "((cid * 2654435761) % 4294967296) % 4 AS shard, "
+    "(((cid + 1) * 2654435761) % 4294967296) AS h2 FROM tr) "
+    "SELECT doc_id, chunk_id, chunk_len, shard, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, cid) - 1 AS BIGINT) AS pos "
+    "FROM s"
+)
+
+
 PIVOT_LANGS = ["en", "de", "fr", "es", "zh"]
 
 
@@ -2598,6 +2655,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_mix": q_corpus_mix,
         "dedup_keep_best": q_dedup_keep_best,
         "split_assign": q_split_assign,
+        "corpus_to_shards": q_corpus_to_shards,
         "pii_scrub": q_pii_scrub,
         "host_stats": q_host_stats,
         "repetition": q_repetition,
@@ -2691,6 +2749,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_mix": SQL_CORPUS_MIX,
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "split_assign": SQL_SPLIT_ASSIGN,
+        "corpus_to_shards": SQL_CORPUS_TO_SHARDS,
         "price_bands": SQL_PRICE_BANDS,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
