@@ -2639,6 +2639,20 @@ SQL_CORPUS_MIX = (
 )
 
 
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable compressed-summary quantiles over l_extendedprice —
+    the one-pass shuffle-free scale path beside the exact two-pass
+    histogram (q_price_quantiles). Approximate (rank error ≤ ~5n/k) ⇒
+    rows-only driver check; the rank bound is pinned in pytest
+    (test_ops.py::test_quantile_sketch_rank_bound)."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _read(os.path.join(sf_dir, "lineitem.parquet"), ["l_extendedprice"])
+    return sketch.quantile_sketch(
+        ds, "l_extendedprice", qs=(0.01, 0.25, 0.5, 0.75, 0.99), k=2048
+    )
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -2732,6 +2746,7 @@ def queries() -> Dict[str, Callable]:
         "token_mg": q_token_mg,
         "bpe_tokens": q_bpe_tokens,
         "bpe_pack": q_bpe_pack,
+        "quantile_sketch": q_quantile_sketch,
     }
 
 

@@ -487,6 +487,96 @@ def misra_gries_topk(ds, col: str, k: int = 64, fan_in: int = 256):
     )
 
 
+def _q_compress(vals: np.ndarray, wts: np.ndarray, k: int):
+    """Compress a weighted multiset to ≤k (value, weight) rows while
+    preserving cumulative-rank structure (the Manku–Rajagopalan–Lindsay
+    compressed-summary step): sort by value, pick boundary rows at
+    equal cumulative-weight spacing, each kept row absorbing the weight
+    of the run it terminates. Total weight is preserved EXACTLY; each
+    compress shifts any rank by ≤ W/k (W = summary weight), so a
+    d-level merge tree answers quantiles within d·n/k ranks.
+    Deterministic — no sampling."""
+    order = np.argsort(vals, kind="stable")
+    v = vals[order]
+    w = wts[order]
+    if len(v) <= k:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = total * (np.arange(1, k + 1, dtype=np.float64) / k)
+    idx = np.unique(np.minimum(np.searchsorted(cw, targets, side="left"), len(v) - 1))
+    seg_cw = cw[idx]
+    segw = np.diff(np.concatenate(([np.int64(0)], seg_cw)))
+    return v[idx], segw
+
+
+def quantile_sketch(ds, col: str, qs, k: int = 2048, fan_in: int = 64):
+    """Approximate quantiles via MERGEABLE compressed summaries — the
+    one-pass, shuffle-FREE scale path beside :func:`exact_quantiles`
+    (whose two passes re-read the column). Same tree shape as
+    :func:`misra_gries_topk`: each batch compresses to ≤k (value,
+    weight) rows; summaries tree-merge (concat → re-compress) through
+    summary-denominated fan-in levels; the driver receives one bounded
+    summary and reads quantiles off its cumulative weights.
+
+    Guarantee: with 3 merge levels + the driver merge, any reported
+    quantile's true rank is within ≈ 5·n/k of the requested rank, for
+    ANY batching (no randomness; summaries do depend on batch
+    boundaries, so two partitionings may return slightly different —
+    equally valid — values). Returns pa.Table (q, value, n).
+    """
+
+    def _batch_summary(t: pa.Table) -> pa.Table:
+        x = t[col].combine_chunks()
+        x = x.drop_null()
+        vals = x.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(vals) == 0:
+            return pa.table({"v": pa.array([], pa.float64()), "w": pa.array([], pa.int64())})
+        v, w = _q_compress(vals, np.ones(len(vals), dtype=np.int64), k)
+        return pa.table({"v": pa.array(v, pa.float64()), "w": pa.array(w, pa.int64())})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return t
+        v2, w2 = _q_compress(v, w, k)
+        return pa.table({"v": pa.array(v2, pa.float64()), "w": pa.array(w2, pa.int64())})
+
+    rows = ds.map_batches(_batch_summary, batch_format="pyarrow", batch_size=65536)
+    for _ in range(3):
+        rows = rows.map_batches(_merge, batch_format="pyarrow", batch_size=fan_in * k)
+    import ray as _ray
+
+    blocks = [
+        b for b in _ray.get(rows.materialize().to_arrow_refs()) if b.num_rows
+    ]
+    if not blocks:
+        return pa.table(
+            {
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    final = _merge(pa.concat_tables(blocks))
+    v = final["v"].to_numpy(zero_copy_only=False)
+    w = final["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cw = np.cumsum(w)
+    total = int(cw[-1])
+    qs = np.asarray(list(qs), dtype=np.float64)
+    ranks = np.maximum(np.ceil(qs * total).astype(np.int64), 1)
+    pick = np.searchsorted(cw, ranks, side="left")
+    pick = np.minimum(pick, len(v) - 1)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(v[pick], pa.float64()),
+            "n": pa.array(np.full(len(qs), total, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 def split_assign(ds, id_col: str, splits, den: int = 100, salt: int = 0):
     """Deterministic train/val/test split assignment: ``splits`` is an
     ordered list of (name, share) with shares summing to ``den``; a row

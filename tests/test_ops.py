@@ -1445,3 +1445,44 @@ def test_split_assign_stable_and_partitioned(ray_session):
     assert len(a) == 5000
     with pytest.raises(ValueError):
         sketch.split_assign(rd.from_arrow(t), "doc_id", (("a", 50), ("b", 49)))
+
+
+def test_quantile_sketch_rank_bound(ray_session):
+    """Mergeable quantile summary: every reported quantile's TRUE rank
+    is within the documented d·n/k bound of the requested rank at ANY
+    partitioning, and the total weight is exact. (Summaries depend on
+    batch boundaries, so values may differ slightly across
+    partitionings — the bound must hold for all of them.)"""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.RandomState(3)
+    n, k = 120_000, 512
+    vals = np.concatenate(
+        [rng.lognormal(3, 1, n // 2), rng.uniform(0, 5, n // 2)]
+    )
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    s = np.sort(vals)
+    tol = 5 * n / k  # documented rank bound (3 tree levels + driver merge)
+    for parts in (4, 13):
+        got = sketch.quantile_sketch(
+            rd.from_arrow(t).repartition(parts), "x", qs, k=k
+        ).to_pandas()
+        assert (got["n"] == n).all()
+        for q, v in zip(got["q"], got["value"]):
+            true_rank = np.searchsorted(s, v, side="right")
+            target = max(int(np.ceil(q * n)), 1)
+            assert abs(true_rank - target) <= tol, (parts, q, true_rank, target, tol)
+
+
+def test_quantile_sketch_empty_and_exactness_when_small(ray_session):
+    from rio_cogeo_ray.stages import sketch
+
+    empty = pa.table({"x": pa.array([], pa.float64())})
+    out = sketch.quantile_sketch(rd.from_arrow(empty), "x", (0.5,)).to_pandas()
+    assert len(out) == 0
+    # below k values the summary is LOSSLESS → exact lower quantiles
+    vals = np.arange(1, 101, dtype=np.float64)
+    t = pa.table({"x": pa.array(vals)})
+    got = sketch.quantile_sketch(rd.from_arrow(t), "x", (0.01, 0.5, 1.0), k=512).to_pandas()
+    assert list(got["value"]) == [1.0, 50.0, 100.0]
