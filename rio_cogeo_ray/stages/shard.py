@@ -90,8 +90,32 @@ def write_shards(
     (one directory per shard — the resumable layout doctrine of
     pipelines/create.py: a re-run can skip finished shard dirs).
     Returns a small manifest dict (shard → rows) written alongside as
-    ``_manifest.json``."""
+    ``_manifest.json``. Resume: if a manifest with the same parameters
+    already exists and every listed shard directory is present, the
+    write is skipped entirely (the create() checkpoint doctrine)."""
     import json
+
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        same = (
+            prev.get("num_shards") == int(num_shards)
+            and prev.get("salt") == int(salt)
+            and prev.get("id_col") == id_col
+        )
+        if same and all(
+            os.path.isdir(os.path.join(out_dir, f"shard={k}"))
+            for k in prev.get("shard_rows", {})
+        ):
+            return prev
+
+    # stale or parameter-mismatched output: clear before rewriting
+    # (write_parquet appends into existing directories)
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
 
     shuffled = shard_shuffle(ds, id_col, num_shards, salt)
     shuffled.write_parquet(out_dir, partition_cols=["shard"])
@@ -104,7 +128,8 @@ def write_shards(
         tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64),
         return_counts=True,
     )
-    counts = {int(v): int(c) for v, c in zip(vals, cnts)}
+    # string keys: identical before and after the JSON round-trip
+    counts = {str(int(v)): int(c) for v, c in zip(vals, cnts)}
     manifest = {
         "num_shards": int(num_shards),
         "salt": int(salt),

@@ -1486,3 +1486,23 @@ def test_quantile_sketch_empty_and_exactness_when_small(ray_session):
     t = pa.table({"x": pa.array(vals)})
     got = sketch.quantile_sketch(rd.from_arrow(t), "x", (0.01, 0.5, 1.0), k=512).to_pandas()
     assert list(got["value"]) == [1.0, 50.0, 100.0]
+
+
+def test_write_shards_resume_skips_finished(ray_session, tmp_path):
+    """A re-run over an existing matching manifest is a no-op (resume
+    doctrine); a parameter change rewrites."""
+    import json
+    import os
+
+    from rio_cogeo_ray.stages import shard
+
+    ids = np.arange(100, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    out = str(tmp_path / "s")
+    m1 = shard.write_shards(rd.from_arrow(t), out, "doc_id", 4)
+    stamp = os.path.getmtime(os.path.join(out, "_manifest.json"))
+    m2 = shard.write_shards(rd.from_arrow(t), out, "doc_id", 4)
+    assert m2 == m1
+    assert os.path.getmtime(os.path.join(out, "_manifest.json")) == stamp
+    m3 = shard.write_shards(rd.from_arrow(t), out, "doc_id", 4, salt=9)
+    assert m3["salt"] == 9 and m3["rows"] == 100
