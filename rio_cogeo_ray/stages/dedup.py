@@ -660,15 +660,16 @@ def embedding_neardup(
             lambda g: _bucket_edges_vec(g.drop_columns(["__bucket"]), id_col),
             batch_format="pyarrow",
         )
-        paired = _rejoin_pair_payload(
-            cand, ds, id_col, [emb_col], n_buckets,
-            encode_fn=lambda t: _encode_emb_binary(t, emb_col),
-        )
-        edges = _verify_pairs_rejoined(
-            paired,
+        edges = _rejoin_and_verify(
+            cand, ds, id_col, [emb_col],
             lambda g: _verify_emb_pairs_bucket(g, emb_col, threshold),
             n_buckets,
+            encode_fn=lambda t: _encode_emb_binary(t, emb_col),
         )
+        if edges is None:  # zero candidate pairs: nothing to verify
+            import ray.data as _rd
+
+            return _rd.from_arrow(_EMPTY_LABELS)
     # default max_rounds=None → fixpoint-detected convergence (clusters
     # chained across bands can exceed any fixed round bound)
     return connected_components(edges, max_rounds=max_rounds)
@@ -769,44 +770,153 @@ def _bucket_star_edges_verified(
 # ---------------------------------------------------------------------------
 
 
-def _rejoin_pair_payload(
-    pairs,
+class _ExactIdFilter:
+    """Map-side EXACT membership filter against a broadcast sorted
+    int64 id array (ray.put once, fetched once per actor)."""
+
+    def __init__(self, ref, key_col: str = "probe"):
+        import ray
+
+        self.ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = batch[self.key_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(self.ids) == 0:
+            return batch.slice(0, 0)
+        pos = np.clip(np.searchsorted(self.ids, p), 0, len(self.ids) - 1)
+        return batch.filter(pa.array(self.ids[pos] == p))
+
+
+class _AttachAndVerify:
+    """Map stage over DISTINCT candidate pairs: attach both members'
+    payloads from a broadcast payload table (sorted by probe id), emit
+    the (probe, src, dst, payload…) layout the verify kernels expect,
+    and verify IN PLACE — zero shuffle. Used when the candidate payload
+    set is small enough to broadcast (the common LSH case)."""
+
+    def __init__(self, pay_ref, payload_cols, verify_bucket):
+        import ray
+
+        tbl = ray.get(pay_ref) if isinstance(pay_ref, ray.ObjectRef) else pay_ref
+        self.tbl = tbl
+        self.probe = tbl["probe"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.payload_cols = list(payload_cols)
+        self.verify_bucket = verify_bucket
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(self.probe) == 0 or len(s) == 0:
+            return _EMPTY_EDGES
+        ps = np.clip(np.searchsorted(self.probe, s), 0, len(self.probe) - 1)
+        pd_ = np.clip(np.searchsorted(self.probe, d), 0, len(self.probe) - 1)
+        ok = (self.probe[ps] == s) & (self.probe[pd_] == d)
+        s, d, ps, pd_ = s[ok], d[ok], ps[ok], pd_[ok]
+        if len(s) == 0:
+            return _EMPTY_EDGES
+        take = np.empty(2 * len(s), dtype=np.int64)
+        take[0::2] = pd_  # probe == dst first (the runs-of-two layout)
+        take[1::2] = ps
+        pay = self.tbl.take(pa.array(take, pa.int64()))
+        cols = {
+            "probe": pay["probe"],
+            "src": pa.array(np.repeat(s, 2), pa.int64()),
+            "dst": pa.array(np.repeat(d, 2), pa.int64()),
+        }
+        for c in self.payload_cols:
+            cols[c] = pay[c]
+        return self.verify_bucket(pa.table(cols))
+
+
+def _rejoin_and_verify(
+    cand,
     ds,
     id_col: str,
     payload_cols,
+    verify_bucket,
     n_buckets: int = 64,
     m_bits: int = 1 << 23,
     concurrency: int = 2,
     encode_fn=None,
+    gather_max: int = 262_144,
 ):
-    """UNVERIFIED candidate edges (src, dst) → (probe, src, dst,
-    <payload…>) rows, exactly two per distinct pair (probe ∈ {src,
-    dst}), with payloads RE-JOINED from the corpus by id — the 100 TB
-    alternative to carrying payload on every band row (bands× payload
-    through the LSH shuffle):
+    """UNVERIFIED candidate edges (src, dst) → VERIFIED edges, with
+    payloads re-joined from the corpus by id — the 100 TB alternative
+    to carrying payload on every band row (bands× payload through the
+    LSH shuffle). Tiered by candidate volume, because under LSH
+    candidates are a vanishing fraction of the corpus:
 
-    1. distinct pairs (partial→final groupby; dst < src by star-edge
-       construction, so no orientation dedup needed);
-    2. explode to two probe rows per pair;
-    3. bloom-prefilter the corpus by the candidate-id set MAP-SIDE
-       (build_bloom's two-level tree merge; false positives only add a
-       few stray payload rows, dropped by the exact join);
-    4. exact bucketed hash join on the probe id.
-
-    Shuffle volume: candidate payloads ×1 (plus bloom FPs), never the
-    corpus — candidates are a vanishing fraction of rows under LSH.
+    - **zero pairs** → return None without touching the corpus;
+    - **≤ gather_max pairs** (the common case): broadcast the distinct
+      candidate-id set, filter the corpus EXACTLY map-side (one scan,
+      no bloom FPs), broadcast the resulting bounded payload table, and
+      attach+verify per pair batch — ZERO shuffles after the scan;
+    - **beyond**: bloom-prefilter the corpus (bitmap tree-merge), exact
+      bucketed hash join on the probe id, bucketed verify — shuffle
+      volume is candidate payloads ×1 (plus bloom FPs), never the
+      corpus.
 
     ``encode_fn``: optional map over the renamed (probe, payload…)
-    corpus table BEFORE the join — needed because Arrow's hash join
+    corpus table BEFORE joining/broadcasting — Arrow's hash join
     rejects list-typed non-key columns (encode lists to binary; decode
-    in the verify kernel)."""
+    in the verify kernel). ``verify_bucket``: kernel over (probe, src,
+    dst, payload…) rows returning verified (src, dst) edges."""
     import ray
 
     from rio_cogeo_ray.stages import join as join_mod
     from rio_cogeo_ray.stages.agg import partial_group_agg
 
     payload_cols = list(payload_cols)
-    pairs = partial_group_agg(pairs, keys=["src", "dst"], count_as=None)
+    pairs = partial_group_agg(
+        cand, keys=["src", "dst"], count_as=None
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return None
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["probe"] + payload_cols)
+        return encode_fn(t) if encode_fn is not None else t
+
+    corpus = ds.select_columns([id_col] + payload_cols).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+
+    if n_pairs <= gather_max:
+        pt = pa.concat_tables(
+            [b for b in ray.get(pairs.to_arrow_refs()) if b.num_rows]
+        )
+        ids = np.unique(
+            np.concatenate(
+                [
+                    pt["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pt["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        pref = corpus.map_batches(
+            _ExactIdFilter,
+            fn_constructor_args=(ray.put(ids),),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        blocks = [
+            b for b in ray.get(pref.materialize().to_arrow_refs()) if b.num_rows
+        ]
+        if not blocks:
+            return None
+        ptbl = pa.concat_tables(blocks).combine_chunks().sort_by(
+            [("probe", "ascending")]
+        )
+        return pairs.map_batches(
+            _AttachAndVerify,
+            fn_constructor_args=(ray.put(ptbl), payload_cols, verify_bucket),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
 
     def _explode(t: pa.Table) -> pa.Table:
         s = t["src"].combine_chunks().cast(pa.int64())
@@ -821,22 +931,16 @@ def _rejoin_pair_payload(
 
     probes = pairs.map_batches(_explode, batch_format="pyarrow")
     bloom_ref = ray.put(join_mod.build_bloom(probes, "probe", m_bits=m_bits))
-    def _prep(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["probe"] + payload_cols)
-        return encode_fn(t) if encode_fn is not None else t
-
-    corpus = ds.select_columns([id_col] + payload_cols).map_batches(
-        _prep, batch_format="pyarrow"
-    )
     pref = corpus.map_batches(
         join_mod.BloomProbe,
         fn_constructor_args=(bloom_ref, "probe"),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return join_mod.bucketed_hash_join(
+    paired = join_mod.bucketed_hash_join(
         probes, pref, on="probe", how="inner", n_buckets=n_buckets
     )
+    return _verify_pairs_rejoined(paired, verify_bucket, n_buckets)
 
 
 def _pair_runs_of_two(g: pa.Table):
@@ -875,6 +979,11 @@ def _verify_pairs_rejoined(
 
 _EMPTY_EDGES = pa.table(
     {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+
+#: connected_components output schema, for zero-candidate short-circuits
+_EMPTY_LABELS = pa.table(
+    {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
 )
 
 
@@ -1033,12 +1142,15 @@ def text_neardup_verified(
             ds, id_col=id_col, text_col=text_col,
             num_perm=num_perm, bands=bands, n_buckets=n_buckets,
         )
-        paired = _rejoin_pair_payload(cand, ds, id_col, [text_col], n_buckets)
-        edges = _verify_pairs_rejoined(
-            paired,
+        edges = _rejoin_and_verify(
+            cand, ds, id_col, [text_col],
             lambda g: _verify_text_pairs_bucket(g, text_col, shingle_k, threshold),
             n_buckets,
         )
+        if edges is None:  # zero candidate pairs: nothing to verify
+            import ray.data as _rd
+
+            return _rd.from_arrow(_EMPTY_LABELS)
     return connected_components(edges, max_rounds=max_rounds)
 
 

@@ -192,7 +192,6 @@ def corpus_mix(
     """
     parts = []
     for name, ds, num, den, salt in sources:
-        cols = None
 
         def _one(t: pa.Table, _name=name, _num=num, _den=den, _salt=salt):
             # normalize: first col is the id, second is the text
