@@ -3,8 +3,11 @@ hash sampling, distributed bottom-k (order-statistic) sampling.
 
 Training-data-pipeline operators (the reference has no sketches or
 sampling — SURVEY.md §2.1 note; these are north-rule scale additions).
-All three are content/id-addressed and deterministic: any parallelism,
-any batch boundaries, same result.
+The sampling/split operators are content/id-addressed and
+deterministic: any parallelism, any batch boundaries, same result. The
+sketch family (HLL distinct, Misra-Gries heavy hitters, compressed
+quantile summaries) trades exactness for one-pass shuffle-free merges
+with documented, pytest-pinned error bounds.
 
 Scale notes (the 100 TB story):
 
