@@ -351,3 +351,87 @@ def test_chunk_texts_covers_and_reconstructs(doc, window, stride_frac):
         for k, (_, r) in enumerate(out.iterrows())
     )
     assert recon == doc
+
+
+# ---------------------------------------------------------------------------
+# Property-based: compressed quantile summary kernel (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=400),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=120, deadline=None)
+def test_q_compress_invariants(xs, k):
+    """One compress step: output ≤ k rows, total weight EXACTLY
+    preserved, values a sorted subset of the input, and any rank query
+    answered within W/k of the truth."""
+    import numpy as np
+
+    from rio_cogeo_ray.stages.sketch import _q_compress
+
+    vals = np.asarray(xs, dtype=np.float64)
+    w = np.ones(len(vals), dtype=np.int64)
+    v2, w2 = _q_compress(vals, w, k)
+    assert len(v2) <= max(k, len(vals))
+    assert w2.sum() == len(vals)
+    assert (np.diff(v2) >= 0).all()
+    assert np.isin(v2, vals).all()
+    if len(vals) > k:
+        s = np.sort(vals)
+        cw = np.cumsum(w2)
+        n = len(vals)
+        for q in (0.25, 0.5, 0.9):
+            target = max(int(np.ceil(q * n)), 1)
+            est = v2[min(np.searchsorted(cw, target), len(v2) - 1)]
+            true_rank_hi = np.searchsorted(s, est, side="right")
+            true_rank_lo = np.searchsorted(s, est, side="left") + 1
+            # est's true rank interval must come within W/k of target
+            tol = n / k + 1
+            assert true_rank_lo - tol <= target <= true_rank_hi + tol
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1, max_size=40
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_trainer_incremental_equals_recount(words, n_merges):
+    """The incremental pair-index trainer equals a from-scratch recount
+    trainer on arbitrary corpora (same merges, same order)."""
+    from rio_cogeo_ray.stages.tokenizer import train_bpe_merges
+
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    wf = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    # naive recount reference (mirrors tests/test_tokenizer.py)
+    vocab = {w: (list(w) + ["</w>"], f) for w, f in wf}
+    exp = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.values():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts or max(counts.values()) <= 0:
+            break
+        best_n = max(counts.values())
+        best = min(p for p, n in counts.items() if n == best_n)
+        exp.append(best)
+        a, b = best
+        for w, (syms, f) in list(vocab.items()):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, f)
+
+    assert train_bpe_merges(wf, n_merges) == exp
