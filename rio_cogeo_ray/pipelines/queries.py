@@ -401,6 +401,45 @@ def q_dedup_stats(sf_dir: str):
     )
 
 
+#: Deterministic prior/new split of the documents table for the
+#: incremental-dedup scenario: knuth32(doc_id) % 10 < 3 is "the prior
+#: crawl snapshot" (~30%), the rest is "the new crawl" — mirrored
+#: literally in the oracle SQL.
+_PRIOR_PRED_SQL = "((doc_id * 2654435761) % 4294967296) % 10 < 3"
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental crawl dedup: keepers of the NEW crawl's distinct
+    texts that are absent from the PRIOR snapshot (bloom of the new
+    side prunes the prior side map-side; one bucketed exchange does
+    the anti-membership check + within-new min-id dedup)."""
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    def _split(keep_prior: bool):
+        def _fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            is_prior = knuth32(ids) % np.uint64(10) < np.uint64(3)
+            return t.filter(pa.array(is_prior if keep_prior else ~is_prior))
+
+        return _fn
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    new_ds = docs.map_batches(_split(False), batch_format="pyarrow")
+    prior_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _split(True), batch_format="pyarrow"
+    )
+    return dedup.incremental_dedup(new_ds, prior_ds, "text", "doc_id")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH prior AS (SELECT text FROM documents WHERE {_PRIOR_PRED_SQL}),
+     fresh AS (SELECT doc_id, text FROM documents WHERE NOT ({_PRIOR_PRED_SQL}))
+SELECT MIN(doc_id) AS doc_id FROM fresh
+WHERE text NOT IN (SELECT text FROM prior)
+GROUP BY text
+"""
+
+
 SQL_DEDUP_STATS = (
     "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts, "
     "CAST(COUNT(*) AS BIGINT) AS total FROM documents"
@@ -2731,6 +2770,7 @@ def queries() -> Dict[str, Callable]:
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
         "price_bands": q_price_bands,
+        "dedup_incremental": q_dedup_incremental,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -2820,6 +2860,7 @@ def oracle_sql() -> Dict[str, str]:
         "running_total": SQL_RUNNING_TOTAL,
         "lineitem_melt": SQL_LINEITEM_MELT,
         "user_paths": SQL_USER_PATHS,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -118,6 +118,120 @@ def exact_dedup_best(
     )
 
 
+def incremental_dedup(
+    new_ds,
+    prior_ds,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    n_buckets: int = 64,
+    concurrency: int = 2,
+):
+    """Dedup a NEW crawl against a PRIOR corpus snapshot, then within
+    itself: keepers = min(id) per distinct new content whose content is
+    absent from the prior snapshot. This is the recurring-crawl pattern
+    at 100 TB — the history is never re-deduped; only the delta is
+    checked against it.
+
+    Scale design (ONE exchange total):
+
+    - Both sides leave their map stage as (h1, h2) 128-bit content
+      hashes; text never shuffles (same contract as exact_dedup).
+    - A bloom filter of the NEW side's h1 hashes (built distributed,
+      stages/join.py:build_bloom, broadcast once via ray.put)
+      map-side-prunes the PRIOR side: a prior row can only affect the
+      result if its content collides with some new row, so the
+      overwhelmingly larger history contributes ~|new ∩ prior| plus
+      ~2% false positives to the exchange instead of all of it.
+      False positives are harmless under anti semantics — a surviving
+      prior row drops a new row only on an exact (h1, h2) match,
+      which IS the membership rule. (Contrast bloom_semi_join's note:
+      pruning the PROBE side of an anti join is unsound; pruning the
+      MEMBERSHIP side, as here, is exact.)
+    - One groupby over splitmix64(h1) % n_buckets then performs BOTH
+      steps vectorized per bucket: lexsort the (h1, h2) runs, drop new
+      rows whose run contains a prior row, min-id per surviving run
+      via np.minimum.reduceat.
+
+    The new side is traversed twice (bloom build + exchange feed); it
+    is the delta, orders of magnitude smaller than the history. When
+    even that matters, persist its hashed stage as the crawl's content
+    index (16 B/row parquet) and feed both passes from it — the same
+    index next crawl's run reads as ITS prior side.
+
+    SQL mirror: ``SELECT MIN(id) FROM new WHERE content NOT IN
+    (SELECT content FROM prior) GROUP BY content`` (modulo the
+    module-level 128-bit collision assumption).
+    """
+    import ray
+
+    from rio_cogeo_ray.stages.join import BloomProbe, build_bloom
+
+    new_h = new_ds.map_batches(
+        lambda t: _hash128_batch(t, key_col, id_col), batch_format="pyarrow"
+    )
+    prior_h = prior_ds.map_batches(
+        lambda t: _hash128_batch(t, key_col, id_col).drop_columns([id_col]),
+        batch_format="pyarrow",
+    )
+    bloom_ref = ray.put(build_bloom(new_h, "h1", m_bits))
+    prior_pref = prior_h.map_batches(
+        BloomProbe,
+        fn_constructor_args=(bloom_ref, "h1"),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _tag(t: pa.Table, src: int) -> pa.Table:
+        h1 = t["h1"].combine_chunks()
+        ids = (
+            t[id_col].combine_chunks().cast(pa.int64())
+            if src
+            else pa.array(np.zeros(t.num_rows, np.int64))
+        )
+        b = (
+            splitmix64(h1.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "h1": h1,
+                "h2": t["h2"].combine_chunks(),
+                id_col: ids,
+                "__src": pa.array(np.full(t.num_rows, src, np.int8)),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    both = new_h.map_batches(
+        lambda t: _tag(t, 1), batch_format="pyarrow"
+    ).union(prior_pref.map_batches(lambda t: _tag(t, 0), batch_format="pyarrow"))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = g["__src"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(h1) == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        srcs, idss = src[order], ids[order]
+        starts_mask = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        run = np.cumsum(starts_mask) - 1
+        has_prior = np.zeros(run[-1] + 1, dtype=bool)
+        has_prior[run[srcs == 0]] = True
+        keep = (srcs == 1) & ~has_prior[run]
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64())})
+        kept_run, kept_ids = run[keep], idss[keep]
+        starts = np.r_[0, np.flatnonzero(kept_run[1:] != kept_run[:-1]) + 1]
+        mins = np.minimum.reduceat(kept_ids, starts)
+        return pa.table({id_col: pa.array(mins, pa.int64())})
+
+    return both.groupby("__bucket").map_groups(_bucket, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash
 # ---------------------------------------------------------------------------

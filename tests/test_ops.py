@@ -34,6 +34,52 @@ def test_exact_dedup_matches_groupby_oracle(ray_session):
     assert got == expect
 
 
+def test_incremental_dedup_vs_pandas_oracle(ray_session):
+    # prior snapshot: 60 docs; new crawl: 120 docs where a third repeat
+    # prior content (must be dropped), a third duplicate WITHIN the new
+    # crawl (min-id kept), a third unique (kept)
+    prior_texts = [f"prior document body {i}" for i in range(60)]
+    new_texts = (
+        [f"prior document body {i}" for i in range(0, 40)]  # in prior
+        + [f"fresh duplicated body {i // 2}" for i in range(40)]  # pairs
+        + [f"fresh unique body {i}" for i in range(40)]
+    )
+    prior = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1000, 1060, dtype=np.int64)),
+            "text": prior_texts,
+        }
+    )
+    new = pa.table(
+        {"doc_id": pa.array(np.arange(120, dtype=np.int64)), "text": new_texts}
+    )
+    got = sorted(
+        dedup.incremental_dedup(
+            rd.from_arrow(new).repartition(5),
+            rd.from_arrow(prior).repartition(3),
+            n_buckets=7,
+        ).to_pandas()["doc_id"]
+    )
+    ndf = new.to_pandas()
+    expect = sorted(
+        ndf[~ndf["text"].isin(prior_texts)].groupby("text")["doc_id"].min().tolist()
+    )
+    assert got == expect
+    assert len(got) == 20 + 40  # 20 within-new groups + 40 uniques
+
+
+def test_incremental_dedup_empty_prior_equals_exact_dedup(ray_session):
+    t = _docs_with_dups()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    got = sorted(
+        dedup.incremental_dedup(
+            rd.from_arrow(t).repartition(4), rd.from_arrow(empty)
+        ).to_pandas()["doc_id"]
+    )
+    expect = sorted(t.to_pandas().groupby("text")["doc_id"].min().tolist())
+    assert got == expect
+
+
 def test_minhash_identical_and_near_duplicates(ray_session):
     base = "the quick brown fox jumps over the lazy dog " * 8
     near = base[:-20] + "and then it slept soundly"  # high jaccard
