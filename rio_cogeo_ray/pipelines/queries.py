@@ -869,6 +869,17 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+def q_hll_by_lang(sf_dir: str):
+    """Grouped HLL: approximate distinct texts PER LANGUAGE with no
+    exact-distinct shuffle (register blobs per (group, batch) merge in
+    a bucketed groupby). Approximate ⇒ rows-only driver check; ±3σ
+    per-group accuracy pinned in pytest (test_ops.py)."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    return sketch.grouped_hll_distinct(ds, "lang", "text", p=12)
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding 2h windows every 1h per event_type (overlap factor 2:
     per-batch explode → partial agg; each event lands in exactly two
@@ -2781,6 +2792,7 @@ def queries() -> Dict[str, Callable]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "hll_distinct": q_hll_distinct,
+        "hll_by_lang": q_hll_by_lang,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
         "token_mg": q_token_mg,

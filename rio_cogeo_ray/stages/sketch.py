@@ -307,6 +307,93 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> float:
     return hll_estimate(regs)
 
 
+def grouped_hll_distinct(ds, group_col: str, col: str, p: int = 12, n_buckets: int = 64):
+    """Per-group approximate COUNT(DISTINCT col) — the grouped form of
+    :func:`hll_count_distinct` (e.g. distinct URLs per domain, distinct
+    texts per language) with NO exact-distinct shuffle:
+
+    - per batch, ONE register blob row per group PRESENT in the batch
+      (duplicate value mass collapses map-side into the registers, so
+      the exchange moves ``groups-per-batch`` 2^p-byte rows, never
+      value rows);
+    - bucketed ``groupby(hash(group) % n_buckets)`` (O(n_buckets)
+      Python tasks, not O(groups)); inside a bucket every group's
+      registers max-merge in one vectorized ``maximum.reduceat`` over
+      the sorted blob matrix;
+    - the standard bias-corrected estimate per group.
+
+    Partitioning contract: one group's register blobs across batches
+    land in one reduce bucket — bounded by 2^p bytes × batches, and
+    the per-batch collapse makes the count of blob rows per group at
+    most the block count, independent of row volume. Standard error is
+    ~1.04/sqrt(2^p) per group (pytest-pinned at ±3σ).
+    """
+    m = 1 << p
+
+    def _partials(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {group_col: pa.array([], pa.string()), "regs": pa.array([], pa.binary())}
+            )
+        codes = t[group_col].combine_chunks().dictionary_encode()
+        gidx = np.asarray(codes.indices)
+        uniq = codes.dictionary
+        idx, rho = _hll_rho(_hash_col(t[col]), p)
+        flat = np.zeros(len(uniq) * m, dtype=np.int8)
+        np.maximum.at(flat, gidx.astype(np.int64) * m + idx, rho)
+        blobs = flat.reshape(len(uniq), m)
+        return pa.table(
+            {
+                group_col: uniq,
+                "regs": pa.array([b.tobytes() for b in blobs], pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(_partials, batch_format="pyarrow", batch_size=65536)
+
+    def _route(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = t[group_col].combine_chunks()
+        h = pl.from_arrow(g.cast(pa.large_string())).hash(seed=11).to_numpy()
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        if not g.num_rows:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "approx_distinct": pa.array([], pa.float64()),
+                }
+            )
+        keys = g[group_col].combine_chunks()
+        blobs = g["regs"].combine_chunks()
+        mat = np.vstack(
+            [np.frombuffer(blobs[i].as_buffer(), dtype=np.int8) for i in range(len(blobs))]
+        )
+        order = pa.compute.sort_indices(keys).to_numpy(zero_copy_only=False)
+        ks = keys.take(pa.array(order))
+        mats = mat[order]
+        karr = ks.to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(karr[1:] != karr[:-1]) + 1]
+        merged = np.maximum.reduceat(mats, starts, axis=0)
+        ests = [hll_estimate(merged[i]) for i in range(len(starts))]
+        return pa.table(
+            {
+                group_col: ks.take(pa.array(starts, pa.int64())),
+                "approx_distinct": pa.array(ests, pa.float64()),
+            }
+        )
+
+    return (
+        rows.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_quantile(
     ds, group_col: str, col: str, qs, scale: int = 100, n_buckets: int = 64
 ):

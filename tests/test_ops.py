@@ -424,6 +424,39 @@ def test_hll_within_error_bound(ray_session):
     assert est == est2
 
 
+def test_grouped_hll_per_group_error_bound(ray_session):
+    from rio_cogeo_ray.stages import sketch
+
+    # 4 groups with very different distinct cardinalities; values repeat
+    # 3x so map-side register collapse is exercised; p=12 -> sigma ~1.6%
+    sizes = {"a": 500, "b": 5_000, "c": 20_000, "d": 17}
+    groups, vals = [], []
+    for g, k in sizes.items():
+        for rep in range(3):
+            groups += [g] * k
+            vals += [f"{g}/val-{i}" for i in range(k)]
+    t = pa.table({"lang": groups, "s": vals})
+    out = (
+        sketch.grouped_hll_distinct(
+            rd.from_arrow(t).repartition(7), "lang", "s", p=12, n_buckets=3
+        )
+        .to_pandas()
+        .set_index("lang")["approx_distinct"]
+    )
+    assert set(out.index) == set(sizes)
+    for g, k in sizes.items():
+        assert abs(out[g] - k) / k < 0.05, (g, out[g], k)
+    # batching/merge order must not change any estimate
+    out2 = (
+        sketch.grouped_hll_distinct(
+            rd.from_arrow(t).repartition(2), "lang", "s", p=12, n_buckets=3
+        )
+        .to_pandas()
+        .set_index("lang")["approx_distinct"]
+    )
+    assert out.sort_index().tolist() == out2.sort_index().tolist()
+
+
 def test_token_topk_matches_counter_oracle(ray_session):
     import collections
 
