@@ -440,6 +440,25 @@ GROUP BY text
 """
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicated 5-grams per doc (Lee et al. 2021
+    exact-substring signal): two linear shuffles, 128-bit rolling
+    token-sequence hashes — text never enters the exchange."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.cross_doc_ngrams(ds, n=5, min_docs=2)
+
+
+SQL_DUP_NGRAMS = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM w),
+g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram FROM e),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_ngrams
+FROM g JOIN d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 SQL_DEDUP_STATS = (
     "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts, "
     "CAST(COUNT(*) AS BIGINT) AS total FROM documents"
@@ -2782,6 +2801,7 @@ def queries() -> Dict[str, Callable]:
         "distinct_langs": q_distinct_langs,
         "price_bands": q_price_bands,
         "dedup_incremental": q_dedup_incremental,
+        "dup_ngrams": q_dup_ngrams,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -2873,6 +2893,7 @@ def oracle_sql() -> Dict[str, str]:
         "lineitem_melt": SQL_LINEITEM_MELT,
         "user_paths": SQL_USER_PATHS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "dup_ngrams": SQL_DUP_NGRAMS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

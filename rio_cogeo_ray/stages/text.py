@@ -618,3 +618,155 @@ def pack_counted(
         )
 
     return ds.groupby(group_col).map_groups(_pack_group, batch_format="pyarrow")
+
+
+def _doc_ngram_hashes(
+    batch: "pa.Table", n: int, id_col: str, text_col: str
+) -> "pa.Table":
+    """Per-batch (doc_id, g1, g2) rows: the DISTINCT word n-grams of
+    each document as 128-bit rolling combinations of per-token hashes.
+    Two grams collide only if their token sequences collide under both
+    64-bit seeds — the same collision contract as dedup's hash128.
+    Tokens are the ``\\S+`` matches (the repo-wide SQL mirror)."""
+    import polars as pl
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.split_pattern_regex(t.cast(pa.string()), r"\s+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(keep))
+    rep = rep[keep]
+    m = len(rep)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "g1": pa.array([], pa.int64()),
+            "g2": pa.array([], pa.int64()),
+        }
+    )
+    if m < n:
+        return empty
+    h1 = pl.from_arrow(toks.cast(pa.large_string())).hash(seed=101).to_numpy().astype(np.uint64)
+    h2 = splitmix64(h1 ^ np.uint64(0xD1B54A32D192ED03))
+    nw = m - n + 1
+    g1 = np.zeros(nw, dtype=np.uint64)
+    g2 = np.zeros(nw, dtype=np.uint64)
+    for j in range(n):
+        g1 = splitmix64(g1 + h1[j : j + nw])
+        g2 = splitmix64(g2 + h2[j : j + nw])
+    valid = rep[:nw] == rep[n - 1 :]  # gram must not span documents
+    if not valid.any():
+        return empty
+    doc = rep[:nw][valid]
+    g1v = g1[valid].astype(np.int64)
+    g2v = g2[valid].astype(np.int64)
+    # distinct grams WITHIN each doc (one vote per doc per gram)
+    order = np.lexsort((g2v, g1v, doc))
+    ds_, g1s, g2s = doc[order], g1v[order], g2v[order]
+    first = np.r_[
+        True,
+        (ds_[1:] != ds_[:-1]) | (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1]),
+    ]
+    return pa.table(
+        {
+            id_col: ids.cast(pa.int64()).take(pa.array(ds_[first], pa.int64())),
+            "g1": pa.array(g1s[first], pa.int64()),
+            "g2": pa.array(g2s[first], pa.int64()),
+        }
+    )
+
+
+def cross_doc_ngrams(
+    ds,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Per-document count of word n-grams SHARED with other documents —
+    the cross-document duplicated-span signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better":
+    boilerplate / near-dup / contamination all surface as n-grams with
+    document frequency ≥ 2). Returns (id, dup_ngrams) for documents
+    with at least one such gram.
+
+    Scale shape — two LINEAR shuffles, tfidf_topk's doctrine:
+
+    1. map: per-doc DISTINCT gram hashes (128-bit token-sequence
+       rolling hash; text never leaves the map stage; within-doc
+       duplicate grams collapse BEFORE the exchange).
+    2. bucket by hash(g1): every posting of one gram lands in one
+       reduce bucket; doc-frequency is a run-length over the sorted
+       (g1, g2) column; qualifying rows collapse to per-(bucket, doc)
+       partial counts — the bucket emits O(docs) rows, not O(grams).
+    3. partial→final sum per doc (stages/agg.py).
+
+    Hot grams (boilerplate shared by millions of docs) concentrate
+    postings in one bucket — same caveat as tf·idf's stopword note;
+    the per-bucket work stays one vectorized pass.
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    rows = ds.map_batches(
+        lambda t: _doc_ngram_hashes(t, n, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (
+            splitmix64(t["g1"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "dup_partial": pa.array([], pa.int64())}
+            )
+        g1 = g["g1"].combine_chunks().to_numpy(zero_copy_only=False)
+        g2 = g["g2"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((g2, g1))
+        g1s, g2s, docs_ = g1[order], g2[order], doc[order]
+        start = np.r_[True, (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1])]
+        run = np.cumsum(start) - 1
+        df = np.bincount(run)  # rows per gram == doc frequency (rows are per-doc distinct)
+        hit = df[run] >= min_docs
+        if not hit.any():
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "dup_partial": pa.array([], pa.int64())}
+            )
+        hit_docs = docs_[hit]
+        uniq, cnt = np.unique(hit_docs, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(uniq, pa.int64()),
+                "dup_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        rows.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: _bucket(g.drop_columns(["__bucket"])), batch_format="pyarrow")
+    )
+    summed = partial_group_agg(partials, keys=[id_col], sum_cols=["dup_partial"], count_as=None)
+    return summed.map_batches(
+        lambda t: pa.table(
+            {id_col: t[id_col].combine_chunks(), "dup_ngrams": t["sum_dup_partial"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )

@@ -424,6 +424,37 @@ def test_hll_within_error_bound(ray_session):
     assert est == est2
 
 
+def test_cross_doc_ngrams_vs_brute_force(ray_session):
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    docs = [
+        f"{shared} tail0 one two",          # shares with doc1/doc2
+        f"head1 {shared} tail1",            # shares
+        f"{shared} {shared}",               # within-doc repeat counts ONCE
+        "totally unrelated words here now", # no shared grams
+        "short doc",                        # < 5 tokens -> no grams
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)), "text": docs})
+    got = (
+        text.cross_doc_ngrams(rd.from_arrow(t).repartition(3), n=5, min_docs=2, n_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")["dup_ngrams"]
+        .to_dict()
+    )
+    # brute force
+    grams = {}
+    for i, d in enumerate(docs):
+        w = d.split()
+        gs = {" ".join(w[j : j + 5]) for j in range(len(w) - 4)}
+        for g in gs:
+            grams.setdefault(g, set()).add(i)
+    expect = {}
+    for g, ds_ in grams.items():
+        if len(ds_) >= 2:
+            for i in ds_:
+                expect[i] = expect.get(i, 0) + 1
+    assert got == expect
+
+
 def test_grouped_hll_per_group_error_bound(ray_session):
     from rio_cogeo_ray.stages import sketch
 
