@@ -652,6 +652,30 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantized ANN (Jégou et al. 2011): 64-dim floats →
+    8 uint8 codes per row; search is per-query LUT gathers over the
+    coded rows. Approximate ⇒ rows-only; recall vs exact pinned in
+    pytest (test_ops.py)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    emb = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    books = ann.train_pq_codebooks(emb[: min(len(emb), 2000)], n_sub=8)
+    mask = np.isin(qt["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    queries = np.array(
+        qt.filter(pa.array(mask)).sort_by("vec_id")["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    ds = _read(emb_path, ["vec_id", "embedding"])
+    res = ann.knn_cosine_pq(ds, queries, books, k=ANN_K, concurrency=2, rerank=4)
+    ranked = knn.per_group_topk(
+        res, "query_id", [("score", False), ("vec_id", True)], ANN_K, rank_col="rnk"
+    )
+    return ranked.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rnk"]), batch_format="pyarrow"
+    )
+
+
 SQL_ANN_COSINE = (
     f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
     f"WHERE vec_id IN (0, 1, 2)) "
@@ -2805,6 +2829,7 @@ def queries() -> Dict[str, Callable]:
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_pq": q_ann_pq,
         "minhash_clusters": q_minhash_clusters,
         "neardup_verified": q_neardup_verified,
         "embed_neardup": q_embed_neardup,

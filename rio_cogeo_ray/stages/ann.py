@@ -268,3 +268,204 @@ def knn_cosine_ivf_indexed(
         raise FileNotFoundError(f"no probed bucket partitions under {index_dir}")
     pruned = rd.read_parquet(files, columns=[id_col, emb_col])
     return knn_cosine(pruned, q, k, id_col, emb_col, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    sample: np.ndarray,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """(n_sub, n_codes, d/n_sub) sub-codebooks: plain L2 Lloyd k-means
+    per subspace over a driver-side sample of NORMALIZED vectors (the
+    corpus never leaves Ray; the sample is small by the same contract
+    as train_centroids). Cosine decomposes exactly over subspaces —
+    cos(q, x) = Σ_s q_s·x_s — so quantizing each x_s to its nearest
+    sub-centroid gives cos(q, x) ≈ Σ_s q_s·c[s, code_s(x)], a table
+    lookup at search time."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = sample.shape
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    dsub = d // n_sub
+    rng = np.random.RandomState(seed)
+    books = np.zeros((n_sub, min(n_codes, n), dsub), dtype=np.float64)
+    for s in range(n_sub):
+        x = sample[:, s * dsub : (s + 1) * dsub]
+        c = x[rng.choice(n, size=min(n_codes, n), replace=False)]
+        for _ in range(iters):
+            # nearest centroid under L2: argmin |x|² - 2x·c + |c|²
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            a = d2.argmin(axis=1)
+            for j in range(len(c)):
+                m = a == j
+                if m.any():
+                    c[j] = x[m].mean(axis=0)
+        books[s, : len(c)] = c
+    return books
+
+
+class PQEncode:
+    """Actor stage: normalized vector → n_sub uint8 codes (one binary
+    blob per row). Codebooks resolve once per actor from the broadcast
+    ref; per batch = n_sub small matmuls (vectorized argmin)."""
+
+    def __init__(self, books, id_col: str = "vec_id", emb_col: str = "embedding"):
+        if isinstance(books, ray.ObjectRef):
+            books = ray.get(books)
+        self.books = np.asarray(books, dtype=np.float64)
+        self.c2 = (self.books * self.books).sum(axis=2)  # (n_sub, n_codes)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()), "codes": pa.array([], pa.binary())}
+            )
+        m = _normalize(_matrix(batch[self.emb_col]))
+        n_sub, n_codes, dsub = self.books.shape
+        codes = np.empty((len(m), n_sub), dtype=np.uint8)
+        for s in range(n_sub):
+            x = m[:, s * dsub : (s + 1) * dsub]
+            d2 = self.c2[s][None, :] - 2.0 * (x @ self.books[s].T)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        # build the fixed-width binary column from raw buffers (no
+        # per-row Python): offsets are just arange * n_sub
+        offs = (np.arange(len(codes) + 1, dtype=np.int32) * n_sub).tobytes()
+        col = pa.Array.from_buffers(
+            pa.binary(), len(codes), [None, pa.py_buffer(offs), pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table(
+            {self.id_col: batch[self.id_col].combine_chunks(), "codes": col}
+        )
+
+
+class PQTopK:
+    """Actor stage over CODED rows: per batch, per-query scores by
+    lookup-table gather (no float vectors touched) → local top-k.
+    LUT[s] = q_s @ books[s].T computed once per actor per query set."""
+
+    def __init__(self, queries, books, k: int, id_col: str = "vec_id"):
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        if isinstance(books, ray.ObjectRef):
+            books = ray.get(books)
+        q = _normalize(np.asarray(queries, dtype=np.float64))  # (Q, d)
+        books = np.asarray(books, dtype=np.float64)
+        n_sub, n_codes, dsub = books.shape
+        self.lut = np.stack(
+            [q[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(n_sub)],
+            axis=1,
+        )  # (Q, n_sub, n_codes)
+        self.k = k
+        self.id_col = id_col
+        self.n_sub = n_sub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        blob = batch["codes"].combine_chunks()
+        # zero-copy: fixed-width blobs are contiguous in the data buffer
+        off = np.frombuffer(blob.buffers()[1], dtype=np.int32)
+        start = int(off[blob.offset])
+        data = np.frombuffer(blob.buffers()[2], dtype=np.uint8)
+        codes = data[start : start + len(blob) * self.n_sub].reshape(
+            len(blob), self.n_sub
+        )
+        ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        Q = self.lut.shape[0]
+        sims = np.zeros((len(codes), Q), dtype=np.float64)
+        for s in range(self.n_sub):
+            sims += self.lut[:, s, codes[:, s]].T
+        k = min(self.k, len(ids))
+        order = np.lexsort((np.broadcast_to(ids[:, None], sims.shape), -sims), axis=0)[:k]
+        qid = np.repeat(np.arange(Q, dtype=np.int64), k)
+        rows = order.T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qid, pa.int64()),
+                self.id_col: pa.array(ids[rows], pa.int64()),
+                "score": pa.array(sims[rows, np.repeat(np.arange(Q), k)], pa.float64()),
+            }
+        )
+
+
+def knn_cosine_pq(
+    ds,
+    queries: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+    rerank: int = 0,
+):
+    """Approximate cosine top-k over PQ-compressed vectors: encode
+    (float d×4 bytes → n_sub bytes per row, e.g. 32× smaller) then
+    search the coded rows with per-query lookup tables.
+
+    ``rerank > 0`` runs the standard retrieve-then-rerank contract
+    (Jégou et al. §V): retrieve ``rerank·k`` candidates in the coded
+    domain (where quantization error can shuffle near-ties), then
+    re-rank ONLY those against the float vectors — a targeted,
+    broadcast-filtered second pass over ``Q·rerank·k`` ids, never a
+    full float scan. At 100 TB the coded corpus is what you persist
+    and scan (a ~3 TB code table replaces a 100 TB float scan); the
+    re-rank reads a bounded candidate set."""
+    b_ref = ray.put(np.asarray(books, dtype=np.float64))
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    coded = ds.map_batches(
+        PQEncode,
+        fn_constructor_args=(b_ref, id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    k_ret = k * rerank if rerank else k
+    local = coded.map_batches(
+        PQTopK,
+        fn_constructor_args=(q_ref, b_ref, k_ret, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    cand = per_group_topk(local, "query_id", [("score", False), (id_col, True)], k_ret)
+    if not rerank:
+        return cand
+    # bounded driver collect: Q × rerank·k ids (the candidate set, by
+    # contract small), broadcast as a filter for the exact pass
+    ids = set()
+    for row in cand.select_columns([id_col]).take_all():
+        ids.add(row[id_col])
+    ids_ref = ray.put(np.array(sorted(ids), dtype=np.int64))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        if not len(wanted):
+            return t.slice(0, 0)
+        col = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, col)
+        pos[pos >= len(wanted)] = 0
+        return t.filter(pa.array(wanted[pos] == col))
+
+    sub = ds.map_batches(_keep, batch_format="pyarrow", batch_size=batch_size)
+    return knn_cosine(
+        sub, np.asarray(queries, dtype=np.float64), k=k,
+        id_col=id_col, emb_col=emb_col,
+        concurrency=concurrency, batch_size=batch_size,
+    )

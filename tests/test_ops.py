@@ -281,6 +281,41 @@ def test_ann_ivf_recall(ray_session):
         assert len(ex & ap) >= 3  # recall >= 0.6 with n_probe=3/8
 
 
+def test_ann_pq_recall_and_compression(ray_session):
+    rng = np.random.RandomState(11)
+    emb = rng.randn(800, 32).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(800, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    books = ann.train_pq_codebooks(emb[:500], n_sub=8, n_codes=64)
+    assert books.shape == (8, 64, 4)  # 32 dims -> 8 bytes/vector (16x)
+    q = emb[:2].astype(np.float64)
+    exact = ann.knn_cosine(rd.from_arrow(t), q, k=10, concurrency=1).to_pandas()
+    # coded-domain retrieval at R=50 must cover most of the exact top-10
+    cand = ann.knn_cosine_pq(
+        rd.from_arrow(t).repartition(3), q, books, k=50, concurrency=1
+    ).to_pandas()
+    # retrieve-then-rerank (the production contract): coded R=5k, exact
+    # re-rank of the bounded candidate set
+    rer = ann.knn_cosine_pq(
+        rd.from_arrow(t).repartition(3), q, books, k=10, concurrency=1, rerank=5
+    ).to_pandas()
+    for qi in (0, 1):
+        ex = set(exact[exact["query_id"] == qi]["vec_id"])
+        assert len(ex & set(cand[cand["query_id"] == qi]["vec_id"])) >= 7
+        assert len(ex & set(rer[rer["query_id"] == qi]["vec_id"])) >= 7
+    # PQ scores are bounded cosine approximations
+    assert (cand["score"].abs() <= 1.2).all()
+    # reranked scores are EXACT cosines of retrieved candidates
+    ex0 = exact[exact["query_id"] == 0].set_index("vec_id")["score"]
+    r0 = rer[rer["query_id"] == 0].set_index("vec_id")["score"]
+    shared = [v for v in r0.index if v in ex0.index]
+    assert np.allclose(r0[shared], ex0[shared])
+
+
 def test_cell_encode_roundtrip_and_hierarchy():
     rng = np.random.RandomState(8)
     lon = rng.uniform(-179, 179, 1000)
