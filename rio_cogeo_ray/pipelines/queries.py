@@ -481,6 +481,37 @@ SQL_LANG_STATS = (
 )
 
 
+def q_lang_stats_jsonl(sf_dir: str):
+    """Same aggregate as lang_stats, but ingested through the JSONL
+    source path (sources/textio.py): the parquet table is exported to
+    JSONL once per sf_dir (cached under /tmp), read back with
+    read_documents(format='jsonl'), and must hash-match the parquet
+    oracle — format-equivalence of the source layer."""
+    import hashlib
+
+    from rio_cogeo_ray.sources import textio
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+    jdir = f"/tmp/rcr_jsonl/{tag}"
+    done = jdir + ".done"  # marker OUTSIDE the dir (read_json scans it all)
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(jdir, ignore_errors=True)
+        textio.write_jsonl(
+            _read(src, ["doc_id", "lang", "n_chars"]), jdir
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    ds = textio.read_documents(jdir, format="jsonl", columns=["lang", "n_chars", "doc_id"])
+    return agg.partial_group_agg(
+        ds, keys=["lang"], sum_cols=["n_chars"], min_cols=["doc_id"],
+        max_cols=["doc_id"], count_as="n",
+    )
+
+
 def q_token_counts(sf_dir: str):
     """Per-doc whitespace token count (RE2 \\S+ both sides)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -2800,6 +2831,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
         "lang_stats": q_lang_stats,
+        "lang_stats_jsonl": q_lang_stats_jsonl,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "events_hourly": q_events_hourly,
@@ -2873,6 +2905,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,
+        "lang_stats_jsonl": SQL_LANG_STATS,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality": SQL_QUALITY,
         "events_hourly": SQL_EVENTS_HOURLY,

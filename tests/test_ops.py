@@ -1651,3 +1651,42 @@ def test_write_shards_resume_skips_finished(ray_session, tmp_path):
     assert os.path.getmtime(os.path.join(out, "_manifest.json")) == stamp
     m3 = shard.write_shards(rd.from_arrow(t), out, "doc_id", 4, salt=9)
     assert m3["salt"] == 9 and m3["rows"] == 100
+
+
+def test_textio_jsonl_csv_roundtrip(ray_session, tmp_path):
+    from rio_cogeo_ray.sources import textio
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": [f'line "quoted", comma\tand text {i}' for i in range(50)],
+            "lang": ["en", "de", "fr", "es", "pt"] * 10,
+            "n_chars": pa.array(np.arange(50, dtype=np.int64) * 7),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    jdir = str(tmp_path / "jsonl")
+    textio.write_jsonl(ds, jdir)
+    back = (
+        textio.read_documents(jdir, format="jsonl",
+                              columns=["doc_id", "text", "lang", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back.equals(t.to_pandas())
+    # CSV path (arrow-quoted round trip)
+    cdir = str(tmp_path / "csv")
+    ds.write_csv(cdir)
+    back_csv = (
+        textio.read_documents(cdir, format="csv",
+                              columns=["doc_id", "text", "lang", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back_csv.equals(t.to_pandas())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textio.read_documents(jdir, format="xml")
