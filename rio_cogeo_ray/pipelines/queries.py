@@ -683,6 +683,23 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table (the
+    corpus never leaves Ray: per-batch partial sums → bounded tree
+    merge → k×d driver update per iteration), then cluster sizes.
+    Iterative/approximate ⇒ rows-only; planted-cluster recovery and
+    determinism pinned in pytest (test_ops.py)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = _read(emb_path, ["vec_id", "embedding"])
+    c = ann.kmeans_fit(ds, k=8, iters=5, sample_n=512)
+    assigned = ann.ivf_assign(_read(emb_path, ["vec_id", "embedding"]), c, concurrency=2)
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    return partial_group_agg(
+        assigned.select_columns(["bucket"]), keys=["bucket"], count_as="n"
+    )
+
+
 def q_ann_pq(sf_dir: str):
     """Product-quantized ANN (Jégou et al. 2011): 64-dim floats →
     8 uint8 codes per row; search is per-query LUT gathers over the
@@ -2862,6 +2879,7 @@ def queries() -> Dict[str, Callable]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_pq": q_ann_pq,
+        "kmeans_clusters": q_kmeans_clusters,
         "minhash_clusters": q_minhash_clusters,
         "neardup_verified": q_neardup_verified,
         "embed_neardup": q_embed_neardup,

@@ -469,3 +469,107 @@ def knn_cosine_pq(
         id_col=id_col, emb_col=emb_col,
         concurrency=concurrency, batch_size=batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means — iterative fit where the corpus never leaves Ray
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    ds,
+    k: int,
+    iters: int = 8,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    batch_size: int = 4096,
+    sample_n: int = 1024,
+):
+    """Distributed spherical k-means over a Dataset of embeddings.
+
+    Each iteration is ONE streaming pass: a stateless ``map_batches``
+    assigns rows to the broadcast centroids and emits k partial rows
+    (per-centroid vector sums + counts — a (k, d+1) table per batch,
+    independent of batch rows); partials tree-merge through two
+    bounded fan-in levels; the driver holds only the (k, d) centroid
+    matrix, renormalizes, and broadcasts it for the next pass. The
+    corpus itself is re-read per iteration (streaming, nothing
+    materialized) — at 100 TB pin the input to parquet and let the
+    object store cache hot blocks, or sub-sample for the fit.
+
+    Initialization: driver-side Lloyd on a small ``take`` sample (the
+    train_centroids contract). Returns the (k, d) centroid matrix;
+    compose with :class:`IVFAssign` / :func:`ivf_assign` to label rows.
+    """
+    rows = ds.select_columns([emb_col]).take(sample_n)
+    sample = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    c = train_centroids(sample, k, iters=4, seed=seed)
+
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            cc = ray.get(c_ref)
+            if not len(t):
+                d = cc.shape[1]
+                return pa.table(
+                    {
+                        "cid": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.large_binary()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            m = _normalize(_matrix(t[emb_col]))
+            a = (m @ cc.T).argmax(axis=1)
+            sums = np.zeros_like(cc)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=len(cc)).astype(np.int64)
+            live = cnt > 0
+            return pa.table(
+                {
+                    "cid": pa.array(np.flatnonzero(live), pa.int64()),
+                    "vsum": pa.array([sums[i].tobytes() for i in np.flatnonzero(live)], pa.large_binary()),
+                    "n": pa.array(cnt[live], pa.int64()),
+                }
+            )
+
+        def _merge(t: pa.Table) -> pa.Table:
+            if not len(t):
+                return t
+            cid = t["cid"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            blobs = t["vsum"].combine_chunks()
+            mat = np.vstack(
+                [np.frombuffer(blobs[i].as_buffer(), dtype=np.float64) for i in range(len(blobs))]
+            )
+            order = np.argsort(cid, kind="stable")
+            cs, ns, ms = cid[order], n[order], mat[order]
+            starts = np.r_[0, np.flatnonzero(cs[1:] != cs[:-1]) + 1]
+            msum = np.add.reduceat(ms, starts, axis=0)
+            nsum = np.add.reduceat(ns, starts)
+            return pa.table(
+                {
+                    "cid": pa.array(cs[starts], pa.int64()),
+                    "vsum": pa.array([r.tobytes() for r in msum], pa.large_binary()),
+                    "n": pa.array(nsum, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+        for _lvl in range(2):
+            parts = parts.map_batches(_merge, batch_format="pyarrow", batch_size=256)
+        new_c = c.copy()
+        seen = np.zeros(len(c), dtype=bool)
+        for row in parts.take_all():  # ≤ k rows after the fan-in levels
+            i = int(row["cid"])
+            v = np.frombuffer(row["vsum"], dtype=np.float64)
+            if seen[i]:
+                v = v + new_c[i]  # centroid rows split across final blocks
+                new_c[i] = v
+            else:
+                new_c[i] = v
+                seen[i] = True
+        nv = np.linalg.norm(new_c, axis=1, keepdims=True)
+        nv[nv == 0] = 1.0
+        c = np.where(seen[:, None], new_c / nv, c)
+    return c

@@ -1690,3 +1690,33 @@ def test_textio_jsonl_csv_roundtrip(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         textio.read_documents(jdir, format="xml")
+
+
+def test_kmeans_fit_recovers_planted_clusters(ray_session):
+    rng = np.random.RandomState(3)
+    centers = ann._normalize(rng.randn(5, 16) * 10)
+    labels = rng.randint(0, 5, 600)
+    emb = (centers[labels] * 8 + rng.randn(600, 16) * 0.3).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(600, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    c = ann.kmeans_fit(ds, k=5, iters=5, sample_n=200)
+    assert c.shape == (5, 16)
+    assigned = (
+        ann.ivf_assign(ds, c, concurrency=1)
+        .to_pandas()
+        .sort_values("vec_id")["bucket"]
+        .to_numpy()
+    )
+    # purity: every planted cluster maps to exactly one fitted centroid
+    for lbl in range(5):
+        got = assigned[labels == lbl]
+        assert (got == got[0]).all(), f"planted cluster {lbl} split"
+    assert len(set(assigned[np.r_[[np.flatnonzero(labels == l)[0] for l in range(5)]]])) == 5
+    # determinism: same input + seed -> identical centroids
+    c2 = ann.kmeans_fit(rd.from_arrow(t).repartition(2), k=5, iters=5, sample_n=200)
+    assert np.allclose(c, c2)
