@@ -529,8 +529,10 @@ def export_cog(out_dir: str, dst_path: str, row_group_tiles: int = 4096) -> str:
                 batches = [t]
             else:
                 ds = read_level(out_dir, z).sort(["y", "x"])
+                # iter_batches(batch_format="pyarrow") yields Tables on
+                # Ray 2.49 (RecordBatch on some older versions) — accept both
                 batches = (
-                    pa.Table.from_batches([b])
+                    b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
                     for b in ds.iter_batches(
                         batch_format="pyarrow", batch_size=row_group_tiles
                     )

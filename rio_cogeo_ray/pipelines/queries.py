@@ -2455,11 +2455,15 @@ def q_corpus_to_shards(sf_dir: str):
 
 SQL_CORPUS_TO_SHARDS = (
     "WITH c AS (" + SQL_CORPUS_PREP + "), "
+    # cid = doc_id*8192 + chunk_id amplifies the hash multiplicand, so the
+    # knuth32 mirror runs in HUGEINT ((x·K mod 2^64) mod 2^32 == x·K mod 2^32,
+    # matching the engine's uint64 wraparound) — BIGINT would overflow at
+    # cid ≥ ~3.47e9 (doc_id ≥ ~424k)
     "w AS (SELECT doc_id, chunk_id, chunk_len, doc_id * 8192 + chunk_id AS cid FROM c), "
-    "tr AS (SELECT * FROM w WHERE ((cid * 2654435761) % 4294967296) % 100 < 90), "
+    "tr AS (SELECT * FROM w WHERE ((CAST(cid AS HUGEINT) * 2654435761) % 4294967296) % 100 < 90), "
     "s AS (SELECT doc_id, chunk_id, chunk_len, cid, "
-    "((cid * 2654435761) % 4294967296) % 4 AS shard, "
-    "(((cid + 1) * 2654435761) % 4294967296) AS h2 FROM tr) "
+    "CAST(((CAST(cid AS HUGEINT) * 2654435761) % 4294967296) % 4 AS BIGINT) AS shard, "
+    "((CAST(cid + 1 AS HUGEINT) * 2654435761) % 4294967296) AS h2 FROM tr) "
     "SELECT doc_id, chunk_id, chunk_len, shard, "
     "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, cid) - 1 AS BIGINT) AS pos "
     "FROM s"

@@ -38,7 +38,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import pyarrow as pa
 
-from rio_cogeo_ray.stages.sketch import knuth32
+from rio_cogeo_ray.stages.sketch import hash_sample_batch, knuth32
 
 
 def shard_keys_batch(
@@ -85,14 +85,21 @@ def write_shards(
     id_col: str,
     num_shards: int,
     salt: int = 0,
+    src_fingerprint: "str | None" = None,
 ) -> dict:
     """Materialize the shuffled corpus as ``out_dir/shard=K/*.parquet``
     (one directory per shard — the resumable layout doctrine of
     pipelines/create.py: a re-run can skip finished shard dirs).
     Returns a small manifest dict (shard → rows) written alongside as
-    ``_manifest.json``. Resume: if a manifest with the same parameters
-    already exists and every listed shard directory is present, the
-    write is skipped entirely (the create() checkpoint doctrine)."""
+    ``_manifest.json``.
+
+    Resume guards INPUT identity like create() does, not just the
+    parameters: pass ``src_fingerprint`` (e.g. source path + size +
+    mtime) and a re-run skips the write only when the stored
+    fingerprint matches. Without one, the fallback check counts ``ds``
+    and requires it to equal the manifest's row total — weaker
+    (content could change at equal cardinality) but still catching the
+    common regenerated-input case."""
     import json
 
     mpath = os.path.join(out_dir, "_manifest.json")
@@ -104,6 +111,11 @@ def write_shards(
             and prev.get("salt") == int(salt)
             and prev.get("id_col") == id_col
         )
+        if same:
+            if src_fingerprint is not None or prev.get("src_fingerprint"):
+                same = prev.get("src_fingerprint") == src_fingerprint
+            else:
+                same = prev.get("rows") == ds.count()
         if same and all(
             os.path.isdir(os.path.join(out_dir, f"shard={k}"))
             for k in prev.get("shard_rows", {})
@@ -134,6 +146,7 @@ def write_shards(
         "num_shards": int(num_shards),
         "salt": int(salt),
         "id_col": id_col,
+        "src_fingerprint": src_fingerprint,
         "rows": int(sum(counts.values())),
         "shard_rows": counts,
     }
@@ -155,11 +168,9 @@ def bernoulli_tag_batch(
     id hash, tag with the source name, and append the shared interleave
     key ``h2`` (one salt for ALL sources, so sorting the union by
     (h2, source, id) yields the deterministic blended order)."""
-    ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(
-        zero_copy_only=False
-    )
-    keep = (knuth32(ids, salt) % np.uint64(rate_den)) < np.uint64(rate_num)
-    kept = batch.filter(pa.array(keep))
+    # the keep-filter IS the sampling oracle's predicate — reuse it so
+    # the SQL-mirrorable contract lives in exactly one place
+    kept = hash_sample_batch(batch, id_col, rate_num, rate_den, salt)
     kids = kept[id_col].combine_chunks().cast(pa.int64())
     h2 = knuth32(
         kids.to_numpy(zero_copy_only=False), order_salt

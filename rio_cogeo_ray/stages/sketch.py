@@ -332,8 +332,13 @@ def grouped_hll_distinct(ds, group_col: str, col: str, p: int = 12, n_buckets: i
 
     def _partials(t: pa.Table) -> pa.Table:
         if not len(t):
+            # preserve the column's NATIVE type (string/large_string/int)
+            # so empty blocks unify with non-empty ones
             return pa.table(
-                {group_col: pa.array([], pa.string()), "regs": pa.array([], pa.binary())}
+                {
+                    group_col: t[group_col].combine_chunks().slice(0, 0),
+                    "regs": pa.array([], pa.binary()),
+                }
             )
         codes = t[group_col].combine_chunks().dictionary_encode()
         gidx = np.asarray(codes.indices)
@@ -364,7 +369,7 @@ def grouped_hll_distinct(ds, group_col: str, col: str, p: int = 12, n_buckets: i
         if not g.num_rows:
             return pa.table(
                 {
-                    group_col: pa.array([], pa.string()),
+                    group_col: g[group_col].combine_chunks().slice(0, 0),
                     "approx_distinct": pa.array([], pa.float64()),
                 }
             )

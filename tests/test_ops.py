@@ -1720,3 +1720,26 @@ def test_kmeans_fit_recovers_planted_clusters(ray_session):
     # determinism: same input + seed -> identical centroids
     c2 = ann.kmeans_fit(rd.from_arrow(t).repartition(2), k=5, iters=5, sample_n=200)
     assert np.allclose(c, c2)
+
+
+def test_write_shards_rewrites_on_changed_input(ray_session, tmp_path):
+    """Resume must guard INPUT identity: same params but different data
+    (or a different fingerprint) rewrites instead of returning stale
+    shards."""
+    from rio_cogeo_ray.stages import shard
+
+    t1 = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64))})
+    t2 = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64))})
+    out = str(tmp_path / "s")
+    m1 = shard.write_shards(rd.from_arrow(t1), out, "doc_id", 4)
+    assert m1["rows"] == 100
+    # changed data, no fingerprint: row-count fallback catches it
+    m2 = shard.write_shards(rd.from_arrow(t2), out, "doc_id", 4)
+    assert m2["rows"] == 60
+    # fingerprinted runs: mismatch rewrites, match resumes
+    m3 = shard.write_shards(rd.from_arrow(t1), out, "doc_id", 4, src_fingerprint="v1")
+    assert m3["rows"] == 100 and m3["src_fingerprint"] == "v1"
+    m4 = shard.write_shards(rd.from_arrow(t1), out, "doc_id", 4, src_fingerprint="v1")
+    assert m4 == m3  # resumed
+    m5 = shard.write_shards(rd.from_arrow(t2), out, "doc_id", 4, src_fingerprint="v2")
+    assert m5["rows"] == 60 and m5["src_fingerprint"] == "v2"

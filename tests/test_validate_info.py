@@ -263,3 +263,39 @@ def test_export_cog_single_file_roundtrip(ray_session, tmp_path):
     pq.write_table(bad, badp, row_group_size=16)
     ok2, errors2, _ = validate_cog(badp)
     assert not ok2 and any("order" in e or "ascending" in e for e in errors2), errors2
+
+
+def test_export_cog_streaming_branch(ray_session, tmp_path, monkeypatch):
+    """Force every level through the LARGE-level streaming writer branch
+    (iter_batches instead of driver-side read) and require bit-for-bit
+    equality with the driver-side export."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray import fixtures
+    from rio_cogeo_ray.pipelines import create as create_mod
+    from rio_cogeo_ray.pipelines.spec import plan
+    from rio_cogeo_ray.pipelines.validate import validate_cog
+
+    spec = plan(zoom=6, geocode=fixtures.scenario_spec("pages_rgb"), overview_levels=3)
+    out = str(tmp_path / "pyr")
+    m = create_mod.create(
+        fixtures.scenario_path("pages_rgb"), out, spec, source="pages", batch_size=512
+    )
+    small = str(tmp_path / "small.parquet")
+    create_mod.export_cog(out, small, row_group_tiles=16)
+
+    monkeypatch.setattr(create_mod, "_DRIVER_SIDE_BYTES", 0)
+    streamed = str(tmp_path / "streamed.parquet")
+    create_mod.export_cog(out, streamed, row_group_tiles=16)
+    ok, errors, _ = validate_cog(streamed)
+    assert ok, errors
+    for lv in m.levels:
+        a = create_mod.read_cog_level(streamed, lv.z).sort_by(
+            [("y", "ascending"), ("x", "ascending")]
+        )
+        b = create_mod.read_cog_level(small, lv.z).sort_by(
+            [("y", "ascending"), ("x", "ascending")]
+        )
+        assert a.num_rows == b.num_rows == lv.tiles
+        for c in b.column_names:
+            assert a[c].combine_chunks().equals(b[c].combine_chunks()), (lv.z, c)
