@@ -223,6 +223,27 @@ def q_pip_inner(sf_dir: str):
     )
 
 
+def q_pip_sample(sf_dir: str):
+    """Random sample OVER a spatial join (the sampling-over-range-join
+    shape — PAPERS.md, ICDE 2025): the deterministic Bernoulli filter
+    applies to the join OUTPUT stream map-side, so the sample never
+    materializes the full join beyond each streamed batch. Keyed on
+    the composite (doc_id, aoi_id) so pairs — not docs — are sampled."""
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+    joined = pip_stage(ds, mode="inner")
+
+    def _sample(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "aoi_id"])
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        aid = t["aoi_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (knuth32(did * np.int64(64) + aid) % np.uint64(4)) < np.uint64(1)
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(_sample, batch_format="pyarrow")
+
+
 def pip_stage(ds, mode: str):
     from rio_cogeo_ray.stages import pip as pip_mod
 
@@ -233,6 +254,14 @@ SQL_PIP_INNER = (
     _geo_cte() + " SELECT m.doc_id, CAST(a.aoi_id AS INTEGER) AS aoi_id "
     f"FROM m JOIN {_aoi_values_sql()} ON m.lon >= a.w AND m.lon <= a.e "
     "AND m.lat >= a.s AND m.lat <= a.n"
+)
+
+SQL_PIP_SAMPLE = (
+    "WITH j AS (" + SQL_PIP_INNER + ") "
+    "SELECT doc_id, aoi_id FROM j "
+    # HUGEINT: the composite key amplifies the multiplicand 64x (same
+    # wraparound-equivalence note as SQL_CORPUS_TO_SHARDS)
+    "WHERE ((CAST(doc_id * 64 + aoi_id AS HUGEINT) * 2654435761) % 4294967296) % 4 < 1"
 )
 
 
@@ -2879,6 +2908,7 @@ def queries() -> Dict[str, Callable]:
         "price_bands": q_price_bands,
         "dedup_incremental": q_dedup_incremental,
         "dup_ngrams": q_dup_ngrams,
+        "pip_sample": q_pip_sample,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -2974,6 +3004,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_paths": SQL_USER_PATHS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
+        "pip_sample": SQL_PIP_SAMPLE,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
