@@ -469,6 +469,29 @@ GROUP BY text
 """
 
 
+def q_similarity_join(sf_dir: str):
+    """R–S set-similarity join (PAPERS.md ICDE 2020 shape): near-dup
+    pairs ACROSS the even-doc_id and odd-doc_id halves of the corpus
+    at shingle-Jaccard ≥ 0.6. LSH candidate recall is approximate ⇒
+    rows-only; zero false positives (exact verify) and planted-pair
+    recall pinned in pytest (test_ops.py)."""
+
+    def _half(parity: int):
+        def _fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 2) == parity))
+
+        return _fn
+
+    left = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _half(0), batch_format="pyarrow"
+    )
+    right = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _half(1), batch_format="pyarrow"
+    )
+    return dedup.text_similarity_join(left, right, threshold=0.6)
+
+
 def q_dup_ngrams(sf_dir: str):
     """Cross-document duplicated 5-grams per doc (Lee et al. 2021
     exact-substring signal): two linear shuffles, 128-bit rolling
@@ -2916,6 +2939,7 @@ def queries() -> Dict[str, Callable]:
         "kmeans_clusters": q_kmeans_clusters,
         "minhash_clusters": q_minhash_clusters,
         "neardup_verified": q_neardup_verified,
+        "similarity_join": q_similarity_join,
         "embed_neardup": q_embed_neardup,
         "simhash": q_simhash,
         "langid": q_langid,

@@ -1351,3 +1351,182 @@ def decontaminate(train_ds, eval_ds, key_fn, eval_key_fn=None, concurrency: int 
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# R–S set-similarity join (two-table; PAPERS.md "Distributed Streaming
+# Set Similarity Join", ICDE 2020 shape)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_cross_pairs(g: pa.Table) -> pa.Table:
+    """(enc, band, band_hash, side) bucket rows → ALL cross-side
+    candidate pairs per (band, band_hash) run, fully vectorized
+    (repeat/offset arithmetic — no per-run Python loop)."""
+    empty = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    if len(g) == 0:
+        return empty
+    g = g.sort_by(
+        [
+            ("band", "ascending"),
+            ("band_hash", "ascending"),
+            ("side", "ascending"),
+            ("enc", "ascending"),
+        ]
+    )
+    b = g["band"].combine_chunks().to_numpy(zero_copy_only=False)
+    h = g["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    s = g["side"].combine_chunks().to_numpy(zero_copy_only=False)
+    e = g["enc"].combine_chunks().to_numpy(zero_copy_only=False)
+    new = np.r_[True, (b[1:] != b[:-1]) | (h[1:] != h[:-1])]
+    run = np.cumsum(new) - 1
+    nruns = run[-1] + 1
+    l_mask = s == 0
+    l_cnt = np.bincount(run[l_mask], minlength=nruns)
+    r_cnt = np.bincount(run[~l_mask], minlength=nruns)
+    run_starts = np.flatnonzero(new)
+    r_start = run_starts + l_cnt  # rights follow lefts inside each run
+    li = np.flatnonzero(l_mask)
+    rc = r_cnt[run[li]]  # rights available to each left row
+    total = int(rc.sum())
+    if total == 0:
+        return empty
+    out_l = np.repeat(li, rc)
+    seg_start = np.cumsum(rc) - rc
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, rc)
+    out_r = np.repeat(r_start[run[li]], rc) + within
+    return pa.table(
+        {
+            "src": pa.array(e[out_l], pa.int64()),
+            "dst": pa.array(e[out_r], pa.int64()),
+        }
+    )
+
+
+def text_similarity_join(
+    left,
+    right,
+    threshold: float = 0.7,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    n_buckets: int = 64,
+):
+    """R–S set-similarity JOIN: pairs (left_id, right_id) whose k-char
+    shingle Jaccard ≥ ``threshold``, across TWO datasets. Candidates
+    come from shared MinHash LSH bands (both sides banded with the
+    SAME permutations — a pair sharing no band is missed; recall rises
+    with ``bands``); every candidate is verified by EXACT Jaccard, so
+    the output has NO false positives. Scale shape:
+
+    - band rows carry only (enc_id, band, band_hash, side): text never
+      enters the LSH exchange; payloads re-join by id through the
+      tiered :func:`_rejoin_and_verify` path;
+    - per (band, band_hash) run, ALL cross-side pairs emit via
+      vectorized repeat/offset arithmetic — a hot band (boilerplate
+      shared by both corpora) quadratically inflates ITS run only;
+      cap/stopword such bands upstream if one key dominates;
+    - pair dedup (a pair sharing many bands) collapses in the
+      partial→final groupby inside the re-join.
+
+    ids are disambiguated by side (enc = 2·id / 2·id+1), so the two
+    tables may share id values.
+    """
+    import ray.data as _rd
+
+    def _enc_rows(side: int, id_name: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            ids = t[id_name].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            enc = ids * np.int64(2) + np.int64(side)
+            t2 = pa.table(
+                {"enc": pa.array(enc, pa.int64()), text_col: t[text_col].combine_chunks()}
+            )
+            out = minhash_band_rows(t2, "enc", text_col, num_perm, bands)
+            return out.append_column(
+                "side", pa.array(np.full(out.num_rows, side, np.int8))
+            )
+
+        return _fn
+
+    rows = left.map_batches(_enc_rows(0, left_id), batch_format="pyarrow").union(
+        right.map_batches(_enc_rows(1, right_id), batch_format="pyarrow")
+    )
+
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    def _route(t: pa.Table) -> pa.Table:
+        rb = (hash_columns(t, ["band", "band_hash"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(rb, pa.int64()))
+
+    cand = (
+        rows.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_cross_pairs(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    enc_union = left.map_batches(
+        lambda t: pa.table(
+            {
+                "enc": pa.array(
+                    t[left_id].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    * np.int64(2),
+                    pa.int64(),
+                ),
+                text_col: t[text_col].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        right.map_batches(
+            lambda t: pa.table(
+                {
+                    "enc": pa.array(
+                        t[right_id].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        * np.int64(2)
+                        + np.int64(1),
+                        pa.int64(),
+                    ),
+                    text_col: t[text_col].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    edges = _rejoin_and_verify(
+        cand,
+        enc_union,
+        "enc",
+        [text_col],
+        lambda g: _verify_text_pairs_bucket(g, text_col, shingle_k, threshold),
+        n_buckets,
+    )
+    if edges is None:
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def _decode(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "left_id": pa.array(src // 2, pa.int64()),
+                "right_id": pa.array(dst // 2, pa.int64()),
+            }
+        )
+
+    return edges.map_batches(_decode, batch_format="pyarrow")

@@ -1743,3 +1743,55 @@ def test_write_shards_rewrites_on_changed_input(ray_session, tmp_path):
     assert m4 == m3  # resumed
     m5 = shard.write_shards(rd.from_arrow(t2), out, "doc_id", 4, src_fingerprint="v2")
     assert m5["rows"] == 60 and m5["src_fingerprint"] == "v2"
+
+
+def test_text_similarity_join_planted_pairs(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    near = base[:-25] + "then sleeps soundly at home"
+    left = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [base, "completely different left content here " * 5,
+                     "another unrelated left document body " * 5],
+        }
+    )
+    right = pa.table(
+        {
+            "doc_id": pa.array([0, 7, 8], pa.int64()),  # id 0 overlaps left's
+            "text": [near, base, "unrelated right content entirely " * 5],
+        }
+    )
+    got = (
+        dedup.text_similarity_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            threshold=0.6,
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(got["left_id"], got["right_id"]))
+    # left 0 matches right 0 (near-dup) and right 7 (exact dup)
+    assert (0, 0) in pairs and (0, 7) in pairs
+    # exact-verify kills everything else (no false positives)
+    assert all(l == 0 for l, _ in pairs)
+    # brute-force check: every reported pair really is >= threshold
+    lt = {i: t for i, t in zip(left["doc_id"].to_pylist(), left["text"].to_pylist())}
+    rt = {i: t for i, t in zip(right["doc_id"].to_pylist(), right["text"].to_pylist())}
+    for l, r in pairs:
+        assert dedup.jaccard_shingles(lt[l], rt[r]) >= 0.6
+
+
+def test_text_similarity_join_no_candidates(ray_session):
+    left = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": ["alpha beta gamma " * 10]}
+    )
+    right = pa.table(
+        {"doc_id": pa.array([2], pa.int64()), "text": ["zeta eta theta iota " * 10]}
+    )
+    got = dedup.text_similarity_join(
+        rd.from_arrow(left), rd.from_arrow(right), threshold=0.9
+    ).to_pandas()
+    assert len(got) == 0
