@@ -2221,6 +2221,53 @@ SQL_SAMPLE_WEIGHTED = (
 )
 
 
+def q_join_sample_weighted(sf_dir: str):
+    """Weighted sampling OVER A JOIN (PAPERS.md EDBT 2023 shape):
+    A-ES k-sample of lineitem ⋈ orders rows ∝ l_extendedprice. The
+    sample keys derive from the composite lineitem id map-side AFTER
+    the join, so each joined batch forwards only its local top-k —
+    the full join result is never collected or sorted globally."""
+    from rio_cogeo_ray.stages import sketch
+
+    li = _read(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    orders = _read(
+        os.path.join(sf_dir, "orders.parquet"), ["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    joined = join_mod.bucketed_hash_join(li, orders, on="l_orderkey", n_buckets=16)
+
+    def _lkey(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "lkey", pa.array(ok * np.int64(8) + ln, pa.int64())
+        )
+
+    keyed = joined.map_batches(_lkey, batch_format="pyarrow")
+    picked = sketch.weighted_sample(keyed, "lkey", "l_extendedprice", WEIGHTED_K)
+    return picked.map_batches(
+        lambda t: t.select(["lkey", "l_extendedprice", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_SAMPLE_WEIGHTED = (
+    "WITH j AS (SELECT l_orderkey * 8 + l_linenumber AS lkey, l_extendedprice, "
+    "o_orderpriority FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+    # HUGEINT: lkey amplifies the knuth32 multiplicand 8x (see
+    # SQL_CORPUS_TO_SHARDS note)
+    "h AS (SELECT lkey, l_extendedprice, o_orderpriority, "
+    "(((CAST(lkey AS HUGEINT) * 2654435761) % 4294967296) + 1) / 4294967296.0 AS u FROM j) "
+    "SELECT lkey, l_extendedprice, o_orderpriority FROM h "
+    f"ORDER BY LN(u) / l_extendedprice DESC, lkey LIMIT {WEIGHTED_K}"
+)
+
+
 def q_bloom_semi(sf_dir: str):
     """Bloom-prefiltered large-large SEMI join (stages/join.py:
     bloom_semi_join): lineitems of high-value orders. The right side's
@@ -2932,6 +2979,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_incremental": q_dedup_incremental,
         "dup_ngrams": q_dup_ngrams,
         "pip_sample": q_pip_sample,
+        "join_sample_weighted": q_join_sample_weighted,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -3029,6 +3077,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,
+        "join_sample_weighted": SQL_JOIN_SAMPLE_WEIGHTED,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:
