@@ -435,3 +435,48 @@ def test_bpe_trainer_incremental_equals_recount(words, n_merges):
             vocab[w] = (out, f)
 
     assert train_bpe_merges(wf, n_merges) == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),   # band
+            st.integers(0, 2),   # band_hash
+            st.integers(0, 1),   # side
+            st.integers(0, 40),  # id
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_bucket_cross_pairs_matches_brute_force(rows):
+    """The vectorized per-run cartesian emits exactly the cross-side
+    pairs sharing a (band, band_hash) key — multiset-equal to brute
+    force (same (L,R) pair via two bands appears twice; dedup is the
+    downstream groupby's job)."""
+    import collections
+
+    import pyarrow as pa
+
+    from rio_cogeo_ray.stages.dedup import _bucket_cross_pairs
+
+    enc = [i * 2 + s for (_, _, s, i) in rows]
+    t = pa.table(
+        {
+            "enc": pa.array(enc, pa.int64()),
+            "band": pa.array([r[0] for r in rows], pa.int64()),
+            "band_hash": pa.array([r[1] for r in rows], pa.int64()),
+            "side": pa.array([r[2] for r in rows], pa.int8()),
+        }
+    )
+    got = _bucket_cross_pairs(t)
+    got_pairs = collections.Counter(
+        zip(got["src"].to_pylist(), got["dst"].to_pylist())
+    )
+    exp = collections.Counter()
+    for (b1, h1, s1, i1) in rows:
+        for (b2, h2, s2, i2) in rows:
+            if b1 == b2 and h1 == h2 and s1 == 0 and s2 == 1:
+                exp[(i1 * 2, i2 * 2 + 1)] += 1
+    assert got_pairs == exp

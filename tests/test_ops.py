@@ -1795,3 +1795,17 @@ def test_text_similarity_join_no_candidates(ray_session):
         rd.from_arrow(left), rd.from_arrow(right), threshold=0.9
     ).to_pandas()
     assert len(got) == 0
+
+
+def test_grouped_hll_single_group_equals_global(ray_session):
+    """With one group, grouped HLL must reproduce the global estimator
+    bit-for-bit (same registers, same bias correction)."""
+    from rio_cogeo_ray.stages import sketch
+
+    vals = [f"v-{i % 7000}" for i in range(30_000)]
+    t = pa.table({"lang": ["xx"] * len(vals), "s": vals})
+    ds = rd.from_arrow(t).repartition(5)
+    grouped = sketch.grouped_hll_distinct(ds, "lang", "s", p=12, n_buckets=2).to_pandas()
+    glob = sketch.hll_count_distinct(rd.from_arrow(t).repartition(5), "s", p=12)
+    assert len(grouped) == 1
+    assert grouped["approx_distinct"].iloc[0] == glob
