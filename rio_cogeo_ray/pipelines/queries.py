@@ -229,17 +229,19 @@ def q_pip_sample(sf_dir: str):
     applies to the join OUTPUT stream map-side, so the sample never
     materializes the full join beyond each streamed batch. Keyed on
     the composite (doc_id, aoi_id) so pairs — not docs — are sampled."""
-    from rio_cogeo_ray.stages.sketch import knuth32
+    from rio_cogeo_ray.stages.sketch import hash_sample_batch
 
     ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
     joined = pip_stage(ds, mode="inner")
 
     def _sample(t: pa.Table) -> pa.Table:
+        # composite pair key, then the ONE canonical Bernoulli filter
+        # (sketch.hash_sample_batch — the predicate the SQL mirrors)
         t = t.select(["doc_id", "aoi_id"])
         did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
         aid = t["aoi_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keep = (knuth32(did * np.int64(64) + aid) % np.uint64(4)) < np.uint64(1)
-        return t.filter(pa.array(keep))
+        keyed = t.append_column("__pair", pa.array(did * np.int64(64) + aid, pa.int64()))
+        return hash_sample_batch(keyed, "__pair", 1, 4).drop_columns(["__pair"])
 
     return joined.map_batches(_sample, batch_format="pyarrow")
 

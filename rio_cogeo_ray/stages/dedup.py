@@ -1435,7 +1435,12 @@ def text_similarity_join(
       partial→final groupby inside the re-join.
 
     ids are disambiguated by side (enc = 2·id / 2·id+1), so the two
-    tables may share id values.
+    tables may share id values. PRECONDITION: ids are unique WITHIN
+    each side (the primary-key contract every id-addressed operator
+    here assumes) — a duplicated id makes pair verification
+    ill-defined (the payload re-join would attach an arbitrary copy of
+    that id's text, or drop the pair on the bucketed tier); dedup by
+    id first if the input can violate it.
     """
     import ray.data as _rd
 

@@ -111,15 +111,20 @@ def write_shards(
             and prev.get("salt") == int(salt)
             and prev.get("id_col") == id_col
         )
+        # cheap directory-existence check FIRST: the no-fingerprint
+        # fallback below executes the full upstream chain (ds.count()),
+        # which would be wasted when a missing shard dir forces a
+        # rewrite anyway
+        same = same and all(
+            os.path.isdir(os.path.join(out_dir, f"shard={k}"))
+            for k in prev.get("shard_rows", {})
+        )
         if same:
             if src_fingerprint is not None or prev.get("src_fingerprint"):
                 same = prev.get("src_fingerprint") == src_fingerprint
             else:
                 same = prev.get("rows") == ds.count()
-        if same and all(
-            os.path.isdir(os.path.join(out_dir, f"shard={k}"))
-            for k in prev.get("shard_rows", {})
-        ):
+        if same:
             return prev
 
     # stale or parameter-mismatched output: clear before rewriting
