@@ -471,6 +471,17 @@ GROUP BY text
 """
 
 
+def q_user_activity(sf_dir: str):
+    """Per-user exponentially time-decayed activity score at each
+    user's last event (half-life 1 day) — the recency-weighted feature
+    pass. Float exp ⇒ rows-only; exact pandas-oracle + underflow-
+    robustness pinned in pytest (test_ops.py)."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts", "value"])
+    return window_mod.decayed_sum(ds, half_life=86_400e6)  # µs ticks
+
+
 def q_similarity_join(sf_dir: str):
     """R–S set-similarity join (PAPERS.md ICDE 2020 shape): near-dup
     pairs ACROSS the even-doc_id and odd-doc_id halves of the corpus
@@ -2990,6 +3001,7 @@ def queries() -> Dict[str, Callable]:
         "minhash_clusters": q_minhash_clusters,
         "neardup_verified": q_neardup_verified,
         "similarity_join": q_similarity_join,
+        "user_activity": q_user_activity,
         "embed_neardup": q_embed_neardup,
         "simhash": q_simhash,
         "langid": q_langid,

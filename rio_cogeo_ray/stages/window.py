@@ -421,3 +421,77 @@ def path_agg(
         .groupby("__bucket")
         .map_groups(_join_bucket, batch_format="pyarrow")
     )
+
+
+def decayed_sum(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life: float = 3600.0,
+    n_buckets: int = 64,
+):
+    """Per-key exponentially time-decayed activity score at the key's
+    LAST event: ``score = Σ_j v_j · 2^(−(t_last − t_j)/half_life)`` —
+    the standard recency-weighted feature (user activity, domain
+    freshness) a training-data pipeline attaches before sampling.
+
+    Numerically total by construction: exponents are always ≤ 0, so an
+    arbitrarily long history can only UNDERFLOW ancient events to zero
+    (their true contribution), never overflow — no rebasing or blocked
+    recurrence needed.
+
+    Partitioning: one key's history co-locates in one reduce bucket
+    (the running_total contract); inside a bucket every key computes in
+    one vectorized pass (sort → segment boundaries → exp2 → reduceat).
+    Returns (key, last_ts, decayed) rows, one per key.
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: k,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                value_col: t[value_col].combine_chunks().cast(pa.float64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _decay_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        if not g.num_rows:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "last_ts": pa.array([], pa.int64()),
+                    "decayed": pa.array([], pa.float64()),
+                }
+            )
+        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        ends = np.r_[starts[1:], len(k)] - 1
+        last_t = np.repeat(t[ends], np.diff(np.r_[starts, len(k)]))
+        contrib = v * np.exp2(-(last_t - t).astype(np.float64) / float(half_life))
+        dec = np.add.reduceat(contrib, starts)
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                "last_ts": pa.array(t[ends], pa.int64()),
+                "decayed": pa.array(dec, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_cast, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_decay_bucket, batch_format="pyarrow")
+    )

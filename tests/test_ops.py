@@ -1809,3 +1809,48 @@ def test_grouped_hll_single_group_equals_global(ray_session):
     glob = sketch.hll_count_distinct(rd.from_arrow(t).repartition(5), "s", p=12)
     assert len(grouped) == 1
     assert grouped["approx_distinct"].iloc[0] == glob
+
+
+def test_decayed_sum_vs_pandas_oracle(ray_session):
+    from rio_cogeo_ray.stages import window
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+            "ts": pa.array(rng.randint(0, 100_000, n).astype(np.int64)),
+            "value": pa.array(rng.rand(n) * 10),
+        }
+    )
+    got = (
+        window.decayed_sum(
+            rd.from_arrow(t).repartition(4), half_life=5000.0, n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        last = g["ts"].iloc[-1]
+        dec = (g["value"] * np.exp2(-(last - g["ts"]) / 5000.0)).sum()
+        rows.append((uid, last, dec))
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["user_id", "last_ts", "decayed"])
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["last_ts"].tolist() == exp["last_ts"].tolist()
+    assert np.allclose(got["decayed"], exp["decayed"])
+    # ancient events underflow to zero, never overflow: huge span is finite
+    t2 = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([0, 10_000_000_000], pa.int64()),
+            "value": pa.array([5.0, 3.0]),
+        }
+    )
+    out = window.decayed_sum(rd.from_arrow(t2), half_life=1.0).to_pandas()
+    assert np.isfinite(out["decayed"]).all() and out["decayed"].iloc[0] == 3.0
