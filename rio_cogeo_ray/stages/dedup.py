@@ -18,6 +18,12 @@ Scale notes (the 100 TB story):
 - Connected components runs distributed min-label propagation with a
   bounded round count; each round is a pair of small groupbys over
   (node, label) — no driver-side union-find over big data.
+- Incremental crawl dedup (incremental_dedup) checks only the DELTA
+  against the history: a bloom of the new side prunes the prior side
+  map-side (false positives are harmless under anti semantics).
+- The R–S set-similarity join (text_similarity_join) bands BOTH tables
+  with the same permutations and verifies every cross-side candidate
+  by exact Jaccard — zero false positives, recall set by bands.
 """
 
 from __future__ import annotations
