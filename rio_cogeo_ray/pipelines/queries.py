@@ -2910,6 +2910,104 @@ def q_quantile_sketch(sf_dir: str):
     )
 
 
+SEG_W = 10
+
+
+def q_seg_dedup(sf_dir: str):
+    """Corpus-wide segment-level dedup scrub (stages/text.py:
+    segment_dedup — the CCNet/C4 "drop duplicated lines across the
+    corpus" step over fixed 10-word windows): every segment keeps only
+    its first (doc_id, sidx) occurrence, docs are reassembled from
+    surviving segments. Text crosses the wire once (the re-join);
+    winner selection exchanges 16-byte hashes only."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.segment_dedup(ds, seg_words=SEG_W)
+
+
+SQL_SEG_DEDUP = rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(CEIL(len(toks) / {SEG_W}.0) AS BIGINT) AS nseg FROM w),
+s AS (SELECT doc_id, g AS sidx,
+      array_to_string(list_slice(toks, g * {SEG_W} + 1, g * {SEG_W} + {SEG_W}), ' ') AS seg
+      FROM n CROSS JOIN generate_series(0, 1023) gs(g) WHERE g < nseg),
+k AS (SELECT doc_id, sidx, seg,
+      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, sidx) AS rn FROM s)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY sidx) AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+HOST_CAP_K = 3
+
+
+def q_host_cap(sf_dir: str):
+    """Per-host corpus cap (stages/agg.py: top_rows_by): keep at most
+    3 docs per host (longest n_chars first, doc_id tie-break) so no
+    single site dominates the training mix. Host is the deterministic
+    doc_id % 53 synthesis (the corpus has no url column — same doctrine
+    as q_host_stats). Partial top-k per batch collapses the exchange to
+    ≤k rows per host per batch."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def _host(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("host", pa.array(d % 53, pa.int64()))
+
+    from rio_cogeo_ray.stages.agg import top_rows_by
+
+    capped = top_rows_by(
+        ds.map_batches(_host, batch_format="pyarrow"),
+        keys=["host"],
+        order_by=[("n_chars", "descending"), ("doc_id", "ascending")],
+        k=HOST_CAP_K,
+    )
+    return capped.map_batches(
+        lambda t: t.select(["host", "doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+SQL_HOST_CAP = f"""
+WITH d AS (SELECT doc_id % 53 AS host, doc_id, n_chars FROM documents),
+r AS (SELECT host, doc_id, n_chars,
+      ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn FROM d)
+SELECT host, doc_id, n_chars FROM r WHERE rn <= {HOST_CAP_K}
+"""
+
+
+LM_MIN_COUNT = 4
+
+
+def q_lm_coverage(sf_dir: str):
+    """Trained-model quality scoring (stages/text.py: lm_coverage —
+    the CCNet perplexity-filter shape with the "LM" trained on-cluster):
+    the source='src0' slice trains a character-trigram vocabulary
+    (count ≥ 4) distributed; the bounded vocab broadcasts once; every
+    doc is scored in-vocabulary ppm by an actor pool. Integer ppm keeps
+    the whole train→broadcast→score chain SQL-exact."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    ref = rd.read_parquet(path, columns=["text"], filter=pads.field("source") == "src0")
+    return text.lm_coverage(docs, ref, min_count=LM_MIN_COUNT)
+
+
+SQL_LM_COVERAGE = f"""
+WITH rt AS (SELECT substring(text, g, 3) AS tri FROM documents
+            CROSS JOIN generate_series(1, 2048) gs(g)
+            WHERE source = 'src0' AND g <= length(text) - 2),
+vocab AS (SELECT tri FROM rt GROUP BY tri HAVING COUNT(*) >= {LM_MIN_COUNT}),
+dt AS (SELECT doc_id, substring(text, g, 3) AS tri FROM documents
+       CROSS JOIN generate_series(1, 2048) gs(g)
+       WHERE g <= length(text) - 2)
+SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS tri_total,
+       CAST((1000000 * COUNT(v.tri)) // COUNT(*) AS BIGINT) AS in_vocab_ppm
+FROM dt LEFT JOIN vocab v USING (tri)
+GROUP BY dt.doc_id
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -2919,6 +3017,9 @@ def queries() -> Dict[str, Callable]:
     ``no_oracle`` and must not burn driver slots."""
     return {
         # -- SQL-exact, never driver-checked before round 3 ----------------
+        "seg_dedup": q_seg_dedup,
+        "host_cap": q_host_cap,
+        "lm_coverage": q_lm_coverage,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3033,6 +3134,9 @@ def oracle_sql() -> Dict[str, str]:
         "split_assign": SQL_SPLIT_ASSIGN,
         "corpus_to_shards": SQL_CORPUS_TO_SHARDS,
         "price_bands": SQL_PRICE_BANDS,
+        "seg_dedup": SQL_SEG_DEDUP,
+        "host_cap": SQL_HOST_CAP,
+        "lm_coverage": SQL_LM_COVERAGE,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

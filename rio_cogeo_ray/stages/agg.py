@@ -268,3 +268,73 @@ def melt(
         return pa.concat_tables(parts)
 
     return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def _topk_rows(
+    batch: pa.Table, keys: Sequence[str], order_by: Sequence[Tuple[str, str]], k: int
+) -> pa.Table:
+    """Top-``k`` surviving ROWS per key group under the (col, dir)
+    ``order_by`` spec — the k-generalization of :func:`_argmax_rows`
+    (k=1 reduces to it). Deterministic iff ``order_by`` ends in a
+    unique column. One vectorized sort + run-rank mask, no per-group
+    Python."""
+    if len(batch) == 0:
+        return batch
+    batch = batch.sort_by(
+        [(c, "ascending") for c in keys] + [(c, d) for c, d in order_by]
+    )
+    karrs = [batch[c].combine_chunks().to_numpy(zero_copy_only=False) for c in keys]
+    new = np.zeros(len(batch), dtype=bool)
+    new[0] = True
+    for ka in karrs:
+        new[1:] |= ka[1:] != ka[:-1]
+    idx = np.arange(len(batch), dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    rank = idx - run_start
+    return batch.take(pa.array(np.flatnonzero(rank < k), pa.int64()))
+
+
+def top_rows_by(
+    ds,
+    keys: Sequence[str],
+    order_by: Sequence[Tuple[str, str]],
+    k: int,
+    batch_size: int = 65536,
+    n_buckets: int = 64,
+):
+    """Keep at most ``k`` rows per key — the per-domain/per-host corpus
+    cap every web-crawl pipeline applies so no single site dominates
+    the training mix (and the generic per-key-top-k rows primitive:
+    newest k crawls per url, best k candidates per query, ...).
+
+    Same partial→final shape as :func:`latest_by`: per-key top-k is an
+    associative selection, so each input batch collapses to ≤k
+    candidate rows per key BEFORE the exchange — the shuffle moves
+    O(k · keys_per_batch) rows, never the raw stream — and the final
+    per-bucket pass is one vectorized sort + run-rank mask. Equivalent
+    to SQL ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by)
+    <= k``. ``order_by`` entries are (column, 'ascending'|'descending')
+    and must end in a unique column for a deterministic result.
+
+    100 TB contract: output ≤ k rows per distinct key by construction;
+    hot keys (a host with 10^8 pages) cost one ≤k-row partial per
+    input batch, so the reduce bucket sees O(k · n_batches) rows for
+    that key, not 10^8 — no salting needed.
+    """
+    keys = list(keys)
+    order_by = [(c, d) for c, d in order_by]
+    partial = ds.map_batches(
+        lambda t: _topk_rows(t, keys, order_by, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    bucketed = partial.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: _topk_rows(g.drop_columns(["__bucket"]), keys, order_by, k),
+        batch_format="pyarrow",
+    )

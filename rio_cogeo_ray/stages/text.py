@@ -770,3 +770,381 @@ def cross_doc_ngrams(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup scrub (CCNet / C4 line-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_with_positions(batch: pa.Table, id_col: str, text_col: str):
+    """Shared tokenizer kernel: ``\\S+`` tokens of every doc with
+    (row-index, word-position-within-doc) arrays. Returns
+    (toks: pa.Array, row: np.ndarray, wpos: np.ndarray) — empty docs
+    contribute nothing."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.split_pattern_regex(t.cast(pa.string()), r"\s+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(keep))
+    row = row[keep]
+    m = len(row)
+    if m == 0:
+        return toks, row, np.zeros(0, dtype=np.int64)
+    idx = np.arange(m, dtype=np.int64)
+    first = np.r_[True, row[1:] != row[:-1]]
+    doc_start = np.maximum.accumulate(np.where(first, idx, 0))
+    return toks, row, idx - doc_start
+
+
+def _doc_segment_rows(
+    batch: pa.Table, seg_words: int, id_col: str, text_col: str
+) -> pa.Table:
+    """(id, sidx, s1, s2) rows: each doc split into consecutive
+    non-overlapping ``seg_words``-word windows (the last one may be
+    shorter), hashed as a 128-bit token-SEQUENCE rolling hash — the
+    same collision contract as dedup's hash128 and cross_doc_ngrams:
+    equal hash ⟺ equal token sequence (mod 2^-128 odds), and equal
+    token sequence ⟺ equal single-space-joined segment text, so the
+    hash stands in exactly for SQL's PARTITION BY segment-string."""
+    import polars as pl
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "sidx": pa.array([], pa.int64()),
+            "s1": pa.array([], pa.int64()),
+            "s2": pa.array([], pa.int64()),
+        }
+    )
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    toks, row, wpos = _tokenize_with_positions(batch, id_col, text_col)
+    if len(row) == 0:
+        return empty
+    th1 = pl.from_arrow(toks.cast(pa.large_string())).hash(seed=101).to_numpy().astype(np.uint64)
+    th2 = splitmix64(th1 ^ np.uint64(0xD1B54A32D192ED03))
+    starts = np.flatnonzero(wpos % seg_words == 0)
+    words_per_doc = np.bincount(row, minlength=len(batch))
+    seg_len = np.minimum(seg_words, words_per_doc[row[starts]] - wpos[starts])
+    n = len(starts)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for j in range(seg_words):
+        msk = seg_len > j
+        if not msk.any():
+            break
+        ii = starts[msk] + j
+        h1[msk] = splitmix64(h1[msk] + th1[ii])
+        h2[msk] = splitmix64(h2[msk] + th2[ii])
+    return pa.table(
+        {
+            id_col: ids.cast(pa.int64()).take(pa.array(row[starts], pa.int64())),
+            "sidx": pa.array(wpos[starts] // seg_words, pa.int64()),
+            "s1": pa.array(h1.astype(np.int64), pa.int64()),
+            "s2": pa.array(h2.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def segment_dedup(
+    ds,
+    seg_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Corpus-wide SEGMENT-level dedup scrub (the CCNet / C4 "drop
+    duplicated lines across the corpus" step, adapted to fixed
+    ``seg_words``-word windows since the synthetic corpus has no
+    newlines): every segment keeps only its FIRST occurrence
+    (min (doc_id, sidx) lexicographic), every later copy is scrubbed,
+    and docs are reassembled from their surviving segments in order.
+    Docs left with zero segments drop out. Returns
+    (id, text_clean, n_kept).
+
+    SQL mirror: ROW_NUMBER() OVER (PARTITION BY segment ORDER BY
+    doc_id, sidx) = 1 → string_agg(segment, ' ' ORDER BY sidx).
+
+    Scale shape — text crosses the wire ONCE:
+
+    1. map: docs → (id, sidx, s1, s2) segment-hash rows; text never
+       enters this exchange (~16 B/segment vs ~60 B/segment of text).
+    2. winner: bucket by hash(s1) → one vectorized sort + run-first
+       per bucket → keeper rows (id, sidx). A boilerplate segment
+       duplicated 10^8 times concentrates its postings in one bucket
+       but collapses in that one linear pass — no pairwise work.
+    3. re-join: keepers and full docs co-bucket by hash(id) (the ONE
+       text exchange); per bucket a vectorized polars semi-join on
+       (id, sidx) + ordered group-join rebuilds the scrubbed text.
+
+    At 100 TB the winner exchange is ~25% of corpus bytes (16 B per
+    10-word segment) and the re-join moves each doc exactly once —
+    the same budget as any bucketed join of the corpus against a
+    keyed side (stages/join.py doctrine)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    seg_rows = ds.map_batches(
+        lambda t: _doc_segment_rows(t, seg_words, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+    def _route_seg(t: pa.Table) -> pa.Table:
+        b = (
+            splitmix64(t["s1"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _winners(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        if not g.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sidx": pa.array([], pa.int64())}
+            )
+        g = g.sort_by(
+            [("s1", "ascending"), ("s2", "ascending"), (id_col, "ascending"), ("sidx", "ascending")]
+        )
+        s1 = g["s1"].combine_chunks().to_numpy(zero_copy_only=False)
+        s2 = g["s2"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+        return g.take(pa.array(np.flatnonzero(first), pa.int64())).select([id_col, "sidx"])
+
+    keepers = (
+        seg_rows.map_batches(_route_seg, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_winners, batch_format="pyarrow")
+    )
+
+    # --- re-join by id: keepers (sidx >= 0, text null) ∪ docs (sidx = -1) ---
+    def _tag_keeper(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks(),
+                "sidx": t["sidx"].combine_chunks(),
+                text_col: pa.nulls(len(t), pa.string()),
+            }
+        )
+
+    def _tag_doc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "sidx": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
+                text_col: t[text_col].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    def _route_id(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(ids) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+            }
+        )
+        g = g.drop_columns(["__bucket"])
+        if not g.num_rows:
+            return empty
+        sidx = g["sidx"].combine_chunks().to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(sidx < 0)).select([id_col, text_col])
+        keep = g.filter(pa.array(sidx >= 0)).select([id_col, "sidx"])
+        if not docs.num_rows or not keep.num_rows:
+            return empty
+        toks, row, wpos = _tokenize_with_positions(docs, id_col, text_col)
+        if len(row) == 0:
+            return empty
+        dids = docs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        wdf = pl.DataFrame(
+            {
+                "id": dids[row],
+                "sidx": wpos // seg_words,
+                "wpos": wpos,
+                "tok": pl.from_arrow(toks.cast(pa.large_string())),
+            }
+        )
+        kdf = pl.from_arrow(keep).rename({id_col: "id"})
+        kept = wdf.join(kdf, on=["id", "sidx"], how="semi").sort(["id", "wpos"])
+        if not len(kept):
+            return empty
+        out = kept.group_by("id", maintain_order=True).agg(
+            pl.col("tok").str.join(" ").alias("text_clean"),
+            pl.col("sidx").n_unique().alias("n_kept"),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out["id"].to_numpy(), pa.int64()),
+                "text_clean": pa.array(out["text_clean"].to_list(), pa.string()),
+                "n_kept": pa.array(out["n_kept"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = keepers.map_batches(_tag_keeper, batch_format="pyarrow").union(
+        ds.map_batches(_tag_doc, batch_format="pyarrow")
+    )
+    return (
+        tagged.map_batches(_route_id, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram LM coverage scoring (CCNet perplexity-filter analog)
+# ---------------------------------------------------------------------------
+
+
+def _doc_trigram_keys(batch: pa.Table, text_col: str):
+    """(keys, rows): every overlapping 3-codepoint window of every doc
+    packed COLLISION-FREE into one uint64 (3 × 21 bits — Unicode code
+    points are < 2^21), plus the owning row index. Exactness contract:
+    key equality ⟺ 3-char substring equality, so the packed int
+    stands in for SQL ``substring(text, g, 3)`` literally."""
+    doc_idx, cp = _codepoints(batch[text_col])
+    if len(cp) < 3:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    c = cp.astype(np.uint64)
+    keys = (c[:-2] << np.uint64(42)) | (c[1:-1] << np.uint64(21)) | c[2:]
+    valid = doc_idx[:-2] == doc_idx[2:]  # window must not span docs
+    return keys[valid], doc_idx[:-2][valid]
+
+
+def train_trigram_vocab(ds, text_col: str = "text", min_count: int = 2, n_buckets: int = 64):
+    """Train the character-trigram "language model" on a reference
+    corpus: the vocabulary of trigrams occurring ≥ ``min_count`` times.
+    Distributed shape: per-batch ``np.unique`` partial counts (the
+    Zipf-collapse doctrine of token_value_counts) → bucket by
+    hash(key) → one sort+reduceat sum per bucket → threshold filter.
+    Output rows (tri int64) are BOUNDED by the codepoint-alphabet cube
+    (natural-language corpora: ~10^5–10^6 rows), not by corpus size —
+    that is what makes the model broadcastable at 100 TB."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys, _ = _doc_trigram_keys(t, text_col)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "tri": pa.array(uniq.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (splitmix64(uniq) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def _sum_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({"tri": pa.array([], pa.int64())})
+        tri = g["tri"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(tri, kind="stable")
+        tri_s, cnt_s = tri[order], cnt[order]
+        first = np.r_[True, tri_s[1:] != tri_s[:-1]]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(cnt_s, starts)
+        keep = sums >= min_count
+        return pa.table({"tri": pa.array(tri_s[starts][keep], pa.int64())})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("__bucket")
+        .map_groups(lambda g: _sum_bucket(g.drop_columns(["__bucket"])), batch_format="pyarrow")
+    )
+
+
+class TrigramCoverage:
+    """Actor: score every doc against the broadcast trigram vocabulary
+    — in-vocabulary ratio in ppm (integer, so the score is exact and
+    SQL-mirrorable; the float-perplexity variant would be rows-only).
+    Vocabulary resolves ONCE per actor in ``__init__`` (``ray.get`` of
+    the shared object-store ref + one sort); per batch the work is one
+    packed-trigram pass + one ``searchsorted`` membership + two
+    ``bincount``s."""
+
+    def __init__(self, vocab_ref, id_col: str = "doc_id", text_col: str = "text"):
+        import ray as _ray
+
+        self.vocab = np.sort(_ray.get(vocab_ref).astype(np.uint64))
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "tri_total": pa.array([], pa.int64()),
+                "in_vocab_ppm": pa.array([], pa.int64()),
+            }
+        )
+        keys, rows = _doc_trigram_keys(batch, self.text_col)
+        if not len(keys):
+            return empty
+        pos = np.searchsorted(self.vocab, keys)
+        pos_c = np.minimum(pos, len(self.vocab) - 1) if len(self.vocab) else pos
+        hit = (
+            self.vocab[pos_c] == keys if len(self.vocab) else np.zeros(len(keys), dtype=bool)
+        )
+        n = len(batch)
+        total = np.bincount(rows, minlength=n)
+        hits = np.bincount(rows[hit], minlength=n)
+        nz = total > 0
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ppm = (np.int64(1_000_000) * hits[nz]) // total[nz]
+        return pa.table(
+            {
+                self.id_col: ids.cast(pa.int64()).take(pa.array(np.flatnonzero(nz), pa.int64())),
+                "tri_total": pa.array(total[nz].astype(np.int64), pa.int64()),
+                "in_vocab_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def lm_coverage(
+    docs_ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    concurrency: int = 2,
+):
+    """Model-train → broadcast → score: the CCNet-style quality pass
+    with the "LM" trained ON-CLUSTER from a reference slice instead of
+    imported. ``ref_ds`` (e.g. the curated/wiki-like subset) trains the
+    trigram vocabulary distributed (:func:`train_trigram_vocab`); the
+    bounded vocab ships once via ``ray.put``; every doc gets its
+    in-vocab ppm from an actor-pool map — ZERO shuffle of the corpus
+    side, the same broadcast discipline as dedup.decontaminate."""
+    import ray as _ray
+
+    vt = train_trigram_vocab(ref_ds, text_col=text_col, min_count=min_count)
+    parts = [pa.table(b) if not isinstance(b, pa.Table) else b for b in
+             vt.iter_batches(batch_format="pyarrow", batch_size=None)]
+    if parts:
+        vocab = pa.concat_tables(parts)["tri"].combine_chunks().to_numpy(zero_copy_only=False)
+    else:
+        vocab = np.zeros(0, dtype=np.int64)
+    ref = _ray.put(vocab.astype(np.uint64))
+    return docs_ds.map_batches(
+        TrigramCoverage,
+        fn_constructor_args=(ref, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

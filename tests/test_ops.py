@@ -1854,3 +1854,189 @@ def test_decayed_sum_vs_pandas_oracle(ray_session):
     )
     out = window.decayed_sum(rd.from_arrow(t2), half_life=1.0).to_pandas()
     assert np.isfinite(out["decayed"]).all() and out["decayed"].iloc[0] == 3.0
+
+
+def test_top_rows_by_vs_pandas_oracle(ray_session):
+    # skewed keys: key 0 holds half the rows — the partial top-k must
+    # still collapse it; mixed directions (val DESC, id ASC tiebreak)
+    rng = np.random.RandomState(11)
+    n = 3000
+    key = np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 40, n)).astype(np.int64)
+    val = rng.randint(0, 50, n).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    t = pa.table({"k": key, "v": val, "rid": rid})
+    got = (
+        agg.top_rows_by(
+            rd.from_arrow(t).repartition(8),
+            keys=["k"],
+            order_by=[("v", "descending"), ("rid", "ascending")],
+            k=5,
+        )
+        .to_pandas()
+        .sort_values(["k", "v", "rid"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "v", "rid"], ascending=[True, False, True])
+    expect = df.groupby("k", sort=True).head(5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "rid"]], expect[["k", "v", "rid"]])
+    # per-key cap holds
+    assert got.groupby("k").size().max() <= 5
+
+
+def test_top_rows_by_partitioning_invariant(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(200, dtype=np.int64) % 7),
+            "v": pa.array((np.arange(200, dtype=np.int64) * 13) % 31),
+            "rid": pa.array(np.arange(200, dtype=np.int64)),
+        }
+    )
+    def run(parts):
+        return (
+            agg.top_rows_by(
+                rd.from_arrow(t).repartition(parts),
+                keys=["k"],
+                order_by=[("v", "descending"), ("rid", "ascending")],
+                k=3,
+            )
+            .to_pandas()
+            .sort_values(["k", "v", "rid"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(run(2), run(9))
+
+
+def _seg_dedup_oracle(df, w):
+    """Pure-pandas mirror of segment_dedup: first (doc_id, sidx) wins."""
+    rows = []
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        for s in range(0, (len(toks) + w - 1) // w):
+            rows.append((r["doc_id"], s, " ".join(toks[s * w : s * w + w])))
+    segs = pd.DataFrame(rows, columns=["doc_id", "sidx", "seg"])
+    segs = segs.sort_values(["doc_id", "sidx"]).reset_index(drop=True)
+    first = segs.loc[segs.groupby("seg")[["doc_id"]].idxmin()["doc_id"]]
+    kept = segs.merge(first[["doc_id", "sidx"]], on=["doc_id", "sidx"], how="inner")
+    out = (
+        kept.sort_values(["doc_id", "sidx"])
+        .groupby("doc_id")
+        .agg(text_clean=("seg", " ".join), n_kept=("sidx", "nunique"))
+        .reset_index()
+    )
+    return out
+
+
+def test_segment_dedup_scrubs_planted_copies(ray_session):
+    w = 3
+    base = "alpha beta gamma delta epsilon zeta"  # 2 segments at w=3
+    docs = [
+        (0, base),
+        (1, base + " eta theta iota"),          # repeats doc 0's segments + own
+        (2, "unique one two three four five"),
+        (3, "alpha beta gamma completely different tail"),  # repeats seg 0 only
+        (4, base),                               # full dup: everything scrubbed
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    got = (
+        text.segment_dedup(rd.from_arrow(t).repartition(3), seg_words=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = _seg_dedup_oracle(t.to_pandas(), w)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "text_clean", "n_kept"]],
+        expect[["doc_id", "text_clean", "n_kept"]],
+        check_dtype=False,
+    )
+    # doc 4 (pure copy of doc 0) must vanish entirely
+    assert 4 not in set(got["doc_id"])
+    # doc 1 keeps only its novel third segment
+    assert got.set_index("doc_id").loc[1, "text_clean"] == "eta theta iota"
+
+
+def test_segment_dedup_partitioning_invariant(ray_session):
+    rng = np.random.RandomState(5)
+    vocab = ["w%d" % i for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(4, 40)).tolist()) for _ in range(120)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    def run(parts):
+        return (
+            text.segment_dedup(rd.from_arrow(t).repartition(parts), seg_words=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    a, b = run(2), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    expect = _seg_dedup_oracle(t.to_pandas(), 4)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "text_clean", "n_kept"]],
+        expect[["doc_id", "text_clean", "n_kept"]],
+        check_dtype=False,
+    )
+
+
+def test_lm_coverage_vs_python_oracle(ray_session):
+    ref_texts = ["the cat sat on the mat", "the dog sat on the log"]
+    score_texts = ["the cat", "xyzzy!!", "on the mat", "ab"]  # "ab": <3 cps → dropped
+    ref = pa.table({"text": pa.array(ref_texts, pa.string())})
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(score_texts, pa.string()),
+        }
+    )
+    min_count = 2
+    from collections import Counter
+
+    cnt = Counter()
+    for s in ref_texts:
+        for i in range(len(s) - 2):
+            cnt[s[i : i + 3]] += 1
+    vocab = {g for g, c in cnt.items() if c >= min_count}
+    got = (
+        text.lm_coverage(
+            rd.from_arrow(docs).repartition(2),
+            rd.from_arrow(ref),
+            min_count=min_count,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        s = score_texts[int(r["doc_id"])]
+        tris = [s[i : i + 3] for i in range(len(s) - 2)]
+        hits = sum(1 for g in tris if g in vocab)
+        assert r["tri_total"] == len(tris)
+        assert r["in_vocab_ppm"] == (1_000_000 * hits) // len(tris)
+    assert set(got["doc_id"]) == {0, 1, 2}  # doc 3 too short → dropped
+
+
+def test_lm_coverage_empty_vocab(ray_session):
+    # reference too small for any trigram to reach min_count → ppm 0
+    ref = pa.table({"text": pa.array(["abcdef"], pa.string())})
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["abcdef"], pa.string()),
+        }
+    )
+    got = text.lm_coverage(
+        rd.from_arrow(docs), rd.from_arrow(ref), min_count=5
+    ).to_pandas()
+    assert got["in_vocab_ppm"].tolist() == [0]
+    assert got["tri_total"].tolist() == [4]
