@@ -47,13 +47,29 @@ def _parse_boxes(value: str):
 
 
 def _ray_init(num_cpus: int):
+    """Own the Ray session. Cluster-aware: under ``ray job submit`` the
+    job runtime exports ``RAY_ADDRESS`` pointing at the cluster — the
+    CLI connects to it (cluster resources are fixed by the cluster, so
+    ``num_cpus`` is not forwarded). Anywhere else (including this
+    sandbox, where RAY_ADDRESS=local is preset) it starts a local
+    session sized by ``--threads``. This is the multi-node entry path
+    the north rule names:
+
+        ray job submit --working-dir . -- \\
+            python -m rio_cogeo_ray.cli create IN OUT --zoom 8 ...
+    """
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=num_cpus, include_dashboard=False,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(
+                address="local", num_cpus=num_cpus, include_dashboard=False,
+                logging_level="ERROR",
+            )
+        else:
+            # existing cluster (ray job submit / ray start): attach only
+            ray.init(address=addr, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
