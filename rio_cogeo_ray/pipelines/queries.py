@@ -2896,6 +2896,35 @@ SQL_CORPUS_MIX = (
 )
 
 
+def q_token_cm(sf_dir: str):
+    """Count-Min point-frequency estimates (stages/sketch.py:
+    cm_sketch — Cormode & Muthukrishnan 2005), completing the
+    mergeable-sketch family: per-batch count-matrix blobs sum through
+    fan-in levels with NO key shuffle; the driver probes the exact
+    top-50 tokens against the sketch. Over-estimate ⇒ rows-only; the
+    est ≥ true guarantee and the 2n/w error bound are pinned in pytest
+    (test_ops.py::test_cm_sketch_guarantees)."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["text"])
+    tok = ds.map_batches(
+        lambda t: text.token_value_counts(t), batch_format="pyarrow"
+    )
+    cm = sketch.cm_sketch(tok, col="token", weight_col="n")
+    probes = (
+        text.token_topk(_docs(sf_dir, ["text"]), k=50)
+        .to_pandas()["token"]
+        .tolist()
+    )
+    est = cm.estimate(pa.array(probes, pa.string()))
+    return pa.table(
+        {
+            "token": pa.array(probes, pa.string()),
+            "est_count": pa.array(est.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3115,6 +3144,7 @@ def queries() -> Dict[str, Callable]:
         "bpe_tokens": q_bpe_tokens,
         "bpe_pack": q_bpe_pack,
         "quantile_sketch": q_quantile_sketch,
+        "token_cm": q_token_cm,
     }
 
 

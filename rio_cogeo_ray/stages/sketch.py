@@ -695,3 +695,130 @@ def split_assign(ds, id_col: str, splits, den: int = 100, salt: int = 0):
         return t.append_column("split", pa.array(arr, pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+# estimates, completing the mergeable-sketch family (HLL = distinct,
+# Misra-Gries = heavy hitters UNDER-estimate, quantile_sketch = ranks,
+# CM = per-key frequency OVER-estimate).
+# ---------------------------------------------------------------------------
+
+_CM_SEEDS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0xD6E8FEB86659FD93,
+    0xA0761D6478BD642F,
+    0xE7037ED1A0B428DB,
+)
+
+
+def _cm_indices(h: np.ndarray, w: int, d: int) -> np.ndarray:
+    """(d, n) bucket indices: d independent hash rows derived from the
+    base 64-bit value hash by seeded splitmix re-mixes."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    out = np.empty((d, len(h)), dtype=np.int64)
+    for i in range(d):
+        out[i] = (splitmix64(h ^ np.uint64(_CM_SEEDS[i])) % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cm_register_rows(
+    batch: pa.Table, col: str, w: int, d: int, weight_col: "str | None" = None
+) -> pa.Table:
+    """One (d·w)-cell int64 count-matrix blob per BATCH: every value's
+    weight adds into d buckets (one per hash row). Duplicate value mass
+    collapses map-side — the exchange moves one ~d·w·8-byte row per
+    batch, never value rows. ``weight_col`` lets pre-counted streams
+    (value_counts output) feed the sketch without re-expansion."""
+    h = _hash_col(batch[col])
+    if weight_col is not None:
+        wts = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        wts = np.ones(len(h), dtype=np.int64)
+    mat = np.zeros((d, w), dtype=np.int64)
+    if len(h):
+        idx = _cm_indices(h, w, d)
+        for i in range(d):
+            mat[i] = np.bincount(idx[i], weights=wts, minlength=w).astype(np.int64)
+    return pa.table(
+        {
+            "cm": pa.array([mat.tobytes()], pa.binary()),
+            "n": pa.array([int(wts.sum())], pa.int64()),
+        }
+    )
+
+
+def merge_cm_rows(batch: pa.Table) -> pa.Table:
+    """Elementwise SUM of count-matrix blobs (counts are additive —
+    the CM merge rule), keeping the total weight alongside."""
+    if not len(batch):
+        return batch
+    mats = np.stack(
+        [np.frombuffer(b.as_py(), dtype=np.int64) for b in batch["cm"].combine_chunks()]
+    )
+    total = batch["n"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+    return pa.table(
+        {
+            "cm": pa.array([mats.sum(axis=0).tobytes()], pa.binary()),
+            "n": pa.array([int(total)], pa.int64()),
+        }
+    )
+
+
+class CountMinSketch:
+    """Driver-side handle: the merged (d, w) matrix + total weight.
+    ``estimate(values)`` returns the min-over-rows count per value —
+    an OVER-estimate: est ≥ true always; P[est − true > 2n/w] < 2^−d
+    per query (Cormode & Muthukrishnan Thm 1)."""
+
+    def __init__(self, mat: np.ndarray, n: int, w: int, d: int):
+        self.mat, self.n, self.w, self.d = mat, n, w, d
+
+    def estimate(self, values) -> np.ndarray:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if not isinstance(values, pa.Array):
+            values = pa.array(values)
+        h = _hash_col(values)
+        if not len(h):
+            return np.zeros(0, dtype=np.int64)
+        idx = _cm_indices(h, self.w, self.d)
+        ests = np.stack([self.mat[i, idx[i]] for i in range(self.d)])
+        return ests.min(axis=0)
+
+
+def cm_sketch(
+    ds,
+    col: str,
+    w: int = 8192,
+    d: int = 4,
+    fan_in: int = 64,
+    weight_col: "str | None" = None,
+) -> CountMinSketch:
+    """Build a Count-Min sketch of a column distributed: per-batch
+    count-matrix blobs → TWO summary-denominated fan-in sum levels
+    (the HLL register-reduce shape — NO key shuffle anywhere) → one
+    final driver sum over the ≤fan_in survivors. At 10^9 blocks the
+    driver still receives ≲fan_in rows of d·w·8 bytes.
+
+    Sizing: error ≤ 2n/w per query with prob 1 − 2^−d; w=8192, d=4
+    → ≤0.025% of stream mass, 256 KiB per blob. ``d`` ≤ 6 (seed table).
+    """
+    if d > len(_CM_SEEDS):
+        raise ValueError(f"d must be <= {len(_CM_SEEDS)}")
+    rows = ds.map_batches(
+        lambda t: cm_register_rows(t, col, w, d, weight_col),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    for _ in range(2):
+        rows = rows.map_batches(merge_cm_rows, batch_format="pyarrow", batch_size=fan_in)
+    mat = np.zeros(d * w, dtype=np.int64)
+    n = 0
+    for row in rows.take_all():
+        mat = mat + np.frombuffer(row["cm"], dtype=np.int64)
+        n += row["n"]
+    return CountMinSketch(mat.reshape(d, w), int(n), w, d)

@@ -2040,3 +2040,44 @@ def test_lm_coverage_empty_vocab(ray_session):
     ).to_pandas()
     assert got["in_vocab_ppm"].tolist() == [0]
     assert got["tri_total"].tolist() == [4]
+
+
+def test_cm_sketch_guarantees(ray_session):
+    # Zipf-ish stream with known exact counts; CM must never
+    # under-estimate, and min-over-rows error stays within the
+    # documented 2n/w bound for every probe (w sized generously)
+    from rio_cogeo_ray.stages import sketch as sk
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [np.repeat(np.arange(20, dtype=np.int64), (2000 / (np.arange(20) + 1)).astype(int)),
+         rng.randint(1000, 5000, 4000).astype(np.int64)]
+    )
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    cm = sk.cm_sketch(rd.from_arrow(t).repartition(6), "v", w=4096, d=4)
+    assert cm.n == len(vals)
+    probe = np.arange(20, dtype=np.int64)
+    est = cm.estimate(pa.array(probe, pa.int64()))
+    true = np.array([(vals == p).sum() for p in probe], dtype=np.int64)
+    assert (est >= true).all()
+    assert (est - true <= 2 * len(vals) / 4096 + 1).all()
+
+
+def test_cm_sketch_weighted_equals_expanded(ray_session):
+    # feeding pre-counted (value, weight) rows must build the SAME
+    # sketch as the expanded stream — the Zipf-collapse contract
+    from rio_cogeo_ray.stages import sketch as sk
+
+    vals = np.repeat(np.arange(50, dtype=np.int64), np.arange(1, 51))
+    t_exp = pa.table({"v": pa.array(vals, pa.int64())})
+    t_cnt = pa.table(
+        {
+            "v": pa.array(np.arange(50, dtype=np.int64)),
+            "n": pa.array(np.arange(1, 51, dtype=np.int64)),
+        }
+    )
+    a = sk.cm_sketch(rd.from_arrow(t_exp).repartition(4), "v", w=512, d=3)
+    b = sk.cm_sketch(rd.from_arrow(t_cnt).repartition(4), "v", w=512, d=3, weight_col="n")
+    assert a.n == b.n == len(vals)
+    np.testing.assert_array_equal(a.mat, b.mat)
