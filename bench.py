@@ -291,6 +291,33 @@ def bench_bpe_encode():
     ).count()
 
 
+def bench_seg_dedup():
+    """Segment-level dedup scrub over the pages corpus (CCNet line-dedup
+    analog): winner exchange ships 16-byte segment hashes; text crosses
+    the wire once in the re-join."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return text_mod.segment_dedup(ds, seg_words=10, id_col="pid").count()
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -308,6 +335,7 @@ BENCHES = {
     "embed_neardup": bench_embed_neardup,
     "shard_shuffle": bench_shard_shuffle,
     "bpe_encode": bench_bpe_encode,
+    "seg_dedup": bench_seg_dedup,
 }
 
 

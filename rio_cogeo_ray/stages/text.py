@@ -854,12 +854,83 @@ def _doc_segment_rows(
     )
 
 
+def _emit_joined_docs(
+    docs: pa.Table, id_col: str, text_col: str, seg_words: int, drop_keys=None
+) -> pa.Table:
+    """Rebuild (id, text_clean, n_kept) from a doc table, optionally
+    dropping the segments whose (doc-row-local key) appears in
+    ``drop_keys`` (int64 ``word_row * 2^32 + sidx`` keys, SORTED).
+    Fully Arrow/numpy: token lists re-join via ``binary_join`` over a
+    rebuilt ListArray — no per-row Python, no dataframe round-trip."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "text_clean": pa.array([], pa.string()),
+            "n_kept": pa.array([], pa.int64()),
+        }
+    )
+    if not docs.num_rows:
+        return empty
+    toks, row, wpos = _tokenize_with_positions(docs, id_col, text_col)
+    if len(row) == 0:
+        return empty
+    sidx = wpos // seg_words
+    if drop_keys is not None and len(drop_keys):
+        wkey = (row << np.int64(32)) | sidx
+        pos = np.searchsorted(drop_keys, wkey)
+        pos = np.minimum(pos, len(drop_keys) - 1)
+        keep = drop_keys[pos] != wkey
+        toks = toks.filter(pa.array(keep))
+        row_k, wpos_k = row[keep], wpos[keep]
+    else:
+        row_k, wpos_k = row, wpos
+    if len(row_k) == 0:
+        return empty
+    n = docs.num_rows
+    counts = np.bincount(row_k, minlength=n)
+    nz = counts > 0
+    n_kept = np.bincount(row_k[wpos_k % seg_words == 0], minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # int64 offsets: a reduce bucket may hold >2^31 bytes of text
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), toks.cast(pa.large_string())
+    )
+    joined = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+    out = pa.table(
+        {
+            id_col: docs[id_col].combine_chunks().cast(pa.int64()),
+            "text_clean": joined,
+            "n_kept": pa.array(n_kept.astype(np.int64), pa.int64()),
+        }
+    ).filter(pa.array(nz))
+    # stable output schema: stay below the int32-offset ceiling per
+    # batch (callers bound batch/bucket text bytes), cast for schema
+    # parity with the clean path
+    return out.set_column(1, "text_clean", out["text_clean"].cast(pa.string()))
+
+
+def _seg_bloom_hits(batch: pa.Table, bits: np.ndarray, id_col: str) -> np.ndarray:
+    """Vectorized 4-probe bloom membership over the id column (same
+    hash family as join.build_bloom)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    m = np.uint64(len(bits) * 8)
+    keys = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(4):
+        h = (splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % m).astype(np.int64)
+        hit &= (bits[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
+    return hit
+
+
 def segment_dedup(
     ds,
     seg_words: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    m_bits: int = 1 << 23,
 ):
     """Corpus-wide SEGMENT-level dedup scrub (the CCNet / C4 "drop
     duplicated lines across the corpus" step, adapted to fixed
@@ -873,23 +944,32 @@ def segment_dedup(
     SQL mirror: ROW_NUMBER() OVER (PARTITION BY segment ORDER BY
     doc_id, sidx) = 1 → string_agg(segment, ' ' ORDER BY sidx).
 
-    Scale shape — text crosses the wire ONCE:
+    Scale shape — clean docs NEVER enter an exchange (the
+    incremental_dedup bloom doctrine; web corpora are ~90% clean at
+    the segment level):
 
     1. map: docs → (id, sidx, s1, s2) segment-hash rows; text never
        enters this exchange (~16 B/segment vs ~60 B/segment of text).
-    2. winner: bucket by hash(s1) → one vectorized sort + run-first
-       per bucket → keeper rows (id, sidx). A boilerplate segment
-       duplicated 10^8 times concentrates its postings in one bucket
-       but collapses in that one linear pass — no pairwise work.
-    3. re-join: keepers and full docs co-bucket by hash(id) (the ONE
-       text exchange); per bucket a vectorized polars semi-join on
-       (id, sidx) + ordered group-join rebuilds the scrubbed text.
+    2. losers: bucket by hash(s1) → one vectorized sort + run-mask per
+       bucket → LOSER rows (id, sidx) — every occurrence EXCEPT the
+       first. Output is bounded by the duplicate mass, not the corpus.
+    3. a bloom of loser doc ids (join.build_bloom — distributed
+       bitmap, tree-OR fan-in, broadcast once) splits the corpus
+       map-side: bloom-negative docs (no FN possible) rebuild their
+       normalized text locally and SKIP the shuffle; bloom-positive
+       docs (dups + ~2% FPs) co-bucket with their loser rows by
+       hash(id) and drop lost segments in one vectorized anti pass
+       (FPs carry no loser rows → reassemble unchanged — harmless).
 
-    At 100 TB the winner exchange is ~25% of corpus bytes (16 B per
-    10-word segment) and the re-join moves each doc exactly once —
-    the same budget as any bucketed join of the corpus against a
-    keyed side (stages/join.py doctrine)."""
+    At 100 TB with a 10% dirty rate the exchange moves ~10% of corpus
+    bytes + the loser-row hash stream; the clean 90% streams straight
+    from read to output. Cost: the corpus is read twice (split pass +
+    the seg-hash pass) — two pruned columnar reads beat one full-text
+    all-to-all."""
+    import ray as _ray
+
     from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.join import build_bloom
 
     seg_rows = ds.map_batches(
         lambda t: _doc_segment_rows(t, seg_words, id_col, text_col),
@@ -904,7 +984,7 @@ def segment_dedup(
         ).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
-    def _winners(g: pa.Table) -> pa.Table:
+    def _losers(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"])
         if not g.num_rows:
             return pa.table(
@@ -915,31 +995,54 @@ def segment_dedup(
         )
         s1 = g["s1"].combine_chunks().to_numpy(zero_copy_only=False)
         s2 = g["s2"].combine_chunks().to_numpy(zero_copy_only=False)
-        first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
-        return g.take(pa.array(np.flatnonzero(first), pa.int64())).select([id_col, "sidx"])
+        loser = ~np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+        return g.take(pa.array(np.flatnonzero(loser), pa.int64())).select([id_col, "sidx"])
 
-    keepers = (
+    # small side (duplicate mass only) — materialized once, consumed
+    # twice (bloom build + the anti exchange) without re-running the
+    # whole seg-hash pipeline
+    losers = (
         seg_rows.map_batches(_route_seg, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(_winners, batch_format="pyarrow")
+        .map_groups(_losers, batch_format="pyarrow")
+    ).materialize()
+
+    # the bloom ships as a numpy blob: ray.get from a task is a
+    # ZERO-COPY plasma view, so stateless task-based map stages (which
+    # scale to every core, unlike a bounded actor pool) pay nothing
+    # per batch for the broadcast
+    bloom_ref = _ray.put(
+        np.frombuffer(build_bloom(losers, id_col, m_bits=m_bits), dtype=np.uint8)
     )
 
-    # --- re-join by id: keepers (sidx >= 0, text null) ∪ docs (sidx = -1) ---
-    def _tag_keeper(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: t[id_col].combine_chunks(),
-                "sidx": t["sidx"].combine_chunks(),
-                text_col: pa.nulls(len(t), pa.string()),
-            }
+    def _emit_clean(batch: pa.Table) -> pa.Table:
+        bits = _ray.get(bloom_ref)
+        hit = _seg_bloom_hits(batch, bits, id_col)
+        return _emit_joined_docs(
+            batch.filter(pa.array(~hit)), id_col, text_col, seg_words
         )
 
-    def _tag_doc(t: pa.Table) -> pa.Table:
+    def _forward_dirty(batch: pa.Table) -> pa.Table:
+        bits = _ray.get(bloom_ref)
+        hit = _seg_bloom_hits(batch, bits, id_col)
+        t = batch.filter(pa.array(hit))
         return pa.table(
             {
                 id_col: t[id_col].combine_chunks().cast(pa.int64()),
                 "sidx": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
                 text_col: t[text_col].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    clean = ds.map_batches(_emit_clean, batch_format="pyarrow")
+    dirty_docs = ds.map_batches(_forward_dirty, batch_format="pyarrow")
+
+    def _tag_loser(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks(),
+                "sidx": t["sidx"].combine_chunks(),
+                text_col: pa.nulls(len(t), pa.string()),
             }
         )
 
@@ -949,8 +1052,7 @@ def segment_dedup(
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     def _reassemble(g: pa.Table) -> pa.Table:
-        import polars as pl
-
+        g = g.drop_columns(["__bucket"])
         empty = pa.table(
             {
                 id_col: pa.array([], pa.int64()),
@@ -958,50 +1060,35 @@ def segment_dedup(
                 "n_kept": pa.array([], pa.int64()),
             }
         )
-        g = g.drop_columns(["__bucket"])
         if not g.num_rows:
             return empty
         sidx = g["sidx"].combine_chunks().to_numpy(zero_copy_only=False)
         docs = g.filter(pa.array(sidx < 0)).select([id_col, text_col])
-        keep = g.filter(pa.array(sidx >= 0)).select([id_col, "sidx"])
-        if not docs.num_rows or not keep.num_rows:
+        lose = g.filter(pa.array(sidx >= 0)).select([id_col, "sidx"])
+        if not docs.num_rows:
             return empty
-        toks, row, wpos = _tokenize_with_positions(docs, id_col, text_col)
-        if len(row) == 0:
-            return empty
+        if not lose.num_rows:
+            return _emit_joined_docs(docs, id_col, text_col, seg_words)
+        # map loser (id, sidx) → (doc-row, sidx) keys in THIS bucket
         dids = docs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        wdf = pl.DataFrame(
-            {
-                "id": dids[row],
-                "sidx": wpos // seg_words,
-                "wpos": wpos,
-                "tok": pl.from_arrow(toks.cast(pa.large_string())),
-            }
-        )
-        kdf = pl.from_arrow(keep).rename({id_col: "id"})
-        kept = wdf.join(kdf, on=["id", "sidx"], how="semi").sort(["id", "wpos"])
-        if not len(kept):
-            return empty
-        out = kept.group_by("id", maintain_order=True).agg(
-            pl.col("tok").str.join(" ").alias("text_clean"),
-            pl.col("sidx").n_unique().alias("n_kept"),
-        )
-        return pa.table(
-            {
-                id_col: pa.array(out["id"].to_numpy(), pa.int64()),
-                "text_clean": pa.array(out["text_clean"].to_list(), pa.string()),
-                "n_kept": pa.array(out["n_kept"].to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
+        order = np.argsort(dids, kind="stable")
+        dids_sorted = dids[order]
+        lids = lose[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        lpos = np.searchsorted(dids_sorted, lids)
+        lpos_c = np.minimum(lpos, len(dids_sorted) - 1)
+        present = dids_sorted[lpos_c] == lids  # loser doc may be absent (id uniqueness)
+        lrow = order[lpos_c[present]].astype(np.int64)
+        lsx = lose["sidx"].combine_chunks().to_numpy(zero_copy_only=False)[present]
+        drop_keys = np.unique((lrow << np.int64(32)) | lsx)
+        return _emit_joined_docs(docs, id_col, text_col, seg_words, drop_keys=drop_keys)
 
-    tagged = keepers.map_batches(_tag_keeper, batch_format="pyarrow").union(
-        ds.map_batches(_tag_doc, batch_format="pyarrow")
-    )
-    return (
+    tagged = losers.map_batches(_tag_loser, batch_format="pyarrow").union(dirty_docs)
+    scrubbed = (
         tagged.map_batches(_route_id, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(_reassemble, batch_format="pyarrow")
     )
+    return scrubbed.union(clean)
 
 
 # ---------------------------------------------------------------------------
