@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import asdict
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -246,6 +247,7 @@ def create(
     base_z = spec.zoom
     total_rows = None
     if base_z not in levels_done:
+        _t_level = time.monotonic()
         id_cols = {"pages": ["url"], "lonlat": ["lon", "lat"]}.get(source, ["doc_id"])
         cols = id_cols + ([weight_col] if weight_col else [])
         if extract and source == "pages":
@@ -283,6 +285,9 @@ def create(
         _write_level(merged, out_dir, base_z, codec=codec)
         entry = _level_stats(out_dir, base_z, decimation=1)
         entry.src_fingerprint = src_fp
+        entry.build_wall_s = round(time.monotonic() - _t_level, 3)
+        if entry.build_wall_s > 0:
+            entry.pages_per_sec = round(entry.pages / entry.build_wall_s, 1)
         mani.write_level_marker(out_dir, entry)
         levels_done[base_z] = entry
 
@@ -302,6 +307,7 @@ def create(
         if z in levels_done:
             local_table = None  # resume hole: re-read below if needed
             continue
+        _t_level = time.monotonic()
         cover_j = (
             tuple(c >> (j * step) for c in spec.tile_cover)
             if (spec.is_conv and spec.tile_cover is not None)
@@ -362,6 +368,9 @@ def create(
             _write_level(merged, out_dir, z, codec=codec)
             entry = _level_stats(out_dir, z, decimation=base_b**j)
         entry.src_fingerprint = src_fp
+        entry.build_wall_s = round(time.monotonic() - _t_level, 3)
+        if entry.build_wall_s > 0:
+            entry.pages_per_sec = round(entry.pages / entry.build_wall_s, 1)
         mani.write_level_marker(out_dir, entry)
         levels_done[z] = entry
 

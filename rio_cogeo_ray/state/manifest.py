@@ -47,6 +47,12 @@ class LevelEntry:
     #: not silently mix stale levels with fresh counts. None = unknown
     #: (in-memory Dataset input) — fingerprint check skipped.
     src_fingerprint: Optional[str] = None
+    #: per-partition build METRICS (north-rule "lineage + metrics"):
+    #: wall seconds this level's build took and the resulting pages/s
+    #: throughput. None on markers written by older runs — resume
+    #: verification ignores metrics (they describe, never gate).
+    build_wall_s: Optional[float] = None
+    pages_per_sec: Optional[float] = None
 
 
 @dataclass
