@@ -3004,6 +3004,46 @@ SELECT host, doc_id, n_chars FROM r WHERE rn <= {HOST_CAP_K}
 """
 
 
+DECONTAM_N = 5
+
+
+def q_decontam_ngram(sf_dir: str):
+    """N-gram-overlap decontamination (stages/dedup.py:
+    decontaminate_ngrams — the GPT-3/PaLM 13-gram recipe, n=5 here to
+    bite on the short synthetic docs): drop training docs (source <>
+    'src0') sharing ANY word 5-gram with the eval slice (source =
+    'src0'). Eval grams reduce distributed → broadcast once; zero
+    shuffle of the training side."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    train = rd.read_parquet(
+        path, columns=["doc_id", "source", "text"], filter=pads.field("source") != "src0"
+    )
+    ev = rd.read_parquet(
+        path, columns=["doc_id", "text"], filter=pads.field("source") == "src0"
+    )
+    kept = dedup.decontaminate_ngrams(train, ev, n=DECONTAM_N)
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+SQL_DECONTAM_NGRAM = rf"""
+WITH ew AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+            FROM documents WHERE source = 'src0'),
+ee AS (SELECT toks, unnest(range(1, len(toks) - {DECONTAM_N - 2})) AS i FROM ew),
+eg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + {DECONTAM_N - 1}), ' ') AS gram FROM ee),
+tw AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+       FROM documents WHERE source <> 'src0'),
+te AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {DECONTAM_N - 2})) AS i FROM tw),
+tg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + {DECONTAM_N - 1}), ' ') AS gram FROM te),
+bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 LM_MIN_COUNT = 4
 
 
@@ -3049,6 +3089,7 @@ def queries() -> Dict[str, Callable]:
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
+        "decontam_ngram": q_decontam_ngram,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3167,6 +3208,7 @@ def oracle_sql() -> Dict[str, str]:
         "seg_dedup": SQL_SEG_DEDUP,
         "host_cap": SQL_HOST_CAP,
         "lm_coverage": SQL_LM_COVERAGE,
+        "decontam_ngram": SQL_DECONTAM_NGRAM,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

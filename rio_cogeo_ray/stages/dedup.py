@@ -1303,8 +1303,13 @@ def collect_eval_keys(eval_ds, key_col: str = "__key") -> "pa.Array":
     mat = rows.materialize()
     blocks = [b for b in _ray.get(mat.to_arrow_refs()) if b.num_rows]
     if not blocks:
+        sch = mat.schema()
+        if sch is None:
+            # fully empty eval chain: Ray cannot even name a schema —
+            # an untyped empty set (callers treat len()==0 as "skip")
+            return pa.array([], pa.null())
         # typed empty set (key type follows key_fn even when no rows)
-        key_type = mat.schema().base_schema.field(key_col).type
+        key_type = sch.base_schema.field(key_col).type
         return pa.array([], key_type)
     tbl = pa.concat_tables(blocks, promote_options="default")
     return pc.unique(pc.drop_null(tbl[key_col].combine_chunks()))
@@ -1330,6 +1335,89 @@ class DecontamFilter:
         # null probe's is_in result is nulled out to "no hit".
         hit = pc.fill_null(pc.and_(pc.is_in(k, value_set=self.keys), pc.is_valid(k)), False)
         return batch.filter(pc.invert(hit))
+
+
+def _doc_gram64_keys(batch: pa.Table, n: int, id_col: str, text_col: str) -> pa.Table:
+    """(id, __key) rows: each doc's DISTINCT word n-grams folded to one
+    64-bit key (splitmix64(g1) ^ g2 over text.py's 128-bit rolling
+    gram hash). 64 bits suffice for the decontam MEMBERSHIP test:
+    a collision (≈ n_train_grams · n_eval_grams / 2^64) drops one
+    extra training doc — decontamination errs on the safe side by
+    construction, unlike dedup where collisions must stay 2^-128."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.text import _doc_ngram_hashes
+
+    g = _doc_ngram_hashes(batch, n, id_col, text_col)
+    g1 = g["g1"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    g2 = g["g2"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = (splitmix64(g1) ^ g2).astype(np.int64)
+    return pa.table(
+        {id_col: g[id_col].combine_chunks(), "__key": pa.array(key, pa.int64())}
+    )
+
+
+class NgramDecontamFilter:
+    """Actor stage: drop training docs sharing ANY word n-gram with the
+    broadcast eval gram-key set (sorted int64 array, resolved once per
+    actor; per batch one searchsorted membership + one bincount)."""
+
+    def __init__(self, keys_ref, n: int, id_col: str, text_col: str):
+        import ray as _ray
+
+        keys = _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        self.keys = np.sort(np.asarray(keys, dtype=np.int64))
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not len(batch) or not len(self.keys):
+            return batch
+        g = _doc_gram64_keys(batch, self.n, self.id_col, self.text_col)
+        if not g.num_rows:
+            return batch  # every doc shorter than n tokens: no grams, keep all
+        k = g["__key"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(self.keys, k), len(self.keys) - 1)
+        hit = self.keys[pos] == k
+        if not hit.any():
+            return batch
+        bad = np.unique(g[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)[hit])
+        ids = batch[self.id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = np.minimum(np.searchsorted(bad, ids), len(bad) - 1)
+        return batch.filter(pa.array(bad[p] != ids))
+
+
+def decontaminate_ngrams(
+    train_ds,
+    eval_ds,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 2,
+):
+    """N-gram-overlap benchmark decontamination (the GPT-3/PaLM recipe:
+    drop any training doc sharing an n-gram — canonically 13 tokens —
+    with an eval document), the stronger companion to the prefix-key
+    :func:`decontaminate`.
+
+    Same broadcast contract: eval docs reduce DISTRIBUTED to distinct
+    gram keys (bounded by eval size × doc length — benchmark-sized by
+    definition), ship once via ``ray.put``; the training side filters
+    in place with ZERO shuffle. Docs shorter than ``n`` tokens carry no
+    grams and are always kept (the standard convention)."""
+    import ray as _ray
+
+    def _eval_keys(t: pa.Table) -> pa.Table:
+        return _doc_gram64_keys(t, n, id_col, text_col).select(["__key"])
+
+    keys = collect_eval_keys(eval_ds.map_batches(_eval_keys, batch_format="pyarrow"))
+    if len(keys) == 0:
+        return train_ds  # empty eval set: nothing can be contaminated
+    keys_ref = _ray.put(keys.to_numpy(zero_copy_only=False).astype(np.int64))
+    return train_ds.map_batches(
+        NgramDecontamFilter,
+        fn_constructor_args=(keys_ref, n, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 def decontaminate(train_ds, eval_ds, key_fn, eval_key_fn=None, concurrency: int = 2):

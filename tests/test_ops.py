@@ -2081,3 +2081,50 @@ def test_cm_sketch_weighted_equals_expanded(ray_session):
     b = sk.cm_sketch(rd.from_arrow(t_cnt).repartition(4), "v", w=512, d=3, weight_col="n")
     assert a.n == b.n == len(vals)
     np.testing.assert_array_equal(a.mat, b.mat)
+
+
+def test_decontaminate_ngrams_planted_overlap(ray_session):
+    ev = pa.table(
+        {
+            "doc_id": pa.array([1000], pa.int64()),
+            "text": pa.array(["the quick brown fox jumps over the lazy dog"], pa.string()),
+        }
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # contains the eval 5-gram "quick brown fox jumps over" → dropped
+                    "intro words then quick brown fox jumps over and more",
+                    # only a 4-gram overlap ("brown fox jumps over" split) → kept
+                    "brown fox jumps over something else entirely here now",
+                    # shorter than n tokens → no grams → kept
+                    "tiny doc",
+                    # no overlap at all → kept
+                    "completely unrelated training document with its own words",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    got = (
+        dedup.decontaminate_ngrams(
+            rd.from_arrow(train).repartition(2), rd.from_arrow(ev), n=5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["doc_id"].tolist() == [1, 2, 3]
+
+
+def test_decontaminate_ngrams_empty_eval(ray_session):
+    ev = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    train = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["one two three four five six", "a b c d e f"], pa.string()),
+        }
+    )
+    got = dedup.decontaminate_ngrams(rd.from_arrow(train), rd.from_arrow(ev), n=5).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1]
