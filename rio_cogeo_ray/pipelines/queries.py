@@ -2911,15 +2911,16 @@ def q_token_cm(sf_dir: str):
         lambda t: text.token_value_counts(t), batch_format="pyarrow"
     )
     cm = sketch.cm_sketch(tok, col="token", weight_col="n")
-    probes = (
-        text.token_topk(_docs(sf_dir, ["text"]), k=50)
-        .to_pandas()["token"]
-        .tolist()
-    )
-    est = cm.estimate(pa.array(probes, pa.string()))
+    import ray as _ray
+
+    topk = text.token_topk(_docs(sf_dir, ["text"]), k=50).materialize()
+    probes = pa.concat_tables(
+        [b for b in _ray.get(topk.to_arrow_refs()) if b.num_rows]
+    )["token"].combine_chunks()
+    est = cm.estimate(probes)
     return pa.table(
         {
-            "token": pa.array(probes, pa.string()),
+            "token": probes,
             "est_count": pa.array(est.astype(np.int64), pa.int64()),
         }
     )
