@@ -569,6 +569,20 @@ def build_bloom(ds, key_col: str, m_bits: int = 1 << 23, k_hashes: int = 4) -> b
     return acc.tobytes()
 
 
+def bloom_hits(bits: np.ndarray, keys: np.ndarray, k_hashes: int = 4) -> np.ndarray:
+    """Vectorized membership probe for a build_bloom bitmap — the ONE
+    copy of the probe loop (build and probe must share the hash family
+    ``splitmix64(key + 2i+1) % m`` and the SAME k, or false negatives
+    appear). Every consumer (BloomProbe, text's segment-dedup split)
+    goes through here."""
+    m = np.uint64(len(bits) * 8)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(k_hashes):
+        h = (splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % m).astype(np.int64)
+        hit &= (bits[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
+    return hit
+
+
 class BloomProbe:
     """Actor stage: keep only rows whose key MIGHT be in the broadcast
     bloom (false positives pass — pair with an exact join after)."""
@@ -576,7 +590,6 @@ class BloomProbe:
     def __init__(self, bloom_ref, key_col: str, k_hashes: int = 4):
         blob = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
         self.bits = np.frombuffer(blob, dtype=np.uint8)
-        self.m = np.uint64(len(self.bits) * 8)
         self.key_col = key_col
         self.k = k_hashes
 
@@ -584,11 +597,7 @@ class BloomProbe:
         keys = (
             batch[self.key_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         )
-        hit = np.ones(len(keys), dtype=bool)
-        for i in range(self.k):
-            h = (splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % self.m).astype(np.int64)
-            hit &= (self.bits[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
-        return batch.filter(pa.array(hit))
+        return batch.filter(pa.array(bloom_hits(self.bits, keys, self.k)))
 
 
 def bloom_semi_join(

@@ -742,7 +742,10 @@ def cm_register_rows(
     if len(h):
         idx = _cm_indices(h, w, d)
         for i in range(d):
-            mat[i] = np.bincount(idx[i], weights=wts, minlength=w).astype(np.int64)
+            # np.add.at keeps the accumulation in int64 — a float64
+            # bincount would round once a batch's weighted mass passes
+            # 2^53 and could break the est >= true guarantee
+            np.add.at(mat[i], idx[i], wts)
     return pa.table(
         {
             "cm": pa.array([mat.tobytes()], pa.binary()),

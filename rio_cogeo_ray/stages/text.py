@@ -911,17 +911,13 @@ def _emit_joined_docs(
 
 
 def _seg_bloom_hits(batch: pa.Table, bits: np.ndarray, id_col: str) -> np.ndarray:
-    """Vectorized 4-probe bloom membership over the id column (same
-    hash family as join.build_bloom)."""
-    from rio_cogeo_ray.functions.hashing import splitmix64
+    """Bloom membership over the id column — delegates to
+    join.bloom_hits so build and probe can never desync on the hash
+    family or probe count."""
+    from rio_cogeo_ray.stages.join import bloom_hits
 
-    m = np.uint64(len(bits) * 8)
     keys = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-    hit = np.ones(len(keys), dtype=bool)
-    for i in range(4):
-        h = (splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % m).astype(np.int64)
-        hit &= (bits[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
-    return hit
+    return bloom_hits(bits, keys)
 
 
 def segment_dedup(
@@ -963,9 +959,11 @@ def segment_dedup(
 
     At 100 TB with a 10% dirty rate the exchange moves ~10% of corpus
     bytes + the loser-row hash stream; the clean 90% streams straight
-    from read to output. Cost: the corpus is read twice (split pass +
-    the seg-hash pass) — two pruned columnar reads beat one full-text
-    all-to-all."""
+    from read to output. Cost: the corpus is SCANNED three times (the
+    seg-hash pass, then one pass per split side — clean emit and dirty
+    forward are independent consumers of ``ds``); pruned columnar
+    re-reads beat one full-text all-to-all, which is why the split is
+    two stateless scans rather than a materialized tagged intermediate."""
     import ray as _ray
 
     from rio_cogeo_ray.functions.hashing import splitmix64
