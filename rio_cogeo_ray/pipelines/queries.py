@@ -2926,6 +2926,17 @@ def q_token_cm(sf_dir: str):
     )
 
 
+def q_neardup_keepers(sf_dir: str):
+    """Near-dup dedup in its consumable form (stages/dedup.py:
+    neardup_keepers): corpus minus non-representative cluster members
+    (verified LSH clusters collapse to min-id reps). Rows-only (LSH
+    recall approximate); planted-dup keeper semantics pinned in pytest
+    (test_ops.py::test_neardup_keepers_planted)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    kept = dedup.neardup_keepers(ds, threshold=0.7, max_rounds=4, keep_cols=["doc_id"])
+    return kept
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3187,6 +3198,7 @@ def queries() -> Dict[str, Callable]:
         "bpe_pack": q_bpe_pack,
         "quantile_sketch": q_quantile_sketch,
         "token_cm": q_token_cm,
+        "neardup_keepers": q_neardup_keepers,
     }
 
 

@@ -1337,6 +1337,63 @@ class DecontamFilter:
         return batch.filter(pc.invert(hit))
 
 
+def neardup_keepers(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_buckets: int = 64,
+    max_rounds: "int | None" = None,
+    keep_cols=None,
+):
+    """The CONSUMABLE form of near-dup dedup: the corpus with every
+    verified near-duplicate cluster collapsed to its representative
+    (min id = the CC label), plus every unclustered doc — i.e. what a
+    training pipeline actually feeds downstream, where
+    :func:`text_neardup_verified` returns the cluster labels
+    themselves. Returns the kept docs' ``keep_cols`` (default
+    (id, text)).
+
+    Scale shape: the drop set is the non-representative members
+    (node ≠ label — bounded by the duplicate mass, same size class as
+    segment_dedup's losers); the corpus anti-joins against it through
+    the bucketed exchange (stages/join.py) — id rows on the drop side,
+    one text-bearing pass on the corpus side. LSH recall caveats are
+    text_neardup_verified's; representatives are deterministic (min
+    reachable id)."""
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    if keep_cols is None:
+        keep_cols = [id_col, text_col]
+    labels = text_neardup_verified(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n_buckets=n_buckets,
+        max_rounds=max_rounds,
+    )
+
+    def _drops(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = node != lab
+        return pa.table({id_col: pa.array(node[keep], pa.int64())})
+
+    drops = labels.map_batches(_drops, batch_format="pyarrow")
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return t.select(keep_cols)
+
+    return bucketed_hash_join(
+        ds.map_batches(_proj, batch_format="pyarrow"),
+        drops,
+        on=id_col,
+        how="anti",
+        n_buckets=n_buckets,
+    )
+
+
 def _doc_gram64_keys(batch: pa.Table, n: int, id_col: str, text_col: str) -> pa.Table:
     """(id, __key) rows: each doc's DISTINCT word n-grams folded to one
     64-bit key (splitmix64(g1) ^ g2 over text.py's 128-bit rolling

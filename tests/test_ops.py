@@ -2128,3 +2128,26 @@ def test_decontaminate_ngrams_empty_eval(ray_session):
     )
     got = dedup.decontaminate_ngrams(rd.from_arrow(train), rd.from_arrow(ev), n=5).to_pandas()
     assert sorted(got["doc_id"]) == [0, 1]
+
+
+def test_neardup_keepers_planted(ray_session):
+    # three exact copies of one doc (near-dup cluster) + uniques:
+    # keeper = min id of the cluster, all uniques survive
+    base = "the quick brown fox jumps over the lazy dog again and again padding words"
+    texts = [base, base + " x", base, "completely different text one two three four five six",
+             "another unrelated document with enough words to shingle properly here"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = sorted(
+        dedup.neardup_keepers(
+            rd.from_arrow(t).repartition(2), threshold=0.7, max_rounds=None,
+            keep_cols=["doc_id"],
+        ).to_pandas()["doc_id"]
+    )
+    # 10,12 are exact dups; 11 is a near-dup of them (high jaccard);
+    # cluster rep = 10. 13, 14 unique.
+    assert got == [10, 13, 14]
