@@ -3016,6 +3016,40 @@ SELECT host, doc_id, n_chars FROM r WHERE rn <= {HOST_CAP_K}
 """
 
 
+def q_normalize(sf_dir: str):
+    """Corpus text normalization (stages/text.py: normalize_text):
+    lowercase + whitespace collapse + trim — the pre-hash/pre-shingle
+    canonicalization pass, stateless Arrow kernels only."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: text.normalize_text(t), batch_format="pyarrow"
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        norm = t["text_norm"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "text_norm": norm,
+                "n_chars_norm": _pc.utf8_length(norm).cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(_proj, batch_format="pyarrow")
+
+
+SQL_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 DECONTAM_N = 5
 
 
@@ -3102,6 +3136,7 @@ def queries() -> Dict[str, Callable]:
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
         "decontam_ngram": q_decontam_ngram,
+        "normalize": q_normalize,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3222,6 +3257,7 @@ def oracle_sql() -> Dict[str, str]:
         "host_cap": SQL_HOST_CAP,
         "lm_coverage": SQL_LM_COVERAGE,
         "decontam_ngram": SQL_DECONTAM_NGRAM,
+        "normalize": SQL_NORMALIZE,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

@@ -772,6 +772,24 @@ def cross_doc_ngrams(
     )
 
 
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """Standard corpus normalization pass (the step before hashing /
+    shingling in every web pipeline): lowercase, collapse whitespace
+    runs to single spaces, trim ends. Pure Arrow kernel chain
+    (utf8_lower → RE2 replace → trim) — stateless map, zero shuffle,
+    and exactly mirrored by SQL ``trim(regexp_replace(lower(text),
+    '\s+', ' ', 'g'))``."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    s = pc.utf8_lower(t.cast(pa.string()))
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim_whitespace(s)
+    return batch.append_column(out_col, s)
+
+
 # ---------------------------------------------------------------------------
 # Segment-level dedup scrub (CCNet / C4 line-dedup analog)
 # ---------------------------------------------------------------------------

@@ -2151,3 +2151,16 @@ def test_neardup_keepers_planted(ray_session):
     # 10,12 are exact dups; 11 is a near-dup of them (high jaccard);
     # cluster rep = 10. 13, 14 unique.
     assert got == [10, 13, 14]
+
+
+def test_normalize_text_kernel():
+    import pyarrow as _pa
+
+    t = _pa.table(
+        {
+            "doc_id": _pa.array([0, 1, 2], _pa.int64()),
+            "text": _pa.array(["  Hello   WORLD  ", "a\tb\nc", "ALL CAPS"], _pa.string()),
+        }
+    )
+    out = text.normalize_text(t)
+    assert out["text_norm"].to_pylist() == ["hello world", "a b c", "all caps"]
