@@ -2937,6 +2937,57 @@ def q_neardup_keepers(sf_dir: str):
     return kept
 
 
+def q_quality_filter_pct(sf_dir: str):
+    """Per-group quantile-threshold filter — the 'keep docs above their
+    language's median length' corpus gate: thresholds computed
+    DISTRIBUTED (stages/sketch.py: grouped_quantile, exact integer
+    order statistic), collected (one row per lang — bounded), broadcast
+    via ray.put, and applied map-side with zero extra shuffle of the
+    corpus."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages import sketch
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    thr_ds = sketch.grouped_quantile(
+        _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", (0.5,), scale=1
+    ).materialize()
+    thr_tbl = pa.concat_tables(
+        [b for b in _ray.get(thr_ds.to_arrow_refs()) if b.num_rows]
+    )
+    langs = thr_tbl["lang"].to_pylist()
+    vals = thr_tbl["value"].to_pylist()
+    thr_ref = _ray.put({l: int(v) for l, v in zip(langs, vals)})
+
+    def _filter(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t
+        thr = _ray.get(thr_ref)
+        # vectorized lookup: dictionary-encode lang (distinct values per
+        # batch are few), map the SMALL dictionary through the threshold
+        # dict once, then one numpy gather + compare over all rows
+        lang = t["lang"].combine_chunks().dictionary_encode()
+        tvals = np.array(
+            [thr.get(v, 0) for v in lang.dictionary.to_pylist()], dtype=np.int64
+        )
+        idx = lang.indices.to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(nc >= tvals[idx]))
+
+    return docs.map_batches(_filter, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER_PCT = """
+WITH g AS (SELECT lang, n_chars AS qv, COUNT(*) AS cnt FROM documents GROUP BY lang, n_chars),
+w AS (SELECT lang, qv, SUM(cnt) OVER (PARTITION BY lang ORDER BY qv) AS cum FROM g),
+n AS (SELECT lang, COUNT(*) AS nn FROM documents GROUP BY lang),
+thr AS (SELECT w.lang, MIN(w.qv) AS t FROM w JOIN n ON w.lang = n.lang
+        WHERE w.cum >= CAST(CEIL(0.5 * n.nn) AS BIGINT) GROUP BY w.lang)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE d.n_chars >= thr.t
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3137,6 +3188,7 @@ def queries() -> Dict[str, Callable]:
         "lm_coverage": q_lm_coverage,
         "decontam_ngram": q_decontam_ngram,
         "normalize": q_normalize,
+        "quality_filter_pct": q_quality_filter_pct,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3258,6 +3310,7 @@ def oracle_sql() -> Dict[str, str]:
         "lm_coverage": SQL_LM_COVERAGE,
         "decontam_ngram": SQL_DECONTAM_NGRAM,
         "normalize": SQL_NORMALIZE,
+        "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,
