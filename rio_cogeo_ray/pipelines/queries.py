@@ -2988,6 +2988,31 @@ WHERE d.n_chars >= thr.t
 """
 
 
+def q_lang_source_join(sf_dir: str):
+    """Composite-key bucketed join (stages/join.py: bucketed_hash_join
+    with on=[lang, source]): every doc annotated with its (lang,
+    source) stratum size — the partial→final aggregate joins back to
+    the corpus through ONE hash-chained composite-bucket exchange."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "source"])
+    sizes = partial_group_agg(
+        _docs(sf_dir, ["lang", "source"]), keys=["lang", "source"],
+        sum_cols=[], count_as="group_n",
+    )
+    return join_mod.bucketed_hash_join(
+        docs, sizes, on=["lang", "source"], how="inner"
+    )
+
+
+SQL_LANG_SOURCE_JOIN = """
+SELECT d.lang, d.source, d.doc_id, g.group_n FROM documents d
+JOIN (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_n
+      FROM documents GROUP BY lang, source) g
+ON d.lang = g.lang AND d.source = g.source
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3189,6 +3214,7 @@ def queries() -> Dict[str, Callable]:
         "decontam_ngram": q_decontam_ngram,
         "normalize": q_normalize,
         "quality_filter_pct": q_quality_filter_pct,
+        "lang_source_join": q_lang_source_join,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3311,6 +3337,7 @@ def oracle_sql() -> Dict[str, str]:
         "decontam_ngram": SQL_DECONTAM_NGRAM,
         "normalize": SQL_NORMALIZE,
         "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
+        "lang_source_join": SQL_LANG_SOURCE_JOIN,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

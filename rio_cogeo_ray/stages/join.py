@@ -300,9 +300,14 @@ def broadcast_interval_join(
 # ---------------------------------------------------------------------------
 
 
-def _with_bucket(t: pa.Table, on: str, n_buckets: int, side: int) -> pa.Table:
-    keys = t[on].combine_chunks().to_numpy(zero_copy_only=False)
-    b = (splitmix64(keys.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+def _with_bucket(t: pa.Table, on, n_buckets: int, side: int) -> pa.Table:
+    if isinstance(on, str):
+        keys = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (splitmix64(keys.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+    else:
+        from rio_cogeo_ray.functions.hashing import hash_columns
+
+        b = (hash_columns(t, list(on)) % np.uint64(n_buckets)).astype(np.int64)
     t = t.append_column("__bucket", pa.array(b, pa.int64()))
     return t.append_column("__side", pa.array(np.full(len(t), side, dtype=np.int8), pa.int8()))
 
@@ -331,25 +336,31 @@ def bucketed_hash_join(
     filter against the right side) — the large-large counterpart of
     ``BroadcastLookup(mode='semi'/'anti')`` for when the filter side is
     too big to broadcast; duplicate right keys are fine (presence test).
+
+    ``on`` may be a single column name or a list (composite key): the
+    bucket hash chains every key column (functions/hashing.py:
+    hash_columns) and pyarrow's hash join receives the full key list.
     """
+    on_cols = [on] if isinstance(on, str) else list(on)
     if how in ("semi", "anti"):
         # existence filter: only right KEYS shuffle, payload never moves
-        right = right.select_columns([on])
+        right = right.select_columns(on_cols)
     lcols = [f.name for f in left.schema().base_schema]
     rcols = [f.name for f in right.schema().base_schema]
-    shared = (set(lcols) & set(rcols)) - {on}
+    shared = (set(lcols) & set(rcols)) - set(on_cols)
 
-    lt = left.map_batches(lambda t: _with_bucket(t, on, n_buckets, 0), batch_format="pyarrow")
-    rt = right.map_batches(lambda t: _with_bucket(t, on, n_buckets, 1), batch_format="pyarrow")
+    key_arg = on_cols[0] if isinstance(on, str) else on_cols
+    lt = left.map_batches(lambda t: _with_bucket(t, key_arg, n_buckets, 0), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: _with_bucket(t, key_arg, n_buckets, 1), batch_format="pyarrow")
 
-    r_only = [c for c in rcols if c != on]
+    r_only = [c for c in rcols if c not in on_cols]
     r_types = [right.schema().base_schema.field(c).type for c in r_only]
-    l_only = [c for c in lcols if c != on]
+    l_only = [c for c in lcols if c not in on_cols]
     l_types = [left.schema().base_schema.field(c).type for c in l_only]
     out_r_cols = [c if c not in shared else c + suffix for c in r_only]
     # union requires one exact schema: canonical column order, other
     # side's columns padded with nulls
-    canonical = [on] + l_only + out_r_cols + ["__bucket", "__side"]
+    canonical = on_cols + l_only + out_r_cols + ["__bucket", "__side"]
 
     def _pad_left(t: pa.Table) -> pa.Table:
         for name, typ in zip(out_r_cols, r_types):
@@ -371,22 +382,22 @@ def bucketed_hash_join(
 
     arrow_how = {"inner": "inner", "left": "left outer", "right": "right outer",
                  "outer": "full outer", "semi": "left semi", "anti": "left anti"}[how]
-    out_cols = [on] + l_only if how in ("semi", "anti") else [on] + l_only + out_r_cols
+    out_cols = on_cols + l_only if how in ("semi", "anti") else on_cols + l_only + out_r_cols
 
     def _join_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         side = g["__side"].combine_chunks()
-        lg = g.filter(pc.equal(side, 0)).select([on] + l_only)
-        rg = g.filter(pc.equal(side, 1)).select([on] + out_r_cols)
+        lg = g.filter(pc.equal(side, 0)).select(on_cols + l_only)
+        rg = g.filter(pc.equal(side, 1)).select(on_cols + out_r_cols)
         # padded typed nulls keep Arrow types exact through the union, so
         # the native multithreaded hash join needs no re-casting
         if how in ("semi", "anti"):
             # existence filter: only the right KEYS matter
-            m = lg.join(rg.select([on]), keys=on, join_type=arrow_how)
+            m = lg.join(rg.select(on_cols), keys=on_cols, join_type=arrow_how)
         else:
-            m = lg.join(rg, keys=on, join_type=arrow_how)
-        return m.sort_by([(on, "ascending")]).select(out_cols)
+            m = lg.join(rg, keys=on_cols, join_type=arrow_how)
+        return m.sort_by([(c, "ascending") for c in on_cols]).select(out_cols)
 
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
 

@@ -274,3 +274,80 @@ def test_broadcast_range_join_semantics(ray_session):
 
     with _pytest.raises(ValueError):
         join_mod.RangeLookup(overlapping, "v")
+
+
+def test_bucketed_join_composite_key(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import join as join_mod
+
+    rng = np.random.RandomState(9)
+    n = 500
+    left = pa.table(
+        {
+            "a": pa.array(rng.randint(0, 12, n).astype(np.int64)),
+            "b": pa.array(rng.randint(0, 7, n).astype(np.int64)),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "a": pa.array(rng.randint(0, 12, 200).astype(np.int64)),
+            "b": pa.array(rng.randint(0, 7, 200).astype(np.int64)),
+            "rv": pa.array(np.arange(200, dtype=np.int64) * 10),
+        }
+    )
+    got = (
+        join_mod.bucketed_hash_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            on=["a", "b"],
+            how="inner",
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on=["a", "b"], how="inner")
+        .sort_values(["a", "b", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["a", "b", "lv", "rv"]], expect[["a", "b", "lv", "rv"]])
+
+
+def test_bucketed_join_composite_anti(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import join as join_mod
+
+    left = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array([0, 1, 0, 1, 0], pa.int64()),
+            "v": pa.array([10, 11, 20, 21, 30], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "a": pa.array([1, 2], pa.int64()),
+            "b": pa.array([1, 0], pa.int64()),
+        }
+    )
+    got = (
+        join_mod.bucketed_hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on=["a", "b"], how="anti"
+        )
+        .to_pandas()
+        .sort_values("v")["v"]
+        .tolist()
+    )
+    assert got == [10, 21, 30]
