@@ -3013,6 +3013,25 @@ ON d.lang = g.lang AND d.source = g.source
 """
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling pipeline (stages/multimodal.py:
+    VideoFrames — uniform temporal indices over opaque binary payloads,
+    decode stubbed, plumbing real): per-media sampled-frame count + max
+    timestamp. Deterministic ints; no SQL oracle (binary payloads);
+    the sampling kernel is pinned by a row-loop oracle pytest."""
+    from ray.data.aggregate import Count, Max
+
+    from rio_cogeo_ray.stages import multimodal
+
+    t = multimodal.synth_video(2000)
+    ds = rd.from_arrow(t).repartition(8)
+    frames = multimodal.video_frames(ds, concurrency=2, batch_size=128)
+    out = frames.groupby("media_id").aggregate(
+        Count(), Max("ts_ms")
+    )
+    return out
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3312,6 +3331,7 @@ def queries() -> Dict[str, Callable]:
         "quantile_sketch": q_quantile_sketch,
         "token_cm": q_token_cm,
         "neardup_keepers": q_neardup_keepers,
+        "video_frames": q_video_frames,
     }
 
 

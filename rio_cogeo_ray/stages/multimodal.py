@@ -227,3 +227,115 @@ def audio_frames(ds, concurrency: int = 4, batch_size: int = DEFAULT_BATCH_SIZE)
         AudioFrames, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: uniform temporal frame sampling (decode stubbed — no codec lib
+# in this container; the Ray plumbing is real, the brief's contract)
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.int32()),
+    ]
+)
+
+
+def synth_video(n: int, seed: int = 7, payload_bytes: int = 8192) -> pa.Table:
+    """Deterministic fake video corpus: opaque binary blobs + the
+    (n_frames, fps) metadata a real demuxer would read from the
+    container header."""
+    ids = np.arange(n, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    blobs = []
+    for i in range(n):
+        s = np.random.RandomState(int(h[i] % np.uint64(2**31)))
+        blobs.append(s.bytes(payload_bytes))
+    n_frames = (8 + (h % np.uint64(240))).astype(np.int32)
+    fps = np.where(h % np.uint64(2) == 0, 24, 30).astype(np.int32)
+    return pa.Table.from_arrays(
+        [pa.array(ids), pa.array(blobs, pa.binary()), pa.array(n_frames), pa.array(fps)],
+        schema=VIDEO_SCHEMA,
+    )
+
+
+class VideoFrames:
+    """Actor: sample ``max_frames`` temporally UNIFORM frames per video
+    (the index rule ``idx_j = j·(n−1)//(k−1)`` — first and last frame
+    always included, the standard clip-sampling recipe) and emit one
+    row per sampled frame with its timestamp. DECODE IS STUBBED: a
+    "frame" is the fixed-size byte window at the frame's nominal
+    payload offset (a real path would hand the demuxed packet to a
+    codec); everything around it — actor pool, per-row frame counts,
+    vectorized multi-window gather over the Arrow binary buffer, the
+    (media_id, frame_idx, ts_ms, frame) output layout — is the real
+    distributed plumbing and is tested."""
+
+    def __init__(self, max_frames: int = 4, frame_bytes: int = 256):
+        self.k = max_frames
+        self.frame = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "media_id": pa.array([], pa.int64()),
+                "frame_idx": pa.array([], pa.int32()),
+                "ts_ms": pa.array([], pa.int64()),
+                "frame": pa.array([], pa.binary()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        buf = batch["payload"].combine_chunks()
+        off = np.frombuffer(buf.buffers()[1], dtype=np.int32)
+        off = off[buf.offset : buf.offset + len(buf) + 1].astype(np.int64)
+        dbuf = buf.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        plen = off[1:] - off[:-1]
+        nf = batch["n_frames"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = batch["fps"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.minimum(self.k, np.maximum(nf, 1))
+        row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), k)
+        total = int(k.sum())
+        if total == 0:
+            return empty
+        excl = np.concatenate(([0], np.cumsum(k)[:-1]))
+        j = np.arange(total, dtype=np.int64) - np.repeat(excl, k)
+        nfr, kr = nf[row_idx], k[row_idx]
+        # uniform temporal indices; k==1 degenerates to frame 0
+        idx = np.where(kr > 1, (j * (nfr - 1)) // np.maximum(kr - 1, 1), 0)
+        ts_ms = idx * 1000 // np.maximum(fps[row_idx], 1)
+        span = np.maximum(plen[row_idx] - self.frame + 1, 1)
+        starts = off[:-1][row_idx] + (idx * self.frame) % span
+        windows = data[starts[:, None] + np.arange(self.frame, dtype=np.int64)[None, :]]
+        frame_off = pa.array(
+            (np.arange(total + 1, dtype=np.int64) * self.frame).astype(np.int32),
+            pa.int32(),
+        )
+        frames = pa.Array.from_buffers(
+            pa.binary(), total,
+            [None, frame_off.buffers()[1], pa.py_buffer(windows.tobytes())],
+        )
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": pa.array(ids[row_idx], pa.int64()),
+                "frame_idx": pa.array(idx.astype(np.int32), pa.int32()),
+                "ts_ms": pa.array(ts_ms, pa.int64()),
+                "frame": frames,
+            }
+        )
+
+
+def video_frames(ds, concurrency: int = 4, batch_size: int = DEFAULT_BATCH_SIZE):
+    return ds.map_batches(
+        VideoFrames, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

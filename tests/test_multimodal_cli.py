@@ -228,3 +228,50 @@ def test_media_frames_query_oracle(ray_session):
     assert got["n_frames"][0].as_py() == len(ref)
     assert got["frame_bytes"][0].as_py() == sum(len(f) for f in ref["frame"].to_pylist())
     assert got["max_frame_idx"][0].as_py() == max(ref["frame_idx"].to_pylist())
+
+
+def test_video_frames_vs_row_loop_oracle(ray_session):
+    """VideoFrames vectorized sampling == per-row python oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import multimodal as mm
+
+    t = mm.synth_video(150, payload_bytes=2048)
+    got = (
+        mm.video_frames(rd.from_arrow(t).repartition(4), concurrency=2, batch_size=32)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    k_max, fb = 4, 256
+    rows = []
+    for r in range(t.num_rows):
+        pay = t["payload"][r].as_py()
+        nf = t["n_frames"][r].as_py()
+        fps = t["fps"][r].as_py()
+        k = min(k_max, max(nf, 1))
+        for j in range(k):
+            idx = (j * (nf - 1)) // max(k - 1, 1) if k > 1 else 0
+            span = max(len(pay) - fb + 1, 1)
+            start = (idx * fb) % span
+            rows.append(
+                (t["media_id"][r].as_py(), idx, idx * 1000 // max(fps, 1),
+                 pay[start : start + fb])
+            )
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]) \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert got["media_id"].tolist() == exp["media_id"].tolist()
+    assert got["frame_idx"].tolist() == exp["frame_idx"].tolist()
+    assert got["ts_ms"].tolist() == exp["ts_ms"].tolist()
+    assert [bytes(b) for b in got["frame"]] == exp["frame"].tolist()
+    # first and last frame always sampled when n_frames > 1
+    per = got.groupby("media_id")["frame_idx"].agg(["min", "max"])
+    nf_by_id = {t["media_id"][r].as_py(): t["n_frames"][r].as_py() for r in range(t.num_rows)}
+    assert (per["min"] == 0).all()
+    for mid, mx in per["max"].items():
+        assert mx == nf_by_id[mid] - 1
