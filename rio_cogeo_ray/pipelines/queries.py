@@ -2706,7 +2706,7 @@ def q_token_mg(sf_dir: str):
     ds = _docs(sf_dir, ["text"])
 
     def _toks(t: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(t["text"].combine_chunks().cast(pa.string()), r"\s+")
+        lists = pc.ascii_split_whitespace(t["text"].combine_chunks().cast(pa.string()))
         toks = lists.flatten()
         return pa.table({"token": toks.filter(pc.not_equal(toks, ""))})
 

@@ -169,8 +169,8 @@ class BPEEncoder:
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(
-            batch[self.text_col].combine_chunks().cast(pa.string()), r"\s+"
+        lists = pc.ascii_split_whitespace(
+            batch[self.text_col].combine_chunks().cast(pa.string())
         )
         lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
         flat = lists.flatten()
