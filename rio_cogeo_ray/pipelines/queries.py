@@ -3032,6 +3032,42 @@ def q_video_frames(sf_dir: str):
     return out
 
 
+RANKJOIN_K = 5
+RANKJOIN_T = 4
+
+
+def q_ranking_simjoin(sf_dir: str):
+    """Similarity join over top-k rankings (stages/dedup.py:
+    ranking_overlap_join — PAPERS.md EDBT 2020): each doc's top-5
+    tokens (by in-doc frequency, token tie-break) joined pairwise on
+    set overlap ≥ 4. Exact two-shuffle sum path; hot-item caveat and
+    the prefix-filter scale variant documented at the operator."""
+    from rio_cogeo_ray.stages.knn import per_group_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    counts = docs.map_batches(
+        lambda t: text.doc_token_counts(t), batch_format="pyarrow"
+    )
+    top = per_group_topk(
+        counts, "doc_id", [("n", False), ("token", True)], RANKJOIN_K
+    ).map_batches(lambda t: t.select(["doc_id", "token"]), batch_format="pyarrow")
+    return dedup.ranking_overlap_join(
+        top, "doc_id", "token", min_overlap=RANKJOIN_T
+    )
+
+
+SQL_RANKING_SIMJOIN = rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+rk AS (SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS r FROM cnt),
+top AS (SELECT doc_id, tok FROM rk WHERE r <= {RANKJOIN_K}),
+pairs AS (SELECT a.doc_id AS ua, b.doc_id AS ub, COUNT(*) AS ov
+          FROM top a JOIN top b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT ua, ub, CAST(ov AS BIGINT) AS overlap FROM pairs WHERE ov >= {RANKJOIN_T}
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3234,6 +3270,7 @@ def queries() -> Dict[str, Callable]:
         "normalize": q_normalize,
         "quality_filter_pct": q_quality_filter_pct,
         "lang_source_join": q_lang_source_join,
+        "ranking_simjoin": q_ranking_simjoin,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3358,6 +3395,7 @@ def oracle_sql() -> Dict[str, str]:
         "normalize": SQL_NORMALIZE,
         "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
         "lang_source_join": SQL_LANG_SOURCE_JOIN,
+        "ranking_simjoin": SQL_RANKING_SIMJOIN,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

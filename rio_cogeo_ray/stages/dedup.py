@@ -1394,6 +1394,122 @@ def neardup_keepers(
     )
 
 
+def _bucket_item_pair_counts(g: pa.Table, entity_col: str, item_col: str) -> pa.Table:
+    """Per (item) run inside one bucket: every unordered entity pair
+    sharing that item, collapsed to (ua, ub, cnt) partials — fully
+    vectorized triangular pair generation (repeat/offset arithmetic,
+    no per-run Python)."""
+    empty = pa.table(
+        {
+            "ua": pa.array([], pa.int64()),
+            "ub": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if not g.num_rows:
+        return empty
+    g = g.sort_by([(item_col, "ascending"), (entity_col, "ascending")])
+    ent = g[entity_col].combine_chunks().to_numpy(zero_copy_only=False)
+    items = g[item_col]
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    # run detection over the (already sorted) item column — works for
+    # string or int items via Arrow equality on adjacent slices
+    import pyarrow.compute as pc
+
+    neq = pc.not_equal(items.slice(1), items.slice(0, len(items) - 1))
+    new = np.r_[True, pc.fill_null(neq, True).to_numpy(zero_copy_only=False)]
+    run = np.cumsum(new) - 1
+    idx = np.arange(len(ent), dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new, idx, 0))
+    q = idx - run_start                      # position within run
+    run_len = np.bincount(run)
+    L = run_len[run]
+    a_rep = (L - 1 - q)                      # each elem pairs with all later elems
+    total = int(a_rep.sum())
+    if total == 0:
+        return empty
+    ua = np.repeat(ent, a_rep)
+    excl = np.concatenate(([0], np.cumsum(a_rep)[:-1]))
+    offs = np.arange(total, dtype=np.int64) - np.repeat(excl, a_rep)
+    ub = ent[np.repeat(idx, a_rep) + offs + 1]
+    lo = np.minimum(ua, ub)
+    hi = np.maximum(ua, ub)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.r_[starts, len(lo)])
+    return pa.table(
+        {
+            "ua": pa.array(lo[starts], pa.int64()),
+            "ub": pa.array(hi[starts], pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def ranking_overlap_join(
+    ranked_ds,
+    entity_col: str,
+    item_col: str,
+    min_overlap: int,
+    n_buckets: int = 64,
+):
+    """Similarity join over top-k RANKINGS (PAPERS.md EDBT 2020 shape):
+    given each entity's top-k item list (rows ``(entity, item)``),
+    return every entity pair sharing at least ``min_overlap`` items —
+    the set-overlap similarity join on ranked lists. EXACT: overlap is
+    the SUM of per-item pair contributions (each shared item lives in
+    exactly one item bucket), so no candidate/verify round is needed.
+
+    Scale shape — two linear shuffles:
+
+    1. bucket by hash(item): one vectorized triangular pair pass per
+       bucket collapses to (ua, ub, cnt) partials;
+    2. partial→final sum per (ua, ub) (stages/agg.py), filter ≥ t.
+
+    Hot items are the quadratic hazard (an item in every entity's
+    top-k contributes |entities|²/2 pairs — same boilerplate caveat as
+    text_similarity_join's shared bands). At 100 TB apply the paper's
+    prefix filter upstream: order items by ascending global frequency
+    and index only each list's first k−t+1 items for CANDIDATE
+    generation, then verify by re-joining full lists — the sum path
+    here stays the exact small/medium-cardinality engine."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, [item_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    partials = (
+        ranked_ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket_item_pair_counts(
+                g.drop_columns(["__bucket"]), entity_col, item_col
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    summed = partial_group_agg(partials, keys=["ua", "ub"], sum_cols=["cnt"], count_as=None)
+
+    def _final(t: pa.Table) -> pa.Table:
+        ov = t["sum_cnt"].combine_chunks()
+        keep = pa.compute.greater_equal(ov, min_overlap)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "ua": t["ua"].combine_chunks(),
+                "ub": t["ub"].combine_chunks(),
+                "overlap": t["sum_cnt"].combine_chunks(),
+            }
+        )
+
+    return summed.map_batches(_final, batch_format="pyarrow")
+
+
 def _doc_gram64_keys(batch: pa.Table, n: int, id_col: str, text_col: str) -> pa.Table:
     """(id, __key) rows: each doc's DISTINCT word n-grams folded to one
     64-bit key (splitmix64(g1) ^ g2 over text.py's 128-bit rolling

@@ -2164,3 +2164,47 @@ def test_normalize_text_kernel():
     )
     out = text.normalize_text(t)
     assert out["text_norm"].to_pylist() == ["hello world", "a b c", "all caps"]
+
+
+def test_cm_sketch_partitioning_invariant(ray_session):
+    from rio_cogeo_ray.stages import sketch as sk
+
+    vals = (np.arange(4000, dtype=np.int64) * 7) % 97
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    a = sk.cm_sketch(rd.from_arrow(t).repartition(2), "v", w=256, d=3)
+    b = sk.cm_sketch(rd.from_arrow(t).repartition(13), "v", w=256, d=3)
+    np.testing.assert_array_equal(a.mat, b.mat)
+    assert a.n == b.n == 4000
+
+
+def test_ranking_overlap_join_vs_bruteforce(ray_session):
+    # random top-4 item lists; compare against itertools brute force
+    rng = np.random.RandomState(21)
+    rows = []
+    sets = {}
+    for e in range(40):
+        items = rng.choice(30, 4, replace=False)
+        sets[e] = set(items.tolist())
+        rows += [(e, int(i)) for i in items]
+    t = pa.table(
+        {
+            "ent": pa.array([a for a, _ in rows], pa.int64()),
+            "item": pa.array([b for _, b in rows], pa.int64()),
+        }
+    )
+    got = (
+        dedup.ranking_overlap_join(
+            rd.from_arrow(t).repartition(5), "ent", "item", min_overlap=2
+        )
+        .to_pandas()
+        .sort_values(["ua", "ub"])
+        .reset_index(drop=True)
+    )
+    import itertools
+
+    exp = sorted(
+        (a, b, len(sets[a] & sets[b]))
+        for a, b in itertools.combinations(range(40), 2)
+        if len(sets[a] & sets[b]) >= 2
+    )
+    assert list(map(tuple, got[["ua", "ub", "overlap"]].itertuples(index=False))) == exp
