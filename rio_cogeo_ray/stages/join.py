@@ -301,13 +301,15 @@ def broadcast_interval_join(
 
 
 def _with_bucket(t: pa.Table, on, n_buckets: int, side: int) -> pa.Table:
-    if isinstance(on, str):
-        keys = t[on].combine_chunks().to_numpy(zero_copy_only=False)
-        b = (splitmix64(keys.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
-    else:
-        from rio_cogeo_ray.functions.hashing import hash_columns
+    """ONE bucket-hash path for every key shape: hash_columns chains
+    int keys through splitmix64 and hashes string keys natively, so a
+    single string key, a single int key and composite keys all route
+    identically (bucket choice only — matching keys co-locate under
+    any hash)."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
 
-        b = (hash_columns(t, list(on)) % np.uint64(n_buckets)).astype(np.int64)
+    cols = [on] if isinstance(on, str) else list(on)
+    b = (hash_columns(t, cols) % np.uint64(n_buckets)).astype(np.int64)
     t = t.append_column("__bucket", pa.array(b, pa.int64()))
     return t.append_column("__side", pa.array(np.full(len(t), side, dtype=np.int8), pa.int8()))
 
@@ -349,9 +351,8 @@ def bucketed_hash_join(
     rcols = [f.name for f in right.schema().base_schema]
     shared = (set(lcols) & set(rcols)) - set(on_cols)
 
-    key_arg = on_cols[0] if isinstance(on, str) else on_cols
-    lt = left.map_batches(lambda t: _with_bucket(t, key_arg, n_buckets, 0), batch_format="pyarrow")
-    rt = right.map_batches(lambda t: _with_bucket(t, key_arg, n_buckets, 1), batch_format="pyarrow")
+    lt = left.map_batches(lambda t: _with_bucket(t, on_cols, n_buckets, 0), batch_format="pyarrow")
+    rt = right.map_batches(lambda t: _with_bucket(t, on_cols, n_buckets, 1), batch_format="pyarrow")
 
     r_only = [c for c in rcols if c not in on_cols]
     r_types = [right.schema().base_schema.field(c).type for c in r_only]

@@ -302,6 +302,10 @@ class VideoFrames:
         nf = batch["n_frames"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         fps = batch["fps"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         k = np.minimum(self.k, np.maximum(nf, 1))
+        # AudioFrames convention: payloads too short for one full window
+        # emit no frames — a fixed-size gather past the payload end
+        # would bleed the NEXT row's bytes (or crash on the last row)
+        k = np.where(plen < self.frame, 0, k)
         row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), k)
         total = int(k.sum())
         if total == 0:
@@ -312,7 +316,7 @@ class VideoFrames:
         # uniform temporal indices; k==1 degenerates to frame 0
         idx = np.where(kr > 1, (j * (nfr - 1)) // np.maximum(kr - 1, 1), 0)
         ts_ms = idx * 1000 // np.maximum(fps[row_idx], 1)
-        span = np.maximum(plen[row_idx] - self.frame + 1, 1)
+        span = plen[row_idx] - self.frame + 1  # >= 1 by the k=0 guard
         starts = off[:-1][row_idx] + (idx * self.frame) % span
         windows = data[starts[:, None] + np.arange(self.frame, dtype=np.int64)[None, :]]
         frame_off = pa.array(

@@ -275,3 +275,27 @@ def test_video_frames_vs_row_loop_oracle(ray_session):
     assert (per["min"] == 0).all()
     for mid, mx in per["max"].items():
         assert mx == nf_by_id[mid] - 1
+
+
+def test_video_frames_short_payload_no_bleed(ray_session):
+    """Payloads shorter than frame_bytes emit NO frames (never bytes
+    from a neighboring row, never an out-of-bounds read)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import multimodal as mm
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array([b"A" * 300, b"B" * 40, b"C" * 300], pa.binary()),
+            "n_frames": pa.array([10, 10, 10], pa.int32()),
+            "fps": pa.array([24, 24, 24], pa.int32()),
+        }
+    )
+    got = mm.video_frames(rd.from_arrow(t), concurrency=2, batch_size=8).to_pandas()
+    assert set(got["media_id"]) == {0, 2}
+    for _, r in got.iterrows():
+        b = bytes(r["frame"])
+        assert b == (b"A" if r["media_id"] == 0 else b"C") * 256
