@@ -3068,6 +3068,30 @@ SELECT ua, ub, CAST(ov AS BIGINT) AS overlap FROM pairs WHERE ov >= {RANKJOIN_T}
 """
 
 
+UPSAMPLE_NUM, UPSAMPLE_DEN = 5, 2
+
+
+def q_corpus_upsample(sf_dir: str):
+    """Deterministic over-sampling for epoch weighting (stages/
+    shard.py: repeat_weighted — the rate>1 side of corpus mixing):
+    each doc emits floor(5/2)=2 copies plus a knuth32-credit third,
+    expected 2.5 epochs, decided by id alone. Map-side explode, zero
+    shuffle."""
+    from rio_cogeo_ray.stages import shard
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return shard.repeat_weighted(ds, "doc_id", UPSAMPLE_NUM, UPSAMPLE_DEN)
+
+
+SQL_CORPUS_UPSAMPLE = f"""
+WITH d AS (SELECT doc_id, lang,
+  {UPSAMPLE_NUM // UPSAMPLE_DEN} + CASE WHEN ((doc_id + 0) * 2654435761) % 4294967296 % {UPSAMPLE_DEN} < {UPSAMPLE_NUM % UPSAMPLE_DEN} THEN 1 ELSE 0 END AS nc
+  FROM documents)
+SELECT doc_id, lang, CAST(g AS BIGINT) AS copy_idx
+FROM d CROSS JOIN generate_series(0, {UPSAMPLE_NUM // UPSAMPLE_DEN}) gs(g) WHERE g < nc
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3271,6 +3295,7 @@ def queries() -> Dict[str, Callable]:
         "quality_filter_pct": q_quality_filter_pct,
         "lang_source_join": q_lang_source_join,
         "ranking_simjoin": q_ranking_simjoin,
+        "corpus_upsample": q_corpus_upsample,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3396,6 +3421,7 @@ def oracle_sql() -> Dict[str, str]:
         "quality_filter_pct": SQL_QUALITY_FILTER_PCT,
         "lang_source_join": SQL_LANG_SOURCE_JOIN,
         "ranking_simjoin": SQL_RANKING_SIMJOIN,
+        "corpus_upsample": SQL_CORPUS_UPSAMPLE,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

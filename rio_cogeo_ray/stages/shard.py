@@ -227,3 +227,43 @@ def corpus_mix(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def repeat_weighted_batch(
+    batch: pa.Table, id_col: str, rate_num: int, rate_den: int, salt: int = 0
+) -> pa.Table:
+    """Deterministic OVER-sampling (the epochs-per-source side of
+    corpus mixing, where :func:`corpus_mix` covers rates ≤ 1): each
+    row emits ``floor(num/den)`` copies plus one more iff
+    ``knuth32(id, salt) % den < num % den`` — expected copies =
+    num/den exactly, decided by the row id alone (same credit rule as
+    the Bernoulli filter, so any parallelism and any resume yields the
+    same multiset). Appends ``copy_idx`` (0-based) so downstream
+    shuffles can keep copies distinguishable. Pure map-side explode,
+    zero shuffle. SQL mirror: CROSS JOIN generate_series bounded by
+    the per-row copy count."""
+    if rate_num < 0 or rate_den <= 0:
+        raise ValueError("rate must be non-negative with positive denominator")
+    base, rem = divmod(rate_num, rate_den)
+    ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    extra = (knuth32(ids, salt) % np.uint64(rate_den)) < np.uint64(rem)
+    reps = np.full(len(ids), base, dtype=np.int64) + extra
+    total = int(reps.sum())
+    if total == 0:
+        out = batch.slice(0, 0)
+        return out.append_column("copy_idx", pa.array([], pa.int64()))
+    row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+    excl = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    copy_idx = np.arange(total, dtype=np.int64) - np.repeat(excl, reps)
+    out = batch.take(pa.array(row_idx, pa.int64()))
+    return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
+
+
+def repeat_weighted(ds, id_col: str, rate_num: int, rate_den: int, salt: int = 0):
+    """Dataset form of :func:`repeat_weighted_batch` — feed the output
+    to ``shard_shuffle`` (keyed by a (id, copy_idx)-derived id) for the
+    final randomized layout of a multi-epoch mix."""
+    return ds.map_batches(
+        lambda t: repeat_weighted_batch(t, id_col, rate_num, rate_den, salt),
+        batch_format="pyarrow",
+    )

@@ -2208,3 +2208,30 @@ def test_ranking_overlap_join_vs_bruteforce(ray_session):
         if len(sets[a] & sets[b]) >= 2
     )
     assert list(map(tuple, got[["ua", "ub", "overlap"]].itertuples(index=False))) == exp
+
+
+def test_repeat_weighted_deterministic_copies(ray_session):
+    from rio_cogeo_ray.stages import shard
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64))})
+    got = (
+        shard.repeat_weighted(rd.from_arrow(t).repartition(5), "doc_id", 7, 3)
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    ids = np.arange(400, dtype=np.int64)
+    expect_counts = 2 + ((knuth32(ids, 0) % np.uint64(3)) < np.uint64(1)).astype(int)
+    per = got.groupby("doc_id").size()
+    assert per.reindex(ids, fill_value=0).tolist() == expect_counts.tolist()
+    # copy_idx is a clean 0..n-1 sequence per doc
+    assert (got.groupby("doc_id")["copy_idx"].max() + 1).tolist() == per.tolist()
+    # partitioning invariance
+    got2 = (
+        shard.repeat_weighted(rd.from_arrow(t).repartition(11), "doc_id", 7, 3)
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
