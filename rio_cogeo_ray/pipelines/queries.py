@@ -3092,6 +3092,54 @@ FROM d CROSS JOIN generate_series(0, {UPSAMPLE_NUM // UPSAMPLE_DEN}) gs(g) WHERE
 """
 
 
+TRI_T = 3
+
+
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting (stages/graph.py: triangle_counts
+    — Suri & Vassilvitskii degree-oriented wedge-check) over the
+    doc-similarity graph (edges = top-5-token overlap ≥ 3 pairs from
+    ranking_overlap_join): per-node triangle participation. Exact;
+    mirrored by the three-way SQL self-join."""
+    from rio_cogeo_ray.stages import graph
+    from rio_cogeo_ray.stages.knn import per_group_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    counts = docs.map_batches(
+        lambda t: text.doc_token_counts(t), batch_format="pyarrow"
+    )
+    top = per_group_topk(
+        counts, "doc_id", [("n", False), ("token", True)], RANKJOIN_K
+    ).map_batches(lambda t: t.select(["doc_id", "token"]), batch_format="pyarrow")
+    pairs = dedup.ranking_overlap_join(top, "doc_id", "token", min_overlap=TRI_T)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["ua"].combine_chunks(),
+                "b": t["ub"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return graph.triangle_counts(edges)
+
+
+SQL_TRIANGLES = rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+rk AS (SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS r FROM cnt),
+top AS (SELECT doc_id, tok FROM rk WHERE r <= {RANKJOIN_K}),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM top a JOIN top b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {TRI_T}),
+t AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM n GROUP BY node
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3296,6 +3344,7 @@ def queries() -> Dict[str, Callable]:
         "lang_source_join": q_lang_source_join,
         "ranking_simjoin": q_ranking_simjoin,
         "corpus_upsample": q_corpus_upsample,
+        "triangles": q_triangles,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3422,6 +3471,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_source_join": SQL_LANG_SOURCE_JOIN,
         "ranking_simjoin": SQL_RANKING_SIMJOIN,
         "corpus_upsample": SQL_CORPUS_UPSAMPLE,
+        "triangles": SQL_TRIANGLES,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,

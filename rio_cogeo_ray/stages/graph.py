@@ -1,0 +1,163 @@
+"""Graph analytics over edge Datasets — triangle counting.
+
+Complements the iterative graph family (connected components in
+stages/dedup.py, k-means in stages/ann.py) with the classic two-round
+wedge-check algorithm (Suri & Vassilvitskii, "Counting Triangles and
+the Curse of the Last Reducer", WWW 2011): orient every edge toward
+the higher-(degree, id) endpoint so each node's OUT-degree is bounded
+(hubs never enumerate their full neighborhoods), generate wedges from
+out-neighbor pairs, and confirm each wedge against the edge set with
+one bucketed join.
+
+Scale shape: degrees are one partial→final count; orientation is two
+hash-joins of the edge list against the degree table (edges never
+amplify); wedge generation is the per-run triangular kernel (bounded
+by out-degree² ≤ O(m) total under degree orientation — THE point of
+the algorithm); the wedge⋈edge check is a composite-key bucketed join.
+No driver-side adjacency, no broadcast of O(nodes) state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rio_cogeo_ray.functions.hashing import hash_columns, splitmix64
+
+
+def _edge_degrees(edges, n_buckets: int = 64):
+    """(node, deg) from an (a, b) edge Dataset — both endpoints count."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _both(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    ends = edges.map_batches(_both, batch_format="pyarrow")
+    deg = partial_group_agg(ends, keys=["node"], sum_cols=[], count_as="deg")
+    return deg
+
+
+def triangle_counts(edges, n_buckets: int = 64):
+    """Per-node triangle participation counts over an undirected simple
+    edge Dataset with columns (a, b), a < b, no duplicates. Returns
+    (node, triangles) for every node in at least one triangle.
+
+    SQL mirror: the three-way self-join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)
+    with a < b < c, each triangle crediting its three vertices.
+    """
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    deg = _edge_degrees(edges, n_buckets).materialize()
+
+    # attach deg(a) and deg(b); orient src -> dst toward higher (deg, id)
+    def _ren(col_from, col_to):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [col_to if c == col_from else c for c in t.column_names]
+            )
+
+        return _f
+
+    da = bucketed_hash_join(
+        edges, deg.map_batches(_ren("node", "a"), batch_format="pyarrow"),
+        on="a", n_buckets=n_buckets,
+    ).map_batches(_ren("deg", "deg_a"), batch_format="pyarrow")
+    dab = bucketed_hash_join(
+        da, deg.map_batches(_ren("node", "b"), batch_format="pyarrow"),
+        on="b", n_buckets=n_buckets,
+    ).map_batches(_ren("deg", "deg_b"), batch_format="pyarrow")
+
+    def _orient(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        da_ = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        db_ = t["deg_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_first = (da_ < db_) | ((da_ == db_) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    oriented = dab.map_batches(_orient, batch_format="pyarrow")
+
+    # wedges: per src, every unordered pair of out-neighbors
+    def _route_src(t: pa.Table) -> pa.Table:
+        bkt = (
+            splitmix64(t["src"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bkt, pa.int64()))
+
+    def _wedges(g: pa.Table) -> pa.Table:
+        from rio_cogeo_ray.stages.dedup import _bucket_item_pair_counts
+
+        g = g.drop_columns(["__bucket"])
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "center": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        # reuse the triangular pair kernel: item = src, entity = dst.
+        # cnt is always 1 here (simple graph); center recovery needs the
+        # pair -> src mapping, so regenerate pairs carrying src instead.
+        g = g.sort_by([("src", "ascending"), ("dst", "ascending")])
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.r_[True, src[1:] != src[:-1]]
+        idx = np.arange(len(src), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        q = idx - run_start
+        run = np.cumsum(new) - 1
+        L = np.bincount(run)[run]
+        a_rep = L - 1 - q
+        total = int(a_rep.sum())
+        if total == 0:
+            return empty
+        x = np.repeat(dst, a_rep)
+        excl = np.concatenate(([0], np.cumsum(a_rep)[:-1]))
+        offs = np.arange(total, dtype=np.int64) - np.repeat(excl, a_rep)
+        y = dst[np.repeat(idx, a_rep) + offs + 1]
+        c = np.repeat(src, a_rep)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "center": pa.array(c, pa.int64()),
+            }
+        )
+
+    wedges = (
+        oriented.map_batches(_route_src, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_wedges, batch_format="pyarrow")
+    )
+
+    # wedge (a, b, center) closes a triangle iff (a, b) is an edge —
+    # one composite-key bucketed join (edges carry a < b already)
+    tri = bucketed_hash_join(wedges, edges, on=["a", "b"], how="semi",
+                             n_buckets=n_buckets)
+
+    # credit all three vertices, then one partial→final count
+    def _credit(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        c = t["center"].combine_chunks().cast(pa.int64())
+        return pa.table({"node": pa.concat_arrays([a, b, c])})
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    counted = partial_group_agg(
+        tri.map_batches(_credit, batch_format="pyarrow"),
+        keys=["node"], sum_cols=[], count_as="triangles",
+    )
+    return counted

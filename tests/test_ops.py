@@ -2235,3 +2235,41 @@ def test_repeat_weighted_deterministic_copies(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_triangle_counts_vs_bruteforce(ray_session):
+    from rio_cogeo_ray.stages import graph
+
+    rng = np.random.RandomState(4)
+    nodes = 30
+    es = set()
+    while len(es) < 80:
+        a, b = rng.randint(0, nodes, 2)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    edges = sorted(es)
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = (
+        graph.triangle_counts(rd.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    import itertools
+
+    adj = {n: set() for n in range(nodes)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    tri = {n: 0 for n in range(nodes)}
+    cnt = 0
+    for x, y, z in itertools.combinations(range(nodes), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1; tri[y] += 1; tri[z] += 1; cnt += 1
+    exp = {n: c for n, c in tri.items() if c > 0}
+    assert dict(zip(got["node"], got["triangles"])) == exp
+    assert got["triangles"].sum() == 3 * cnt
