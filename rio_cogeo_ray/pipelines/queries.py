@@ -3140,6 +3140,34 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM n GROUP BY node
 """
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the doc-similarity graph (stages/graph.py:
+    pagerank — distributed-state iterative pattern: rank vector stays
+    a Dataset; per iteration one bucketed join + one partial→final
+    sum; int64 micro-units keep results bit-identical at any
+    parallelism). 10-iteration fixpoint not SQL-expressible in one
+    statement ⇒ rows-only; float-oracle + partitioning-invariance
+    pinned in pytest."""
+    from rio_cogeo_ray.stages import graph
+    from rio_cogeo_ray.stages.knn import per_group_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    counts = docs.map_batches(
+        lambda t: text.doc_token_counts(t), batch_format="pyarrow"
+    )
+    top = per_group_topk(
+        counts, "doc_id", [("n", False), ("token", True)], RANKJOIN_K
+    ).map_batches(lambda t: t.select(["doc_id", "token"]), batch_format="pyarrow")
+    pairs = dedup.ranking_overlap_join(top, "doc_id", "token", min_overlap=TRI_T)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"a": t["ua"].combine_chunks(), "b": t["ub"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    return graph.pagerank(edges, iters=5)
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3443,6 +3471,7 @@ def queries() -> Dict[str, Callable]:
         "token_cm": q_token_cm,
         "neardup_keepers": q_neardup_keepers,
         "video_frames": q_video_frames,
+        "pagerank": q_pagerank,
     }
 
 

@@ -2273,3 +2273,61 @@ def test_triangle_counts_vs_bruteforce(ray_session):
     exp = {n: c for n, c in tri.items() if c > 0}
     assert dict(zip(got["node"], got["triangles"])) == exp
     assert got["triangles"].sum() == 3 * cnt
+
+
+def test_pagerank_vs_float_oracle(ray_session):
+    from rio_cogeo_ray.stages import graph
+
+    rng = np.random.RandomState(8)
+    nodes = 25
+    es = set()
+    while len(es) < 60:
+        a, b = rng.randint(0, nodes, 2)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    edges = sorted(es)
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = (
+        graph.pagerank(rd.from_arrow(t).repartition(3), iters=15)
+        .to_pandas()
+        .set_index("node")["rank_ppt"]
+    )
+    present = sorted({n for e in edges for n in e})
+    # float power iteration oracle (same damping, same init)
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b); adj[b].append(a)
+    N = len(present)
+    r = {n: 1.0 / N for n in present}
+    for _ in range(15):
+        nxt = {n: 0.15 / N for n in present}
+        for n in present:
+            share = 0.85 * r[n] / len(adj[n])
+            for m in adj[n]:
+                nxt[m] += share
+        r = nxt
+    for n in present:
+        assert abs(got[n] / graph.RANK_UNIT - r[n]) < 1e-6, (n, got[n], r[n])
+    # mass conservation (up to integer floor leakage)
+    assert 0.999 < got.sum() / graph.RANK_UNIT <= 1.0 + 1e-9
+
+
+def test_pagerank_partitioning_invariant(ray_session):
+    from rio_cogeo_ray.stages import graph
+
+    t = pa.table(
+        {
+            "a": pa.array([0, 0, 1, 2, 3], pa.int64()),
+            "b": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        }
+    )
+    r1 = graph.pagerank(rd.from_arrow(t).repartition(2), iters=8).to_pandas().sort_values("node").reset_index(drop=True)
+    r2 = graph.pagerank(rd.from_arrow(t).repartition(5), iters=8).to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r1, r2)
