@@ -3168,6 +3168,80 @@ def q_pagerank(sf_dir: str):
     return graph.pagerank(edges, iters=5)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff (the delta-audit op between two dataset
+    versions): OLD = docs with doc_id % 7 <> 0 keyed by the first 50
+    code points of text, NEW = docs with doc_id % 11 <> 0 keyed by
+    full text — per doc_id status added / removed / changed / same.
+    Engine: both sides reduce map-side to (id, fingerprint64) — text
+    never shuffles — then ONE bucketed outer join + a CASE map.
+    Fingerprint equality stands in for text equality (64-bit, same
+    collision doctrine as decontam's membership keys: a collision
+    miscategorizes one row as 'same')."""
+    import pyarrow.compute as pc
+
+    def _side(pred_mod: int, prefix: "int | None"):
+        ds = _docs(sf_dir, ["doc_id", "text"])
+
+        def _fp(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            keep = (ids % pred_mod) != 0
+            t = t.filter(pa.array(keep))
+            txt = t["text"].combine_chunks()
+            if prefix is not None:
+                txt = pc.utf8_slice_codeunits(txt, start=0, stop=prefix)
+            # fingerprint64 whitespace-normalizes before hashing — an
+            # equality-preserving step on this single-spaced corpus, so
+            # fp equality ⇔ the SQL mirror's raw substring equality
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].combine_chunks(),
+                    "fp": text.fingerprint64(txt).cast(pa.int64()),
+                }
+            )
+
+        return ds.map_batches(_fp, batch_format="pyarrow")
+
+    old = _side(7, 50).map_batches(
+        lambda t: t.rename_columns(["doc_id", "fp_old"]), batch_format="pyarrow"
+    )
+    new = _side(11, None).map_batches(
+        lambda t: t.rename_columns(["doc_id", "fp_new"]), batch_format="pyarrow"
+    )
+    both = join_mod.bucketed_hash_join(old, new, on="doc_id", how="outer")
+
+    def _status(t: pa.Table) -> pa.Table:
+        fo = t["fp_old"].combine_chunks()
+        fn = t["fp_new"].combine_chunks()
+        import pyarrow.compute as _pc
+
+        status = _pc.if_else(
+            _pc.is_null(fo),
+            pa.scalar("added"),
+            _pc.if_else(
+                _pc.is_null(fn),
+                pa.scalar("removed"),
+                _pc.if_else(_pc.equal(fo, fn), pa.scalar("same"), pa.scalar("changed")),
+            ),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks(), "status": status}
+        )
+
+    return both.map_batches(_status, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, substring(text, 1, 50) AS v FROM documents WHERE doc_id % 7 <> 0),
+new AS (SELECT doc_id, text AS v FROM documents WHERE doc_id % 11 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.v = n.v THEN 'same' ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3373,6 +3447,7 @@ def queries() -> Dict[str, Callable]:
         "ranking_simjoin": q_ranking_simjoin,
         "corpus_upsample": q_corpus_upsample,
         "triangles": q_triangles,
+        "snapshot_diff": q_snapshot_diff,
         "price_quantiles": q_price_quantiles,
         "pyramid_base3": q_pyramid_base3,
         "pyramid_rms": q_pyramid_rms,
@@ -3501,6 +3576,7 @@ def oracle_sql() -> Dict[str, str]:
         "ranking_simjoin": SQL_RANKING_SIMJOIN,
         "corpus_upsample": SQL_CORPUS_UPSAMPLE,
         "triangles": SQL_TRIANGLES,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "price_quantiles": SQL_PRICE_QUANTILES,
         "pyramid_lanczos": SQL_PYRAMID_LANCZOS,
         "pip_inner": SQL_PIP_INNER,
