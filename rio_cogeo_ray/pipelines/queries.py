@@ -3242,6 +3242,18 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (stages/ann.py: semantic_dedup — Abbas et al. 2023):
+    k-means clusters the embeddings table, each cluster thinned by
+    within-cluster cosine ≥ 0.99 with lower-id priority. Iterative fit
+    + float cosine ⇒ rows-only; planted-duplicate keeper semantics and
+    cross-partitioning determinism pinned in pytest."""
+    ds = _read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+    )
+    return ann.semantic_dedup(ds, n_clusters=16, threshold=0.99)
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3547,6 +3559,7 @@ def queries() -> Dict[str, Callable]:
         "neardup_keepers": q_neardup_keepers,
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

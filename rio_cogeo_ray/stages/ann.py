@@ -573,3 +573,65 @@ def kmeans_fit(
         nv[nv == 0] = 1.0
         c = np.where(seen[:, None], new_c / nv, c)
     return c
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-thin (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication")
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    kmeans_iters: int = 4,
+    concurrency: int = 4,
+):
+    """Semantic (embedding-space) dedup, the SemDeDup shape: k-means
+    clusters the corpus (distributed fit — stages/ann.py:kmeans_fit),
+    then each cluster is thinned INDEPENDENTLY: a point is dropped iff
+    an earlier point (lower id — deterministic priority) in ITS cluster
+    sits within cosine ≥ ``threshold``. Returns the kept (id, bucket)
+    rows.
+
+    vs embedding_neardup (SRP-LSH): LSH recalls near-dup PAIRS at any
+    distance scale; SemDeDup trades pair recall for a bounded
+    quadratic — pairwise similarity is computed only WITHIN a cluster,
+    so the cost is Σ|cluster|² and the knob is ``n_clusters``
+    (Abbas et al. run k≈11k for 100M embeddings; size clusters to the
+    worker heap). Points near a cluster boundary can miss a cross-
+    cluster duplicate — the documented SemDeDup approximation.
+
+    Scale shape: one iterative fit (k·d driver state only), one
+    stateless assign pass, ONE groupby(cluster) exchange, one
+    vectorized gram-matrix pass per cluster. The thinning rule is
+    order-free (drop iff ANY lower-id ε-neighbor exists), so results
+    are identical at any parallelism."""
+    cents = kmeans_fit(
+        ds, n_clusters, iters=kmeans_iters, emb_col=emb_col
+    )
+    labeled = ivf_assign(ds, cents, emb_col, concurrency=concurrency)
+
+    def _thin(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "bucket": pa.array([], pa.int64())}
+        )
+        if not g.num_rows:
+            return empty
+        g = g.sort_by([(id_col, "ascending")])
+        E = _normalize(_matrix(g[emb_col]))
+        sims = E @ E.T
+        drop = (np.tril(sims >= threshold, k=-1)).any(axis=1)
+        keep = pa.array(~drop)
+        return pa.table(
+            {
+                id_col: g[id_col].combine_chunks().cast(pa.int64()),
+                "bucket": g["bucket"].combine_chunks().cast(pa.int64()),
+            }
+        ).filter(keep)
+
+    return labeled.groupby("bucket").map_groups(_thin, batch_format="pyarrow")

@@ -2331,3 +2331,42 @@ def test_pagerank_partitioning_invariant(ray_session):
     r1 = graph.pagerank(rd.from_arrow(t).repartition(2), iters=8).to_pandas().sort_values("node").reset_index(drop=True)
     r2 = graph.pagerank(rd.from_arrow(t).repartition(5), iters=8).to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_semantic_dedup_planted_duplicates(ray_session):
+    # two tight duplicate groups + singletons, well-separated clusters
+    rng = np.random.RandomState(12)
+    base1 = rng.randn(8); base2 = rng.randn(8) + 10
+    vecs, ids = [], []
+    for i in range(3):                      # dup group A: ids 0,1,2
+        vecs.append(base1 + rng.randn(8) * 1e-4); ids.append(i)
+    for i in range(2):                      # dup group B: ids 10,11
+        vecs.append(base2 + rng.randn(8) * 1e-4); ids.append(10 + i)
+    for i in range(5):                      # singletons far apart
+        v = rng.randn(8) * 0.05
+        v[i % 8] += 100 + 7 * i
+        vecs.append(v); ids.append(100 + i)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    got = sorted(
+        ann.semantic_dedup(
+            rd.from_arrow(t).repartition(3), n_clusters=4, threshold=0.999,
+            concurrency=2,
+        ).to_pandas()["vec_id"]
+    )
+    # keepers: min id per dup group + all singletons
+    assert 0 in got and 10 in got
+    assert 1 not in got and 2 not in got and 11 not in got
+    assert all(100 + i in got for i in range(5))
+    # determinism across partitionings
+    got2 = sorted(
+        ann.semantic_dedup(
+            rd.from_arrow(t).repartition(7), n_clusters=4, threshold=0.999,
+            concurrency=2,
+        ).to_pandas()["vec_id"]
+    )
+    assert got == got2
