@@ -267,3 +267,76 @@ def repeat_weighted(ds, id_col: str, rate_num: int, rate_den: int, salt: int = 0
         lambda t: repeat_weighted_batch(t, id_col, rate_num, rate_den, salt),
         batch_format="pyarrow",
     )
+
+
+def append_shards(
+    ds_new,
+    out_dir: str,
+    id_col: str,
+    src_fingerprint: "str | None" = None,
+) -> dict:
+    """Incremental corpus growth into an EXISTING shard layout (the
+    output-side companion of dedup.incremental_dedup's input-side
+    anti-join): new rows hash into the SAME shards under the manifest's
+    recorded (num_shards, salt, id_col) — no reshuffle of prior data —
+    and land as a new GENERATION: ``shard=K/gen=G/*.parquet``. Within a
+    generation, positions follow the same seeded permutation rank as
+    the initial shuffle, so the global deterministic order is
+    ``(gen, pos)`` and any re-run of the same delta is a no-op (the
+    per-generation fingerprint is recorded in the manifest).
+
+    Raises if ``out_dir`` has no manifest (write_shards creates the
+    initial layout). Returns the updated manifest dict."""
+    import json
+
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{out_dir} has no shard manifest — run write_shards first"
+        )
+    with open(mpath) as f:
+        man = json.load(f)
+    num_shards = int(man["num_shards"])
+    salt = int(man["salt"])
+    if man.get("id_col") != id_col:
+        raise ValueError(
+            f"id_col mismatch: manifest has {man.get('id_col')!r}, got {id_col!r}"
+        )
+    gens = man.setdefault("generations", [])
+    if src_fingerprint is not None:
+        for g in gens:
+            if g.get("src_fingerprint") == src_fingerprint:
+                return man  # this delta is already appended — no-op
+
+    gen_id = len(gens) + 1
+    shuffled = shard_shuffle(ds_new, id_col, num_shards, salt)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "gen", pa.array(np.full(len(t), gen_id, dtype=np.int64), pa.int64())
+        )
+
+    shuffled.map_batches(_tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard", "gen"]
+    )
+
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    tbl = dset.to_table(columns=["shard"])
+    vals, cnts = np.unique(
+        tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64),
+        return_counts=True,
+    )
+    counts = {str(int(v)): int(c) for v, c in zip(vals, cnts)}
+    new_rows = int(sum(counts.values())) - int(man.get("rows", 0))
+    gens.append(
+        {"gen": gen_id, "rows": new_rows, "src_fingerprint": src_fingerprint}
+    )
+    man["rows"] = int(sum(counts.values()))
+    man["shard_rows"] = counts
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True)
+    os.replace(tmp, mpath)
+    return man

@@ -2370,3 +2370,45 @@ def test_semantic_dedup_planted_duplicates(ray_session):
         ).to_pandas()["vec_id"]
     )
     assert got == got2
+
+
+def test_append_shards_generations(ray_session, tmp_path):
+    from rio_cogeo_ray.stages import shard
+
+    out = str(tmp_path / "shards")
+    t1 = pa.table(
+        {
+            "pid": pa.array(np.arange(0, 200, dtype=np.int64)),
+            "text": pa.array([f"d{i}" for i in range(200)], pa.string()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "pid": pa.array(np.arange(1000, 1100, dtype=np.int64)),
+            "text": pa.array([f"n{i}" for i in range(100)], pa.string()),
+        }
+    )
+    shard.write_shards(rd.from_arrow(t1), out, "pid", 4, src_fingerprint="v1")
+    m = shard.append_shards(rd.from_arrow(t2), out, "pid", src_fingerprint="d1")
+    assert m["rows"] == 300 and m["generations"][0]["rows"] == 100
+    # idempotent: same delta fingerprint is a no-op
+    m2 = shard.append_shards(rd.from_arrow(t2), out, "pid", src_fingerprint="d1")
+    assert m2["rows"] == 300 and len(m2["generations"]) == 1
+    # original write_shards resume still recognizes its own fingerprint
+    m3 = shard.write_shards(rd.from_arrow(t1), out, "pid", 4, src_fingerprint="v1")
+    assert m3["rows"] == 300
+    # read-back union matches both inputs; appended rows carry gen=1,
+    # initial rows read as null gen (generation 0 by convention)
+    import pyarrow.dataset as pads
+
+    tb = pads.dataset(out, format="parquet", partitioning="hive").to_table()
+    assert tb.num_rows == 300
+    got_ids = sorted(tb["pid"].to_pylist())
+    assert got_ids == sorted(t1["pid"].to_pylist() + t2["pid"].to_pylist())
+    # shard assignment of appended rows follows the manifest hash
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    df = tb.to_pandas()
+    new = df[df["pid"] >= 1000]
+    exp_shard = knuth32(new["pid"].to_numpy().astype(np.int64), 0) % np.uint64(4)
+    assert (new["shard"].to_numpy().astype(np.uint64) == exp_shard).all()
