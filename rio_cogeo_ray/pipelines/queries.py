@@ -3036,12 +3036,12 @@ RANKJOIN_K = 5
 RANKJOIN_T = 4
 
 
-def q_ranking_simjoin(sf_dir: str):
-    """Similarity join over top-k rankings (stages/dedup.py:
-    ranking_overlap_join — PAPERS.md EDBT 2020): each doc's top-5
-    tokens (by in-doc frequency, token tie-break) joined pairwise on
-    set overlap ≥ 4. Exact two-shuffle sum path; hot-item caveat and
-    the prefix-filter scale variant documented at the operator."""
+def _simgraph_edges(sf_dir: str, min_overlap: int):
+    """Shared doc-similarity graph: each doc's top-5 tokens (by in-doc
+    frequency, token tie-break) pairwise-joined on set overlap ≥
+    ``min_overlap`` → (a, b) edges with a < b. The ONE definition
+    consumed by ranking_simjoin, triangles and pagerank (and mirrored
+    by their SQL CTEs)."""
     from rio_cogeo_ray.stages.knn import per_group_topk
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -3051,9 +3051,16 @@ def q_ranking_simjoin(sf_dir: str):
     top = per_group_topk(
         counts, "doc_id", [("n", False), ("token", True)], RANKJOIN_K
     ).map_batches(lambda t: t.select(["doc_id", "token"]), batch_format="pyarrow")
-    return dedup.ranking_overlap_join(
-        top, "doc_id", "token", min_overlap=RANKJOIN_T
-    )
+    return dedup.ranking_overlap_join(top, "doc_id", "token", min_overlap=min_overlap)
+
+
+def q_ranking_simjoin(sf_dir: str):
+    """Similarity join over top-k rankings (stages/dedup.py:
+    ranking_overlap_join — PAPERS.md EDBT 2020): each doc's top-5
+    tokens (by in-doc frequency, token tie-break) joined pairwise on
+    set overlap ≥ 4. Exact two-shuffle sum path; hot-item caveat and
+    the prefix-filter scale variant documented at the operator."""
+    return _simgraph_edges(sf_dir, RANKJOIN_T)
 
 
 SQL_RANKING_SIMJOIN = rf"""
@@ -3102,22 +3109,10 @@ def q_triangles(sf_dir: str):
     ranking_overlap_join): per-node triangle participation. Exact;
     mirrored by the three-way SQL self-join."""
     from rio_cogeo_ray.stages import graph
-    from rio_cogeo_ray.stages.knn import per_group_topk
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    counts = docs.map_batches(
-        lambda t: text.doc_token_counts(t), batch_format="pyarrow"
-    )
-    top = per_group_topk(
-        counts, "doc_id", [("n", False), ("token", True)], RANKJOIN_K
-    ).map_batches(lambda t: t.select(["doc_id", "token"]), batch_format="pyarrow")
-    pairs = dedup.ranking_overlap_join(top, "doc_id", "token", min_overlap=TRI_T)
-    edges = pairs.map_batches(
+    edges = _simgraph_edges(sf_dir, TRI_T).map_batches(
         lambda t: pa.table(
-            {
-                "a": t["ua"].combine_chunks(),
-                "b": t["ub"].combine_chunks(),
-            }
+            {"a": t["ua"].combine_chunks(), "b": t["ub"].combine_chunks()}
         ),
         batch_format="pyarrow",
     )
@@ -3149,17 +3144,8 @@ def q_pagerank(sf_dir: str):
     statement ⇒ rows-only; float-oracle + partitioning-invariance
     pinned in pytest."""
     from rio_cogeo_ray.stages import graph
-    from rio_cogeo_ray.stages.knn import per_group_topk
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    counts = docs.map_batches(
-        lambda t: text.doc_token_counts(t), batch_format="pyarrow"
-    )
-    top = per_group_topk(
-        counts, "doc_id", [("n", False), ("token", True)], RANKJOIN_K
-    ).map_batches(lambda t: t.select(["doc_id", "token"]), batch_format="pyarrow")
-    pairs = dedup.ranking_overlap_join(top, "doc_id", "token", min_overlap=TRI_T)
-    edges = pairs.map_batches(
+    edges = _simgraph_edges(sf_dir, TRI_T).map_batches(
         lambda t: pa.table(
             {"a": t["ua"].combine_chunks(), "b": t["ub"].combine_chunks()}
         ),

@@ -93,8 +93,6 @@ def triangle_counts(edges, n_buckets: int = 64):
         return t.append_column("__bucket", pa.array(bkt, pa.int64()))
 
     def _wedges(g: pa.Table) -> pa.Table:
-        from rio_cogeo_ray.stages.dedup import _bucket_item_pair_counts
-
         g = g.drop_columns(["__bucket"])
         empty = pa.table(
             {
@@ -105,9 +103,9 @@ def triangle_counts(edges, n_buckets: int = 64):
         )
         if not g.num_rows:
             return empty
-        # reuse the triangular pair kernel: item = src, entity = dst.
-        # cnt is always 1 here (simple graph); center recovery needs the
-        # pair -> src mapping, so regenerate pairs carrying src instead.
+        # same triangular pair arithmetic as dedup._bucket_item_pair_counts
+        # (item = src, entity = dst) regenerated locally because the
+        # wedge must CARRY its center node
         g = g.sort_by([("src", "ascending"), ("dst", "ascending")])
         src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
         dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)

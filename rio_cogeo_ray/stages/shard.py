@@ -123,7 +123,10 @@ def write_shards(
             if src_fingerprint is not None or prev.get("src_fingerprint"):
                 same = prev.get("src_fingerprint") == src_fingerprint
             else:
-                same = prev.get("rows") == ds.count()
+                # compare against the INITIAL write's rows: appended
+                # generations (append_shards) grow prev["rows"], and a
+                # mismatch there must NOT nuke the appended deltas
+                same = prev.get("base_rows", prev.get("rows")) == ds.count()
         if same:
             return prev
 
@@ -153,6 +156,7 @@ def write_shards(
         "id_col": id_col,
         "src_fingerprint": src_fingerprint,
         "rows": int(sum(counts.values())),
+        "base_rows": int(sum(counts.values())),
         "shard_rows": counts,
     }
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
@@ -309,7 +313,19 @@ def append_shards(
                 return man  # this delta is already appended — no-op
 
     gen_id = len(gens) + 1
-    shuffled = shard_shuffle(ds_new, id_col, num_shards, salt)
+    # crash safety: a prior attempt may have died AFTER writing data
+    # but BEFORE recording the generation — its orphan gen dirs would
+    # otherwise double the delta on retry (write_parquet appends)
+    import glob as _glob
+    import shutil as _shutil
+
+    for orphan in _glob.glob(os.path.join(out_dir, "shard=*", f"gen={gen_id}")):
+        _shutil.rmtree(orphan)
+
+    # materialize ONCE: the same shuffled delta feeds both the write
+    # and the per-shard counts — O(delta), never a rescan of the
+    # corpus (the whole point of an incremental append)
+    shuffled = shard_shuffle(ds_new, id_col, num_shards, salt).materialize()
 
     def _tag(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -320,20 +336,39 @@ def append_shards(
         out_dir, partition_cols=["shard", "gen"]
     )
 
-    import pyarrow.dataset as pads
+    def _shard_counts(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["shard"].combine_chunks().to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"shard": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
 
-    dset = pads.dataset(out_dir, format="parquet", partitioning="hive")
-    tbl = dset.to_table(columns=["shard"])
-    vals, cnts = np.unique(
-        tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64),
-        return_counts=True,
-    )
-    counts = {str(int(v)): int(c) for v, c in zip(vals, cnts)}
-    new_rows = int(sum(counts.values())) - int(man.get("rows", 0))
+    import ray as _ray
+
+    parts = [
+        b
+        for b in _ray.get(
+            shuffled.map_batches(_shard_counts, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    counts = dict(man.get("shard_rows", {}))
+    new_rows = 0
+    if parts:
+        agg = pa.concat_tables(parts)
+        sv = agg["shard"].combine_chunks().to_numpy(zero_copy_only=False)
+        cv = agg["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        for shard_id in np.unique(sv):
+            add = int(cv[sv == shard_id].sum())
+            counts[str(int(shard_id))] = counts.get(str(int(shard_id)), 0) + add
+            new_rows += add
     gens.append(
         {"gen": gen_id, "rows": new_rows, "src_fingerprint": src_fingerprint}
     )
-    man["rows"] = int(sum(counts.values()))
+    man["rows"] = int(man.get("rows", 0)) + new_rows
     man["shard_rows"] = counts
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
