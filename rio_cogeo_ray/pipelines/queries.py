@@ -3240,6 +3240,22 @@ def q_semantic_dedup(sf_dir: str):
     return ann.semantic_dedup(ds, n_clusters=16, threshold=0.99)
 
 
+def q_kcore(sf_dir: str):
+    """k-core of the doc-similarity graph (stages/graph.py: k_core —
+    distributed peeling: per round one degree count + two key-only
+    semi joins; driver sees scalar counts only). Iterative fixpoint ⇒
+    rows-only; python peeling oracle pinned in pytest."""
+    from rio_cogeo_ray.stages import graph
+
+    edges = _simgraph_edges(sf_dir, TRI_T).map_batches(
+        lambda t: pa.table(
+            {"a": t["ua"].combine_chunks(), "b": t["ub"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    return graph.k_core(edges, k=8)
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable compressed-summary quantiles over l_extendedprice —
     the one-pass shuffle-free scale path beside the exact two-pass
@@ -3546,6 +3562,7 @@ def queries() -> Dict[str, Callable]:
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,
+        "kcore": q_kcore,
     }
 
 

@@ -265,3 +265,56 @@ def pagerank(edges, damping_num: int = 85, damping_den: int = 100,
         ),
         batch_format="pyarrow",
     )
+
+
+def k_core(edges, k: int, max_rounds: int = 64, n_buckets: int = 64):
+    """The k-core of an undirected (a, b) edge Dataset: iteratively
+    peel nodes of degree < k until fixpoint; returns the surviving
+    (node, deg) rows (degrees within the core).
+
+    Distributed peeling — state stays on-cluster like pagerank's
+    ranks: each round is one degree count (partial→final) and two
+    bucketed SEMI joins filtering the edge list to rows whose BOTH
+    endpoints survive. The driver sees only the scalar edge count per
+    round (the fixpoint test). Rounds are bounded by ``max_rounds``
+    (peeling converges in ≤ nodes rounds; real graphs take few —
+    raise the cap for adversarial chains, same doctrine as
+    connected_components' round_cap)."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    cur = edges.materialize()
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        if prev_edges == 0:
+            break
+        deg = _edge_degrees(cur, n_buckets)
+        keep = deg.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["deg"].combine_chunks(), k)
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if keep.count() == 0:
+            prev_edges = 0
+            break
+        # edges survive iff BOTH endpoints kept: two semi joins (keys
+        # only shuffle — the keep side has no payload at all)
+        ren_a = keep.map_batches(
+            lambda t: t.rename_columns(["a"]), batch_format="pyarrow"
+        )
+        ren_b = keep.map_batches(
+            lambda t: t.rename_columns(["b"]), batch_format="pyarrow"
+        )
+        nxt = bucketed_hash_join(cur, ren_a, on="a", how="semi", n_buckets=n_buckets)
+        nxt = bucketed_hash_join(nxt, ren_b, on="b", how="semi", n_buckets=n_buckets)
+        nxt = nxt.materialize()
+        n = nxt.count()
+        if n == prev_edges:
+            break
+        cur, prev_edges = nxt, n
+    if prev_edges == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+        )
+    return _edge_degrees(cur, n_buckets)

@@ -2412,3 +2412,45 @@ def test_append_shards_generations(ray_session, tmp_path):
     new = df[df["pid"] >= 1000]
     exp_shard = knuth32(new["pid"].to_numpy().astype(np.int64), 0) % np.uint64(4)
     assert (new["shard"].to_numpy().astype(np.uint64) == exp_shard).all()
+
+
+def test_k_core_vs_peeling_oracle(ray_session):
+    from rio_cogeo_ray.stages import graph
+
+    rng = np.random.RandomState(17)
+    nodes = 28
+    es = set()
+    while len(es) < 70:
+        a, b = rng.randint(0, nodes, 2)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    edges = sorted(es)
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    k = 4
+    res = graph.k_core(rd.from_arrow(t).repartition(3), k=k)
+    got = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+    # python peeling oracle
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    exp = {n: len(v) for n, v in adj.items()}
+    assert dict(zip(got["node"], got["deg"])) == exp
+    # every surviving node has core degree >= k
+    if len(got):
+        assert (got["deg"] >= k).all()
