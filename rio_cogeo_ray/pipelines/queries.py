@@ -3298,6 +3298,33 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+INTRA_W = 2
+
+
+def q_intradoc_dedup(sf_dir: str):
+    """Within-document window dedup (stages/text.py: intra_doc_dedup —
+    the C4 "span seen before in this doc" scrub): a 2-word window
+    survives iff its token sequence did not occur earlier in the SAME
+    doc. Pure map stage — zero shuffle at any corpus size (the
+    duplicate test is row-local), unlike seg_dedup's global winner."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.intra_doc_dedup(ds, seg_words=INTRA_W)
+
+
+SQL_INTRADOC_DEDUP = rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(CEIL(len(toks) / {INTRA_W}.0) AS BIGINT) AS nseg FROM w),
+s AS (SELECT doc_id, g AS sidx,
+      array_to_string(list_slice(toks, g * {INTRA_W} + 1, g * {INTRA_W} + {INTRA_W}), ' ') AS seg
+      FROM n CROSS JOIN generate_series(0, 1023) gs(g) WHERE g < nseg),
+k AS (SELECT doc_id, sidx, seg,
+      ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY sidx) AS rn FROM s)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY sidx) AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 HOST_CAP_K = 3
 
 
@@ -3503,6 +3530,7 @@ def queries() -> Dict[str, Callable]:
         "knn_bin": q_knn_bin,
         "knn_tile": q_knn_tile,
         "raster_cells": q_raster_cells,
+        "intradoc_dedup": q_intradoc_dedup,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3600,6 +3628,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_bin": SQL_KNN_BIN,
         "knn_tile": SQL_KNN_TILE,
         "raster_cells": SQL_RASTER_CELLS,
+        "intradoc_dedup": SQL_INTRADOC_DEDUP,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

@@ -1111,6 +1111,53 @@ def segment_dedup(
     return scrubbed.union(clean)
 
 
+def intra_doc_dedup(
+    ds, seg_words: int = 10, id_col: str = "doc_id", text_col: str = "text"
+):
+    """WITHIN-document segment dedup (the C4 "span seen before in this
+    document" scrub — Raffel et al. 2020 §2.2 — over fixed
+    ``seg_words``-word windows, since the synthetic corpus has no
+    sentence boundaries): a segment survives iff its exact token
+    sequence did not already occur at a smaller ``sidx`` of the SAME
+    doc; docs reassemble from survivors in order. Returns
+    (id, text_clean, n_kept); zero-token docs drop out.
+
+    Scale shape: duplicate detection is row-local, so this is a PURE
+    MAP stage — zero shuffle, zero actor state, one streaming pass at
+    any corpus size (contrast :func:`segment_dedup`, whose
+    first-occurrence winner is a global property and needs the
+    loser/bloom exchange). Same hash-equality contract as
+    ``_doc_segment_rows``: equal 128-bit hash ⟺ equal token sequence.
+
+    SQL mirror: ROW_NUMBER() OVER (PARTITION BY doc_id, segment ORDER
+    BY sidx) = 1 → string_agg(segment, ' ' ORDER BY sidx)."""
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if not n:
+            return _emit_joined_docs(batch, id_col, text_col, seg_words)
+        local = batch.set_column(
+            batch.schema.get_field_index(id_col),
+            id_col,
+            pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        )
+        seg = _doc_segment_rows(local, seg_words, id_col, text_col)
+        row = seg[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sidx = seg["sidx"].combine_chunks().to_numpy(zero_copy_only=False)
+        s1 = seg["s1"].combine_chunks().to_numpy(zero_copy_only=False)
+        s2 = seg["s2"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((sidx, s2, s1, row))
+        r, a, b = row[order], s1[order], s2[order]
+        first = np.r_[True, (r[1:] != r[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        losers = order[~first]
+        if not len(losers):
+            return _emit_joined_docs(batch, id_col, text_col, seg_words)
+        drop = np.sort((row[losers] << np.int64(32)) | sidx[losers])
+        return _emit_joined_docs(batch, id_col, text_col, seg_words, drop_keys=drop)
+
+    return ds.map_batches(_scrub, batch_format="pyarrow", batch_size=8192)
+
+
 # ---------------------------------------------------------------------------
 # Character-trigram LM coverage scoring (CCNet perplexity-filter analog)
 # ---------------------------------------------------------------------------

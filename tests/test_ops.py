@@ -2454,3 +2454,24 @@ def test_k_core_vs_peeling_oracle(ray_session):
     # every surviving node has core degree >= k
     if len(got):
         assert (got["deg"] >= k).all()
+
+
+def test_intra_doc_dedup_planted(ray_session):
+    # doc 1: window "a b" repeats at sidx 0 and 2 -> second copy scrubbed;
+    # doc 2: all windows distinct -> unchanged; doc 3: empty -> dropped
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d a b e", "x y z w", "   "], pa.string()),
+        }
+    )
+    out = (
+        text.intra_doc_dedup(rd.from_arrow(t).repartition(2), seg_words=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "text_clean"] == "a b c d e"  # dup window + tail "e" kept
+    assert out.loc[1, "n_kept"] == 3
+    assert out.loc[2, "text_clean"] == "x y z w"
+    assert out.loc[2, "n_kept"] == 2
+    assert 3 not in out.index
