@@ -24,6 +24,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -3298,6 +3299,63 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_cdc_merge(sf_dir: str):
+    """CDC MERGE INTO (stages/cdc.py: merge_upsert): apply a change
+    log to the customer snapshot. The delta is synthesized from
+    orders — each order is a change record for its customer
+    (op = D when o_orderkey % 11 = 0 else U, seq = o_orderkey,
+    payload name/acctbal from the order); the highest-seq record per
+    customer wins. Broadcast path: winner keys ship once via
+    ray.put, the snapshot streams through one anti-filter pass with
+    ZERO shuffle."""
+    from rio_cogeo_ray.stages import cdc
+
+    snap = _read(
+        os.path.join(sf_dir, "customer.parquet"),
+        ["c_custkey", "c_name", "c_acctbal"],
+    )
+
+    def _delta(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks()
+        is_del = ok.to_numpy(zero_copy_only=False) % 11 == 0
+        op = pc.if_else(pa.array(is_del), pa.scalar("D"), pa.scalar("U"))
+        name = pc.binary_join_element_wise(
+            pa.scalar("cdc-"), pc.cast(ok, pa.string()), pa.scalar("")
+        )
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"].combine_chunks(),
+                "op": op,
+                "seq": ok,
+                "c_name": name,
+                "c_acctbal": t["o_totalprice"].combine_chunks(),
+            }
+        )
+
+    delta = _read(
+        os.path.join(sf_dir, "orders.parquet"),
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(_delta, batch_format="pyarrow")
+    return cdc.merge_upsert(snap, delta, on="c_custkey", seq_col="seq")
+
+
+SQL_CDC_MERGE = """
+WITH delta AS (
+  SELECT o_custkey AS c_custkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_orderkey AS seq,
+         'cdc-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         o_totalprice AS c_acctbal
+  FROM orders),
+win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM delta)
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM win WHERE rn = 1 AND op = 'U'
+"""
+
+
 INTRA_W = 2
 
 
@@ -3531,6 +3589,7 @@ def queries() -> Dict[str, Callable]:
         "knn_tile": q_knn_tile,
         "raster_cells": q_raster_cells,
         "intradoc_dedup": q_intradoc_dedup,
+        "cdc_merge": q_cdc_merge,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3629,6 +3688,7 @@ def oracle_sql() -> Dict[str, str]:
         "knn_tile": SQL_KNN_TILE,
         "raster_cells": SQL_RASTER_CELLS,
         "intradoc_dedup": SQL_INTRADOC_DEDUP,
+        "cdc_merge": SQL_CDC_MERGE,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

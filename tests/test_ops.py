@@ -2475,3 +2475,38 @@ def test_intra_doc_dedup_planted(ray_session):
     assert out.loc[2, "text_clean"] == "x y z w"
     assert out.loc[2, "n_kept"] == 2
     assert 3 not in out.index
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_cdc_merge_upsert(ray_session, broadcast):
+    from rio_cogeo_ray.stages import cdc
+
+    snap = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "val": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    # id 1: two updates, seq 7 wins; id 2: delete; id 5: insert (absent
+    # key upsert); id 9: delete of an absent key (no-op); ids 3,4 untouched
+    delta = pa.table(
+        {
+            "id": pa.array([1, 1, 2, 5, 9], pa.int64()),
+            "op": pa.array(["U", "U", "D", "U", "D"], pa.string()),
+            "seq": pa.array([3, 7, 1, 1, 1], pa.int64()),
+            "val": pa.array(["old", "new", "", "e", ""], pa.string()),
+        }
+    )
+    out = (
+        cdc.merge_upsert(
+            rd.from_arrow(snap).repartition(3),
+            rd.from_arrow(delta).repartition(2),
+            on="id",
+            seq_col="seq",
+            broadcast=broadcast,
+        )
+        .to_pandas()
+        .set_index("id")["val"]
+        .to_dict()
+    )
+    assert out == {1: "new", 3: "c", 4: "d", 5: "e"}
