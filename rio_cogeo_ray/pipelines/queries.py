@@ -3241,6 +3241,19 @@ def q_semantic_dedup(sf_dir: str):
     return ann.semantic_dedup(ds, n_clusters=16, threshold=0.99)
 
 
+def q_pca_embed(sf_dir: str):
+    """Distributed PCA (stages/ann.py: pca_fit/pca_project): exact
+    covariance from one streaming pass of d²-sized moment partials →
+    driver eigh → broadcast projection onto the top-4 components.
+    Float eigendecomposition ⇒ rows-only; numpy full-matrix oracle
+    pinned in pytest (fit AND projected values to 1e-6)."""
+    ds = _read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+    )
+    mean, w, _ = ann.pca_fit(ds, k=4)
+    return ann.pca_project(ds, mean, w)
+
+
 def q_kcore(sf_dir: str):
     """k-core of the doc-similarity graph (stages/graph.py: k_core —
     distributed peeling: per round one degree count + two key-only
@@ -3649,6 +3662,7 @@ def queries() -> Dict[str, Callable]:
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,
+        "pca_embed": q_pca_embed,
         "kcore": q_kcore,
     }
 

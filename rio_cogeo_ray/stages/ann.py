@@ -22,6 +22,7 @@ from typing import Optional, Tuple, Union
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -635,3 +636,134 @@ def semantic_dedup(
         ).filter(keep)
 
     return labeled.groupby("bucket").map_groups(_thin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (dimensionality reduction over an embedding column)
+# ---------------------------------------------------------------------------
+
+
+def _pca_partial(t: pa.Table, emb_col: str) -> pa.Table:
+    """One (n, Σx, XᵀX) moment row per batch — the whole corpus
+    collapses to d²-sized partials before anything leaves a worker."""
+    m = _matrix(t[emb_col])
+    if m.size == 0:
+        return pa.table(
+            {
+                "n": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+                "s": pa.array([], pa.binary()),
+                "g": pa.array([], pa.binary()),
+            }
+        )
+    return pa.table(
+        {
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "d": pa.array([m.shape[1]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+            "g": pa.array([(m.T @ m).tobytes()], pa.binary()),
+        }
+    )
+
+
+def _pca_merge(t: pa.Table) -> pa.Table:
+    """Sum moment rows into one — the fan-in level between the map
+    pass and the driver (same doctrine as sketch.py's HLL tree)."""
+    if not t.num_rows:
+        return t
+    d = int(t["d"][0].as_py())
+    s = np.zeros(d, dtype=np.float64)
+    g = np.zeros((d, d), dtype=np.float64)
+    for row in range(t.num_rows):
+        s += np.frombuffer(t["s"][row].as_py(), dtype=np.float64)
+        g += np.frombuffer(t["g"][row].as_py(), dtype=np.float64).reshape(d, d)
+    n = int(pc.sum(t["n"]).as_py())
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "s": pa.array([s.tobytes()], pa.binary()),
+            "g": pa.array([g.tobytes()], pa.binary()),
+        }
+    )
+
+
+def pca_fit(ds, k: int = 8, emb_col: str = "embedding"):
+    """Exact PCA fit in ONE streaming pass: per-batch moment partials
+    (n, Σx, XᵀX — d² floats each, independent of corpus size) →
+    fan-in merge (≤1 row per 1024 partials) → exact covariance and
+    ``np.linalg.eigh`` on the driver (d×d, trivially small).
+
+    Returns (mean (d,), components (d, k), explained_var (k,)) with
+    components ordered by descending eigenvalue and sign-fixed (the
+    largest-|w| coordinate of every component is positive), so the
+    basis is deterministic up to float reduction order.
+
+    Scale: the driver sees O(#batches/1024) rows of d² bytes — at 100
+    TB and d=1024 that is a few MB; no embedding ever leaves its
+    worker. The projection (``pca_project``) is a stateless broadcast
+    map."""
+    parts = ds.map_batches(
+        lambda t: _pca_partial(t, emb_col), batch_format="pyarrow"
+    ).map_batches(_pca_merge, batch_format="pyarrow", batch_size=1024)
+    top = _pca_merge(pa.concat_tables(ray.get(parts.to_arrow_refs())).combine_chunks())
+    if not top.num_rows:
+        raise ValueError("pca_fit: empty dataset")
+    n = int(top["n"][0].as_py())
+    d = int(top["d"][0].as_py())
+    s = np.frombuffer(top["s"][0].as_py(), dtype=np.float64)
+    g = np.frombuffer(top["g"][0].as_py(), dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]  # (d, k)
+    flip = w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])] < 0
+    w[:, flip] *= -1.0
+    return mean, w, evals[order]
+
+
+class _PCAProject:
+    """Actor callable: (X - mean) @ W per batch; fit state resolved
+    once per actor from the broadcast ref."""
+
+    def __init__(self, fit_ref, emb_col: str, id_col: str, out_prefix: str):
+        mean, w = ray.get(fit_ref) if isinstance(fit_ref, ray.ObjectRef) else fit_ref
+        self.mean, self.w = mean, w
+        self.emb_col, self.id_col, self.out_prefix = emb_col, id_col, out_prefix
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.w.shape[1]
+        cols = {self.id_col: pa.array([], pa.int64())}
+        if not t.num_rows:
+            for j in range(k):
+                cols[f"{self.out_prefix}{j}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        y = (_matrix(t[self.emb_col]) - self.mean) @ self.w  # (n, k)
+        cols = {self.id_col: t[self.id_col].combine_chunks().cast(pa.int64())}
+        for j in range(k):
+            cols[f"{self.out_prefix}{j}"] = pa.array(y[:, j], pa.float64())
+        return pa.table(cols)
+
+
+def pca_project(
+    ds,
+    mean: np.ndarray,
+    components: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_prefix: str = "pc",
+    concurrency=(1, 4),
+    batch_size: int = 4096,
+):
+    """Project every row onto the fitted basis: (id, pc0..pc{k-1}).
+    The (mean, W) pair ships once via ``ray.put``; the pass is a
+    stateless actor-pool map (zero shuffle)."""
+    fit_ref = ray.put((np.asarray(mean, np.float64), np.asarray(components, np.float64)))
+    return ds.map_batches(
+        _PCAProject,
+        fn_constructor_args=(fit_ref, emb_col, id_col, out_prefix),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

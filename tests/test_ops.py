@@ -2510,3 +2510,32 @@ def test_cdc_merge_upsert(ray_session, broadcast):
         .to_dict()
     )
     assert out == {1: "new", 3: "c", 4: "d", 5: "e"}
+
+
+def test_pca_fit_project_vs_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mean, w, ev = ann.pca_fit(rd.from_arrow(t).repartition(5), k=4)
+    # numpy oracle on the full matrix
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    w_np = evecs[:, order]
+    flip = w_np[np.abs(w_np).argmax(axis=0), np.arange(4)] < 0
+    w_np[:, flip] *= -1.0
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(ev, evals[order], rtol=1e-8)
+    assert np.allclose(w, w_np, atol=1e-6)
+    # explained variance is sorted descending
+    assert (np.diff(ev) <= 1e-12).all()
+    out = ann.pca_project(rd.from_arrow(t).repartition(5), mean, w)
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = df["vec_id"].to_numpy()
+    vorder = np.argsort(t["vec_id"].to_numpy())
+    Y = (X[vorder] - mu) @ w_np
+    got = df[[f"pc{j}" for j in range(4)]].to_numpy()
+    assert (ids == np.sort(t["vec_id"].to_numpy())).all()
+    assert np.allclose(got, Y, atol=1e-6)
