@@ -3312,6 +3312,54 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_zonemap_scan(sf_dir: str):
+    """Zone-map-pruned range scan (sources/zonemap.py): events laid
+    out as range-partitioned parquet with a footer-stats manifest
+    (built once per sf_dir under /tmp, like the IVF index); the query
+    reads ONLY zone dirs overlapping event_id ∈ [max/4, max/2], then
+    exact-filters and aggregates per event_type. Results are identical
+    to a full scan + filter — the manifest only removes I/O."""
+    import hashlib
+
+    from rio_cogeo_ray.sources import zonemap
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    tag = hashlib.sha256(f"{ev_path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    zdir = f"/tmp/rcr_zonemap/{tag}"
+    if not os.path.exists(os.path.join(zdir, zonemap.MANIFEST)):
+        zonemap.write_zonemapped(
+            _read(ev_path, ["event_id", "event_type"]), zdir, "event_id", n_zones=16
+        )
+    max_id = 0
+    md = pq.ParquetFile(ev_path).metadata
+    ci = md.schema.to_arrow_schema().get_field_index("event_id")
+    for rg in range(md.num_row_groups):
+        s = md.row_group(rg).column(ci).statistics
+        if s is not None and s.has_min_max:
+            max_id = max(max_id, s.max)
+    lo, hi = max_id // 4, max_id // 2
+    ds = zonemap.read_zonemapped(zdir, lo, hi, columns=["event_id", "event_type"])
+    return partial_group_agg(
+        ds,
+        keys=["event_type"],
+        min_cols=["event_id"],
+        max_cols=["event_id"],
+        count_as="n_events",
+    )
+
+
+SQL_ZONEMAP_SCAN = """
+SELECT event_type, MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_id BETWEEN (SELECT MAX(event_id) // 4 FROM events)
+                   AND (SELECT MAX(event_id) // 2 FROM events)
+GROUP BY event_type
+"""
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC MERGE INTO (stages/cdc.py: merge_upsert): apply a change
     log to the customer snapshot. The delta is synthesized from
@@ -3603,6 +3651,7 @@ def queries() -> Dict[str, Callable]:
         "raster_cells": q_raster_cells,
         "intradoc_dedup": q_intradoc_dedup,
         "cdc_merge": q_cdc_merge,
+        "zonemap_scan": q_zonemap_scan,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3703,6 +3752,7 @@ def oracle_sql() -> Dict[str, str]:
         "raster_cells": SQL_RASTER_CELLS,
         "intradoc_dedup": SQL_INTRADOC_DEDUP,
         "cdc_merge": SQL_CDC_MERGE,
+        "zonemap_scan": SQL_ZONEMAP_SCAN,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

@@ -1,0 +1,124 @@
+"""Zone-mapped parquet layout: range-partitioned writes + pruned reads.
+
+The lakehouse min/max-pruning pattern (Snowflake micro-partitions,
+Delta/Iceberg file stats) for this engine's sinks: a corpus written
+sorted-ish by a key is laid out as one directory per key RANGE, a
+manifest records each zone's exact min/max (harvested from the parquet
+FOOTERS — no data scan), and a range query lists only the overlapping
+zone directories. Pruning happens at I/O: files outside the predicate
+never leave storage, which is the difference between scanning 100 TB
+and scanning the one-day slice a query actually wants.
+
+Same doctrine as stages/ann.py's IVF index (bucket-partitioned
+vectors, probed buckets only are read — ann.py:210) generalized to any
+numeric sort key. Zone boundaries come from the one-pass mergeable
+quantile sketch (stages/sketch.py: quantile_sketch), so the write adds
+NO extra shuffle — rows map to zones with a broadcast searchsorted and
+``write_parquet(partition_cols=...)`` groups them.
+
+Reference analog: rio-cogeo's overview/IFD layout puts coarse levels
+first so range readers touch few bytes (cogeo.py's ordered final
+copy); a zone map is that idea for key-range scans over tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST = "zonemap.json"
+
+
+def write_zonemapped(ds, out_dir: str, col: str, n_zones: int = 16) -> str:
+    """Write ``ds`` as ``out_dir/data/__zone=<i>/*.parquet`` plus a
+    min/max manifest. ``col`` must be an integer or float column (the
+    zone key). Rebuilds replace atomically (tmp dir + os.replace) —
+    the resume/append doctrine of pipelines/create.py."""
+    from rio_cogeo_ray.stages.sketch import quantile_sketch
+
+    qs = [i / n_zones for i in range(1, n_zones)]
+    qt = quantile_sketch(ds, col, qs)
+    cuts = np.unique(qt["value"].to_numpy(zero_copy_only=False))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        z = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        return t.append_column("__zone", pa.array(z, pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    tmp_dir = os.path.join(out_dir, ".data.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["__zone"]
+    )
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.replace(tmp_dir, data_dir)
+
+    # zone min/max from parquet FOOTER stats — metadata-only, no scan
+    zones = {}
+    for name in sorted(os.listdir(data_dir)):
+        if not name.startswith("__zone="):
+            continue
+        zdir = os.path.join(data_dir, name)
+        zmin, zmax = None, None
+        for f in os.listdir(zdir):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(zdir, f)).metadata
+            ci = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                zmin = st.min if zmin is None else min(zmin, st.min)
+                zmax = st.max if zmax is None else max(zmax, st.max)
+        if zmin is not None:
+            zones[name] = [zmin, zmax]
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump({"col": col, "zones": zones}, f)
+    return out_dir
+
+
+def select_zones(out_dir: str, lo, hi) -> Tuple[List[str], int]:
+    """(overlapping zone dirs, total zone count) for [lo, hi] — the
+    pruning decision, exposed for tests and stats logging."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        man = json.load(f)
+    dirs = [
+        os.path.join(out_dir, "data", name)
+        for name, (zmin, zmax) in sorted(man["zones"].items())
+        if zmax >= lo and zmin <= hi
+    ]
+    return dirs, len(man["zones"])
+
+
+def read_zonemapped(
+    out_dir: str, lo, hi, columns: Optional[Sequence[str]] = None
+):
+    """Range scan [lo, hi] over a :func:`write_zonemapped` layout:
+    lists ONLY the overlapping zone directories (manifest pruning),
+    then applies the exact row filter — results are identical to a
+    full scan + filter, minus the I/O for non-overlapping zones."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        col = json.load(f)["col"]
+    dirs, _ = select_zones(out_dir, lo, hi)
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return None
+    flt = (pads.field(col) >= lo) & (pads.field(col) <= hi)
+    return rd.read_parquet(files, columns=list(columns) if columns else None, filter=flt)

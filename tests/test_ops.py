@@ -2539,3 +2539,31 @@ def test_pca_fit_project_vs_numpy(ray_session):
     got = df[[f"pc{j}" for j in range(4)]].to_numpy()
     assert (ids == np.sort(t["vec_id"].to_numpy())).all()
     assert np.allclose(got, Y, atol=1e-6)
+
+
+def test_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
+    from rio_cogeo_ray.sources import zonemap
+
+    n = 20000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "v": pa.array((np.arange(n) * 7 % 101).astype(np.int64), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "zm")
+    zonemap.write_zonemapped(rd.from_arrow(t).repartition(8), out, "k", n_zones=8)
+    lo, hi = 2500, 4999
+    dirs, total = zonemap.select_zones(out, lo, hi)
+    assert total >= 4  # layout actually split into zones
+    assert 0 < len(dirs) < total  # pruning really skipped zones
+    got = (
+        zonemap.read_zonemapped(out, lo, hi, columns=["k", "v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = t.to_pandas().query("@lo <= k <= @hi").reset_index(drop=True)
+    assert got.equals(exp)
+    # empty range outside all zones
+    assert zonemap.read_zonemapped(out, 10 * n, 11 * n) is None
