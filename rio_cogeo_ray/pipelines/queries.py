@@ -3312,6 +3312,30 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_surprisal(sf_dir: str):
+    """Unigram surprisal quality scoring (stages/text.py:
+    surprisal_score — the CCNet perplexity-filter analog): each token
+    occurrence contributes floor(log2(N // cf(token))) bits; docs
+    return (surprisal_bits, n_tokens). Integer-exact (frexp exponent ≡
+    SQL LENGTH(bin(x))-1), so it lands hash-exact at any parallelism."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.surprisal_score(ds)
+
+
+SQL_SURPRISAL = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+             FROM documents),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+SELECT t.doc_id,
+       CAST(SUM(LENGTH(bin((SELECT n FROM tot) // c.c)) - 1) AS BIGINT)
+         AS surprisal_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok t JOIN cf c ON t.tok = c.tok
+GROUP BY t.doc_id
+"""
+
+
 def q_zonemap_scan(sf_dir: str):
     """Zone-map-pruned range scan (sources/zonemap.py): events laid
     out as range-partitioned parquet with a footer-stats manifest
@@ -3652,6 +3676,7 @@ def queries() -> Dict[str, Callable]:
         "intradoc_dedup": q_intradoc_dedup,
         "cdc_merge": q_cdc_merge,
         "zonemap_scan": q_zonemap_scan,
+        "surprisal": q_surprisal,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3753,6 +3778,7 @@ def oracle_sql() -> Dict[str, str]:
         "intradoc_dedup": SQL_INTRADOC_DEDUP,
         "cdc_merge": SQL_CDC_MERGE,
         "zonemap_scan": SQL_ZONEMAP_SCAN,
+        "surprisal": SQL_SURPRISAL,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

@@ -480,6 +480,105 @@ def tfidf_topk(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 64):
+    """Unigram surprisal quality score per document — the CCNet/KenLM
+    perplexity-filter analog with an INTEGER-EXACT surprisal unit:
+    each token occurrence contributes ``floor(log2(N // cf(token)))``
+    bits, where cf is the corpus-wide count of that token and N the
+    corpus token total. Rare-token-heavy (gibberish-ish) docs score
+    high bits/token; stopword soup scores near zero. Returns
+    (id, surprisal_bits, n_tokens) — callers divide or threshold.
+
+    Exactness: floor-log2 of an int64 is computed via the float64
+    exponent (``np.frexp``), exact for N ≤ 2^53 (≳ 10^15 tokens — an
+    order beyond 100 TB of text), and mirrors SQL
+    ``LENGTH(bin(N // cf)) - 1`` bit-for-bit, so the whole score is
+    shuffle-order-independent.
+
+    Scale shape (tfidf_topk's three linear stages, no self-join):
+    (doc, token, tf) combiner → bucket by hash(token), cf and bits
+    attach in place per bucket → partial→final sum per doc. N comes
+    from one O(1)-rows-per-batch counting pass."""
+    import ray as _ray
+
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _ntok(t: pa.Table) -> pa.Table:
+        c = token_count(t[text_col])
+        tot = int(pc.sum(c).as_py() or 0)
+        return pa.table({"n": pa.array([tot], pa.int64())})
+
+    n_rows = pa.concat_tables(
+        _ray.get(ds.map_batches(_ntok, batch_format="pyarrow").to_arrow_refs())
+    )
+    n_total = int(pc.sum(n_rows["n"]).as_py() or 0)
+    if n_total == 0:
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "surprisal_bits": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    tf = partial_group_agg(
+        ds.map_batches(
+            lambda t: doc_token_counts(t, id_col, text_col), batch_format="pyarrow"
+        ),
+        keys=[id_col, "token"],
+        sum_cols=["n"],
+        count_as=None,
+    )
+
+    def _route_token(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _bits_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "bits_part": pa.array([], pa.int64()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        de = g["token"].combine_chunks().dictionary_encode()
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_v = g["sum_n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = np.zeros(int(idx.max()) + 1, dtype=np.int64)
+        np.add.at(cf, idx, n_v)
+        ratio = n_total // cf[idx]
+        bits = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: g[id_col].combine_chunks().cast(pa.int64()),
+                "bits_part": pa.array(n_v * bits, pa.int64()),
+                "n_part": pa.array(n_v, pa.int64()),
+            }
+        )
+
+    scored = (
+        tf.map_batches(_route_token, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bits_bucket, batch_format="pyarrow")
+    )
+    agg = partial_group_agg(
+        scored, keys=[id_col], sum_cols=["bits_part", "n_part"], count_as=None
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns([id_col, "surprisal_bits", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
 def chunk_texts(
     batch: pa.Table,
     text_col: str = "text",

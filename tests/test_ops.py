@@ -2567,3 +2567,24 @@ def test_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
     assert got.equals(exp)
     # empty range outside all zones
     assert zonemap.read_zonemapped(out, 10 * n, 11 * n) is None
+
+
+def test_surprisal_score_hand_computed(ray_session):
+    # corpus: "a a a b" + "b c" -> N=6; cf: a=3, b=2, c=1
+    # bits: a -> floor(log2(6//3))=1, b -> floor(log2(3))=1, c -> floor(log2(6))=2
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "b c"], pa.string()),
+        }
+    )
+    out = (
+        text.surprisal_score(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "surprisal_bits"] == 3 * 1 + 1  # aaa + b
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[2, "surprisal_bits"] == 1 + 2  # b + c
+    assert out.loc[2, "n_tokens"] == 2
