@@ -3241,6 +3241,32 @@ def q_semantic_dedup(sf_dir: str):
     return ann.semantic_dedup(ds, n_clusters=16, threshold=0.99)
 
 
+def q_media_phash(sf_dir: str):
+    """Perceptual-hash image near-dup clusters (stages/multimodal.py:
+    image_phash_neardup): decode/feature actor pool → 64-bit aHash →
+    4×16-bit pigeonhole bands → exact hamming ≤ 3 verify → connected
+    components. Synth corpus with planted exact dups (ids 5000+i copy
+    payload of i·7, i<24) so the pipeline provably clusters. Binary
+    codec ⇒ rows-only; planted-dup semantics pinned in pytest."""
+    from rio_cogeo_ray.stages import multimodal
+
+    t = multimodal.synth_media(2000)
+    src = [int(i * 7) for i in range(24)]
+    pays = [t["payload"][s].as_py() for s in src]
+    extra = pa.table(
+        {
+            "media_id": pa.array([5000 + i for i in range(24)], pa.int64()),
+            "media_type": pa.array(["image/png"] * 24, pa.string()),
+            "payload": pa.array(pays, pa.binary()),
+            "width": pa.array([64] * 24, pa.int32()),
+            "height": pa.array([64] * 24, pa.int32()),
+            "sample_rate": pa.array([0] * 24, pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(pa.concat_tables([t, extra])).repartition(8)
+    return multimodal.image_phash_neardup(ds)
+
+
 def q_pca_embed(sf_dir: str):
     """Distributed PCA (stages/ann.py: pca_fit/pca_project): exact
     covariance from one streaming pass of d²-sized moment partials →
@@ -3737,6 +3763,7 @@ def queries() -> Dict[str, Callable]:
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,
         "pca_embed": q_pca_embed,
+        "media_phash": q_media_phash,
         "kcore": q_kcore,
     }
 

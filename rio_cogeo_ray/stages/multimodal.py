@@ -343,3 +343,128 @@ def video_frames(ds, concurrency: int = 4, batch_size: int = DEFAULT_BATCH_SIZE)
         VideoFrames, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def image_phash64(feats: np.ndarray) -> np.ndarray:
+    """(n, 64) image features → 64-bit perceptual fingerprint (aHash
+    over bucket means): bit j = feature_j > row median. Bit-packed via
+    ``np.packbits`` (no int64 overflow path); returned as int64 with
+    the uint64 bit pattern, matching dedup.hamming64's convention."""
+    med = np.median(feats.astype(np.float64), axis=1, keepdims=True)
+    bits = np.ascontiguousarray(feats > med)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return np.ascontiguousarray(packed).view(np.uint64).reshape(-1).view(np.int64).copy()
+
+
+def image_phash_neardup(
+    ds,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    n_buckets: int = 64,
+):
+    """Near-duplicate image clusters by perceptual hash — the image
+    dedup step of a multimodal training-data pipeline (decode →
+    64-bucket features → 64-bit aHash → banded hamming search):
+
+    1. ImageFeatures actor pool (real PIL decode when present, the
+       deterministic byte-fold stub otherwise) at feature_dim=64.
+    2. fingerprint = :func:`image_phash64` (pure map).
+    3. 4 bands × 16 bits — pigeonhole: hamming ≤ 3 ⇒ at least one
+       identical band, so banding loses no candidate under the
+       default threshold. Band rows carry only (id, fp) — 16 bytes.
+    4. bucketed star edges per LSH bucket, EXACT hamming verify
+       against the bucket min (dedup.hamming64), keep ≤ max_hamming.
+    5. connected components → (media_id, cluster). Only ids that
+       touch a verified edge appear (singletons are implicitly their
+       own cluster — same contract as embedding_neardup).
+
+    Reference analog: none in rio-cogeo; pigeonhole banding follows
+    stages/dedup.py: simhash_band_rows."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages.dedup import connected_components, hamming64
+
+    feats = ds.map_batches(
+        ImageFeatures,
+        fn_constructor_args=(64,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def _fp_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if not n:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "band_bits": pa.array([], pa.int64()),
+                }
+            )
+        f = t["features"].combine_chunks()
+        vals = f.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        fp = image_phash64(vals)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        rep = np.repeat(np.arange(n), 4)
+        bits = (fp.astype(np.uint64)[rep] >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+                "fp": pa.array(fp[rep], pa.int64()),
+                "band": pa.array(band, pa.int64()),
+                "band_bits": pa.array(bits.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, ["band", "band_bits"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _edges(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if not g.num_rows:
+            return empty
+        g = g.sort_by(
+            [("band", "ascending"), ("band_bits", "ascending"), (id_col, "ascending")]
+        )
+        b = g["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = g["band_bits"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        fp = g["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], (b[1:] != b[:-1]) | (h[1:] != h[:-1])))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(b)))
+        first_row = np.repeat(starts, lens)
+        member = ~new
+        if not member.any():
+            return empty
+        ham = hamming64(fp[member], fp[first_row[member]])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "src": pa.array(ids[member][keep], pa.int64()),
+                "dst": pa.array(ids[first_row[member]][keep], pa.int64()),
+            }
+        )
+
+    edges = (
+        feats.map_batches(_fp_bands, batch_format="pyarrow")
+        .map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_edges, batch_format="pyarrow")
+    )
+    return connected_components(edges).map_batches(
+        lambda t: t.rename_columns([id_col, "cluster"]), batch_format="pyarrow"
+    )

@@ -2588,3 +2588,52 @@ def test_surprisal_score_hand_computed(ray_session):
     assert out.loc[1, "n_tokens"] == 4
     assert out.loc[2, "surprisal_bits"] == 1 + 2  # b + c
     assert out.loc[2, "n_tokens"] == 2
+
+
+def test_image_phash_neardup_planted(ray_session):
+    from rio_cogeo_ray.stages import multimodal
+    from rio_cogeo_ray.stages.dedup import hamming64
+
+    t = multimodal.synth_media(60)
+    # plant: rows 100/101 exact copies of row 0's payload; row 102 a
+    # one-byte variant of row 0 (near-dup iff hamming <= 3 — checked
+    # explicitly below so the assertion is self-consistent)
+    pay0 = t["payload"][0].as_py()
+    variant = bytearray(pay0)
+    variant[100] ^= 0xFF
+    extra = pa.table(
+        {
+            "media_id": pa.array([100_0, 100_1, 100_2], pa.int64()),
+            "media_type": pa.array(["image/png"] * 3, pa.string()),
+            "payload": pa.array([pay0, pay0, bytes(variant)], pa.binary()),
+            "width": pa.array([64, 64, 64], pa.int32()),
+            "height": pa.array([64, 64, 64], pa.int32()),
+            "sample_rate": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    full = pa.concat_tables([t, extra])
+    out = (
+        multimodal.image_phash_neardup(rd.from_arrow(full).repartition(4))
+        .to_pandas()
+        .set_index("media_id")["cluster"]
+        .to_dict()
+    )
+    # exact copies share a cluster with row 0
+    assert out.get(0) is not None and out.get(1000) == out[0] and out.get(1001) == out[0]
+    # the one-byte variant: verify via direct phash hamming
+    fe = multimodal.ImageFeatures(feature_dim=64)
+    fb = fe(extra)
+    f0 = fe(full.slice(0, 1))
+    fps = multimodal.image_phash64(
+        np.vstack(
+            [
+                np.array(f0["features"].to_pylist(), dtype=np.float64),
+                np.array(fb["features"].to_pylist(), dtype=np.float64),
+            ]
+        )
+    )
+    ham = hamming64(np.array([fps[0]]), np.array([fps[3]]))[0]
+    if ham <= 3:
+        assert out.get(1002) == out[0]
+    else:
+        assert out.get(1002) != out.get(0)
