@@ -3338,6 +3338,25 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_pctl_rank(sf_dir: str):
+    """Per-language percentile rank of doc length in exact ppm
+    (stages/sketch.py: percentile_rank — histogram-CDF broadcast, one
+    distinct-pair shuffle, no global sort): the normalization step for
+    'keep the top X% per language' corpus filters."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    from rio_cogeo_ray.stages import sketch as sketch_mod
+
+    return sketch_mod.percentile_rank(ds, "lang", "n_chars", "doc_id")
+
+
+SQL_PCTL_RANK = """
+SELECT doc_id,
+       CAST((COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars) * 1000000)
+            // COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS pctl_ppm
+FROM documents
+"""
+
+
 def q_surprisal(sf_dir: str):
     """Unigram surprisal quality scoring (stages/text.py:
     surprisal_score — the CCNet perplexity-filter analog): each token
@@ -3703,6 +3722,7 @@ def queries() -> Dict[str, Callable]:
         "cdc_merge": q_cdc_merge,
         "zonemap_scan": q_zonemap_scan,
         "surprisal": q_surprisal,
+        "pctl_rank": q_pctl_rank,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3806,6 +3826,7 @@ def oracle_sql() -> Dict[str, str]:
         "cdc_merge": SQL_CDC_MERGE,
         "zonemap_scan": SQL_ZONEMAP_SCAN,
         "surprisal": SQL_SURPRISAL,
+        "pctl_rank": SQL_PCTL_RANK,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

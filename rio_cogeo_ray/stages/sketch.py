@@ -30,6 +30,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _KNUTH = np.uint64(2654435761)
 _M32 = np.uint64(4294967296)
@@ -825,3 +826,91 @@ def cm_sketch(
         mat = mat + np.frombuffer(row["cm"], dtype=np.int64)
         n += row["n"]
     return CountMinSketch(mat.reshape(d, w), int(n), w, d)
+
+
+def percentile_rank(
+    ds,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    out_col: str = "pctl_ppm",
+    n_buckets: int = 64,
+):
+    """Per-group percentile rank of an integer feature, in exact ppm:
+    ``floor(1e6 · |rows in group with value ≤ v| / |group|)`` — the
+    quality-score normalization step of a corpus filter ("keep the top
+    30% per language" without per-language thresholds). Integer-exact,
+    so hash-identical at any parallelism; mirrors SQL
+    ``(COUNT(*) OVER (PARTITION BY g ORDER BY v) * 1000000) //
+    COUNT(*) OVER (PARTITION BY g)``.
+
+    Scale shape (the exact_quantiles doctrine — histogram CDF, not a
+    global sort): ONE partial→final count shuffle over the DISTINCT
+    (group, value) pairs (bounded by feature cardinality, not corpus
+    rows — the contract is an integer feature like a length, a token
+    count, a quantized score), the CDF cumsums on the driver (tiny),
+    and a broadcast vectorized lookup maps every row. No all-to-all
+    over data rows, no per-group sort."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    hist = partial_group_agg(
+        ds, keys=[group_col, val_col], count_as="c", n_buckets=n_buckets
+    )
+    ht = pa.concat_tables(_ray.get(hist.to_arrow_refs()), promote_options="default")
+    ht = ht.sort_by([(group_col, "ascending"), (val_col, "ascending")])
+    groups = ht[group_col].combine_chunks()
+    vals = ht[val_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = ht["c"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = groups.unique()
+    gi = pc.index_in(groups, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    # per-group inclusive cumsum + totals
+    cum = np.cumsum(cnts)
+    starts = np.flatnonzero(np.r_[True, gi[1:] != gi[:-1]])
+    base = np.zeros(len(cnts), dtype=np.int64)
+    base[starts[1:]] = cum[starts[1:] - 1]
+    np.maximum.accumulate(base, out=base)
+    cle = cum - base  # inclusive count within group
+    ends = np.append(starts[1:] - 1, len(cnts) - 1)
+    tots = cle[ends]  # one total per group (indexed by group rank)
+    assert vals.max(initial=0) < (1 << 40) and vals.min(initial=0) >= 0, (
+        "percentile_rank: val_col must be a non-negative integer < 2^40"
+    )
+    comp = gi * (np.int64(1) << np.int64(40)) + vals
+    state = _ray.put((uniq, comp, cle, tots))
+
+    class _Rank:
+        def __init__(self, ref):
+            self.uniq, self.comp, self.cle, self.tots = (
+                _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        out_col: pa.array([], pa.int64()),
+                    }
+                )
+            g = pc.index_in(
+                t[group_col].combine_chunks(), value_set=self.uniq
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t[val_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            rc = g * (np.int64(1) << np.int64(40)) + v
+            idx = np.searchsorted(self.comp, rc, side="right") - 1
+            ppm = self.cle[idx] * np.int64(1_000_000) // self.tots[g]
+            return pa.table(
+                {
+                    id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                    out_col: pa.array(ppm, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        _Rank,
+        fn_constructor_args=(state,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

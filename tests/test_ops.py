@@ -2637,3 +2637,26 @@ def test_image_phash_neardup_planted(ray_session):
         assert out.get(1002) == out[0]
     else:
         assert out.get(1002) != out.get(0)
+
+
+def test_percentile_rank_hand_computed(ray_session):
+    from rio_cogeo_ray.stages import sketch as sketch_mod
+
+    # group a: values 10,20,20,30 -> cle 1,3,3,4 of 4 -> ppm 250000,750000,750000,1000000
+    # group b: single value -> always 1000000
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "g": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+            "v": pa.array([10, 20, 20, 30, 99], pa.int64()),
+        }
+    )
+    out = (
+        sketch_mod.percentile_rank(
+            rd.from_arrow(t).repartition(3), "g", "v", "id"
+        )
+        .to_pandas()
+        .set_index("id")["pctl_ppm"]
+        .to_dict()
+    )
+    assert out == {1: 250000, 2: 750000, 3: 750000, 4: 1000000, 5: 1000000}
