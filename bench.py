@@ -318,6 +318,58 @@ def bench_seg_dedup():
     return text_mod.segment_dedup(ds, seg_words=10, id_col="pid").count()
 
 
+def bench_intradoc_dedup():
+    """Intra-doc window dedup over the pages corpus — the zero-shuffle
+    pure-map scrub; wall time is the tokenize+hash+reassemble kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return text_mod.intra_doc_dedup(ds, seg_words=10, id_col="pid").count()
+
+
+def bench_surprisal():
+    """Unigram surprisal scoring over the pages corpus: counting pass +
+    (doc, token) combiner + token-bucket cf attach + per-doc sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return text_mod.surprisal_score(ds, id_col="pid").count()
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -336,6 +388,8 @@ BENCHES = {
     "shard_shuffle": bench_shard_shuffle,
     "bpe_encode": bench_bpe_encode,
     "seg_dedup": bench_seg_dedup,
+    "intradoc_dedup": bench_intradoc_dedup,
+    "surprisal": bench_surprisal,
 }
 
 

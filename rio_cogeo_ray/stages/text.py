@@ -481,7 +481,7 @@ def tfidf_topk(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
 
 
 def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
-                    n_buckets: int = 64):
+                    n_buckets: int = 64, broadcast_vocab: bool = True):
     """Unigram surprisal quality score per document — the CCNet/KenLM
     perplexity-filter analog with an INTEGER-EXACT surprisal unit:
     each token occurrence contributes ``floor(log2(N // cf(token)))``
@@ -496,14 +496,117 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
     ``LENGTH(bin(N // cf)) - 1`` bit-for-bit, so the whole score is
     shuffle-order-independent.
 
-    Scale shape (tfidf_topk's three linear stages, no self-join):
-    (doc, token, tf) combiner → bucket by hash(token), cf and bits
-    attach in place per bucket → partial→final sum per doc. N comes
-    from one O(1)-rows-per-batch counting pass."""
+    Scale shape: token strings never enter an exchange — they collapse
+    to 64-bit polars hashes map-side (the segment_dedup contract:
+    equal hash stands for equal token, with documented 2^-64-per-pair
+    collision odds — a collision merges two tokens' cf counts,
+    shifting a doc's bits only if the merged count crosses a power of
+    two). Two execution shapes:
+
+    - ``broadcast_vocab=True`` (default, the lm_coverage doctrine):
+      ONE vocab-bounded shuffle (per-batch np.unique collapses token
+      mass before the exchange: rows ∝ distinct-tokens-per-batch, not
+      doc-token pairs), the (hash → bits) table broadcasts once via
+      ``ray.put``, and scoring is a stateless actor map with ZERO
+      doc-token shuffle. Memory contract: the vocab fits one object
+      (~16 B/term — 10^8 terms ≈ 1.6 GB; web-scale vocabs pass a
+      min_count upstream or use the fallback).
+    - ``broadcast_vocab=False``: tfidf_topk's three linear stages —
+      (doc, token-hash, tf) combiner → bucket by token hash, cf and
+      bits attach in place per bucket → partial→final sum per doc.
+      Unbounded vocab, but the exchange moves doc-token pair rows."""
+    import polars as pl
+
     import ray as _ray
 
-    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.functions.hashing import splitmix64
     from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _th(toks: pa.Array) -> np.ndarray:
+        return (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+
+    _EMPTY_OUT = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "surprisal_bits": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    if broadcast_vocab:
+        def _vocab_partial(batch: pa.Table) -> pa.Table:
+            toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+            if len(row) == 0:
+                return pa.table(
+                    {"th": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                )
+            uniq, cnt = np.unique(_th(toks), return_counts=True)
+            return pa.table(
+                {
+                    "th": pa.array(uniq, pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        vocab = partial_group_agg(
+            ds.map_batches(_vocab_partial, batch_format="pyarrow"),
+            keys=["th"],
+            sum_cols=["n"],
+            count_as=None,
+        )
+        vt = pa.concat_tables(
+            _ray.get(vocab.to_arrow_refs()), promote_options="default"
+        ).combine_chunks()
+        if not vt.num_rows:
+            return ds.map_batches(lambda t: _EMPTY_OUT, batch_format="pyarrow")
+        th_v = vt["th"].to_numpy(zero_copy_only=False)
+        cf_v = vt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(th_v)
+        th_sorted, cf_sorted = th_v[order], cf_v[order]
+        n_total = int(cf_sorted.sum())
+        ratio = n_total // cf_sorted
+        bits_v = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)
+        state = _ray.put((th_sorted, bits_v))
+
+        class _Score:
+            def __init__(self, ref):
+                self.th, self.bits = (
+                    _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+                )
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+                if len(row) == 0:
+                    return _EMPTY_OUT
+                b = self.bits[np.searchsorted(self.th, _th(toks))]
+                n = batch.num_rows
+                # float64 sums are exact here: bits ≤ 63, ≤ 2^53 tokens/doc
+                sums = np.bincount(row, weights=b.astype(np.float64), minlength=n)
+                cnts = np.bincount(row, minlength=n)
+                nz = cnts > 0
+                ids = batch[id_col].combine_chunks().cast(pa.int64())
+                return pa.table(
+                    {
+                        id_col: ids.filter(pa.array(nz)),
+                        "surprisal_bits": pa.array(
+                            sums[nz].astype(np.int64), pa.int64()
+                        ),
+                        "n_tokens": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+                    }
+                )
+
+        return ds.map_batches(
+            _Score,
+            fn_constructor_args=(state,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
 
     def _ntok(t: pa.Table) -> pa.Table:
         c = token_count(t[text_col])
@@ -515,28 +618,55 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
     )
     n_total = int(pc.sum(n_rows["n"]).as_py() or 0)
     if n_total == 0:
-        return ds.map_batches(
-            lambda t: pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "surprisal_bits": pa.array([], pa.int64()),
-                    "n_tokens": pa.array([], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+        return ds.map_batches(lambda t: _EMPTY_OUT, batch_format="pyarrow")
+
+    def _hash_counts(batch: pa.Table) -> pa.Table:
+        """(id, th, n) in-batch combined token-hash frequencies — one
+        vectorized sort+reduceat, no string group-by, no string rows
+        downstream."""
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "th": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) == 0:
+            return empty
+        th = (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((th, row))
+        r_s, t_s = row[order], th[order]
+        new = np.r_[True, (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(r_s)))
+        return pa.table(
+            {
+                id_col: pa.array(ids[r_s[starts]], pa.int64()),
+                "th": pa.array(t_s[starts], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
         )
 
     tf = partial_group_agg(
-        ds.map_batches(
-            lambda t: doc_token_counts(t, id_col, text_col), batch_format="pyarrow"
-        ),
-        keys=[id_col, "token"],
+        ds.map_batches(_hash_counts, batch_format="pyarrow"),
+        keys=[id_col, "th"],
         sum_cols=["n"],
         count_as=None,
     )
 
     def _route_token(t: pa.Table) -> pa.Table:
-        b = (hash_columns(t, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+        b = (
+            splitmix64(t["th"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     def _bits_bucket(g: pa.Table) -> pa.Table:
@@ -550,10 +680,10 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
         )
         if not g.num_rows:
             return empty
-        de = g["token"].combine_chunks().dictionary_encode()
-        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = g["th"].combine_chunks().to_numpy(zero_copy_only=False)
         n_v = g["sum_n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        cf = np.zeros(int(idx.max()) + 1, dtype=np.int64)
+        uniq, idx = np.unique(th, return_inverse=True)
+        cf = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(cf, idx, n_v)
         ratio = n_total // cf[idx]
         bits = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)

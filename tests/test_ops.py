@@ -2660,3 +2660,18 @@ def test_percentile_rank_hand_computed(ray_session):
         .to_dict()
     )
     assert out == {1: 250000, 2: 750000, 3: 750000, 4: 1000000, 5: 1000000}
+
+
+def test_surprisal_paths_agree(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    a = (
+        text.surprisal_score(rd.from_arrow(t).repartition(4), broadcast_vocab=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        text.surprisal_score(rd.from_arrow(t).repartition(4), broadcast_vocab=False)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
