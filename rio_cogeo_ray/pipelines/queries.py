@@ -3338,6 +3338,35 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+SEARCH_TERMS = ("dup", "vector")
+
+
+def q_text_search(sf_dir: str):
+    """Boolean search over a persisted inverted index (stages/search.py):
+    posting lists (token-hash, doc_id) partitioned by hash shard; the
+    query reads ONLY the shards its terms hash into (probed-bucket
+    pruning), then one per-doc count — AND = contains every term.
+    Index built once per sf_dir under /tmp (IVF caching doctrine)."""
+    import hashlib
+
+    from rio_cogeo_ray.stages import search
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    tag = hashlib.sha256(f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/rcr_textindex/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, search.MANIFEST)):
+        search.build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
+    return search.search_index(idx_dir, list(SEARCH_TERMS), mode="and")
+
+
+SQL_TEXT_SEARCH = rf"""
+SELECT doc_id FROM documents
+WHERE list_contains(regexp_extract_all(text, '\S+'), '{SEARCH_TERMS[0]}')
+  AND list_contains(regexp_extract_all(text, '\S+'), '{SEARCH_TERMS[1]}')
+"""
+
+
 def q_pctl_rank(sf_dir: str):
     """Per-language percentile rank of doc length in exact ppm
     (stages/sketch.py: percentile_rank — histogram-CDF broadcast, one
@@ -3723,6 +3752,7 @@ def queries() -> Dict[str, Callable]:
         "zonemap_scan": q_zonemap_scan,
         "surprisal": q_surprisal,
         "pctl_rank": q_pctl_rank,
+        "text_search": q_text_search,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3827,6 +3857,7 @@ def oracle_sql() -> Dict[str, str]:
         "zonemap_scan": SQL_ZONEMAP_SCAN,
         "surprisal": SQL_SURPRISAL,
         "pctl_rank": SQL_PCTL_RANK,
+        "text_search": SQL_TEXT_SEARCH,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

@@ -2675,3 +2675,45 @@ def test_surprisal_paths_agree(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_text_search_index(ray_session, tmp_path):
+    from rio_cogeo_ray.stages import search
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma",
+                    "alpha alpha delta",
+                    "beta delta",
+                    "gamma",
+                    "   ",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    search.build_text_index(rd.from_arrow(docs).repartition(3), idx, n_shards=8)
+    got_and = sorted(
+        search.search_index(idx, ["alpha", "beta"], mode="and").to_pandas()["doc_id"]
+    )
+    assert got_and == [1]
+    got_or = sorted(
+        search.search_index(idx, ["alpha", "beta"], mode="or").to_pandas()["doc_id"]
+    )
+    assert got_or == [1, 2, 3]
+    # duplicate tokens within a doc count once (doc 2 has alpha twice)
+    got_dup = sorted(
+        search.search_index(idx, ["alpha", "delta"], mode="and").to_pandas()["doc_id"]
+    )
+    assert got_dup == [2]
+    # absent term -> empty AND
+    assert len(search.search_index(idx, ["alpha", "zzz"], mode="and").to_pandas()) == 0
+    # pruning: a single-term query must touch fewer shard dirs than exist
+    import os
+
+    total_shards = len(os.listdir(os.path.join(idx, "postings")))
+    assert total_shards > 1
