@@ -3338,6 +3338,120 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_mad_filter(sf_dir: str):
+    """Robust outlier gate: keep docs within 3 MADs of their
+    language's median length (median absolute deviation — the
+    outlier-resistant z-score). Two distributed exact-median passes
+    (stages/sketch.py: grouped_quantile — one distinct-pair exchange
+    each, thresholds bounded by #langs), both broadcast via ray.put;
+    the corpus itself streams through ONE stateless filter map."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages import sketch as sketch_mod
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def _qdict(ds_q, val_col):
+        t = pa.concat_tables(
+            [b for b in _ray.get(ds_q.materialize().to_arrow_refs()) if b.num_rows]
+        )
+        return {l: int(v) for l, v in zip(t["lang"].to_pylist(), t["value"].to_pylist())}
+
+    med = _qdict(
+        sketch_mod.grouped_quantile(
+            _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", (0.5,), scale=1
+        ),
+        "n_chars",
+    )
+    med_ref = _ray.put(med)
+
+    def _dev(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "dev": pa.array([], pa.int64())}
+            )
+        m = _ray.get(med_ref)
+        langs = t["lang"].combine_chunks()
+        x = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mv = np.array([m[l] for l in langs.to_pylist()], dtype=np.int64)
+        return pa.table({"lang": langs, "dev": pa.array(np.abs(x - mv), pa.int64())})
+
+    mad = _qdict(
+        sketch_mod.grouped_quantile(
+            _docs(sf_dir, ["lang", "n_chars"]).map_batches(_dev, batch_format="pyarrow"),
+            "lang",
+            "dev",
+            (0.5,),
+            scale=1,
+        ),
+        "dev",
+    )
+    mad_ref = _ray.put(mad)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        m, md = _ray.get(med_ref), _ray.get(mad_ref)
+        langs = t["lang"].to_pylist()
+        x = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mv = np.array([m[l] for l in langs], dtype=np.int64)
+        dv = np.array([md[l] for l in langs], dtype=np.int64)
+        return t.filter(pa.array(np.abs(x - mv) <= 3 * dv))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+SQL_MAD_FILTER = """
+WITH g AS (SELECT lang, n_chars AS qv, COUNT(*) AS cnt FROM documents GROUP BY lang, n_chars),
+w AS (SELECT lang, qv, SUM(cnt) OVER (PARTITION BY lang ORDER BY qv) AS cum FROM g),
+n AS (SELECT lang, COUNT(*) AS nn FROM documents GROUP BY lang),
+med AS (SELECT w.lang, MIN(w.qv) AS m FROM w JOIN n ON w.lang = n.lang
+        WHERE w.cum >= CAST(CEIL(0.5 * n.nn) AS BIGINT) GROUP BY w.lang),
+dev AS (SELECT d.lang, ABS(d.n_chars - med.m) AS dv
+        FROM documents d JOIN med ON d.lang = med.lang),
+g2 AS (SELECT lang, dv, COUNT(*) AS cnt FROM dev GROUP BY lang, dv),
+w2 AS (SELECT lang, dv, SUM(cnt) OVER (PARTITION BY lang ORDER BY dv) AS cum FROM g2),
+mad AS (SELECT w2.lang, MIN(w2.dv) AS md FROM w2 JOIN n ON w2.lang = n.lang
+        WHERE w2.cum >= CAST(CEIL(0.5 * n.nn) AS BIGINT) GROUP BY w2.lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN med ON d.lang = med.lang
+JOIN mad ON d.lang = mad.lang
+WHERE ABS(d.n_chars - med.m) <= 3 * mad.md
+"""
+
+
+def q_lang_moments(sf_dir: str):
+    """Per-language doc-length moments as exact integer sums (n, Σx,
+    Σx²) — the variance/stddev inputs, shipped as associative int64
+    partials so results are bit-identical at any parallelism
+    (consumers divide; float aggregation never enters the exchange).
+    Overflow headroom: Σx² < 2^63 holds to ~10^12 docs of 10^4 chars
+    — int128-summing buckets would be the next step beyond."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def _sq(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("len_sq", pa.array(x * x, pa.int64()))
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    return partial_group_agg(
+        ds.map_batches(_sq, batch_format="pyarrow"),
+        keys=["lang"],
+        sum_cols=["n_chars", "len_sq"],
+        count_as="n_docs",
+    )
+
+
+SQL_LANG_MOMENTS = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_len_sq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 SEARCH_TERMS = ("dup", "vector")
 
 
@@ -3753,6 +3867,8 @@ def queries() -> Dict[str, Callable]:
         "surprisal": q_surprisal,
         "pctl_rank": q_pctl_rank,
         "text_search": q_text_search,
+        "lang_moments": q_lang_moments,
+        "mad_filter": q_mad_filter,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3858,6 +3974,8 @@ def oracle_sql() -> Dict[str, str]:
         "surprisal": SQL_SURPRISAL,
         "pctl_rank": SQL_PCTL_RANK,
         "text_search": SQL_TEXT_SEARCH,
+        "lang_moments": SQL_LANG_MOMENTS,
+        "mad_filter": SQL_MAD_FILTER,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

@@ -2717,3 +2717,30 @@ def test_text_search_index(ray_session, tmp_path):
 
     total_shards = len(os.listdir(os.path.join(idx, "postings")))
     assert total_shards > 1
+
+
+def test_mad_filter_drops_planted_outlier(ray_session, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+    from rio_cogeo_ray.pipelines.queries import q_mad_filter
+
+    # lang 'xx': 15 docs at 100 + 15 at 101 (median 101, MAD 1) + one
+    # 10_000 outlier that must be dropped (|10000-101| > 3*MAD)
+    n = 31
+    lens = np.full(n, 100, dtype=np.int64)
+    lens[1::2] = 101
+    lens[-1] = 10_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(["w"] * n, pa.string()),
+            "lang": pa.array(["xx"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array(lens, pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = q_mad_filter(str(d)).to_pandas()
+    assert len(out) == n - 1
+    assert 30 not in set(out["doc_id"])
