@@ -3241,6 +3241,33 @@ def q_semantic_dedup(sf_dir: str):
     return ann.semantic_dedup(ds, n_clusters=16, threshold=0.99)
 
 
+def _text_index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the inverted text index for this sf_dir."""
+    import hashlib
+
+    from rio_cogeo_ray.stages import search
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    tag = hashlib.sha256(f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/rcr_textindex/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, search.MANIFEST)):
+        search.build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
+    return idx_dir
+
+
+def q_bm25_rank(sf_dir: str):
+    """BM25 ranked retrieval (stages/search.py: bm25_search) over the
+    shard-pruned inverted index: idf from matched-posting df, doc
+    lengths denormalized on postings (no doc join), per-posting scores
+    quantized to int64 ppm BEFORE the exchange so ranking is
+    parallelism-invariant. Float idf ⇒ rows-only; exact brute-force
+    oracle pinned in pytest (test_bm25_vs_bruteforce)."""
+    from rio_cogeo_ray.stages import search
+
+    return search.bm25_search(_text_index_dir(sf_dir), list(SEARCH_TERMS), k=20)
+
+
 def q_media_phash(sf_dir: str):
     """Perceptual-hash image near-dup clusters (stages/multimodal.py:
     image_phash_neardup): decode/feature actor pool → 64-bit aHash →
@@ -3461,17 +3488,11 @@ def q_text_search(sf_dir: str):
     query reads ONLY the shards its terms hash into (probed-bucket
     pruning), then one per-doc count — AND = contains every term.
     Index built once per sf_dir under /tmp (IVF caching doctrine)."""
-    import hashlib
-
     from rio_cogeo_ray.stages import search
 
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(doc_path)
-    tag = hashlib.sha256(f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    idx_dir = f"/tmp/rcr_textindex/{tag}"
-    if not os.path.exists(os.path.join(idx_dir, search.MANIFEST)):
-        search.build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
-    return search.search_index(idx_dir, list(SEARCH_TERMS), mode="and")
+    return search.search_index(
+        _text_index_dir(sf_dir), list(SEARCH_TERMS), mode="and"
+    )
 
 
 SQL_TEXT_SEARCH = rf"""
@@ -3930,6 +3951,7 @@ def queries() -> Dict[str, Callable]:
         "semantic_dedup": q_semantic_dedup,
         "pca_embed": q_pca_embed,
         "media_phash": q_media_phash,
+        "bm25_rank": q_bm25_rank,
         "kcore": q_kcore,
     }
 

@@ -59,6 +59,8 @@ def build_text_index(
             {
                 "th": pa.array([], pa.int64()),
                 id_col: pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
                 "shard": pa.array([], pa.int64()),
             }
         )
@@ -73,20 +75,52 @@ def build_text_index(
             .view(np.int64)
         )
         ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dls = np.bincount(row, minlength=batch.num_rows).astype(np.int64)
         order = np.lexsort((th, row))
         r_s, t_s = row[order], th[order]
         new = np.r_[True, (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(r_s))).astype(np.int64)
         t_u, r_u = t_s[new], r_s[new]
         return pa.table(
             {
                 "th": pa.array(t_u, pa.int64()),
                 id_col: pa.array(ids[r_u], pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                # doc length denormalized onto every posting (the
+                # impact-ordered-index trick): BM25 needs no doc join
+                "dl": pa.array(dls[r_u], pa.int64()),
                 "shard": pa.array(
                     (t_u.view(np.uint64) % np.uint64(n_shards)).astype(np.int64),
                     pa.int64(),
                 ),
             }
         )
+
+    # corpus stats pass (N docs with tokens, Σ doc length) — O(1) rows
+    # per batch to the driver; build = two streaming scans total
+    def _stats(batch: pa.Table) -> pa.Table:
+        _, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) == 0:
+            return pa.table(
+                {"nd": pa.array([0], pa.int64()), "tl": pa.array([0], pa.int64())}
+            )
+        return pa.table(
+            {
+                "nd": pa.array([int(len(np.unique(row)))], pa.int64()),
+                "tl": pa.array([int(len(row))], pa.int64()),
+            }
+        )
+
+    import ray as _ray
+
+    st = pa.concat_tables(
+        _ray.get(ds.map_batches(_stats, batch_format="pyarrow").to_arrow_refs())
+    )
+    import pyarrow.compute as pc
+
+    n_docs = int(pc.sum(st["nd"]).as_py() or 0)
+    total_dl = int(pc.sum(st["tl"]).as_py() or 0)
 
     os.makedirs(index_dir, exist_ok=True)
     post_dir = os.path.join(index_dir, "postings")
@@ -98,7 +132,15 @@ def build_text_index(
     shutil.rmtree(post_dir, ignore_errors=True)
     os.replace(tmp_dir, post_dir)
     with open(os.path.join(index_dir, MANIFEST), "w") as f:
-        json.dump({"n_shards": n_shards, "id_col": id_col}, f)
+        json.dump(
+            {
+                "n_shards": n_shards,
+                "id_col": id_col,
+                "n_docs": n_docs,
+                "total_dl": total_dl,
+            },
+            f,
+        )
     return index_dir
 
 
@@ -143,3 +185,106 @@ def search_index(index_dir: str, terms: Sequence[str], mode: str = "and"):
         return t.filter(pc.greater_equal(t["c"], need)).select([id_col])
 
     return counted.map_batches(_sel, batch_format="pyarrow")
+
+
+def bm25_search(
+    index_dir: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1_ppm: int = 1_200_000,
+    b_ppm: int = 750_000,
+):
+    """BM25 ranked retrieval over the index (Robertson/Spärck Jones):
+    reads ONLY the probed shards, computes idf from the df of the
+    matched postings, scores every candidate posting in one vectorized
+    pass, sums per doc through partial→final int64 aggregation, and
+    returns the top-k (doc_id, score_ppm) table.
+
+    Determinism: per-posting scores quantize to int64 ppm BEFORE the
+    exchange (the tfidf_topk doctrine) — floor(idf · tfnorm · 1e6 +
+    0.5) — so ranking is bit-identical at any parallelism; ties break
+    by doc_id ascending. k1/b arrive as ppm ints for the same reason.
+
+    Scale: candidates are bounded by the query terms' posting lists
+    (never the corpus); df reduces to ≤|terms| driver rows; doc
+    lengths ride denormalized on postings so no doc-side join exists.
+    The final top-k is a driver sort over ≤ candidate-doc rows — cap
+    queries with huge posting lists upstream (stopword caveat)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray as _ray
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    n_shards, id_col = man["n_shards"], man["id_col"]
+    n_docs, total_dl = man["n_docs"], man["total_dl"]
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "score_ppm": pa.array([], pa.int64())}
+    )
+    if n_docs == 0:
+        return empty
+    avgdl = total_dl / n_docs
+    th = _term_hash(terms)
+    th_set = sorted(set(int(v) for v in th))
+    shards = np.unique(np.array(th_set, dtype=np.int64).view(np.uint64) % np.uint64(n_shards))
+    files: List[str] = []
+    for s in shards:
+        sdir = os.path.join(index_dir, "postings", f"shard={int(s)}")
+        if os.path.isdir(sdir):
+            files.extend(
+                os.path.join(sdir, f)
+                for f in sorted(os.listdir(sdir))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        return empty
+    flt = pads.field("th").isin(th_set)
+    hits = rd.read_parquet(files, columns=["th", id_col, "tf", "dl"], filter=flt)
+    # df per term: postings are distinct per doc, so df = row count
+    dft = pa.concat_tables(
+        _ray.get(
+            partial_group_agg(hits, keys=["th"], count_as="df").to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    df_map = dict(zip(dft["th"].to_pylist(), dft["df"].to_pylist()))
+    th_arr = np.array(th_set, dtype=np.int64)
+    df_arr = np.array([df_map.get(t, 0) for t in th_set], dtype=np.float64)
+    idf_arr = np.log((n_docs - df_arr + 0.5) / (df_arr + 0.5) + 1.0)
+    idf_ref = _ray.put((th_arr, idf_arr))
+    k1 = k1_ppm / 1e6
+    bb = b_ppm / 1e6
+
+    def _score(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        th_a, idf_a = _ray.get(idf_ref)
+        thv = t["th"].combine_chunks().to_numpy(zero_copy_only=False)
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        w = idf_a[np.searchsorted(th_a, thv)]
+        norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - bb + bb * dl / avgdl))
+        s = np.floor(w * norm * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    scored = partial_group_agg(
+        hits.map_batches(_score, batch_format="pyarrow"),
+        keys=[id_col],
+        sum_cols=["s"],
+        count_as=None,
+    )
+    res = pa.concat_tables(
+        _ray.get(scored.to_arrow_refs()), promote_options="default"
+    ).rename_columns([id_col, "score_ppm"])
+    res = res.sort_by([("score_ppm", "descending"), (id_col, "ascending")])
+    return res.slice(0, k)

@@ -2744,3 +2744,45 @@ def test_mad_filter_drops_planted_outlier(ray_session, tmp_path, monkeypatch):
     out = q_mad_filter(str(d)).to_pandas()
     assert len(out) == n - 1
     assert 30 not in set(out["doc_id"])
+
+
+def test_bm25_vs_bruteforce(ray_session, tmp_path):
+    import collections
+    import math
+
+    from rio_cogeo_ray.stages import search
+
+    rng = np.random.RandomState(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 20)).tolist())
+        for _ in range(40)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40, dtype=np.int64), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    search.build_text_index(rd.from_arrow(t).repartition(4), idx, n_shards=8)
+    terms = ["alpha", "delta"]
+    got = search.bm25_search(idx, terms, k=10)
+    got_pairs = list(zip(got["doc_id"].to_pylist(), got["score_ppm"].to_pylist()))
+    # brute-force oracle with the same ppm quantization
+    k1, b = 1.2, 0.75
+    toks = [d.split() for d in docs]
+    dls = [len(x) for x in toks]
+    n_docs = sum(1 for x in toks if x)
+    avgdl = sum(dls) / n_docs
+    scores = collections.defaultdict(int)
+    for term in set(terms):
+        df = sum(1 for x in toks if term in x)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for i, x in enumerate(toks):
+            tf = x.count(term)
+            if tf:
+                norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+                scores[i] += int(np.floor(idf * norm * 1e6 + 0.5))
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got_pairs == exp
