@@ -370,6 +370,42 @@ def bench_surprisal():
     return text_mod.surprisal_score(ds, id_col="pid").count()
 
 
+def bench_text_index():
+    """Inverted-index build (pure-map postings + partitioned write)
+    plus one shard-pruned BM25 query over the pages corpus."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import search
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    idx = "/tmp/rcr_bench/text_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    search.build_text_index(ds, idx, id_col="pid")
+    # query terms drawn from the fixture vocab so they occur at any corpus
+    # size (mid-frequency pseudo-words, not stopwords)
+    from rio_cogeo_ray.fixtures import _VOCABS
+
+    terms = [str(_VOCABS["en"][60]), str(_VOCABS["en"][80])]
+    return search.bm25_search(idx, terms, k=10).num_rows
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -390,6 +426,7 @@ BENCHES = {
     "seg_dedup": bench_seg_dedup,
     "intradoc_dedup": bench_intradoc_dedup,
     "surprisal": bench_surprisal,
+    "text_index": bench_text_index,
 }
 
 

@@ -3448,6 +3448,32 @@ WHERE ABS(d.n_chars - med.m) <= 3 * mad.md
 """
 
 
+ENTROPY_MAXLEN = 8191
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution entropy in integer floor-bits
+    (stages/text.py: char_entropy — the Gopher gibberish signal):
+    histogram is per-doc ⇒ pure map, zero shuffle. Integer-exact
+    (≡ SQL LENGTH(bin(n // cnt)) - 1), so hash-exact anywhere."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.char_entropy(ds)
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH ch AS (SELECT doc_id, substring(text, g, 1) AS c
+            FROM documents CROSS JOIN generate_series(1, {ENTROPY_MAXLEN}) gs(g)
+            WHERE g <= LENGTH(text)),
+cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nn FROM ch GROUP BY doc_id)
+SELECT cnt.doc_id,
+       CAST(SUM(cnt.n * (LENGTH(bin(tot.nn // cnt.n)) - 1)) AS BIGINT) AS entropy_bits,
+       MIN(tot.nn) AS n_chars_tot
+FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+GROUP BY cnt.doc_id
+"""
+
+
 def q_lang_moments(sf_dir: str):
     """Per-language doc-length moments as exact integer sums (n, Σx,
     Σx²) — the variance/stddev inputs, shipped as associative int64
@@ -3890,6 +3916,7 @@ def queries() -> Dict[str, Callable]:
         "text_search": q_text_search,
         "lang_moments": q_lang_moments,
         "mad_filter": q_mad_filter,
+        "char_entropy": q_char_entropy,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
@@ -3998,6 +4025,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_search": SQL_TEXT_SEARCH,
         "lang_moments": SQL_LANG_MOMENTS,
         "mad_filter": SQL_MAD_FILTER,
+        "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
         "dedup_stats": SQL_DEDUP_STATS,
         "lang_stats": SQL_LANG_STATS,

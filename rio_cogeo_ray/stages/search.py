@@ -182,6 +182,9 @@ def search_index(index_dir: str, terms: Sequence[str], mode: str = "and"):
     def _sel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if t.num_rows == 0 or "c" not in t.column_names:
+            # an all-empty partial agg loses its schema
+            return empty
         return t.filter(pc.greater_equal(t["c"], need)).select([id_col])
 
     return counted.map_batches(_sel, batch_format="pyarrow")
@@ -250,6 +253,10 @@ def bm25_search(
         ),
         promote_options="default",
     )
+    if dft.num_rows == 0 or "th" not in dft.column_names:
+        # no query term has postings in any probed shard: zero candidates
+        # (an all-empty partial agg loses its schema, so guard both ways)
+        return empty
     df_map = dict(zip(dft["th"].to_pylist(), dft["df"].to_pylist()))
     th_arr = np.array(th_set, dtype=np.int64)
     df_arr = np.array([df_map.get(t, 0) for t in th_set], dtype=np.float64)

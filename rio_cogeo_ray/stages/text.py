@@ -480,6 +480,58 @@ def tfidf_topk(ds, n_docs: int, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document character-distribution entropy in INTEGER floor-bits
+    — the gibberish/boilerplate signal of the Gopher-style quality
+    suite: ``entropy_bits = Σ_c cnt_c · floor(log2(n / cnt_c))`` over
+    the doc's codepoint histogram (low for single-char spam, high for
+    diverse text). Integer-exact (float64-exponent floor-log2 ≡ SQL
+    ``LENGTH(bin(n // cnt)) - 1`` — the surprisal_score contract), so
+    hash-identical at any parallelism.
+
+    Scale shape: the histogram is per-doc ⇒ PURE MAP stage, zero
+    shuffle: one vectorized codepoint decode (+ lexsort runs) per
+    batch. Returns (id, entropy_bits, n_chars_tot); zero-char docs
+    drop out."""
+
+    def _ent(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "entropy_bits": pa.array([], pa.int64()),
+                "n_chars_tot": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        doc_idx, cp = _codepoints(batch[text_col])
+        if not len(doc_idx):
+            return empty
+        n = batch.num_rows
+        tot = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        order = np.lexsort((cp, doc_idx))
+        d_s, c_s = doc_idx[order], cp[order]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        d_run = d_s[starts]
+        ratio = tot[d_run] // cnt
+        bits = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)
+        ent = np.zeros(n, dtype=np.int64)
+        np.add.at(ent, d_run, cnt * bits)
+        nz = tot > 0
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(nz)),
+                "entropy_bits": pa.array(ent[nz], pa.int64()),
+                "n_chars_tot": pa.array(tot[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_ent, batch_format="pyarrow")
+
+
 def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
                     n_buckets: int = 64, broadcast_vocab: bool = True):
     """Unigram surprisal quality score per document — the CCNet/KenLM

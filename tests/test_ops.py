@@ -2786,3 +2786,42 @@ def test_bm25_vs_bruteforce(ray_session, tmp_path):
                 scores[i] += int(np.floor(idf * norm * 1e6 + 0.5))
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got_pairs == exp
+
+
+def test_char_entropy_hand_computed(ray_session):
+    # doc 1 "aaaa": 1 distinct char -> bits floor(log2(4//4))=0, sum 0
+    # doc 2 "aabb": each cnt 2 of 4 -> floor(log2(2))=1 per char, sum 4
+    # doc 3 "abcd": cnt 1 of 4 -> 2 bits per char, sum 8
+    # doc 4 "": dropped
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aaaa", "aabb", "abcd", ""], pa.string()),
+        }
+    )
+    out = (
+        text.char_entropy(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "entropy_bits"] == 0 and out.loc[1, "n_chars_tot"] == 4
+    assert out.loc[2, "entropy_bits"] == 4
+    assert out.loc[3, "entropy_bits"] == 8
+    assert 4 not in out.index
+
+
+def test_search_zero_hit_terms(ray_session, tmp_path):
+    # terms absent from the whole corpus: bm25 and boolean search must
+    # return EMPTY results, not crash on the schema-less empty partial agg
+    from rio_cogeo_ray.stages import search
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma"], pa.string()),
+        }
+    )
+    idx = str(tmp_path / "idx0")
+    search.build_text_index(rd.from_arrow(docs), idx, n_shards=4)
+    assert search.bm25_search(idx, ["zzz", "qqq"], k=5).num_rows == 0
+    assert len(search.search_index(idx, ["zzz"], mode="or").to_pandas()) == 0
