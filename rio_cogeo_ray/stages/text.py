@@ -1230,6 +1230,7 @@ def segment_dedup(
     text_col: str = "text",
     n_buckets: int = 64,
     m_bits: int = 1 << 23,
+    broadcast_losers: int = 4_000_000,
 ):
     """Corpus-wide SEGMENT-level dedup scrub (the CCNet / C4 "drop
     duplicated lines across the corpus" step, adapted to fixed
@@ -1266,7 +1267,17 @@ def segment_dedup(
     seg-hash pass, then one pass per split side — clean emit and dirty
     forward are independent consumers of ``ds``); pruned columnar
     re-reads beat one full-text all-to-all, which is why the split is
-    two stateless scans rather than a materialized tagged intermediate."""
+    two stateless scans rather than a materialized tagged intermediate.
+
+    ADAPTIVE BROADCAST: the loser table is materialized anyway, so its
+    row count is known before the scrub side is planned. When it fits
+    under ``broadcast_losers`` rows (16 B/row ⇒ the 4M default is a
+    64 MB blob — the broadcast-small-side doctrine), the bloom split,
+    the dirty forward scan AND the reassembly exchange are all skipped:
+    ONE corpus scan scrubs every doc map-side against the
+    ``ray.put``-shared sorted (id, sidx) loser arrays. At bench scale
+    this halves the pipeline; at 100 TB (billions of loser rows) the
+    count trips the threshold and the bloom-split shuffle path runs."""
     import ray as _ray
 
     from rio_cogeo_ray.functions.hashing import splitmix64
@@ -1307,6 +1318,37 @@ def segment_dedup(
         .groupby("__bucket")
         .map_groups(_losers, batch_format="pyarrow")
     ).materialize()
+
+    if losers.count() <= broadcast_losers:
+        ltab = pa.concat_tables(
+            _ray.get(losers.to_arrow_refs()), promote_options="default"
+        )
+        lid = ltab[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lsx = ltab["sidx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lsx, lid))
+        losers_ref = _ray.put((lid[order], lsx[order]))
+
+        def _scrub_bcast(batch: pa.Table) -> pa.Table:
+            lid_s, lsx_s = _ray.get(losers_ref)  # zero-copy plasma view
+            if not batch.num_rows or not len(lid_s):
+                return _emit_joined_docs(batch, id_col, text_col, seg_words)
+            ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(lid_s, ids, side="left")
+            hi = np.searchsorted(lid_s, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return _emit_joined_docs(batch, id_col, text_col, seg_words)
+            # vectorized range-concat: loser positions per doc row
+            rows = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+            csum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            pos = np.arange(total, dtype=np.int64) - np.repeat(csum, cnt) + np.repeat(lo, cnt)
+            drop_keys = np.unique((rows << np.int64(32)) | lsx_s[pos])
+            return _emit_joined_docs(
+                batch, id_col, text_col, seg_words, drop_keys=drop_keys
+            )
+
+        return ds.map_batches(_scrub_bcast, batch_format="pyarrow")
 
     # the bloom ships as a numpy blob: ray.get from a task is a
     # ZERO-COPY plasma view, so stateless task-based map stages (which

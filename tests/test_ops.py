@@ -2825,3 +2825,32 @@ def test_search_zero_hit_terms(ray_session, tmp_path):
     search.build_text_index(rd.from_arrow(docs), idx, n_shards=4)
     assert search.bm25_search(idx, ["zzz", "qqq"], k=5).num_rows == 0
     assert len(search.search_index(idx, ["zzz"], mode="or").to_pandas()) == 0
+
+
+def test_segment_dedup_broadcast_vs_shuffle_paths(ray_session):
+    # broadcast_losers=0 forces the bloom-split shuffle path; the default
+    # takes the broadcast scrub — both must produce identical output
+    rng = np.random.RandomState(11)
+    vocab = ["w%d" % i for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(4, 40)).tolist()) for _ in range(150)
+    ]
+    texts += texts[:20]  # planted whole-doc dups
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def run(thresh):
+        return (
+            text.segment_dedup(
+                rd.from_arrow(t).repartition(5), seg_words=4, broadcast_losers=thresh
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(10**6), run(0))
