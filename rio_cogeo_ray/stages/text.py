@@ -626,39 +626,32 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
         bits_v = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)
         state = _ray.put((th_sorted, bits_v))
 
-        class _Score:
-            def __init__(self, ref):
-                self.th, self.bits = (
-                    _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-                )
+        # stateless TASK map, not an actor pool: ray.get of the numpy
+        # pair from a task is a ZERO-COPY plasma view (the segment_dedup
+        # bloom doctrine), so the broadcast costs nothing per batch and
+        # the tokenize+hash kernel scales to every core instead of a
+        # bounded pool
+        def _score(batch: pa.Table) -> pa.Table:
+            th_s, bits_s = _ray.get(state)
+            toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+            if len(row) == 0:
+                return _EMPTY_OUT
+            b = bits_s[np.searchsorted(th_s, _th(toks))]
+            n = batch.num_rows
+            # float64 sums are exact here: bits ≤ 63, ≤ 2^53 tokens/doc
+            sums = np.bincount(row, weights=b.astype(np.float64), minlength=n)
+            cnts = np.bincount(row, minlength=n)
+            nz = cnts > 0
+            ids = batch[id_col].combine_chunks().cast(pa.int64())
+            return pa.table(
+                {
+                    id_col: ids.filter(pa.array(nz)),
+                    "surprisal_bits": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                    "n_tokens": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+                }
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
-                if len(row) == 0:
-                    return _EMPTY_OUT
-                b = self.bits[np.searchsorted(self.th, _th(toks))]
-                n = batch.num_rows
-                # float64 sums are exact here: bits ≤ 63, ≤ 2^53 tokens/doc
-                sums = np.bincount(row, weights=b.astype(np.float64), minlength=n)
-                cnts = np.bincount(row, minlength=n)
-                nz = cnts > 0
-                ids = batch[id_col].combine_chunks().cast(pa.int64())
-                return pa.table(
-                    {
-                        id_col: ids.filter(pa.array(nz)),
-                        "surprisal_bits": pa.array(
-                            sums[nz].astype(np.int64), pa.int64()
-                        ),
-                        "n_tokens": pa.array(cnts[nz].astype(np.int64), pa.int64()),
-                    }
-                )
-
-        return ds.map_batches(
-            _Score,
-            fn_constructor_args=(state,),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        return ds.map_batches(_score, batch_format="pyarrow")
 
     def _ntok(t: pa.Table) -> pa.Table:
         c = token_count(t[text_col])
