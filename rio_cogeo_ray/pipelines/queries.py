@@ -3268,6 +3268,30 @@ def q_bm25_rank(sf_dir: str):
     return search.bm25_search(_text_index_dir(sf_dir), list(SEARCH_TERMS), k=20)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Hashed bag-of-words ridge quality classifier (stages/
+    classifier.py — the CCNet/GPT-3 seed-classifier corpus filter):
+    fit on deterministic seed labels (label 1 ⟺ lang = 'en': a
+    learnable vocabulary signal in the synthetic corpus), then score
+    EVERY doc with the broadcast weights in one zero-shuffle map.
+    Float margins (reduction-order ulps) ⇒ rows-only; exact numpy
+    normal-equations oracle pinned in pytest
+    (test_ridge_fit_matches_numpy)."""
+    from rio_cogeo_ray.stages import classifier
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def _label(t: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.equal(t["lang"], "en"), pa.float64())
+        return t.drop_columns(["lang"]).append_column("label", lab)
+
+    seed = docs.map_batches(_label, batch_format="pyarrow")
+    w = classifier.ridge_fit(seed, "label", n_features=128)
+    return classifier.score(
+        _docs(sf_dir, ["doc_id", "text"]), w, id_col="doc_id"
+    )
+
+
 def q_media_phash(sf_dir: str):
     """Perceptual-hash image near-dup clusters (stages/multimodal.py:
     image_phash_neardup): decode/feature actor pool → 64-bit aHash →
@@ -3980,6 +4004,7 @@ def queries() -> Dict[str, Callable]:
         "media_phash": q_media_phash,
         "bm25_rank": q_bm25_rank,
         "kcore": q_kcore,
+        "quality_classifier": q_quality_classifier,
     }
 
 

@@ -2854,3 +2854,44 @@ def test_segment_dedup_broadcast_vs_shuffle_paths(ray_session):
         )
 
     pd.testing.assert_frame_equal(run(10**6), run(0))
+
+
+def test_ridge_fit_matches_numpy(ray_session):
+    from rio_cogeo_ray.stages import classifier
+
+    rng = np.random.RandomState(7)
+    vocab_good = ["alpha", "beta", "gamma", "delta"]
+    vocab_bad = ["zz1", "zz2", "zz3"]
+    texts, labels = [], []
+    for i in range(80):
+        good = i % 2 == 0
+        v = vocab_good if good else vocab_bad
+        texts.append(" ".join(rng.choice(v, rng.randint(3, 12)).tolist()))
+        labels.append(1.0 if good else 0.0)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "label": pa.array(labels, pa.float64()),
+        }
+    )
+    d, l2 = 32, 1e-3
+    w = classifier.ridge_fit(
+        rd.from_arrow(t).repartition(4), "label", n_features=d, l2=l2
+    )
+    # numpy oracle: same features materialized locally, same normal eqs
+    x = classifier._feature_matrix(t, "text", d)
+    y = np.asarray(labels)
+    reg = np.eye(d + 1) * (l2 * len(y))
+    reg[d, d] = 0.0
+    w_np = np.linalg.solve(x.T @ x + reg, x.T @ y)
+    np.testing.assert_allclose(w, w_np, atol=1e-8)
+    # scoring separates the planted signal perfectly
+    sc = (
+        classifier.score(rd.from_arrow(t).repartition(3), w)
+        .to_pandas()
+        .set_index("doc_id")["quality_margin"]
+    )
+    good_min = min(sc[i] for i in range(80) if i % 2 == 0)
+    bad_max = max(sc[i] for i in range(80) if i % 2 == 1)
+    assert good_min > bad_max
