@@ -11,10 +11,14 @@ modulo documented 2^-64-per-pair odds; a collision can only ADD a
 false posting, surfaced by the exact re-verify option upstream
 pipelines can apply).
 
-Build shape: one pure-map pass over the corpus (per-batch tokenize →
+Build shape: ONE pure-map pass over the corpus (per-batch tokenize →
 np.unique per doc → (th, doc_id) rows) → ``write_parquet
 (partition_cols)``. The shuffle-free analog of a log-structured index
-build; rebuilds replace atomically (tmp dir + os.replace).
+build; rebuilds replace atomically (tmp dir + os.replace). Corpus
+stats (N docs, Σ doc length) come from a pruned 2-int-column read of
+the finished index — the first posting of every doc carries a
+``first=1`` marker and the denormalized doc length — so the corpus
+text is tokenized exactly once.
 
 Search shape: read the probed shards with a pushed-down ``th ∈ terms``
 filter, then one partial→final count per doc — AND = count equals
@@ -61,6 +65,7 @@ def build_text_index(
                 id_col: pa.array([], pa.int64()),
                 "tf": pa.array([], pa.int64()),
                 "dl": pa.array([], pa.int64()),
+                "first": pa.array([], pa.int8()),
                 "shard": pa.array([], pa.int64()),
             }
         )
@@ -82,6 +87,10 @@ def build_text_index(
         starts = np.flatnonzero(new)
         tf = np.diff(np.append(starts, len(r_s))).astype(np.int64)
         t_u, r_u = t_s[new], r_s[new]
+        # first posting per doc (r_s is the primary lexsort key, so the
+        # doc boundary is a run boundary): carries the corpus-stats
+        # contribution so build needs no second tokenize pass
+        first = np.r_[True, r_u[1:] != r_u[:-1]].astype(np.int8)
         return pa.table(
             {
                 "th": pa.array(t_u, pa.int64()),
@@ -90,6 +99,7 @@ def build_text_index(
                 # doc length denormalized onto every posting (the
                 # impact-ordered-index trick): BM25 needs no doc join
                 "dl": pa.array(dls[r_u], pa.int64()),
+                "first": pa.array(first, pa.int8()),
                 "shard": pa.array(
                     (t_u.view(np.uint64) % np.uint64(n_shards)).astype(np.int64),
                     pa.int64(),
@@ -97,30 +107,7 @@ def build_text_index(
             }
         )
 
-    # corpus stats pass (N docs with tokens, Σ doc length) — O(1) rows
-    # per batch to the driver; build = two streaming scans total
-    def _stats(batch: pa.Table) -> pa.Table:
-        _, row, _ = _tokenize_with_positions(batch, id_col, text_col)
-        if len(row) == 0:
-            return pa.table(
-                {"nd": pa.array([0], pa.int64()), "tl": pa.array([0], pa.int64())}
-            )
-        return pa.table(
-            {
-                "nd": pa.array([int(len(np.unique(row)))], pa.int64()),
-                "tl": pa.array([int(len(row))], pa.int64()),
-            }
-        )
-
     import ray as _ray
-
-    st = pa.concat_tables(
-        _ray.get(ds.map_batches(_stats, batch_format="pyarrow").to_arrow_refs())
-    )
-    import pyarrow.compute as pc
-
-    n_docs = int(pc.sum(st["nd"]).as_py() or 0)
-    total_dl = int(pc.sum(st["tl"]).as_py() or 0)
 
     os.makedirs(index_dir, exist_ok=True)
     post_dir = os.path.join(index_dir, "postings")
@@ -129,6 +116,39 @@ def build_text_index(
     ds.map_batches(_postings, batch_format="pyarrow").write_parquet(
         tmp_dir, partition_cols=["shard"]
     )
+
+    # corpus stats (N docs with tokens, Σ doc length) from a pruned
+    # 2-int-column scan of the compact index — first=1 marks one
+    # posting per doc carrying the denormalized doc length, so the
+    # corpus text is tokenized exactly ONCE; O(1) rows per batch back
+    def _stats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.equal(batch["first"], 1))
+        return pa.table(
+            {
+                "nd": pa.array([keep.num_rows], pa.int64()),
+                "tl": pa.array([int(pc.sum(keep["dl"]).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    try:
+        st = pa.concat_tables(
+            _ray.get(
+                rd.read_parquet(tmp_dir, columns=["dl", "first"])
+                .map_batches(_stats, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+        )
+        n_docs = int(pc.sum(st["nd"]).as_py() or 0)
+        total_dl = int(pc.sum(st["tl"]).as_py() or 0)
+    except ValueError:
+        # an empty corpus writes no parquet fragments
+        n_docs, total_dl = 0, 0
+
     shutil.rmtree(post_dir, ignore_errors=True)
     os.replace(tmp_dir, post_dir)
     with open(os.path.join(index_dir, MANIFEST), "w") as f:
