@@ -265,11 +265,14 @@ def _char_shingle_hashes(texts: pa.Array, k: int) -> Tuple[np.ndarray, np.ndarra
     # polynomial hash at EVERY byte position of the contiguous values
     # span via shifted slices (sequential reads, no gather), then keep
     # only positions where a whole shingle fits inside one document
-    v = values[lo:hi]
+    # one byte->u64 widening for the whole span (k slices share it),
+    # not one widening copy per rolling step
+    v = values[lo:hi].astype(np.uint64)
     h_all = np.zeros(span - k + 1, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
-            h_all = h_all * np.uint64(1099511628211) + v[j : span - k + 1 + j].astype(np.uint64)
+            h_all *= np.uint64(1099511628211)
+            h_all += v[j : span - k + 1 + j]
         h_all = splitmix64(h_all)
     starts = np.repeat(off[:-1], n_sh) + _pos_within(n_sh)
     return doc_idx, h_all[starts - lo]
@@ -317,9 +320,51 @@ def minhash_signatures(
             shc = sh[s0:s1]
             rsc = run_starts[r0:r1] - s0
             dwc = docs_with[r0:r1]
+            hp = np.empty_like(shc)  # one buffer reused across perms
             for p in range(num_perm):
-                hp = shc * a[p] + b[p]
+                np.multiply(shc, a[p], out=hp)
+                hp += b[p]
                 sig[dwc, p] = np.minimum.reduceat(hp, rsc)
+    return sig
+
+
+def minhash_signatures_oph(
+    texts: pa.Array, num_perm: int = 64, shingle_k: int = 5
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures via One-Permutation Hashing
+    (Li, Owen, Zhang; NIPS 2012) with rotation densification
+    (Shrivastava & Li; ICML 2014): ONE hash pass over the shingles —
+    bin = hash mod num_perm, value = min hash per (doc, bin) through a
+    single ``np.minimum.at`` scatter — instead of ``num_perm``
+    multiply+reduce passes. Same estimator family (per-bin collision
+    probability ≈ Jaccard), ~num_perm× fewer element-ops, so this is
+    the default scheme on the banding hot path. Empty bins borrow the
+    value of the nearest non-empty bin to the right (circular), which
+    keeps signatures deterministic and identical shingle sets
+    identical; docs with zero shingles stay all-MAX (classic
+    behavior)."""
+    doc_idx, sh = _char_shingle_hashes(texts, shingle_k)
+    n = len(texts) if not isinstance(texts, pa.ChunkedArray) else texts.length()
+    k = num_perm
+    sig = np.full(n * k, np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig.reshape(n, k)
+    bins = (sh % np.uint64(k)).astype(np.int64)
+    np.minimum.at(sig, doc_idx * k + bins, sh)
+    sig = sig.reshape(n, k)
+    mx = np.iinfo(np.uint64).max
+    empty = sig == mx
+    # rotation densification: ≤ k cheap column passes over (n, k)
+    if empty.any():
+        filled = sig.copy()
+        for s in range(1, k):
+            src = np.roll(filled, -s, axis=1)
+            take = empty & (src != mx)
+            if take.any():
+                sig[take] = src[take]
+                empty[take] = False
+            if not empty.any():
+                break
     return sig
 
 
@@ -330,14 +375,19 @@ def minhash_band_rows(
     num_perm: int = 64,
     bands: int = 16,
     carry_cols: tuple = (),
+    scheme: str = "oph",
 ) -> pa.Table:
     """Explode each doc into (id, band, band_hash) LSH bucket rows —
     the shingle→minhash→band map stage. ``carry_cols`` replicates
     payload columns onto every band row (bands× shuffle volume — use
     only when downstream in-bucket verification needs the payload;
-    re-join by id instead when the payload dominates)."""
+    re-join by id instead when the payload dominates). ``scheme``:
+    ``"oph"`` (default — one-permutation hashing, one pass over the
+    shingles) or ``"classic"`` (num_perm independent (a·x+b) minima;
+    lower variance on very sparse shingle sets)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(batch[text_col].combine_chunks(), num_perm)
+    sig_fn = minhash_signatures_oph if scheme == "oph" else minhash_signatures
+    sig = sig_fn(batch[text_col].combine_chunks(), num_perm)
     n = len(batch)
     ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
     band_ids = np.tile(np.arange(bands, dtype=np.int64), n)

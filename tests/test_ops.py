@@ -101,6 +101,33 @@ def test_minhash_identical_and_near_duplicates(ray_session):
     assert lab.get(3, 3) != 0
 
 
+def test_minhash_oph_properties():
+    """One-permutation hashing (the banding-path default): identical
+    shingle sets give identical signatures, the per-bin collision rate
+    tracks Jaccard, zero-shingle docs stay all-MAX, and both schemes
+    are reachable through minhash_band_rows."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-20] + "and then it slept soundly"
+    far = "completely different content about distributed systems " * 6
+    sig = dedup.minhash_signatures_oph(pa.array([base, base, near, far, ""]), 64)
+    assert (sig[0] == sig[1]).all()
+    est = float((sig[0] == sig[2]).mean())
+    true = dedup.jaccard_shingles(base, near)
+    assert abs(est - true) < 0.25
+    assert float((sig[0] == sig[3]).mean()) < 0.2
+    assert (sig[4] == np.iinfo(np.uint64).max).all()  # no shingles
+    # sparse set (few distinct shingles): densification keeps the
+    # estimator sane instead of leaving empty bins
+    a, b = "abcdefghij" * 30, "abcdefghij" * 30 + "XXXXX" * 3
+    s2 = dedup.minhash_signatures_oph(pa.array([a, b]), 128)
+    assert float((s2[0] == s2[1]).mean()) > 0.3
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": [base, near]})
+    for scheme in ("oph", "classic"):
+        rows = dedup.minhash_band_rows(t, num_perm=32, bands=8, scheme=scheme)
+        assert rows.num_rows == 16
+        assert rows.column_names == ["doc_id", "band", "band_hash"]
+
+
 def test_minhash_jaccard_estimate_sane():
     a = "abcdefghij" * 30
     b = a[:-50] + "X" * 50
