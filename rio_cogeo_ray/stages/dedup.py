@@ -354,16 +354,20 @@ def minhash_signatures_oph(
     sig = sig.reshape(n, k)
     mx = np.iinfo(np.uint64).max
     empty = sig == mx
-    # rotation densification: ≤ k cheap column passes over (n, k)
-    if empty.any():
+    # rotation densification: ≤ k cheap column passes over (n, k).
+    # Zero-shingle docs (all bins MAX) are excluded up front — they can
+    # never fill, and without the exclusion one such row would force
+    # every batch through all k-1 passes.
+    need = empty & ~empty.all(axis=1)[:, None]
+    if need.any():
         filled = sig.copy()
         for s in range(1, k):
             src = np.roll(filled, -s, axis=1)
-            take = empty & (src != mx)
+            take = need & (src != mx)
             if take.any():
                 sig[take] = src[take]
-                empty[take] = False
-            if not empty.any():
+                need[take] = False
+            if not need.any():
                 break
     return sig
 
