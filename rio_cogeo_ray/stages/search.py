@@ -135,7 +135,16 @@ def build_text_index(
     import pyarrow.compute as pc
     import ray.data as rd
 
+    # an empty corpus writes no fragments (and possibly no directory)
+    os.makedirs(tmp_dir, exist_ok=True)
+    has_frags = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(tmp_dir)
+        for f in fs
+    )
     try:
+        if not has_frags:
+            raise FileNotFoundError(tmp_dir)
         st = pa.concat_tables(
             _ray.get(
                 rd.read_parquet(tmp_dir, columns=["dl", "first"])
@@ -145,8 +154,7 @@ def build_text_index(
         )
         n_docs = int(pc.sum(st["nd"]).as_py() or 0)
         total_dl = int(pc.sum(st["tl"]).as_py() or 0)
-    except ValueError:
-        # an empty corpus writes no parquet fragments
+    except (ValueError, FileNotFoundError):
         n_docs, total_dl = 0, 0
 
     shutil.rmtree(post_dir, ignore_errors=True)

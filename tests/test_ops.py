@@ -2837,6 +2837,27 @@ def test_char_entropy_hand_computed(ray_session):
     assert 4 not in out.index
 
 
+def test_text_index_empty_corpus(ray_session, tmp_path):
+    """An empty corpus builds a valid index (the fused single-pass
+    build harvests stats from the written postings, which here are
+    zero files): manifest records n_docs=0, boolean search and BM25
+    both return zero rows instead of raising."""
+    import json
+
+    from rio_cogeo_ray.stages import search
+
+    docs = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    idx = str(tmp_path / "empty_idx")
+    search.build_text_index(rd.from_arrow(docs), idx, n_shards=4)
+    with open(f"{idx}/index.json") as f:
+        man = json.load(f)
+    assert man["n_docs"] == 0 and man["total_dl"] == 0
+    assert len(search.search_index(idx, ["alpha"], mode="or").to_pandas()) == 0
+    assert search.bm25_search(idx, ["alpha"], k=5).num_rows == 0
+
+
 def test_search_zero_hit_terms(ray_session, tmp_path):
     # terms absent from the whole corpus: bm25 and boolean search must
     # return EMPTY results, not crash on the schema-less empty partial agg
