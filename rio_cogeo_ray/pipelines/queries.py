@@ -2915,9 +2915,12 @@ def q_token_cm(sf_dir: str):
     import ray as _ray
 
     topk = text.token_topk(_docs(sf_dir, ["text"]), k=50).materialize()
-    probes = pa.concat_tables(
-        [b for b in _ray.get(topk.to_arrow_refs()) if b.num_rows]
-    )["token"].combine_chunks()
+    blocks = [b for b in _ray.get(topk.to_arrow_refs()) if b.num_rows]
+    probes = (
+        pa.concat_tables(blocks)["token"].combine_chunks()
+        if blocks
+        else pa.array([], pa.string())  # empty corpus: nothing to probe
+    )
     est = cm.estimate(probes)
     return pa.table(
         {
@@ -2953,11 +2956,13 @@ def q_quality_filter_pct(sf_dir: str):
     thr_ds = sketch.grouped_quantile(
         _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", (0.5,), scale=1
     ).materialize()
-    thr_tbl = pa.concat_tables(
-        [b for b in _ray.get(thr_ds.to_arrow_refs()) if b.num_rows]
-    )
-    langs = thr_tbl["lang"].to_pylist()
-    vals = thr_tbl["value"].to_pylist()
+    thr_blocks = [b for b in _ray.get(thr_ds.to_arrow_refs()) if b.num_rows]
+    if thr_blocks:
+        thr_tbl = pa.concat_tables(thr_blocks)
+        langs = thr_tbl["lang"].to_pylist()
+        vals = thr_tbl["value"].to_pylist()
+    else:  # empty corpus: no per-lang thresholds, filter passes nothing
+        langs, vals = [], []
     thr_ref = _ray.put({l: int(v) for l, v in zip(langs, vals)})
 
     def _filter(t: pa.Table) -> pa.Table:
@@ -3403,9 +3408,10 @@ def q_mad_filter(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
 
     def _qdict(ds_q, val_col):
-        t = pa.concat_tables(
-            [b for b in _ray.get(ds_q.materialize().to_arrow_refs()) if b.num_rows]
-        )
+        blocks = [b for b in _ray.get(ds_q.materialize().to_arrow_refs()) if b.num_rows]
+        if not blocks:  # empty corpus: no per-lang medians
+            return {}
+        t = pa.concat_tables(blocks)
         return {l: int(v) for l, v in zip(t["lang"].to_pylist(), t["value"].to_pylist())}
 
     med = _qdict(

@@ -17,6 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Union
 
 import pyarrow as pa
@@ -71,6 +72,15 @@ def read_documents(
         return rd.read_parquet(
             paths, columns=list(columns) if columns else None, **read_kwargs
         )
+    if format in ("jsonl", "csv"):
+        # a directory with no data files (e.g. the export of an empty
+        # dataset) reads as an empty untyped corpus instead of crashing
+        if isinstance(paths, str) and os.path.isdir(paths) and not any(
+            fs for _, _, fs in os.walk(paths)
+        ):
+            return rd.from_arrow(
+                pa.table({c: pa.array([], pa.null()) for c in (columns or [])})
+            )
     if format == "jsonl":
         return _normalize(rd.read_json(paths, **read_kwargs), columns)
     if format == "csv":
@@ -79,5 +89,7 @@ def read_documents(
 
 
 def write_jsonl(ds: rd.Dataset, path: str) -> None:
-    """Block-parallel JSONL export (one file per block under ``path``)."""
+    """Block-parallel JSONL export (one file per block under ``path``).
+    An empty dataset still yields a readable (empty) directory."""
     ds.write_json(path)
+    os.makedirs(path, exist_ok=True)

@@ -58,6 +58,8 @@ def write_zonemapped(ds, out_dir: str, col: str, n_zones: int = 16) -> str:
     ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
         tmp_dir, partition_cols=["__zone"]
     )
+    # an empty input writes no fragments (and possibly no directory)
+    os.makedirs(tmp_dir, exist_ok=True)
     shutil.rmtree(data_dir, ignore_errors=True)
     os.replace(tmp_dir, data_dir)
 
@@ -119,6 +121,27 @@ def read_zonemapped(
         if f.endswith(".parquet")
     ]
     if not files:
-        return None
+        # nothing overlaps [lo, hi] (or the layout is empty): an EMPTY
+        # Dataset, typed from any zone file when one exists so
+        # downstream aggregations keep a schema
+        data_dir = os.path.join(out_dir, "data")
+        any_file = next(
+            (
+                os.path.join(r, f)
+                for r, _, fs in os.walk(data_dir)
+                for f in sorted(fs)
+                if f.endswith(".parquet")
+            ),
+            None,
+        )
+        if any_file is not None:
+            sch = pq.read_schema(any_file)
+            names = list(columns) if columns else [n for n in sch.names]
+            t = pa.table({n: pa.array([], sch.field(n).type) for n in names})
+        else:
+            t = pa.table(
+                {n: pa.array([], pa.null()) for n in (columns or [])}
+            )
+        return rd.from_arrow(t)
     flt = (pads.field(col) >= lo) & (pads.field(col) <= hi)
     return rd.read_parquet(files, columns=list(columns) if columns else None, filter=flt)

@@ -43,6 +43,11 @@ def _matrix(batch_col: pa.ChunkedArray) -> np.ndarray:
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m)
+    if m.ndim == 1 and m.size == 0:
+        # an empty vector list arrives 1-D: keep it a (0, 0) matrix so
+        # downstream shape logic (matmuls never run on zero rows) holds
+        m = m.reshape(0, 0)
     n = np.sqrt((m * m).sum(axis=1, keepdims=True))
     n[n == 0] = 1.0
     return m / n
@@ -122,7 +127,12 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: 
     """Plain Lloyd k-means on a driver-side sample (numpy only). The
     sample is small by contract — the corpus itself never leaves Ray."""
     rng = np.random.RandomState(seed)
-    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    sample = np.asarray(sample, dtype=np.float64)
+    if sample.size == 0:
+        # empty corpus: no centroids to train (callers broadcast the
+        # empty (0, d) matrix; assignment stages never run — zero blocks)
+        return sample.reshape(0, sample.shape[1] if sample.ndim == 2 else 0)
+    sample = _normalize(sample)
     c = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
         sims = sample @ c.T
@@ -227,6 +237,8 @@ def build_ivf_index(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     with_bucket = ivf_assign(ds, c, emb_col, concurrency=concurrency)
     with_bucket.write_parquet(tmp_dir, partition_cols=["bucket"])
+    # an empty corpus writes no fragments (and possibly no directory)
+    os.makedirs(tmp_dir, exist_ok=True)
     shutil.rmtree(vec_dir, ignore_errors=True)
     os.replace(tmp_dir, vec_dir)
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
@@ -254,6 +266,17 @@ def knn_cosine_ivf_indexed(
     with open(os.path.join(index_dir, "centroids.json")) as f:
         c = np.asarray(json.load(f)["centroids"], dtype=np.float64)
     q = _normalize(np.asarray(queries, dtype=np.float64))
+    if c.size == 0 or q.size == 0:
+        # empty index (or no queries): zero candidates by construction
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
     probes = np.argsort(-(q @ c.T), axis=1)[:, :n_probe]
     probe_set = np.unique(probes)
     files = []
@@ -293,6 +316,9 @@ def train_pq_codebooks(
     lookup at search time."""
     sample = _normalize(np.asarray(sample, dtype=np.float64))
     n, d = sample.shape
+    if n == 0:
+        # empty corpus: no sub-codebooks (encode stages never run)
+        return np.zeros((n_sub, 0, max(d // n_sub, 0)), dtype=np.float64)
     if d % n_sub:
         raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
     dsub = d // n_sub
@@ -505,6 +531,8 @@ def kmeans_fit(
     rows = ds.select_columns([emb_col]).take(sample_n)
     sample = np.array([r[emb_col] for r in rows], dtype=np.float64)
     c = train_centroids(sample, k, iters=4, seed=seed)
+    if len(c) == 0:
+        return c
 
     for _ in range(iters):
         c_ref = ray.put(c)

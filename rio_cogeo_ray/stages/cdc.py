@@ -74,10 +74,12 @@ def merge_upsert(
     if broadcast:
         # winners are ≤ one row per touched key — the small side by
         # contract; distinct-reduced already, gathered once
-        wt = pa.concat_tables(
-            ray.get(win.to_arrow_refs()), promote_options="default"
-        ).combine_chunks()
-        keys = wt[on].combine_chunks()
+        wblocks = [b for b in ray.get(win.to_arrow_refs()) if b.num_rows]
+        if wblocks:
+            wt = pa.concat_tables(wblocks, promote_options="default").combine_chunks()
+            keys = wt[on].combine_chunks()
+        else:  # empty delta: no touched keys, the snapshot passes whole
+            return snapshot
         keys_ref = ray.put(keys)
         # autoscaling pool (min 1): a fixed-size pool can reserve every
         # CPU of a small cluster and starve its own upstream tasks

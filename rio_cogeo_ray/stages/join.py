@@ -300,6 +300,31 @@ def broadcast_interval_join(
 # ---------------------------------------------------------------------------
 
 
+def _empty_join_like(lsch, rsch, key_cols, suffix: str, include_right: bool):
+    """Empty join result when a side's schema is unknowable (a dataset
+    with zero blocks — Ray erases schema downstream of transforms on
+    all-empty input): an empty Dataset carrying every KNOWN column,
+    with the shared-column suffix rule applied when both sides are
+    known. Keeps empty-input pipelines flowing instead of crashing on
+    ``schema().base_schema``."""
+    import ray.data as rd
+
+    cols: dict = {}
+    if lsch is not None:
+        for f in lsch.base_schema:
+            cols[f.name] = pa.array([], f.type)
+    if include_right and rsch is not None:
+        for f in rsch.base_schema:
+            name = f.name
+            if name in key_cols:
+                if name in cols:
+                    continue
+            elif name in cols:
+                name = name + suffix
+            cols[name] = pa.array([], f.type)
+    return rd.from_arrow(pa.table(cols))
+
+
 def _with_bucket(t: pa.Table, on, n_buckets: int, side: int) -> pa.Table:
     """ONE bucket-hash path for every key shape: hash_columns chains
     int keys through splitmix64 and hashes string keys natively, so a
@@ -347,8 +372,17 @@ def bucketed_hash_join(
     if how in ("semi", "anti"):
         # existence filter: only right KEYS shuffle, payload never moves
         right = right.select_columns(on_cols)
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    lsch, rsch = left.schema(), right.schema()
+    if lsch is None or rsch is None:
+        if how in ("anti", "left") and rsch is None and lsch is not None:
+            # empty right side: anti keeps everything; left keeps all
+            # rows (the unknowable right columns are necessarily empty)
+            return left
+        return _empty_join_like(
+            lsch, rsch, set(on_cols), suffix, how not in ("semi", "anti")
+        )
+    lcols = [f.name for f in lsch.base_schema]
+    rcols = [f.name for f in rsch.base_schema]
     shared = (set(lcols) & set(rcols)) - set(on_cols)
 
     lt = left.map_batches(lambda t: _with_bucket(t, on_cols, n_buckets, 0), batch_format="pyarrow")
@@ -426,8 +460,13 @@ def asof_join(
     kernel (no pandas round-trip — see ``_asof_bucket``). Inner
     semantics: left rows with no match are dropped (DuckDB ASOF JOIN).
     """
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    lsch, rsch = left.schema(), right.schema()
+    if lsch is None or rsch is None:
+        # inner asof semantics: an all-empty side (schema erased by
+        # zero blocks) means zero matches
+        return _empty_join_like(lsch, rsch, {by}, suffix, True)
+    lcols = [f.name for f in lsch.base_schema]
+    rcols = [f.name for f in rsch.base_schema]
     shared = (set(lcols) & set(rcols)) - {on, by}
 
     lt = left.map_batches(lambda t: _with_bucket(t, by, n_buckets, 0), batch_format="pyarrow")

@@ -59,7 +59,10 @@ def profile_columns(
     count/nulls only. Partial rows per batch; the final merge sees
     O(columns · batches) tiny rows on the driver."""
     if cols is None:
-        cols = [f.name for f in ds.schema().base_schema]
+        sch = ds.schema()
+        # zero-block dataset: Ray cannot name a schema — profile of an
+        # unknowable column set is the empty profile
+        cols = [] if sch is None else [f.name for f in sch.base_schema]
     cols = list(cols)
     partials = ds.map_batches(
         lambda t: _partial_profile(t, cols),

@@ -858,7 +858,10 @@ def percentile_rank(
     hist = partial_group_agg(
         ds, keys=[group_col, val_col], count_as="c", n_buckets=n_buckets
     )
-    ht = pa.concat_tables(_ray.get(hist.to_arrow_refs()), promote_options="default")
+    hblocks = [b for b in _ray.get(hist.to_arrow_refs()) if b.num_rows]
+    if not hblocks:  # empty input: no histogram, no rows to rank
+        return ds
+    ht = pa.concat_tables(hblocks, promote_options="default")
     ht = ht.sort_by([(group_col, "ascending"), (val_col, "ascending")])
     groups = ht[group_col].combine_chunks()
     vals = ht[val_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1313,11 +1313,14 @@ def segment_dedup(
     ).materialize()
 
     if losers.count() <= broadcast_losers:
-        ltab = pa.concat_tables(
-            _ray.get(losers.to_arrow_refs()), promote_options="default"
-        )
-        lid = ltab[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        lsx = ltab["sidx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lblocks = [b for b in _ray.get(losers.to_arrow_refs()) if b.num_rows]
+        if lblocks:
+            ltab = pa.concat_tables(lblocks, promote_options="default")
+            lid = ltab[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            lsx = ltab["sidx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        else:  # no duplicated segments anywhere (or empty corpus)
+            lid = np.zeros(0, np.int64)
+            lsx = np.zeros(0, np.int64)
         order = np.lexsort((lsx, lid))
         losers_ref = _ray.put((lid[order], lsx[order]))
 

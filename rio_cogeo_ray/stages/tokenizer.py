@@ -53,7 +53,7 @@ def word_frequencies(ds, text_col: str = "text", max_words: int = 10_000):
     refs = top.to_arrow_refs()
     import ray
 
-    tables = [ray.get(r) for r in refs]
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
     if not tables:
         return []
     tbl = pa.concat_tables(tables)

@@ -189,7 +189,10 @@ def watermark_filter(ds, ts_col: str = "ts", delay_us: int = US_PER_HOUR):
         )
 
     slim = ds.map_batches(_as_us, batch_format="pyarrow")
-    wm = slim.aggregate(Max(ts_col))[f"max({ts_col})"] - delay_us
+    mx = slim.aggregate(Max(ts_col))[f"max({ts_col})"]
+    if mx is None:  # empty stream: no watermark, nothing to filter
+        return slim
+    wm = mx - delay_us
     return slim.map_batches(
         lambda t: t.filter(pc.greater_equal(t[ts_col], pa.scalar(wm, pa.int64()))),
         batch_format="pyarrow",

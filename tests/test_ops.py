@@ -2592,8 +2592,11 @@ def test_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
     )
     exp = t.to_pandas().query("@lo <= k <= @hi").reset_index(drop=True)
     assert got.equals(exp)
-    # empty range outside all zones
-    assert zonemap.read_zonemapped(out, 10 * n, 11 * n) is None
+    # empty range outside all zones: an EMPTY typed Dataset (composable
+    # downstream), not None
+    miss = zonemap.read_zonemapped(out, 10 * n, 11 * n, columns=["k", "v"])
+    assert miss.count() == 0
+    assert set(miss.schema().names) == {"k", "v"}
 
 
 def test_surprisal_score_hand_computed(ray_session):
@@ -2943,3 +2946,61 @@ def test_ridge_fit_matches_numpy(ray_session):
     good_min = min(sc[i] for i in range(80) if i % 2 == 0)
     bad_max = max(sc[i] for i in range(80) if i % 2 == 1)
     assert good_min > bad_max
+
+
+def test_empty_input_pipelines(ray_session, tmp_path):
+    """Zero-row inputs flow through the engine instead of crashing —
+    the empty-shard case every distributed pipeline hits eventually.
+    A transformed empty Dataset has NO schema in Ray (zero blocks), so
+    each stage needs an explicit empty path; this pins the ones the
+    empty-input fuzz found broken. Deliberate exceptions: fit ops
+    (pca_fit / ridge_fit) raise a NAMED ValueError — there is no
+    sensible model for zero rows."""
+    import pytest as _pytest
+
+    from rio_cogeo_ray.stages import ann, cdc, classifier, text
+    from rio_cogeo_ray.stages import join as join_mod
+    from rio_cogeo_ray.stages import sketch as sketch_mod
+    from rio_cogeo_ray.stages import window as window_mod
+
+    empty_docs = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    # map_batches erases the schema: the worst-case empty input
+    e = rd.from_arrow(empty_docs).map_batches(lambda t: t, batch_format="pyarrow")
+
+    # joins: every flavor returns empty (anti/left keep the left side)
+    assert join_mod.bucketed_hash_join(e, e, on="doc_id").count() == 0
+    assert join_mod.bucketed_hash_join(e, e, on="doc_id", how="semi").count() == 0
+    assert join_mod.bucketed_hash_join(e, e, on="doc_id", how="anti").count() == 0
+    assert (
+        join_mod.asof_join(e, e, on="n_chars", by="doc_id").count() == 0
+    )
+    # segment dedup / watermark / percentile rank
+    assert text.segment_dedup(e).count() == 0
+    assert window_mod.watermark_filter(e, "n_chars").count() == 0
+    assert sketch_mod.percentile_rank(e, "lang", "n_chars", "doc_id").count() == 0
+    # cdc with an empty delta returns the snapshot unchanged
+    snap = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "n_chars": pa.array([3, 4], pa.int64())})
+    )
+    delta = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "n_chars": pa.array([], pa.int64()),
+                  "op": pa.array([], pa.string())})
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    assert cdc.merge_upsert(snap, delta, on="doc_id").count() == 2
+    # centroid training on an empty sample: empty matrix, not a crash
+    assert len(ann.train_centroids(np.zeros((0,)), 8)) == 0
+    assert ann.train_pq_codebooks(np.zeros((0,))).shape[1] == 0
+    # fit ops refuse empty input LOUDLY (documented contract)
+    with _pytest.raises(ValueError, match="empty"):
+        ann.pca_fit(e, k=2)
+    with _pytest.raises(ValueError, match="empty"):
+        classifier.ridge_fit(e, "n_chars", n_features=8)
