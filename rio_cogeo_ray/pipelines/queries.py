@@ -2973,10 +2973,16 @@ def q_quality_filter_pct(sf_dir: str):
         # batch are few), map the SMALL dictionary through the threshold
         # dict once, then one numpy gather + compare over all rows
         lang = t["lang"].combine_chunks().dictionary_encode()
+        # sentinel slot 0-threshold for NULL lang (null dictionary index)
         tvals = np.array(
-            [thr.get(v, 0) for v in lang.dictionary.to_pylist()], dtype=np.int64
+            [thr.get(v, 0) for v in lang.dictionary.to_pylist()] + [0],
+            dtype=np.int64,
         )
-        idx = lang.indices.to_numpy(zero_copy_only=False)
+        idx = (
+            pc.fill_null(lang.indices, len(tvals) - 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         nc = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
         return t.filter(pa.array(nc >= tvals[idx]))
 

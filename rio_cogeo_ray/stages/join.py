@@ -81,14 +81,19 @@ class BroadcastLookup:
         self.right = right.select(cols).take(pa.array(order))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lk = batch[self.on].combine_chunks().to_numpy(zero_copy_only=False)
+        col = batch[self.on].combine_chunks()
+        valid = ~col.is_null().to_numpy(zero_copy_only=False)
+        lk = col.to_numpy(zero_copy_only=False)
         if len(self.keys) == 0:
             hit = np.zeros(len(lk), dtype=bool)
             pos_c = np.zeros(len(lk), dtype=np.int64)
         else:
-            pos = np.searchsorted(self.keys, lk)
+            # a NULL probe never matches (SQL join semantics); swap in
+            # a sentinel so searchsorted never compares against None
+            safe = np.where(valid, lk, self.keys[0])
+            pos = np.searchsorted(self.keys, safe)
             pos_c = np.clip(pos, 0, len(self.keys) - 1)
-            hit = self.keys[pos_c] == lk
+            hit = (self.keys[pos_c] == safe) & valid
         if self.mode == "semi":
             return batch.filter(pa.array(hit))
         if self.mode == "anti":

@@ -266,7 +266,13 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
     lists = pc.ascii_split_whitespace(t.cast(pa.string()))
-    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text rows split to null lists: length must read 0, not NaN
+    # (a NaN→int64 cast produces garbage repeat counts)
+    lens = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     flat = pc.list_flatten(lists)
     row = np.repeat(np.arange(len(batch), dtype=np.uint64), lens)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -381,7 +387,13 @@ def doc_token_counts(batch: pa.Table, id_col: str = "doc_id", text_col: str = "t
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
     lists = pc.ascii_split_whitespace(t.cast(pa.string()))
-    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text rows split to null lists: length must read 0, not NaN
+    # (a NaN→int64 cast produces garbage repeat counts)
+    lens = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     flat = pc.list_flatten(lists)
     rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -913,7 +925,13 @@ def _doc_ngram_hashes(
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
     lists = pc.ascii_split_whitespace(t.cast(pa.string()))
-    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text rows split to null lists: length must read 0, not NaN
+    # (a NaN→int64 cast produces garbage repeat counts)
+    lens = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     flat = pc.list_flatten(lists)
     rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -1082,7 +1100,13 @@ def _tokenize_with_positions(batch: pa.Table, id_col: str, text_col: str):
     # the empty-token filter below absorbs the only boundary-artifact
     # difference, so the \S+ SQL-mirror contract is unchanged
     lists = pc.ascii_split_whitespace(t.cast(pa.string()))
-    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text rows split to null lists: length must read 0, not NaN
+    # (a NaN→int64 cast produces garbage repeat counts)
+    lens = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     flat = pc.list_flatten(lists)
     row = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)

@@ -3004,3 +3004,29 @@ def test_empty_input_pipelines(ray_session, tmp_path):
         ann.pca_fit(e, k=2)
     with _pytest.raises(ValueError, match="empty"):
         classifier.ridge_fit(e, "n_chars", n_features=8)
+
+
+def test_null_text_and_keys(ray_session):
+    """NULL text tokenizes as empty (not NaN repeat-count garbage) and
+    NULL join keys never match (SQL semantics) — web corpora carry
+    nulls routinely."""
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.join import BroadcastLookup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", None, "abc def ghi"]),
+        }
+    )
+    toks, row, wpos = text_mod._tokenize_with_positions(t, "doc_id", "text")
+    assert row.tolist() == [0, 0, 2, 2, 2]  # null doc contributes nothing
+    dim = pa.table({"lang": ["en", "fr"], "label": ["english", "french"]})
+    probe = pa.table(
+        {"lang": pa.array(["en", None, "zz"]), "v": pa.array([1, 2, 3], pa.int64())}
+    )
+    lk = BroadcastLookup(dim, on="lang")
+    out = lk(probe)
+    assert out["v"].to_pylist() == [1]  # null and unknown keys drop
+    anti = BroadcastLookup(dim, on="lang", mode="anti")(probe)
+    assert anti["v"].to_pylist() == [2, 3]  # null key is a non-match
