@@ -2454,11 +2454,18 @@ def q_customer_urgent_profile(sf_dir: str):
     joined = join_mod.bucketed_hash_join(cust, per_cust, on="c_custkey", how="left", n_buckets=16)
 
     def _fill(t: pa.Table) -> pa.Table:
+        # an all-empty right side may surface the left table verbatim
+        # (its columns are unknowable then) — synthesize the aggregates
+        def col(name):
+            if name in t.column_names:
+                return pc.fill_null(t[name].combine_chunks(), 0)
+            return pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+
         return pa.table(
             {
                 "c_custkey": t["c_custkey"].combine_chunks(),
-                "n_urgent": pc.fill_null(t["n_urgent"].combine_chunks(), 0),
-                "urgent_cents": pc.fill_null(t["sum_cents"].combine_chunks(), 0),
+                "n_urgent": col("n_urgent"),
+                "urgent_cents": col("sum_cents"),
             }
         )
 
