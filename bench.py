@@ -194,12 +194,15 @@ def bench_headline():
     joined = pip.pip_join(
         prepared, aois, mode="semi", concurrency=max(2, NUM_CPUS - 4), batch_size=4096
     )
-    # wide html is gone after prepare: rebatch large so each partial
-    # covers many rows per tile (real pre-aggregation at deep zooms)
+    # wide html is gone after prepare: rebatch larger so each partial
+    # covers many rows per tile — but 16384, not 131072: Ray fuses this
+    # map with the whole prepare->pip chain and the LAST batch_size sets
+    # the fused operator's task granularity (131072 = ~5 tasks for 600k
+    # rows, starving 32 CPUs; measured 2.2s -> 1.6s at 16384)
     partials = joined.map_batches(
         lambda t: rasterize.density_partials(t, 256),
         batch_format="pyarrow",
-        batch_size=131072,
+        batch_size=16384,
     )
     merged = rasterize.merge_sparse_tiles(partials, "sum", 0, 2, 256, 64)
     return merged.count()

@@ -271,12 +271,18 @@ def create(
                 return t.filter(pc.fill_null(keep, False))
 
             prepared = prepared.map_batches(_clip, batch_format="pyarrow")
-        # wide columns (html) are dropped by prepare; rebatch large so
-        # each partial covers many rows per tile even at deep zooms
+        # wide columns (html) are dropped by prepare; rebatch larger so
+        # each partial covers many rows per tile even at deep zooms.
+        # Floor 16384, not 131072: Ray fuses this map with the upstream
+        # prepare chain and the LAST batch_size sets task granularity
+        # for the whole fused operator — 131072 caps a 600k-row corpus
+        # at ~5 tasks (starving a 32-CPU node), while at cluster scale
+        # tasks are abundant either way and the extra partial rows
+        # (≤ distinct-tiles per batch) collapse in the bucket merge.
         partials = prepared.map_batches(
             lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
             batch_format="pyarrow",
-            batch_size=max(batch_size, 131072),
+            batch_size=max(batch_size, 16384),
         )
         merged = rasterize.merge_sparse_tiles(
             partials, spec.resampling, level=0, base=spec.decimation_base,
@@ -673,7 +679,9 @@ def append(
     new_partials = prepared.map_batches(
         lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
         batch_format="pyarrow",
-        batch_size=max(batch_size, 131072),
+        # floor 16384: see create() — the fused chain's task granularity
+        # follows this batch_size; 131072 starves a single node
+        batch_size=max(batch_size, 16384),
     )
     existing = read_level(out_dir, base_z)  # final tiles ARE partials
     merged = rasterize.merge_sparse_tiles(
