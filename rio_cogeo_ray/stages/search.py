@@ -15,10 +15,11 @@ Build shape: ONE pure-map pass over the corpus (per-batch tokenize →
 np.unique per doc → (th, doc_id) rows) → ``write_parquet
 (partition_cols)``. The shuffle-free analog of a log-structured index
 build; rebuilds replace atomically (tmp dir + os.replace). Corpus
-stats (N docs, Σ doc length) come from a pruned 2-int-column read of
-the finished index — the first posting of every doc carries a
-``first=1`` marker and the denormalized doc length — so the corpus
-text is tokenized exactly once.
+stats (N docs, Σ doc length) ride ALONG the same pass as one sentinel
+row per batch in partition ``shard=-1`` (th hashes to [0, n_shards),
+so no query ever probes it): the build tokenizes exactly once, and
+harvesting stats is a driver-side read of that one tiny directory —
+NOT a scan of the thousands of per-task × per-shard posting files.
 
 Search shape: read the probed shards with a pushed-down ``th ∈ terms``
 filter, then one partial→final count per doc — AND = count equals
@@ -65,7 +66,6 @@ def build_text_index(
                 id_col: pa.array([], pa.int64()),
                 "tf": pa.array([], pa.int64()),
                 "dl": pa.array([], pa.int64()),
-                "first": pa.array([], pa.int8()),
                 "shard": pa.array([], pa.int64()),
             }
         )
@@ -87,11 +87,7 @@ def build_text_index(
         starts = np.flatnonzero(new)
         tf = np.diff(np.append(starts, len(r_s))).astype(np.int64)
         t_u, r_u = t_s[new], r_s[new]
-        # first posting per doc (r_s is the primary lexsort key, so the
-        # doc boundary is a run boundary): carries the corpus-stats
-        # contribution so build needs no second tokenize pass
-        first = np.r_[True, r_u[1:] != r_u[:-1]].astype(np.int8)
-        return pa.table(
+        out = pa.table(
             {
                 "th": pa.array(t_u, pa.int64()),
                 id_col: pa.array(ids[r_u], pa.int64()),
@@ -99,15 +95,25 @@ def build_text_index(
                 # doc length denormalized onto every posting (the
                 # impact-ordered-index trick): BM25 needs no doc join
                 "dl": pa.array(dls[r_u], pa.int64()),
-                "first": pa.array(first, pa.int8()),
                 "shard": pa.array(
                     (t_u.view(np.uint64) % np.uint64(n_shards)).astype(np.int64),
                     pa.int64(),
                 ),
             }
         )
-
-    import ray as _ray
+        # corpus-stats sentinel row, routed to partition shard=-1 (no
+        # term hashes there): id_col carries the batch's tokenized doc
+        # count, tf its token total — stats ride the SAME single pass
+        stats_row = pa.table(
+            {
+                "th": pa.array([0], pa.int64()),
+                id_col: pa.array([int(len(np.unique(row)))], pa.int64()),
+                "tf": pa.array([int(len(row))], pa.int64()),
+                "dl": pa.array([0], pa.int64()),
+                "shard": pa.array([-1], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, stats_row])
 
     os.makedirs(index_dir, exist_ok=True)
     post_dir = os.path.join(index_dir, "postings")
@@ -119,43 +125,23 @@ def build_text_index(
 
     # corpus stats (N docs with tokens, Σ doc length) from a pruned
     # 2-int-column scan of the compact index — first=1 marks one
-    # posting per doc carrying the denormalized doc length, so the
-    # corpus text is tokenized exactly ONCE; O(1) rows per batch back
-    def _stats(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = batch.filter(pc.equal(batch["first"], 1))
-        return pa.table(
-            {
-                "nd": pa.array([keep.num_rows], pa.int64()),
-                "tl": pa.array([int(pc.sum(keep["dl"]).as_py() or 0)], pa.int64()),
-            }
-        )
-
-    import pyarrow.compute as pc
-    import ray.data as rd
+    # corpus stats (N docs with tokens, Σ doc length): driver-side sum
+    # over the shard=-1 sentinel rows — one tiny partition directory
+    # (one row per map batch), NOT a scan of the per-task × per-shard
+    # posting files; the corpus text was tokenized exactly ONCE above
+    import pyarrow.parquet as pq
 
     # an empty corpus writes no fragments (and possibly no directory)
     os.makedirs(tmp_dir, exist_ok=True)
-    has_frags = any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(tmp_dir)
-        for f in fs
-    )
-    try:
-        if not has_frags:
-            raise FileNotFoundError(tmp_dir)
-        st = pa.concat_tables(
-            _ray.get(
-                rd.read_parquet(tmp_dir, columns=["dl", "first"])
-                .map_batches(_stats, batch_format="pyarrow")
-                .to_arrow_refs()
-            )
-        )
-        n_docs = int(pc.sum(st["nd"]).as_py() or 0)
-        total_dl = int(pc.sum(st["tl"]).as_py() or 0)
-    except (ValueError, FileNotFoundError):
-        n_docs, total_dl = 0, 0
+    n_docs, total_dl = 0, 0
+    sent_dir = os.path.join(tmp_dir, "shard=-1")
+    if os.path.isdir(sent_dir):
+        st = pq.read_table(sent_dir, columns=[id_col, "tf"])
+        n_docs = int(pa.compute.sum(st[id_col]).as_py() or 0)
+        total_dl = int(pa.compute.sum(st["tf"]).as_py() or 0)
+        # drop the sentinel partition from the final layout: postings
+        # dirs then hold postings only (queries never probe -1 anyway)
+        shutil.rmtree(sent_dir, ignore_errors=True)
 
     shutil.rmtree(post_dir, ignore_errors=True)
     os.replace(tmp_dir, post_dir)

@@ -25,8 +25,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def probe() -> float:
-    # a query filter also disables the appended scaling block in bench.py
-    env = dict(os.environ, RCR_BENCH_QUERIES="headline", RCR_BENCH_REPEAT="1")
+    # a query filter also disables the appended scaling block in bench.py.
+    # REPEAT=2 and bench.py's min-of-N: the FIRST trial pays ray worker
+    # spawn (cold ~2s even on an idle box), so a cold single trial can
+    # never probe below a warm threshold — the second, warm trial is
+    # the contention signal
+    env = dict(os.environ, RCR_BENCH_QUERIES="headline", RCR_BENCH_REPEAT="2")
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True, text=True, env=env, cwd=ROOT,
