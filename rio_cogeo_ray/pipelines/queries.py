@@ -3614,6 +3614,47 @@ GROUP BY t.doc_id
 """
 
 
+def q_dsir(sf_dir: str):
+    """DSIR importance-weight scoring (stages/text.py:dsir_score — Xie
+    et al. 2023 data-selection recipe): every document scored by
+    log(p_target / p_raw) under Laplace-1-smoothed hashed-unigram
+    models, target = the English slice of the corpus, raw = the whole
+    corpus. Integer floor-log2 bits (≡ SQL LENGTH(bin(x))-1) keep it
+    hash-exact at any parallelism."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def _en_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "text"])
+
+    tgt = ds.map_batches(_en_only, batch_format="pyarrow")
+    raw = _docs(sf_dir, ["doc_id", "text"])
+    return text.dsir_score(raw, tgt)
+
+
+SQL_DSIR = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+             FROM documents),
+ttok AS (SELECT t.tok FROM tok t JOIN documents d USING (doc_id)
+         WHERE d.lang = 'en'),
+cfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+cft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY tok),
+-- target slice is a subset of the raw corpus, so the union vocab IS cfr
+s AS (SELECT CAST((SELECT COUNT(*) FROM cfr) AS BIGINT) AS v,
+             CAST(COALESCE((SELECT SUM(c) FROM cfr), 0) AS BIGINT) AS nr,
+             CAST(COALESCE((SELECT SUM(c) FROM cft), 0) AS BIGINT) AS nt)
+SELECT t.doc_id,
+       CAST(SUM((LENGTH(bin((s.nr + s.v) // (r.c + 1))) - 1)
+              - (LENGTH(bin((s.nt + s.v) // (COALESCE(tg.c, 0) + 1))) - 1))
+            AS BIGINT) AS dsir_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok t
+JOIN cfr r ON t.tok = r.tok
+LEFT JOIN cft tg ON t.tok = tg.tok
+CROSS JOIN s
+GROUP BY t.doc_id
+"""
+
+
 def q_zonemap_scan(sf_dir: str):
     """Zone-map-pruned range scan (sources/zonemap.py): events laid
     out as range-partitioned parquet with a footer-stats manifest
@@ -3955,6 +3996,7 @@ def queries() -> Dict[str, Callable]:
         "cdc_merge": q_cdc_merge,
         "zonemap_scan": q_zonemap_scan,
         "surprisal": q_surprisal,
+        "dsir": q_dsir,
         "pctl_rank": q_pctl_rank,
         "text_search": q_text_search,
         "lang_moments": q_lang_moments,
@@ -4065,6 +4107,7 @@ def oracle_sql() -> Dict[str, str]:
         "cdc_merge": SQL_CDC_MERGE,
         "zonemap_scan": SQL_ZONEMAP_SCAN,
         "surprisal": SQL_SURPRISAL,
+        "dsir": SQL_DSIR,
         "pctl_rank": SQL_PCTL_RANK,
         "text_search": SQL_TEXT_SEARCH,
         "lang_moments": SQL_LANG_MOMENTS,

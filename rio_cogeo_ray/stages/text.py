@@ -766,6 +766,155 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def _hash_vocab_counts(ds, id_col: str, text_col: str):
+    """Corpus-wide token-hash frequency table, collected driver-side as
+    (th_sorted, cf_sorted) int64 arrays. Per-batch ``np.unique``
+    collapses token mass BEFORE the exchange (rows ∝ distinct tokens
+    per batch, not doc-token pairs); one vocab-bounded
+    partial_group_agg finishes. The collect is bounded by vocab size —
+    the surprisal_score/lm_coverage broadcast-vocab memory contract."""
+    import polars as pl
+
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) == 0:
+            return pa.table(
+                {"th": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        th = (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        uniq, cnt = np.unique(th, return_counts=True)
+        return pa.table(
+            {
+                "th": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = partial_group_agg(
+        ds.map_batches(_vocab_partial, batch_format="pyarrow"),
+        keys=["th"],
+        sum_cols=["n"],
+        count_as=None,
+    )
+    vt = pa.concat_tables(
+        _ray.get(vocab.to_arrow_refs()), promote_options="default"
+    ).combine_chunks()
+    if not vt.num_rows:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    th_v = vt["th"].to_numpy(zero_copy_only=False)
+    cf_v = vt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(th_v)
+    return th_v[order], cf_v[order]
+
+
+def dsir_score(raw_ds, target_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """DSIR hashed-unigram importance weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    NeurIPS 2023) with an INTEGER-EXACT bit unit. Each token occurrence
+    in a raw document contributes
+
+        bits_raw(tok) - bits_tgt(tok),  where
+        bits_X(tok)  = floor(log2((N_X + V) // (cf_X(tok) + 1)))
+
+    — the Laplace-1-smoothed unigram surprisal under the raw model
+    minus the surprisal under the target model, over the UNION vocab
+    of size V (so every count, including cf = 0 for target-absent
+    tokens, stays defined and positive). Positive ``dsir_bits`` means
+    the document is more probable under the target distribution than
+    under the raw distribution — the paper's log importance weight
+    log(p_tgt / p_raw) in floor-log2 units, mirroring SQL
+    ``LENGTH(bin(x)) - 1`` bit-for-bit (surprisal_score's exactness
+    contract: np.frexp exponents are exact for x ≤ 2^53), so the score
+    is shuffle-order- and parallelism-invariant. Downstream selection
+    composes with existing operators: threshold via
+    sketch.percentile_rank / grouped_quantile, or resample via
+    sample_weighted.
+
+    Scale shape (the surprisal/lm_coverage doctrine): each corpus pays
+    ONE vocab-bounded shuffle (np.unique partials collapse token mass
+    map-side); the merged (hash -> delta-bits) pair broadcasts once via
+    ``ray.put``; scoring is a stateless TASK map over the raw corpus
+    with ZERO doc-token shuffle (zero-copy plasma view per task).
+    Token strings never enter an exchange — 64-bit polars hashes stand
+    in, with the documented 2^-64-per-pair collision contract.
+
+    Returns (id, dsir_bits, n_tokens); empty raw corpus returns the
+    empty typed table.
+    """
+    import polars as pl
+
+    import ray as _ray
+
+    _EMPTY = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "dsir_bits": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    th_r, cf_r = _hash_vocab_counts(raw_ds, id_col, text_col)
+    th_t, cf_t = _hash_vocab_counts(target_ds, id_col, text_col)
+    th_u = np.union1d(th_r, th_t)
+    v = len(th_u)
+    if v == 0:
+        return raw_ds.map_batches(lambda t: _EMPTY, batch_format="pyarrow")
+    cf_r_u = np.zeros(v, dtype=np.int64)
+    cf_r_u[np.searchsorted(th_u, th_r)] = cf_r
+    cf_t_u = np.zeros(v, dtype=np.int64)
+    cf_t_u[np.searchsorted(th_u, th_t)] = cf_t
+    n_r = int(cf_r.sum())
+    n_t = int(cf_t.sum())
+    # (N + V) // (cf + 1) >= 1 always (cf <= N, V >= 1), so floor-log2
+    # stays defined even for an empty target model (uniform over V)
+    bits_r = (
+        np.frexp(((n_r + v) // (cf_r_u + 1)).astype(np.float64))[1] - 1
+    ).astype(np.int64)
+    bits_t = (
+        np.frexp(((n_t + v) // (cf_t_u + 1)).astype(np.float64))[1] - 1
+    ).astype(np.int64)
+    state = _ray.put((th_u, bits_r - bits_t))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        th_s, delta_s = _ray.get(state)
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) == 0:
+            return _EMPTY
+        th = (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        d = delta_s[np.searchsorted(th_s, th)]
+        n = batch.num_rows
+        # float64 sums exact: |delta| <= 63 bits, <= 2^53 tokens/doc
+        sums = np.bincount(row, weights=d.astype(np.float64), minlength=n)
+        cnts = np.bincount(row, minlength=n)
+        nz = cnts > 0
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(nz)),
+                "dsir_bits": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return raw_ds.map_batches(_score, batch_format="pyarrow")
+
+
 def chunk_texts(
     batch: pa.Table,
     text_col: str = "text",

@@ -2620,6 +2620,49 @@ def test_surprisal_score_hand_computed(ray_session):
     assert out.loc[2, "n_tokens"] == 2
 
 
+def test_dsir_score_hand_computed(ray_session):
+    # raw: doc1 "a a a b", doc2 "b c" -> cf_r: a=3 b=2 c=1, N_r=6, V=3
+    #   bits_r = floor(log2(9 // (cf+1))): a->1, b->1, c->2
+    # target = doc1 only -> cf_t: a=3 b=1, N_t=4
+    #   bits_t = floor(log2(7 // (cf_t+1))): a->0, b->1, c->2
+    # delta = bits_r - bits_t: a->1, b->0, c->0
+    raw = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "b c"], pa.string()),
+        }
+    )
+    tgt = raw.slice(0, 1)
+    out = (
+        text.dsir_score(
+            rd.from_arrow(raw).repartition(2), rd.from_arrow(tgt)
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "dsir_bits"] == 3 * 1 + 0  # in-target doc scores higher
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[2, "dsir_bits"] == 0
+    assert out.loc[2, "n_tokens"] == 2
+
+
+def test_dsir_score_empty_target(ray_session):
+    # empty target model degrades to uniform-over-V: bits_t = floor(log2(V))
+    # for every token, and the op must not crash on N_t == 0
+    raw = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["a b"], pa.string()),
+        }
+    )
+    empty = raw.slice(0, 0)
+    out = text.dsir_score(rd.from_arrow(raw), rd.from_arrow(empty)).to_pandas()
+    # V=2, N_r=2: bits_r = floor(log2(4//2)) = 1 each; bits_t = floor(log2(2//1)) = 1
+    assert out["dsir_bits"].tolist() == [0]
+    assert out["n_tokens"].tolist() == [2]
+
+
 def test_image_phash_neardup_planted(ray_session):
     from rio_cogeo_ray.stages import multimodal
     from rio_cogeo_ray.stages.dedup import hamming64
