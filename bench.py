@@ -373,6 +373,43 @@ def bench_surprisal():
     return text_mod.surprisal_score(ds, id_col="pid").count()
 
 
+def bench_dsir():
+    """DSIR importance-weight scoring over the pages corpus: two
+    vocab-bounded count shuffles (raw + en-target) then a stateless
+    broadcast task-map score of every page."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        out = {
+            "pid": pa.array(h, pa.int64()),
+            "text": t["text"].combine_chunks().cast(pa.string()),
+        }
+        if "lang" in t.schema.names:
+            out["lang"] = t["lang"]
+        return pa.table(out)
+
+    raw = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    tgt = (
+        rd.read_parquet(PAGES_DIR, columns=["url", "text", "lang"])
+        .map_batches(_pid, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "en")).select(["pid", "text"]),
+            batch_format="pyarrow",
+        )
+    )
+    return text_mod.dsir_score(raw, tgt, id_col="pid").count()
+
+
 def bench_text_index():
     """Inverted-index build (pure-map postings + partitioned write)
     plus one shard-pruned BM25 query over the pages corpus."""
@@ -429,6 +466,7 @@ BENCHES = {
     "seg_dedup": bench_seg_dedup,
     "intradoc_dedup": bench_intradoc_dedup,
     "surprisal": bench_surprisal,
+    "dsir": bench_dsir,
     "text_index": bench_text_index,
 }
 
