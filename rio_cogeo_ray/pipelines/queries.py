@@ -3931,6 +3931,141 @@ GROUP BY dt.doc_id
 """
 
 
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL crawl dedup (stages/text.py:canonicalize_urls —
+    the C4/CC URL-frontier rule): deterministic synthetic urls derived
+    from doc_id (mirrored literally in SQL; the corpus has no url
+    column) carry scheme / host-case / query / fragment / trailing-
+    slash noise; canonicalization is a stateless map, then ONE bucketed
+    exchange of (canon, partial-min, partial-count) rows keeps the
+    smallest doc_id per canonical key — urls themselves never shuffle
+    beyond the per-batch partial reduce."""
+    docs = _docs(sf_dir, ["doc_id"])
+    junk_choices = pa.array(["", "/", "?utm=1", "#frag", "?a=1#b"])
+
+    def _synth_canon(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        d = did.to_numpy(zero_copy_only=False)
+        k = d % 97
+        scheme = pc.if_else(
+            pc.equal(pc.bit_wise_and(did, 1), pa.scalar(0, pa.int64())),
+            pa.scalar("http"),
+            pa.scalar("https"),
+        )
+        wcase = pa.array(np.where(d % 4 < 2, "w", "W"))
+        url = pc.binary_join_element_wise(
+            scheme,
+            "://",
+            wcase,
+            pa.array(k.astype(str)),
+            ".site.com/p",
+            pa.array((k % 7).astype(str)),
+            junk_choices.take(pa.array(d % 5)),
+            "",
+        )
+        out = text.canonicalize_urls(pa.table({"doc_id": did, "url": url}))
+        return out.drop_columns(["url"])
+
+    canon = docs.map_batches(_synth_canon, batch_format="pyarrow")
+    per_key = agg.partial_group_agg(
+        canon, keys=["canon"], min_cols=["doc_id"], count_as="n_dups"
+    )
+    return per_key.map_batches(
+        lambda t: pa.table(
+            {
+                "canon": t["canon"],
+                "keeper_id": t["min_doc_id"],
+                "n_dups": t["n_dups"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_CANON_SQL = (
+    "regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace("
+    "url, '#.*$', ''), '\\?.*$', '')), '^https?://', ''), '/$', '')"
+)
+
+SQL_URL_DEDUP = (
+    "WITH u AS (SELECT doc_id, "
+    "(CASE WHEN (doc_id & 1) = 0 THEN 'http' ELSE 'https' END) || '://' || "
+    "(CASE WHEN doc_id % 4 < 2 THEN 'w' ELSE 'W' END) || "
+    "CAST(doc_id % 97 AS VARCHAR) || '.site.com/p' || "
+    "CAST((doc_id % 97) % 7 AS VARCHAR) || "
+    "(CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/' WHEN 2 THEN '?utm=1' "
+    "WHEN 3 THEN '#frag' ELSE '?a=1#b' END) AS url FROM documents), "
+    f"c AS (SELECT doc_id, {_CANON_SQL} AS canon FROM u) "
+    "SELECT canon, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups FROM c GROUP BY canon"
+)
+
+
+HIST_BINS = 16
+
+
+def q_value_histogram(sf_dir: str):
+    """Distributed two-pass exact numeric histogram over lineitem
+    prices: pass 1 = global min/max via per-batch partials (the driver
+    sees ONE row); pass 2 = vectorized bin index
+    ``floor((x − min)·B / (max − min))`` clamped to B−1, then partial
+    per-bin counts → bucketed final sum (≤B rows ever exchanged per
+    batch). Bit-identical to the SQL mirror because the bin expression
+    keeps the same IEEE-double operand order in both engines; a
+    degenerate min==max input collapses to bin 0 in both."""
+    li = _read(os.path.join(sf_dir, "lineitem.parquet"), ["l_extendedprice"])
+    empty = pa.table(
+        {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    ext = agg.partial_group_agg(
+        li.map_batches(
+            lambda t: t.append_column(
+                "g", pa.array(np.zeros(len(t), np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["g"],
+        min_cols=["l_extendedprice"],
+        max_cols=["l_extendedprice"],
+        count_as=None,
+    ).take_all()
+    if not ext:
+        return rd.from_arrow(empty)
+    mn = ext[0]["min_l_extendedprice"]
+    mx = ext[0]["max_l_extendedprice"]
+    nb = HIST_BINS
+
+    def _bin(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bin": pa.array([], pa.int64())})
+        x = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        if mx == mn:
+            b = np.zeros(len(x), np.int64)
+        else:
+            b = np.minimum(
+                np.floor((x - mn) * nb / (mx - mn)), nb - 1
+            ).astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    return agg.partial_group_agg(
+        li.map_batches(_bin, batch_format="pyarrow"), keys=["bin"], count_as="n"
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH ext AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+             FROM lineitem)
+SELECT CAST(CASE WHEN mx = mn THEN 0
+            ELSE LEAST(FLOOR((l_extendedprice - mn) * {HIST_BINS} / (mx - mn)),
+                       {HIST_BINS - 1}) END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem, ext
+GROUP BY 1
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -4035,6 +4170,8 @@ def queries() -> Dict[str, Callable]:
         "dup_ngrams": q_dup_ngrams,
         "pip_sample": q_pip_sample,
         "join_sample_weighted": q_join_sample_weighted,
+        "url_dedup": q_url_dedup,
+        "value_histogram": q_value_histogram,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4165,6 +4302,8 @@ def oracle_sql() -> Dict[str, str]:
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,
         "join_sample_weighted": SQL_JOIN_SAMPLE_WEIGHTED,
+        "url_dedup": SQL_URL_DEDUP,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

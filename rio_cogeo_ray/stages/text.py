@@ -251,6 +251,27 @@ def parse_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
     )
 
 
+def canonicalize_urls(
+    batch: pa.Table, url_col: str = "url", out_col: str = "canon"
+) -> pa.Table:
+    """Canonical-URL key for crawl URL-level dedup (the C4/CC
+    crawl-frontier rule): strip the fragment, strip the query string,
+    lowercase, merge http/https by stripping the scheme, and strip one
+    trailing slash. Pure RE2/utf8 Arrow kernels — a stateless map with
+    zero shuffle at any corpus size; the chain is mirrored literally in
+    SQL (each pattern matches at most once, so DuckDB's first-match
+    ``regexp_replace`` equals Arrow's replace-all)."""
+    u = batch[url_col]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    c = pc.replace_substring_regex(u, r"#.*$", "")
+    c = pc.replace_substring_regex(c, r"\?.*$", "")
+    c = pc.utf8_lower(c)
+    c = pc.replace_substring_regex(c, r"^https?://", "")
+    c = pc.replace_substring_regex(c, r"/$", "")
+    return batch.append_column(out_col, c)
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher-style repetition signal: per-doc whitespace-token total vs
     DISTINCT count (``n_tokens`` / ``n_distinct``, both int64; the

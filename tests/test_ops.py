@@ -3073,3 +3073,56 @@ def test_null_text_and_keys(ray_session):
     assert out["v"].to_pylist() == [1]  # null and unknown keys drop
     anti = BroadcastLookup(dim, on="lang", mode="anti")(probe)
     assert anti["v"].to_pylist() == [2, 3]  # null key is a non-match
+
+
+def test_canonicalize_urls_kernel():
+    """Fragment, query, case, scheme, and trailing-slash noise all
+    collapse to one canonical key; distinct paths stay distinct."""
+    from rio_cogeo_ray.stages import text as text_mod
+
+    urls = [
+        "HTTP://Example.COM/Path/?q=1#frag",
+        "https://example.com/Path",
+        "http://example.com/Path/",
+        "https://a.io",
+        "http://a.io#x",
+        "http://a.io/other",
+        None,
+    ]
+    out = text_mod.canonicalize_urls(pa.table({"url": pa.array(urls)}))
+    assert out["canon"].to_pylist() == [
+        "example.com/path",
+        "example.com/path",
+        "example.com/path",
+        "a.io",
+        "a.io",
+        "a.io/other",
+        None,
+    ]
+
+
+def test_value_histogram_vs_numpy_oracle(ray_session):
+    """Two-pass distributed histogram equals a single-node numpy
+    reference (same clamped floor-bin rule) on the sf0.001 lineitem."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines.queries import HIST_BINS, q_value_histogram
+
+    got = {
+        r["bin"]: r["n"]
+        for r in q_value_histogram("/root/testdata/sf0.001").take_all()
+    }
+    x = (
+        pq.read_table(
+            "/root/testdata/sf0.001/lineitem.parquet", columns=["l_extendedprice"]
+        )["l_extendedprice"]
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+    )
+    mn, mx = x.min(), x.max()
+    b = np.minimum(
+        np.floor((x - mn) * HIST_BINS / (mx - mn)), HIST_BINS - 1
+    ).astype(np.int64)
+    want = dict(zip(*[a.tolist() for a in np.unique(b, return_counts=True)]))
+    assert got == want
+    assert sum(got.values()) == len(x)
