@@ -379,10 +379,14 @@ def bucketed_hash_join(
         right = right.select_columns(on_cols)
     lsch, rsch = left.schema(), right.schema()
     if lsch is None or rsch is None:
-        if how in ("anti", "left") and rsch is None and lsch is not None:
-            # empty right side: anti keeps everything; left keeps all
-            # rows (the unknowable right columns are necessarily empty)
+        if how in ("anti", "left", "outer") and rsch is None and lsch is not None:
+            # empty right side: anti keeps everything; left/outer keep
+            # all left rows (the unknowable right columns are
+            # necessarily empty)
             return left
+        if how in ("right", "outer") and lsch is None and rsch is not None:
+            # empty left side: right/outer keep all right rows
+            return right
         return _empty_join_like(
             lsch, rsch, set(on_cols), suffix, how not in ("semi", "anti")
         )

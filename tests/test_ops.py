@@ -3024,6 +3024,14 @@ def test_empty_input_pipelines(ray_session, tmp_path):
     assert (
         join_mod.asof_join(e, e, on="n_chars", by="doc_id").count() == 0
     )
+    # outer/right with ONE empty side keep the populated side's rows
+    two = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "n_chars": pa.array([3, 4], pa.int64())})
+    )
+    assert join_mod.bucketed_hash_join(two, e, on="doc_id", how="outer").count() == 2
+    assert join_mod.bucketed_hash_join(e, two, on="doc_id", how="outer").count() == 2
+    assert join_mod.bucketed_hash_join(e, two, on="doc_id", how="right").count() == 2
     # segment dedup / watermark / percentile rank
     assert text.segment_dedup(e).count() == 0
     assert window_mod.watermark_filter(e, "n_chars").count() == 0
