@@ -525,6 +525,38 @@ GROUP BY g.doc_id
 """
 
 
+def q_bigram_lift(sf_dir: str):
+    """Top collocations by exact integer lift (stages/text.py:
+    bigram_lift): Zipf-collapsed bigram partials → bucketed merge →
+    bounded top-k, then ONE more corpus pass gathers candidate unigram
+    counts + corpus totals map-side against the broadcast candidate
+    set — no vocab-wide unigram shuffle anywhere."""
+    ds = _docs(sf_dir, ["text"])
+    return text.bigram_lift(ds, k=30, min_n=3)
+
+
+SQL_BIGRAM_LIFT = r"""
+WITH w AS (SELECT regexp_extract_all(text, '\S+') AS l FROM documents),
+bi AS (SELECT l[i] AS w1, l[i+1] AS w2
+       FROM w, LATERAL (SELECT unnest(range(1, len(l))) AS i)
+       WHERE len(l) >= 2),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+       FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+tb AS (SELECT SUM(CASE WHEN len(l) > 0 THEN len(l) - 1 ELSE 0 END)::HUGEINT AS t_bi,
+              SUM(len(l))::HUGEINT AS t_uni FROM w),
+uc AS (SELECT unnest(l) AS tok FROM w),
+u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM uc GROUP BY 1),
+top AS (SELECT w1, w2, n FROM bc ORDER BY n DESC, w1, w2 LIMIT 30)
+SELECT top.w1, top.w2, top.n,
+       CAST((top.n::HUGEINT * t_uni * t_uni * 1000000)
+            // (t_bi * u1.n::HUGEINT * u2.n::HUGEINT) AS BIGINT) AS lift_ppm
+FROM top, tb
+JOIN u u1 ON u1.tok = top.w1
+JOIN u u2 ON u2.tok = top.w2
+ORDER BY lift_ppm DESC, w1, w2
+"""
+
+
 SQL_DEDUP_STATS = (
     "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts, "
     "CAST(COUNT(*) AS BIGINT) AS total FROM documents"
@@ -4172,6 +4204,7 @@ def queries() -> Dict[str, Callable]:
         "join_sample_weighted": q_join_sample_weighted,
         "url_dedup": q_url_dedup,
         "value_histogram": q_value_histogram,
+        "bigram_lift": q_bigram_lift,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4304,6 +4337,7 @@ def oracle_sql() -> Dict[str, str]:
         "join_sample_weighted": SQL_JOIN_SAMPLE_WEIGHTED,
         "url_dedup": SQL_URL_DEDUP,
         "value_histogram": SQL_VALUE_HISTOGRAM,
+        "bigram_lift": SQL_BIGRAM_LIFT,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -347,6 +347,198 @@ def token_topk(ds, text_col: str = "text", k: int = 50):
     return merged.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+_EMPTY_BIGRAMS = pa.table(
+    {
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+    }
+)
+
+
+def bigram_value_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (w1, w2, n) partial counts of ADJACENT whitespace-token
+    pairs — bigrams never cross a document boundary (adjacency is
+    checked on the per-row ownership vector, not the flat token
+    stream). Same Zipf-collapse property as
+    :func:`token_value_counts`: the shuffle moves one row per DISTINCT
+    bigram per batch, so high-frequency collocations ("of the", …)
+    collapse before they touch the network."""
+    lists = pc.ascii_split_whitespace(
+        batch[text_col].combine_chunks().cast(pa.string())
+    )
+    lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    toks = lists.flatten()
+    keep = pc.not_equal(toks, "")
+    toks = toks.filter(keep)
+    rep = rep[keep.to_numpy(zero_copy_only=False)]
+    if len(rep) < 2:
+        return _EMPTY_BIGRAMS
+    adj = pa.array(rep[1:] == rep[:-1])
+    pair = pa.table(
+        {
+            "w1": toks.slice(0, len(toks) - 1).filter(adj),
+            "w2": toks.slice(1).filter(adj),
+        }
+    )
+    if pair.num_rows == 0:
+        return _EMPTY_BIGRAMS
+    aggd = pair.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return aggd.rename_columns(["w1", "w2", "n"]).cast(_EMPTY_BIGRAMS.schema)
+
+
+def bigram_lift(
+    ds,
+    text_col: str = "text",
+    k: int = 30,
+    min_n: int = 2,
+):
+    """Top-k collocations by exact integer LIFT (the PMI numerator in
+    ratio form): ``lift_ppm = floor(n_ab · T_uni² · 10⁶ /
+    (T_bi · n_a · n_b))`` where n_ab is the bigram count, n_a/n_b the
+    unigram counts and T_uni/T_bi the corpus token/bigram totals.
+
+    Scale shape (the token_topk doctrine, twice):
+
+    1. bigram partial counts (Zipf-collapsed per batch) → bucketed
+       exact merge → ``HAVING n ≥ min_n`` → tiny sort+limit ⇒ the
+       candidate set is BOUNDED (k rows) before anything touches the
+       driver.
+    2. ONE more corpus pass computes, map-side against the broadcast
+       candidate-token set, the ≤2k unigram counts AND the two corpus
+       totals (T_bi = T_uni − nonempty docs, so no bigram re-pass) —
+       no vocab-wide unigram shuffle exists anywhere.
+    3. lift is evaluated driver-side over the k candidates in
+       arbitrary-precision Python ints (the SQL mirror uses HUGEINT;
+       exact up to ~10³⁸ intermediate — fine for any oracle-checkable
+       scale, and the engine side never overflows at all).
+
+    Order: lift_ppm desc, w1, w2 (deterministic). Returns a k-row
+    pyarrow Table (w1, w2, n, lift_ppm)."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    out_schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("n", pa.int64()),
+            ("lift_ppm", pa.int64()),
+        ]
+    )
+    bi = partial_group_agg(
+        ds.map_batches(
+            lambda t: bigram_value_counts(t, text_col), batch_format="pyarrow"
+        ),
+        keys=["w1", "w2"],
+        sum_cols=["n"],
+        count_as=None,
+    ).map_batches(
+        lambda t: t.rename_columns(["w1", "w2", "n"]), batch_format="pyarrow"
+    )
+    bi = bi.filter(expr=f"n >= {int(min_n)}")
+    top = pa.concat_tables(
+        _ray.get(
+            bi.sort(["n", "w1", "w2"], descending=[True, False, False])
+            .limit(k)
+            .to_arrow_refs()
+        )
+    ).combine_chunks()
+    if top.num_rows == 0:
+        return out_schema.empty_table()
+
+    cand = pa.array(
+        np.unique(
+            np.concatenate(
+                (
+                    top["w1"].to_numpy(zero_copy_only=False),
+                    top["w2"].to_numpy(zero_copy_only=False),
+                )
+            )
+        ),
+        pa.string(),
+    )
+    cand_ref = _ray.put(cand)
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        """(token, n) counts for the bounded candidate set (pc.index_in
+        — vectorized C++ hash lookup, never a per-token Python
+        compare), plus ONE summary row (token=NULL) carrying this
+        batch's token total and nonempty-doc count — the corpus totals
+        ride the same pass."""
+        cand_s = _ray.get(cand_ref)
+        lists = pc.ascii_split_whitespace(
+            batch[text_col].combine_chunks().cast(pa.string())
+        )
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        toks = lists.flatten()
+        keep = pc.not_equal(toks, "")
+        toks = toks.filter(keep)
+        n_tok = len(toks)
+        # nonempty docs: rows with ≥1 nonempty token (one O(n) bincount)
+        rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        rep = rep[keep.to_numpy(zero_copy_only=False)]
+        nonempty = int(
+            np.count_nonzero(np.bincount(rep, minlength=len(batch)))
+        ) if len(rep) else 0
+        idx = pc.index_in(toks, value_set=cand_s).drop_null()
+        cnt = np.bincount(
+            idx.to_numpy(zero_copy_only=False).astype(np.int64),
+            minlength=len(cand_s),
+        ).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [cand_s.take(pa.array(nz)), pa.array([None], pa.string())]
+                ),
+                "n": pa.array(np.append(cnt[nz], [0]), pa.int64()),
+                "tot": pa.array(
+                    np.append(np.zeros(len(nz), np.int64), [n_tok]), pa.int64()
+                ),
+                "docs": pa.array(
+                    np.append(np.zeros(len(nz), np.int64), [nonempty]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = pa.concat_tables(
+        _ray.get(
+            ds.map_batches(_uni_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+    ).combine_chunks()
+    t_uni = int(pc.sum(rows["tot"]).as_py() or 0)
+    t_bi = t_uni - int(pc.sum(rows["docs"]).as_py() or 0)
+    uni: Dict[str, int] = {}
+    for tok, n in zip(
+        rows["token"].to_pylist(), rows["n"].to_pylist()
+    ):
+        if tok is not None:
+            uni[tok] = uni.get(tok, 0) + int(n)
+
+    w1s = top["w1"].to_pylist()
+    w2s = top["w2"].to_pylist()
+    ns = top["n"].to_pylist()
+    lifts = [
+        (int(n) * t_uni * t_uni * 1_000_000) // (t_bi * uni[a] * uni[b])
+        for a, b, n in zip(w1s, w2s, ns)
+    ]
+    out = pa.table(
+        {
+            "w1": pa.array(w1s, pa.string()),
+            "w2": pa.array(w2s, pa.string()),
+            "n": pa.array([int(x) for x in ns], pa.int64()),
+            "lift_ppm": pa.array(lifts, pa.int64()),
+        }
+    )
+    return out.sort_by(
+        [("lift_ppm", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+    )
+
+
 def grouped_token_value_counts(
     batch: pa.Table, group_col: str, text_col: str = "text"
 ) -> pa.Table:

@@ -3134,3 +3134,50 @@ def test_value_histogram_vs_numpy_oracle(ray_session):
     want = dict(zip(*[a.tolist() for a in np.unique(b, return_counts=True)]))
     assert got == want
     assert sum(got.values()) == len(x)
+
+
+def test_bigram_lift_vs_brute_force(ray_session):
+    """bigram_lift: adjacency never crosses doc boundaries, counts and
+    integer lift match an in-process Counter oracle, ties deterministic."""
+    from collections import Counter
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 9))))
+        for _ in range(300)
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = text.bigram_lift(
+        rd.from_arrow(t).repartition(5), k=10, min_n=2
+    ).to_pydict()
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    t_uni = t_bi = 0
+    for s in texts:
+        toks = s.split()
+        uni.update(toks)
+        t_uni += len(toks)
+        if toks:
+            t_bi += len(toks) - 1
+        bi.update(zip(toks, toks[1:]))
+    cand = sorted(
+        ((a, b, n) for (a, b), n in bi.items() if n >= 2),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:10]
+    want = sorted(
+        (
+            (a, b, n, (n * t_uni * t_uni * 10**6) // (t_bi * uni[a] * uni[b]))
+            for a, b, n in cand
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    assert list(zip(got["w1"], got["w2"], got["n"], got["lift_ppm"])) == want
+
+
+def test_bigram_lift_empty_and_single_token(ray_session):
+    t = pa.table({"text": pa.array(["solo", "", None], pa.string())})
+    out = text.bigram_lift(rd.from_arrow(t), k=5, min_n=1)
+    assert out.num_rows == 0
+    assert out.schema.names == ["w1", "w2", "n", "lift_ppm"]
