@@ -2006,6 +2006,70 @@ def q_host_stats(sf_dir: str):
     )
 
 
+def _synth_url_col(t: pa.Table) -> pa.Table:
+    """Deterministic synthetic url per doc_id — the host_stats literal
+    (the corpus has no url column; the SQL mirrors this expression
+    character-for-character)."""
+    import pyarrow.compute as pc
+
+    did = t["doc_id"]
+    if isinstance(did, pa.ChunkedArray):
+        did = did.combine_chunks()
+    d = did.to_numpy(zero_copy_only=False)
+    h = d % 53
+    scheme = pc.if_else(
+        pc.equal(pc.bit_wise_and(did, 1), pa.scalar(0, pa.int64())),
+        pa.scalar("http"),
+        pa.scalar("https"),
+    )
+    extra = pa.array(["", "/x", "/x/x"]).take(pa.array(d % 3))
+    url = pc.binary_join_element_wise(
+        scheme, "://w", pa.array(h.astype(str)), ".site",
+        pa.array((h % 7).astype(str)), ".",
+        pa.array(["com", "org", "net", "io"]).take(pa.array(h % 4)),
+        "/p/", pa.array((d % 16).astype(str)), extra, "",
+    )
+    return pa.table({"doc_id": did, "url": url})
+
+
+#: Wildcard-subdomain blocklist for q_blocklist: "site0.com" blocks the
+#: domain and every subdomain; "org" blocks a whole TLD; the exact-host
+#: entries hit single hosts; "w5.site5.org" is REDUNDANT under "org"
+#: (exercises the prefix-free canonicalization).
+_BLOCK_DOMAINS = ["site0.com", "org", "w3.site3.io", "w10.site3.net", "w5.site5.org"]
+
+
+def q_blocklist(sf_dir: str):
+    """Host-blocklist filtering with wildcard-subdomain semantics
+    (stages/text.py:HostBlocklist): blocklist broadcast once, each
+    actor builds a sorted prefix-free reversed-label byte index in
+    __init__; per batch ONE searchsorted + startswith over fixed-width
+    bytes — log2(blocklist) memcmp probes per row, scales to millions
+    of entries."""
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _synth_url_col, batch_format="pyarrow"
+    )
+    flagged = text.host_blocklist_flag(ds, _BLOCK_DOMAINS)
+    return flagged.select_columns(["doc_id", "host", "blocked"])
+
+
+_BLOCK_SQL_VALUES = ", ".join(f"('{d}')" for d in _BLOCK_DOMAINS)
+
+SQL_BLOCKLIST = (
+    "WITH u AS (SELECT doc_id, "
+    "(CASE WHEN (doc_id & 1) = 0 THEN 'http' ELSE 'https' END) || '://w' || "
+    "CAST(doc_id % 53 AS VARCHAR) || '.site' || CAST((doc_id % 53) % 7 AS VARCHAR) || '.' || "
+    "(CASE (doc_id % 53) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'io' END) || "
+    "'/p/' || CAST(doc_id % 16 AS VARCHAR) || "
+    "(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '/x' ELSE '/x/x' END) AS url FROM documents), "
+    "b(d) AS (VALUES " + _BLOCK_SQL_VALUES + "), "
+    "p AS (SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u) "
+    "SELECT doc_id, host, CAST(CASE WHEN EXISTS ("
+    "SELECT 1 FROM b WHERE p.host = b.d OR p.host LIKE '%.' || b.d"
+    ") THEN 1 ELSE 0 END AS BIGINT) AS blocked FROM p"
+)
+
+
 _URL_SQL_PAT = "^(https?)://([^/]+?)\\.([a-z]+)(/.*)?$"
 
 SQL_HOST_STATS = (
@@ -4205,6 +4269,7 @@ def queries() -> Dict[str, Callable]:
         "url_dedup": q_url_dedup,
         "value_histogram": q_value_histogram,
         "bigram_lift": q_bigram_lift,
+        "blocklist": q_blocklist,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4338,6 +4403,7 @@ def oracle_sql() -> Dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "bigram_lift": SQL_BIGRAM_LIFT,
+        "blocklist": SQL_BLOCKLIST,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

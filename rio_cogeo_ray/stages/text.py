@@ -272,6 +272,106 @@ def canonicalize_urls(
     return batch.append_column(out_col, c)
 
 
+def canonical_blocklist(domains) -> np.ndarray:
+    """Canonicalize a domain blocklist into a sorted, PREFIX-FREE array
+    of reversed-label prefixes: ``"site3.com"`` → ``b"com.site3."``.
+    A host matches the list iff some entry blocks it exactly or as a
+    parent domain (``host == d`` or ``host`` ends with ``"." + d``),
+    which in reversed-label space is exactly "some prefix ending at a
+    label boundary". Entries already covered by a shorter kept entry
+    (``"w8.site1.org"`` under ``"org"``) are dropped, making the set
+    prefix-free — so for any reversed host the ONLY possible matching
+    entry is its searchsorted floor, one memcmp per row."""
+    revs = sorted(
+        ".".join(reversed(d.strip().strip(".").lower().split("."))) + "."
+        for d in domains
+        if d and d.strip().strip(".")
+    )
+    kept: List[str] = []
+    for r in revs:
+        if not kept or not r.startswith(kept[-1]):
+            kept.append(r)
+    return np.array(kept, dtype="S")
+
+
+_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<bhost>[^/?#]+)"
+
+
+class HostBlocklist:
+    """Actor stage: flag rows whose URL host is blocked by a domain
+    blocklist with wildcard-subdomain semantics (``"site3.com"`` blocks
+    ``site3.com`` AND every ``*.site3.com``). The blocklist is
+    broadcast ONCE (`ray.put`), canonicalized to a sorted prefix-free
+    reversed-label byte array in ``__init__`` (once per actor, never
+    per batch); per batch the host is extracted with one anchored RE2
+    pass, label-reversed with vectorized offset arithmetic, and probed
+    with ONE ``np.searchsorted`` + ``np.char.startswith`` over fixed-
+    width bytes — C memcmp loops, no Python per row. Scales to
+    millions of blocklist entries (log₂ probes each)."""
+
+    def __init__(self, domains_ref, url_col: str = "url", out_col: str = "blocked"):
+        import ray as _ray
+
+        dom = (
+            _ray.get(domains_ref)
+            if isinstance(domains_ref, _ray.ObjectRef)
+            else domains_ref
+        )
+        self.pref = canonical_blocklist(dom)
+        self.width = max((len(p) for p in self.pref), default=1)
+        self.url_col = url_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        u = batch[self.url_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        host = pc.extract_regex(u.cast(pa.string()), _HOST_PATTERN).field("bhost")
+        host = pc.utf8_lower(pc.fill_null(host, ""))
+        n = len(host)
+        if n == 0 or len(self.pref) == 0:
+            return batch.append_column(
+                "host", host
+            ).append_column(self.out_col, pa.array(np.zeros(n, np.int64)))
+        # reverse the dot-separated labels: "w1.site3.com" -> "com.site3.w1."
+        labels = pc.split_pattern(host, ".")
+        off = labels.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        lens = np.diff(off)
+        within = np.arange(int(off[-1]), dtype=np.int64) - np.repeat(off[:-1], lens)
+        gather = np.repeat(off[1:] - 1, lens) - within
+        flat = labels.flatten()
+        rev_lists = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()).cast(pa.int32()), flat.take(pa.array(gather))
+        )
+        rev = pc.binary_join_element_wise(
+            pc.binary_join(rev_lists, "."), "", "."
+        )
+        rv = rev.to_numpy(zero_copy_only=False).astype(f"S{self.width + 256}")
+        idx = np.searchsorted(self.pref, rv, side="right") - 1
+        ok = idx >= 0
+        hit = np.zeros(n, dtype=bool)
+        if ok.any():
+            hit[ok] = np.char.startswith(rv[ok], self.pref[idx[ok]])
+        return batch.append_column("host", host).append_column(
+            self.out_col, pa.array(hit.astype(np.int64), pa.int64())
+        )
+
+
+def host_blocklist_flag(ds, domains, url_col: str = "url", concurrency: int = 8):
+    """Apply :class:`HostBlocklist` as an actor pool over a Dataset:
+    the domain list ships to the object store once, each actor builds
+    its canonical index once."""
+    import ray as _ray
+
+    return ds.map_batches(
+        HostBlocklist,
+        fn_constructor_args=(_ray.put(list(domains)), url_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher-style repetition signal: per-doc whitespace-token total vs
     DISTINCT count (``n_tokens`` / ``n_distinct``, both int64; the

@@ -3181,3 +3181,41 @@ def test_bigram_lift_empty_and_single_token(ray_session):
     out = text.bigram_lift(rd.from_arrow(t), k=5, min_n=1)
     assert out.num_rows == 0
     assert out.schema.names == ["w1", "w2", "n", "lift_ppm"]
+
+
+def test_host_blocklist_wildcard_semantics(ray_session):
+    """HostBlocklist: a domain entry blocks itself and every subdomain
+    (label-boundary suffix match, never substring); TLD-wide entries
+    work; entries covered by a shorter entry are canonicalized away;
+    non-URLs and nulls are never blocked."""
+    from rio_cogeo_ray.stages.text import canonical_blocklist
+
+    # redundant w5.site5.org must collapse under org (prefix-free)
+    pref = canonical_blocklist(["site3.com", "ORG", "w5.site5.org", ""])
+    assert pref.tolist() == [b"com.site3.", b"org."]
+
+    urls = [
+        "http://w1.site3.com/p/1",       # subdomain of blocked domain
+        "https://site3.com",             # exact domain
+        "http://xsite3.com/p",           # substring but NOT label suffix
+        "http://a.b.site1.org/q#f",      # TLD-wide block
+        "https://w4.site3.io/",          # unblocked
+        "not a url",
+        None,
+    ]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    out = text.host_blocklist_flag(
+        rd.from_arrow(t).repartition(3),
+        ["site3.com", "ORG", "w5.site5.org"],
+        concurrency=2,
+    ).to_pandas().sort_values("url", na_position="first")
+    got = dict(zip(out["url"].fillna("<null>"), out["blocked"]))
+    assert got == {
+        "http://w1.site3.com/p/1": 1,
+        "https://site3.com": 1,
+        "http://xsite3.com/p": 0,
+        "http://a.b.site1.org/q#f": 1,
+        "https://w4.site3.io/": 0,
+        "not a url": 0,
+        "<null>": 0,
+    }
