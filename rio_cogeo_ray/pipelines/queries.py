@@ -525,6 +525,34 @@ GROUP BY g.doc_id
 """
 
 
+def q_footer_stats(sf_dir: str):
+    """Whole-table COUNT/MIN/MAX served from parquet FOOTERS only
+    (sources/footers.py): one metadata GET per file fanned out as a
+    Ray Dataset over the file list — no data page is ever read. At
+    100 TB this is thousands of footer reads, not terabytes of scan;
+    exact because parquet integer min/max statistics are exact."""
+    from rio_cogeo_ray.sources.footers import footer_stats
+
+    specs = [
+        ("documents", os.path.join(sf_dir, "documents.parquet"), "doc_id"),
+        ("events", os.path.join(sf_dir, "events.parquet"), "event_id"),
+        ("lineitem", os.path.join(sf_dir, "lineitem.parquet"), "l_orderkey"),
+    ]
+    return footer_stats(specs).select_columns(
+        ["tbl", "n_rows", "key_min", "key_max"]
+    )
+
+
+SQL_FOOTER_STATS = (
+    "SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "MIN(doc_id) AS key_min, MAX(doc_id) AS key_max FROM documents "
+    "UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT), "
+    "MIN(event_id), MAX(event_id) FROM events "
+    "UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), "
+    "MIN(l_orderkey), MAX(l_orderkey) FROM lineitem"
+)
+
+
 def q_bigram_lift(sf_dir: str):
     """Top collocations by exact integer lift (stages/text.py:
     bigram_lift): Zipf-collapsed bigram partials → bucketed merge →
@@ -4270,6 +4298,7 @@ def queries() -> Dict[str, Callable]:
         "value_histogram": q_value_histogram,
         "bigram_lift": q_bigram_lift,
         "blocklist": q_blocklist,
+        "footer_stats": q_footer_stats,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4404,6 +4433,7 @@ def oracle_sql() -> Dict[str, str]:
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "bigram_lift": SQL_BIGRAM_LIFT,
         "blocklist": SQL_BLOCKLIST,
+        "footer_stats": SQL_FOOTER_STATS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

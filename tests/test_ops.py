@@ -3219,3 +3219,42 @@ def test_host_blocklist_wildcard_semantics(ray_session):
         "not a url": 0,
         "<null>": 0,
     }
+
+
+def test_footer_stats_never_reads_data_pages(ray_session, tmp_path):
+    """footer_stats answers count/min/max from footers alone: results
+    match a real scan over a multi-file layout, and a corrupted DATA
+    region (footer intact) does not change the answer — proof no data
+    page was read."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.sources.footers import footer_stats
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    allv = []
+    for i in range(4):
+        v = rng.integers(-1000, 1000, size=257)
+        allv.append(v)
+        pq.write_table(
+            pa.table({"k": pa.array(v, pa.int64())}),
+            str(d / f"part-{i}.parquet"),
+            row_group_size=100,
+        )
+    out = footer_stats([("t", str(d), "k")]).take_all()
+    assert len(out) == 1
+    r = out[0]
+    flat = np.concatenate(allv)
+    assert (r["n_rows"], r["key_min"], r["key_max"], r["n_files"]) == (
+        len(flat), int(flat.min()), int(flat.max()), 4,
+    )
+
+    # corrupt a byte in the middle of the first file's data region;
+    # the footer (at the tail) survives, and so does the answer
+    p = d / "part-0.parquet"
+    raw = bytearray(p.read_bytes())
+    raw[100] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    r2 = footer_stats([("t", str(d), "k")]).take_all()[0]
+    assert r2 == r
