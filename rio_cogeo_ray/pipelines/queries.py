@@ -525,6 +525,64 @@ GROUP BY g.doc_id
 """
 
 
+def q_zorder_scan(sf_dir: str):
+    """Z-order-pruned 2-D range scan (sources/zorder.py): lineitem
+    laid out by Morton-interleaved quantile bins of (l_extendedprice,
+    l_quantity) — built once per sf_dir under /tmp — then a
+    conjunctive range predicate on BOTH columns reads only the cells
+    whose footer-stats rectangle intersects it (a 1-D zonemap can
+    prune on one of the two at best). Exact row filter on top: results
+    identical to a full scan + filter."""
+    import hashlib
+
+    from rio_cogeo_ray.sources import zorder
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(li_path)
+    tag = hashlib.sha256(
+        f"{li_path}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    zdir = f"/tmp/rcr_zorder/{tag}"
+    if not os.path.exists(os.path.join(zdir, zorder.MANIFEST)):
+        zorder.write_zordered(
+            _read(li_path, ["l_extendedprice", "l_quantity", "l_returnflag"]),
+            zdir,
+            ["l_extendedprice", "l_quantity"],
+            bits=3,
+        )
+    ds = zorder.read_zordered(
+        zdir,
+        {"l_extendedprice": (20000, 40000), "l_quantity": (10, 20)},
+        columns=["l_extendedprice", "l_quantity", "l_returnflag"],
+    )
+    out = partial_group_agg(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "qty": t["l_quantity"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["l_returnflag"],
+        sum_cols=["qty"],
+        count_as="n",
+    )
+    return out
+
+
+SQL_ZORDER_SCAN = """
+SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_extendedprice BETWEEN 20000 AND 40000
+  AND l_quantity BETWEEN 10 AND 20
+GROUP BY l_returnflag
+"""
+
+
 def q_footer_stats(sf_dir: str):
     """Whole-table COUNT/MIN/MAX served from parquet FOOTERS only
     (sources/footers.py): one metadata GET per file fanned out as a
@@ -4299,6 +4357,7 @@ def queries() -> Dict[str, Callable]:
         "bigram_lift": q_bigram_lift,
         "blocklist": q_blocklist,
         "footer_stats": q_footer_stats,
+        "zorder_scan": q_zorder_scan,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4434,6 +4493,7 @@ def oracle_sql() -> Dict[str, str]:
         "bigram_lift": SQL_BIGRAM_LIFT,
         "blocklist": SQL_BLOCKLIST,
         "footer_stats": SQL_FOOTER_STATS,
+        "zorder_scan": SQL_ZORDER_SCAN,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

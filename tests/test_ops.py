@@ -3258,3 +3258,45 @@ def test_footer_stats_never_reads_data_pages(ray_session, tmp_path):
     p.write_bytes(bytes(raw))
     r2 = footer_stats([("t", str(d), "k")]).take_all()[0]
     assert r2 == r
+
+
+def test_zorder_prunes_on_either_dimension(ray_session, tmp_path):
+    """Z-order layout: a range predicate on EITHER column alone prunes
+    cells (the property a 1-D zonemap lacks for its second column),
+    and every pruned read equals full scan + filter exactly."""
+    from rio_cogeo_ray.sources import zorder
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    a = rng.integers(0, 10_000, size=n)
+    b = rng.integers(0, 10_000, size=n)
+    t = pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "tag": pa.array((a + b) % 5, pa.int64()),
+    })
+    out = str(tmp_path / "zo")
+    zorder.write_zordered(rd.from_arrow(t).repartition(8), out, ["a", "b"], bits=3)
+
+    total_cells = zorder.select_cells(out, {})[1]
+    assert total_cells > 16  # enough cells for pruning to mean something
+
+    for ranges in (
+        {"a": (2000, 3000)},
+        {"b": (7000, 8000)},
+        {"a": (2000, 3000), "b": (7000, 8000)},
+    ):
+        picked, tot = zorder.select_cells(out, ranges)
+        assert 0 < len(picked) < tot, (ranges, len(picked), tot)
+        got = zorder.read_zordered(out, ranges).to_pandas()
+        mask = np.ones(n, dtype=bool)
+        for col, (lo, hi) in ranges.items():
+            v = a if col == "a" else b
+            mask &= (v >= lo) & (v <= hi)
+        assert len(got) == int(mask.sum())
+        assert int(got["a"].sum()) == int(a[mask].sum())
+        assert int(got["b"].sum()) == int(b[mask].sum())
+
+    # miss range: empty typed Dataset, no crash
+    miss = zorder.read_zordered(out, {"a": (50_000, 60_000)})
+    assert miss.count() == 0
