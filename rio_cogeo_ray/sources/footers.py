@@ -57,7 +57,12 @@ def _file_stats(table: str, path: str, key_col: Optional[str]) -> dict:
         if j is None:
             raise KeyError(f"{path}: no column {key_col!r} in footer schema")
         for g in range(md.num_row_groups):
-            st = md.row_group(g).column(j).statistics
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                # a zero-row row group legitimately has no statistics
+                # and contributes nothing to min/max
+                continue
+            st = rg.column(j).statistics
             if st is None or not st.has_min_max:
                 raise ValueError(
                     f"{path} row group {g}: no min/max statistics for "

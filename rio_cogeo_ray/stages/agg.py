@@ -65,10 +65,20 @@ def _reduce_table(batch: pa.Table, keys: Sequence[str], specs: Sequence[_Spec]) 
                 )
             out = np.add.reduceat(v.astype(np.int64), starts)
             cols.append(pa.array(out, pa.int64()))
-        elif op == "min":
-            cols.append(pa.array(np.minimum.reduceat(v, starts), batch.schema.field(src).type))
-        elif op == "max":
-            cols.append(pa.array(np.maximum.reduceat(v, starts), batch.schema.field(src).type))
+        elif op in ("min", "max"):
+            typ = batch.schema.field(src).type
+            arr = batch[src].combine_chunks()
+            if arr.null_count and np.issubdtype(v.dtype, np.floating):
+                # nulls surface as NaN in the numpy view: NaN-IGNORING
+                # reduce (SQL MIN/MAX skip nulls), all-null group → null.
+                # Integer columns ride a float64 view here, exact to
+                # 2^53 — fine for ids/counts; columns without nulls
+                # never enter this branch and stay int64-exact.
+                red = (np.fmin if op == "min" else np.fmax).reduceat(v, starts)
+                cols.append(pa.array(red, typ, from_pandas=True))
+            else:
+                red = (np.minimum if op == "min" else np.maximum).reduceat(v, starts)
+                cols.append(pa.array(red, typ))
         else:  # pragma: no cover
             raise ValueError(op)
         names.append(dst)

@@ -3300,3 +3300,37 @@ def test_zorder_prunes_on_either_dimension(ray_session, tmp_path):
     # miss range: empty typed Dataset, no crash
     miss = zorder.read_zordered(out, {"a": (50_000, 60_000)})
     assert miss.count() == 0
+
+
+def test_footer_stats_empty_table(ray_session, tmp_path):
+    """A zero-row parquet (one empty row group, no statistics) yields
+    n_rows=0 with null min/max — not a loud stats error."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.sources.footers import footer_stats
+
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"k": pa.array([], pa.int64())}), p)
+    r = footer_stats([("t", p, "k")]).take_all()[0]
+    assert (r["n_rows"], r["key_min"], r["key_max"]) == (0, None, None)
+
+
+def test_partial_group_agg_min_max_skip_nulls(ray_session):
+    """min/max partials ignore NULLs (SQL semantics) and an all-null
+    group reduces to null instead of crashing on the NaN float view."""
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "b", "c"]),
+        "v": pa.array([None, 5, 7, None, None], pa.int64()),
+    })
+    out = (
+        agg.partial_group_agg(
+            rd.from_arrow(t).repartition(3), keys=["g"],
+            min_cols=["v"], max_cols=["v"], count_as="n",
+        )
+        .to_pandas()
+        .sort_values("g")
+    )
+    assert out["min_v"].tolist()[0:2] == [5, 7]
+    assert pd.isna(out["min_v"].tolist()[2])
+    assert out["max_v"].tolist()[0:2] == [5, 7]
+    assert out["n"].tolist() == [2, 2, 1]
