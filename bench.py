@@ -163,6 +163,18 @@ def bench_token_topk():
     return token_topk(ds, "text", k=50).count()
 
 
+def bench_bigram_lift():
+    """Top collocations by integer lift: bigram partials (Zipf-collapsed)
+    → bounded top-k → one more pass for candidate unigram counts +
+    totals against the broadcast candidate set."""
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages.text import bigram_lift
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["text"])
+    return bigram_lift(ds, "text", k=30, min_n=3).num_rows
+
+
 def bench_hll_distinct():
     """HLL approximate distinct texts: one 4 KiB register row per block
     reaches the driver regardless of corpus size."""
@@ -458,6 +470,7 @@ BENCHES = {
     "lineitem_agg": bench_lineitem_agg,
     "hash_join": bench_hash_join,
     "token_topk": bench_token_topk,
+    "bigram_lift": bench_bigram_lift,
     "hll_distinct": bench_hll_distinct,
     "quantiles": bench_quantiles,
     "embed_neardup": bench_embed_neardup,

@@ -493,6 +493,7 @@ def bigram_lift(
     text_col: str = "text",
     k: int = 30,
     min_n: int = 2,
+    batch_size: int = 32768,
 ):
     """Top-k collocations by exact integer LIFT (the PMI numerator in
     ratio form): ``lift_ppm = floor(n_ab · T_uni² · 10⁶ /
@@ -528,9 +529,17 @@ def bigram_lift(
             ("lift_ppm", pa.int64()),
         ]
     )
+    # LARGE partial batches are the whole ballgame here: bigram vocab
+    # per batch saturates toward the corpus-distinct count, so at the
+    # default ~1k-row batches the per-batch value-counts collapse does
+    # NOTHING (measured 24.4M partial rows from 24.4M bigrams at 600k
+    # pages) while 32k-row batches collapse 3.3× and cut the exchange
+    # from ~12 s to ~3.7 s on the same corpus.
     bi = partial_group_agg(
         ds.map_batches(
-            lambda t: bigram_value_counts(t, text_col), batch_format="pyarrow"
+            lambda t: bigram_value_counts(t, text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
         ),
         keys=["w1", "w2"],
         sum_cols=["n"],
@@ -607,7 +616,9 @@ def bigram_lift(
 
     rows = pa.concat_tables(
         _ray.get(
-            ds.map_batches(_uni_partial, batch_format="pyarrow").to_arrow_refs()
+            ds.map_batches(
+                _uni_partial, batch_format="pyarrow", batch_size=batch_size
+            ).to_arrow_refs()
         )
     ).combine_chunks()
     t_uni = int(pc.sum(rows["tot"]).as_py() or 0)
