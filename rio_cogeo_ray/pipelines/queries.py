@@ -1932,6 +1932,55 @@ def q_lineitem_rollup(sf_dir: str):
     return pa.concat_tables(levels)
 
 
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE from ONE distributed shuffle (stages/agg.py:
+    grouping_sets_agg): the leaf (returnflag × linestatus) aggregate is
+    the only corpus pass; all four grouping sets are exact driver-side
+    re-reductions of that bounded leaf table — the rollup doctrine
+    generalized to arbitrary grouping sets."""
+    leaf_ds = q_lineitem_stats(sf_dir)
+    leaf = pa.Table.from_pylist(
+        leaf_ds.take_all(),
+        schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.int64()),
+                ("min_l_extendedprice", pa.float64()),
+                ("max_l_extendedprice", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    return agg.grouping_sets_agg(
+        leaf,
+        keys=["l_returnflag", "l_linestatus"],
+        sets=[
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag"],
+            ["l_linestatus"],
+            [],
+        ],
+        specs=[
+            ("sum_qty", "sum"),
+            ("min_l_extendedprice", "min"),
+            ("max_l_extendedprice", "max"),
+            ("n", "sum"),
+        ],
+    )
+
+
+SQL_LINEITEM_CUBE = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "MIN(l_extendedprice) AS min_l_extendedprice, "
+    "MAX(l_extendedprice) AS max_l_extendedprice, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+)
+
+
 SQL_LINEITEM_ROLLUP = (
     "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
     "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
@@ -4358,6 +4407,7 @@ def queries() -> Dict[str, Callable]:
         "blocklist": q_blocklist,
         "footer_stats": q_footer_stats,
         "zorder_scan": q_zorder_scan,
+        "lineitem_cube": q_lineitem_cube,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4494,6 +4544,7 @@ def oracle_sql() -> Dict[str, str]:
         "blocklist": SQL_BLOCKLIST,
         "footer_stats": SQL_FOOTER_STATS,
         "zorder_scan": SQL_ZORDER_SCAN,
+        "lineitem_cube": SQL_LINEITEM_CUBE,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

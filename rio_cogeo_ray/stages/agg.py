@@ -348,3 +348,55 @@ def top_rows_by(
         lambda g: _topk_rows(g.drop_columns(["__bucket"]), keys, order_by, k),
         batch_format="pyarrow",
     )
+
+
+def grouping_sets_agg(
+    leaf: pa.Table,
+    keys: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    specs: Sequence[Tuple[str, str]],
+    all_label: str = "ALL",
+) -> pa.Table:
+    """GROUPING SETS / CUBE over a BOUNDED leaf aggregate: ``leaf`` is
+    the finest-granularity result of the ONE distributed shuffle
+    (partial_group_agg over all ``keys``); every coarser grouping set
+    is an exact re-reduction of that small table on the driver — int64
+    sums of int64 leaf sums, min of leaf mins — so no second corpus
+    pass, no extra exchange, and every level stays order-independent.
+    This is the q_lineitem_rollup doctrine generalized to arbitrary
+    grouping sets (CUBE = all subsets). Rolled-up key columns surface
+    as ``all_label`` (keys must be strings; mirror with
+    ``COALESCE(col, 'ALL')`` + ``GROUP BY CUBE/GROUPING SETS``)."""
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise KeyError(f"grouping set {s} not a subset of keys: {unknown}")
+    measure_names = [c for c, _ in specs]
+    parts = []
+    for s in sets:
+        s = list(s)
+        if s:
+            g = leaf.group_by(s).aggregate(list(specs))
+            g = g.rename_columns(s + measure_names)
+        else:
+            g = pa.table(
+                {
+                    c: pa.array(
+                        [getattr(pc, op)(leaf[c]).as_py()],
+                        leaf.schema.field(c).type if op != "sum" else pa.int64(),
+                    )
+                    for c, op in specs
+                }
+            )
+        cols = {}
+        for k in keys:
+            cols[k] = (
+                g[k] if k in s else pa.array([all_label] * len(g), pa.string())
+            )
+        for c in measure_names:
+            cols[c] = g[c]
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)

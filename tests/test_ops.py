@@ -3334,3 +3334,52 @@ def test_partial_group_agg_min_max_skip_nulls(ray_session):
     assert pd.isna(out["min_v"].tolist()[2])
     assert out["max_v"].tolist()[0:2] == [5, 7]
     assert out["n"].tolist() == [2, 2, 1]
+
+
+def test_grouping_sets_agg_matches_pandas(ray_session):
+    """grouping_sets_agg: every grouping set re-reduced from the leaf
+    equals a fresh pandas aggregate over the raw rows."""
+    rng = np.random.default_rng(5)
+    raw = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "v": rng.integers(0, 100, 500),
+    })
+    leaf_pd = raw.groupby(["a", "b"], as_index=False).agg(
+        sum_v=("v", "sum"), min_v=("v", "min"), n=("v", "size")
+    )
+    leaf = pa.table({
+        "a": pa.array(leaf_pd["a"]), "b": pa.array(leaf_pd["b"]),
+        "sum_v": pa.array(leaf_pd["sum_v"], pa.int64()),
+        "min_v": pa.array(leaf_pd["min_v"], pa.int64()),
+        "n": pa.array(leaf_pd["n"], pa.int64()),
+    })
+    out = agg.grouping_sets_agg(
+        leaf, keys=["a", "b"],
+        sets=[["a", "b"], ["a"], ["b"], []],
+        specs=[("sum_v", "sum"), ("min_v", "min"), ("n", "sum")],
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+    def _want(by):
+        g = raw.groupby(by, as_index=False).agg(
+            sum_v=("v", "sum"), min_v=("v", "min"), n=("v", "size")
+        ) if by else pd.DataFrame({
+            "sum_v": [raw["v"].sum()], "min_v": [raw["v"].min()],
+            "n": [len(raw)],
+        })
+        for k in ("a", "b"):
+            if k not in g:
+                g[k] = "ALL"
+        return g[["a", "b", "sum_v", "min_v", "n"]]
+
+    want = (
+        pd.concat([_want(["a", "b"]), _want(["a"]), _want(["b"]), _want([])])
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"sum_v": "int64", "min_v": "int64", "n": "int64"}),
+        want.astype({"sum_v": "int64", "min_v": "int64", "n": "int64"}),
+    )
+
+    with pytest.raises(KeyError):
+        agg.grouping_sets_agg(leaf, ["a"], [["b"]], [("sum_v", "sum")])
