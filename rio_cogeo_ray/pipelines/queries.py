@@ -583,6 +583,46 @@ GROUP BY l_returnflag
 """
 
 
+def q_corpus_checksum(sf_dir: str):
+    """Order-independent exact corpus checksum (stages/sketch.py:
+    checksum_int): each row contributes knuth32(doc_id) · (n_chars + 1
+    + len(lang)); per-batch int64 partials, driver sums Python ints —
+    the one-pass corpus-equality audit (snapshot_diff says WHICH rows
+    changed; this says IF anything changed, in O(#blocks) driver
+    bytes)."""
+    import pyarrow.compute as pc
+
+    from rio_cogeo_ray.stages.sketch import checksum_int
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars", "lang"])
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        from rio_cogeo_ray.stages.sketch import knuth32
+
+        did = (
+            t["doc_id"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        h = pa.array(knuth32(did).astype(np.int64), pa.int64())
+        w = pc.add(
+            pc.add(
+                t["n_chars"].combine_chunks().cast(pa.int64()),
+                pa.scalar(1, pa.int64()),
+            ),
+            pc.utf8_length(t["lang"].combine_chunks()).cast(pa.int64()),
+        )
+        return pa.table({"c": pc.multiply_checked(h, w)})
+
+    return checksum_int(ds.map_batches(_contrib, batch_format="pyarrow"), "c")
+
+
+SQL_CORPUS_CHECKSUM = (
+    "SELECT CAST(SUM(((doc_id * 2654435761) % 4294967296)::HUGEINT "
+    "* (n_chars + 1 + length(lang))) % 9223372036854775807 AS BIGINT) "
+    "AS checksum, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents"
+)
+
+
 def q_footer_stats(sf_dir: str):
     """Whole-table COUNT/MIN/MAX served from parquet FOOTERS only
     (sources/footers.py): one metadata GET per file fanned out as a
@@ -4408,6 +4448,7 @@ def queries() -> Dict[str, Callable]:
         "footer_stats": q_footer_stats,
         "zorder_scan": q_zorder_scan,
         "lineitem_cube": q_lineitem_cube,
+        "corpus_checksum": q_corpus_checksum,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4545,6 +4586,7 @@ def oracle_sql() -> Dict[str, str]:
         "footer_stats": SQL_FOOTER_STATS,
         "zorder_scan": SQL_ZORDER_SCAN,
         "lineitem_cube": SQL_LINEITEM_CUBE,
+        "corpus_checksum": SQL_CORPUS_CHECKSUM,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

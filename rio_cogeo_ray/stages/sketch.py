@@ -917,3 +917,47 @@ def percentile_rank(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def checksum_int(ds, col: str, modulus: int = (1 << 63) - 1):
+    """Order- and partitioning-independent EXACT checksum of an int64
+    column: per-batch int64 partial sums (one tiny row per batch — the
+    driver never sees data rows) → arbitrary-precision Python-int sum →
+    one modulo at the very end. Addition is commutative, so any
+    parallelism / any block order / any resume produces the identical
+    checksum — the cheap corpus-equality audit that complements
+    queries' snapshot_diff (which tells you WHICH rows changed; this
+    tells you IF anything changed, in one streaming pass and O(#blocks)
+    driver bytes).
+
+    Contract: each BATCH's sum must fit int64 (values ≤ ~2^45 at 64k
+    rows — derive the column as a bounded hash expression); the
+    cross-batch total is exact at any corpus size because the driver
+    sums Python ints. Null values contribute nothing (SQL SUM
+    semantics); rows are counted regardless."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = pc.sum(t[col]).as_py()
+        return pa.table(
+            {
+                "s": pa.array([int(s or 0)], pa.int64()),
+                "n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    rows = pa.concat_tables(
+        _ray.get(
+            ds.map_batches(_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    total = sum(int(x) for x in rows["s"].to_pylist())
+    n = sum(int(x) for x in rows["n"].to_pylist())
+    return pa.table(
+        {
+            "checksum": pa.array([total % modulus], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )

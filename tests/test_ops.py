@@ -3383,3 +3383,28 @@ def test_grouping_sets_agg_matches_pandas(ray_session):
 
     with pytest.raises(KeyError):
         agg.grouping_sets_agg(leaf, ["a"], [["b"]], [("sum_v", "sum")])
+
+
+def test_checksum_int_partition_invariant(ray_session):
+    """checksum_int: identical at any partitioning / order; detects a
+    single-row change; counts nulls as rows but not as value."""
+    from rio_cogeo_ray.stages.sketch import checksum_int
+
+    v = np.arange(1, 2001, dtype=np.int64) * 7919
+    t = pa.table({"c": pa.array(v, pa.int64())})
+    a = checksum_int(rd.from_arrow(t).repartition(1), "c").to_pydict()
+    b = checksum_int(
+        rd.from_arrow(t.take(pa.array(np.random.default_rng(0).permutation(2000)))).repartition(13),
+        "c",
+    ).to_pydict()
+    assert a == b
+    assert a["checksum"][0] == int(v.sum()) % ((1 << 63) - 1)
+    assert a["n_rows"][0] == 2000
+
+    v2 = v.copy(); v2[777] += 1
+    c = checksum_int(rd.from_arrow(pa.table({"c": pa.array(v2, pa.int64())})), "c").to_pydict()
+    assert c["checksum"][0] != a["checksum"][0]
+
+    withnull = pa.table({"c": pa.array([5, None, 7], pa.int64())})
+    d = checksum_int(rd.from_arrow(withnull), "c").to_pydict()
+    assert d == {"checksum": [12], "n_rows": [3]}
