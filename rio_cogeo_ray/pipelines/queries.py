@@ -583,6 +583,36 @@ GROUP BY l_returnflag
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase) with first-touch
+    strictly-after semantics (stages/window.py:funnel): one bucketed
+    exchange co-locates each user's events; per bucket the whole
+    multi-user funnel is 3 vectorized masked-reduceat passes."""
+    ev = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_type"],
+    )
+    return window.funnel(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT s1.user_id,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+            AS BIGINT) AS stages
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_corpus_checksum(sf_dir: str):
     """Order-independent exact corpus checksum (stages/sketch.py:
     checksum_int): each row contributes knuth32(doc_id) · (n_chars + 1
@@ -4449,6 +4479,7 @@ def queries() -> Dict[str, Callable]:
         "zorder_scan": q_zorder_scan,
         "lineitem_cube": q_lineitem_cube,
         "corpus_checksum": q_corpus_checksum,
+        "funnel": q_funnel,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4587,6 +4618,7 @@ def oracle_sql() -> Dict[str, str]:
         "zorder_scan": SQL_ZORDER_SCAN,
         "lineitem_cube": SQL_LINEITEM_CUBE,
         "corpus_checksum": SQL_CORPUS_CHECKSUM,
+        "funnel": SQL_FUNNEL,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -498,3 +498,95 @@ def decayed_sum(
         .groupby("__bucket")
         .map_groups(_decay_bucket, batch_format="pyarrow")
     )
+
+
+def funnel(
+    ds,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Ordered funnel analysis (view → cart → purchase): per user,
+    stage k is reached iff an event of type ``steps[k]`` occurs
+    STRICTLY AFTER the time stage k−1 was reached, with first-touch
+    semantics (each stage time is the minimal one satisfying the
+    chain). Returns (user, stages) for users who reached stage 1.
+
+    Partitioning: ONE bucketed exchange co-locates each user's events
+    (``hash(user) % n_buckets``, the sessionize contract); inside a
+    bucket the whole multi-user funnel is ``len(steps)`` vectorized
+    masked minimum.reduceat passes over the user segments — Python
+    cost O(n_buckets · len(steps)), never per user. Unreached stages
+    propagate as an int64 +inf sentinel, so a broken chain can never
+    resurrect at a later stage. SQL mirror: chained
+    ``JOIN … WHERE ts > t_prev GROUP BY user`` CTEs."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    _SENTINEL = np.iinfo(np.int64).max
+
+    def _cast(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                user_col: u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                type_col: t[type_col].combine_chunks().cast(pa.string()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            user_col: pa.array([], pa.int64()),
+            "stages": pa.array([], pa.int64()),
+        }
+    )
+
+    def _funnel_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(g) == 0:
+            return empty
+        g = g.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        u = g[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = g[type_col].combine_chunks()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        reached = np.zeros(len(starts), dtype=np.int64)
+        prev_time = np.full(len(starts), -(1 << 62), dtype=np.int64)
+        for s in steps:
+            is_step = pc.equal(ty, s).to_numpy(zero_copy_only=False)
+            mask = is_step & (ts > prev_time[seg])
+            masked = np.where(mask, ts, _SENTINEL)
+            step_time = np.minimum.reduceat(masked, starts)
+            hit = step_time < _SENTINEL
+            reached += hit.astype(np.int64)
+            prev_time = np.where(hit, step_time, _SENTINEL)
+        keep = reached >= 1
+        return pa.table(
+            {
+                user_col: pa.array(u[starts][keep], pa.int64()),
+                "stages": pa.array(reached[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_cast, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _funnel_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -3408,3 +3408,38 @@ def test_checksum_int_partition_invariant(ray_session):
     withnull = pa.table({"c": pa.array([5, None, 7], pa.int64())})
     d = checksum_int(rd.from_arrow(withnull), "c").to_pydict()
     assert d == {"checksum": [12], "n_rows": [3]}
+
+
+def test_funnel_strict_order_semantics(ray_session):
+    """funnel: stages count only strictly-after events (equal-ts ties
+    do NOT advance), broken chains stop, first-touch picks the minimal
+    chain, users without stage 1 are absent."""
+    rows = [
+        # u1: full funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE view -> only stage 1 (view at 50, no click after)
+        (2, 40, "click"), (2, 50, "view"),
+        # u3: click at SAME ts as view -> tie does not advance
+        (3, 10, "view"), (3, 10, "click"),
+        # u4: no view at all -> absent
+        (4, 10, "click"), (4, 20, "purchase"),
+        # u5: first-touch - the earliest view (5) chains to click 7;
+        # purchase at 6 predates click -> 2 stages
+        (5, 5, "view"), (5, 7, "click"), (5, 6, "purchase"),
+        # u6: later view would chain further, but first-touch is strict:
+        # view 10, click 5 (before) -> 1 stage even though view 3 exists? no:
+        # min view is 3, click 5 after it, purchase 4 before click -> 2
+        (6, 3, "view"), (6, 10, "view"), (6, 5, "click"), (6, 4, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = dict(
+        (r["user_id"], r["stages"])
+        for r in window.funnel(
+            rd.from_arrow(t).repartition(4), ["view", "click", "purchase"]
+        ).take_all()
+    )
+    assert got == {1: 3, 2: 1, 3: 1, 5: 2, 6: 2}
