@@ -583,6 +583,26 @@ GROUP BY l_returnflag
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention (stages/window.py:cohort_retention):
+    batches collapse to distinct (user, week) pairs map-side, ONE
+    user-keyed exchange, per-bucket vectorized cohort/offset counts,
+    tiny final merge over the bounded retention matrix."""
+    ev = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts"])
+    return window.cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM p GROUP BY user_id)
+SELECT c.cohort AS cohort_week, p.wk - c.cohort AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase) with first-touch
     strictly-after semantics (stages/window.py:funnel): one bucketed
@@ -4480,6 +4500,7 @@ def queries() -> Dict[str, Callable]:
         "lineitem_cube": q_lineitem_cube,
         "corpus_checksum": q_corpus_checksum,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4619,6 +4640,7 @@ def oracle_sql() -> Dict[str, str]:
         "lineitem_cube": SQL_LINEITEM_CUBE,
         "corpus_checksum": SQL_CORPUS_CHECKSUM,
         "funnel": SQL_FUNNEL,
+        "cohort_retention": SQL_COHORT_RETENTION,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -3443,3 +3443,39 @@ def test_funnel_strict_order_semantics(ray_session):
         ).take_all()
     )
     assert got == {1: 3, 2: 1, 3: 1, 5: 2, 6: 2}
+
+
+def test_cohort_retention_vs_pandas(ray_session):
+    """cohort_retention: matches a pandas distinct-pair oracle,
+    invariant to partitioning, counts users not events."""
+    rng = np.random.default_rng(9)
+    n = 3000
+    users = rng.integers(0, 120, n)
+    weeks = rng.integers(2800, 2812, n)
+    ts = weeks * 604800000000 + rng.integers(0, 604800000000, n)
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+    })
+    got = (
+        window.cohort_retention(rd.from_arrow(t).repartition(7))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"u": users, "w": weeks}).drop_duplicates()
+    coh = df.groupby("u")["w"].min().rename("cohort")
+    j = df.join(coh, on="u")
+    j["off"] = j["w"] - j["cohort"]
+    want = (
+        j.groupby(["cohort", "off"]).size().rename("active_users").reset_index()
+        .sort_values(["cohort", "off"]).reset_index(drop=True)
+    )
+    assert got["cohort_week"].tolist() == want["cohort"].tolist()
+    assert got["week_offset"].tolist() == want["off"].tolist()
+    assert got["active_users"].tolist() == want["active_users"].tolist()
+    # offset 0 of each cohort == cohort size
+    sizes = coh.value_counts()
+    z = got[got["week_offset"] == 0].set_index("cohort_week")["active_users"]
+    for cw, cnt in sizes.items():
+        assert z[cw] == cnt
