@@ -4145,6 +4145,52 @@ SELECT host, doc_id, n_chars FROM r WHERE rn <= {HOST_CAP_K}
 """
 
 
+LANG_BALANCE_CAP = 60
+
+
+def q_lang_balance(sf_dir: str):
+    """Balanced per-language downsampling (corpus balancing for
+    multilingual training mixes): keep at most CAP docs per lang,
+    chosen by the deterministic knuth32(doc_id) pseudo-random order
+    (doc_id tie-break) so the subsample is unbiased, reproducible, and
+    identical at any parallelism. Same associative top-k machinery as
+    host_cap — each batch forwards ≤CAP candidates per lang, the raw
+    corpus never shuffles."""
+    from rio_cogeo_ray.stages.agg import top_rows_by
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def _h(t: pa.Table) -> pa.Table:
+        d = (
+            t["doc_id"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return t.append_column(
+            "h", pa.array(knuth32(d).astype(np.int64), pa.int64())
+        )
+
+    capped = top_rows_by(
+        ds.map_batches(_h, batch_format="pyarrow"),
+        keys=["lang"],
+        order_by=[("h", "ascending"), ("doc_id", "ascending")],
+        k=LANG_BALANCE_CAP,
+    )
+    return capped.map_batches(
+        lambda t: t.select(["lang", "doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LANG_BALANCE = f"""
+WITH d AS (SELECT lang, doc_id, n_chars,
+           (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+r AS (SELECT lang, doc_id, n_chars,
+      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d)
+SELECT lang, doc_id, n_chars FROM r WHERE rn <= {LANG_BALANCE_CAP}
+"""
+
+
 def q_normalize(sf_dir: str):
     """Corpus text normalization (stages/text.py: normalize_text):
     lowercase + whitespace collapse + trim — the pre-hash/pre-shingle
@@ -4501,6 +4547,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_checksum": q_corpus_checksum,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "lang_balance": q_lang_balance,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4641,6 +4688,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_checksum": SQL_CORPUS_CHECKSUM,
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
+        "lang_balance": SQL_LANG_BALANCE,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -3479,3 +3479,16 @@ def test_cohort_retention_vs_pandas(ray_session):
     z = got[got["week_offset"] == 0].set_index("cohort_week")["active_users"]
     for cw, cnt in sizes.items():
         assert z[cw] == cnt
+
+
+def test_lang_balance_cap_and_determinism(ray_session):
+    """q_lang_balance: per-lang cap enforced, selection identical under
+    any partitioning (hash order, not arrival order)."""
+    from rio_cogeo_ray.pipelines.queries import LANG_BALANCE_CAP, q_lang_balance
+
+    a = q_lang_balance("/root/testdata/sf0.001").to_pandas()
+    counts = a.groupby("lang").size()
+    assert (counts <= LANG_BALANCE_CAP).all()
+    b = q_lang_balance("/root/testdata/sf0.001").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["lang", "doc_id"]].values.tolist()))
+    assert key(a) == key(b)
