@@ -3595,6 +3595,45 @@ def _text_index_dir(sf_dir: str) -> str:
     return idx_dir
 
 
+PHRASE_TERMS = ("value", "table", "part")
+
+
+def _pos_index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the POSITIONAL text index for this sf_dir."""
+    import hashlib
+
+    from rio_cogeo_ray.stages import search
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    tag = hashlib.sha256(
+        f"pos:{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/rcr_posindex/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, search.MANIFEST)):
+        search.build_positional_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
+    return idx_dir
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact PHRASE query over the positional inverted index
+    (stages/search.py: phrase_search): probes only the phrase terms'
+    shards, routes the candidate postings by hash(doc), and verifies
+    token adjacency per bucket vectorized (every occurrence of slot i
+    at position p votes for alignment base p−i; a doc matches iff some
+    base collects all slots)."""
+    from rio_cogeo_ray.stages import search
+
+    return search.phrase_search(_pos_index_dir(sf_dir), list(PHRASE_TERMS))
+
+
+SQL_PHRASE_SEARCH = rf"""
+SELECT doc_id FROM documents
+WHERE ' ' || array_to_string(regexp_extract_all(text, '\S+'), ' ') || ' '
+      LIKE '% {' '.join(PHRASE_TERMS)} %'
+"""
+
+
 def q_bm25_rank(sf_dir: str):
     """BM25 ranked retrieval (stages/search.py: bm25_search) over the
     shard-pruned inverted index: idf from matched-posting df, doc
@@ -4548,6 +4587,7 @@ def queries() -> Dict[str, Callable]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "lang_balance": q_lang_balance,
+        "phrase_search": q_phrase_search,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4689,6 +4729,7 @@ def oracle_sql() -> Dict[str, str]:
         "funnel": SQL_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "lang_balance": SQL_LANG_BALANCE,
+        "phrase_search": SQL_PHRASE_SEARCH,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -309,3 +309,163 @@ def bm25_search(
     ).rename_columns([id_col, "score_ppm"])
     res = res.sort_by([("score_ppm", "descending"), (id_col, "ascending")])
     return res.slice(0, k)
+
+
+def build_positional_index(
+    ds,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> str:
+    """Positional inverted index for PHRASE queries: postings are
+    (th, doc_id, pos) — one row per token OCCURRENCE (word position
+    within the doc), partitioned by ``shard = th % n_shards`` like the
+    boolean index. Build is the same ONE pure-map pass + partitioned
+    write (no shuffle); the index is larger than the boolean one (one
+    row per token, not per distinct (term, doc)) — that is the
+    standard positional-index trade, paid at build time so phrase
+    queries stay probe-only."""
+    import polars as pl
+
+    from rio_cogeo_ray.stages.text import _tokenize_with_positions
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "th": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            }
+        )
+        toks, row, wpos = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) == 0:
+            return empty
+        th = (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        ids = (
+            batch[id_col].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "th": pa.array(th, pa.int64()),
+                id_col: pa.array(ids[row], pa.int64()),
+                "pos": pa.array(wpos, pa.int64()),
+                "shard": pa.array(
+                    (th.view(np.uint64) % np.uint64(n_shards)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    post_dir = os.path.join(index_dir, "postings")
+    tmp_dir = os.path.join(index_dir, ".postings.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.map_batches(_postings, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["shard"]
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    shutil.rmtree(post_dir, ignore_errors=True)
+    os.replace(tmp_dir, post_dir)
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        json.dump(
+            {"n_shards": n_shards, "id_col": id_col, "positional": True}, f
+        )
+    return index_dir
+
+
+def phrase_search(index_dir: str, phrase: Sequence[str], n_buckets: int = 16):
+    """Exact phrase query over a :func:`build_positional_index` layout
+    — token adjacency, the retrieval op booleans can't express. Reads
+    ONLY the shards the phrase's distinct terms hash into with a
+    pushed-down ``th ∈ terms`` filter, routes the probed postings by
+    ``hash(doc)`` (ONE bounded exchange over candidate postings, never
+    the corpus), and verifies adjacency per bucket fully vectorized:
+    every occurrence of phrase term i at position p votes for
+    alignment base p−i, and a doc matches iff some base collects all
+    len(phrase) distinct term slots. Returns a Dataset of matching doc
+    ids. Token-hash collision contract as the boolean index (a
+    collision can only ADD a candidate, and it must then align)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    phrase = list(phrase)
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    if not man.get("positional"):
+        raise ValueError(f"{index_dir} is not a positional index")
+    n_shards, id_col = man["n_shards"], man["id_col"]
+    k = len(phrase)
+    th = _term_hash(phrase)  # per slot, repeats allowed
+    uniq = np.unique(th)
+    shards = np.unique(uniq.view(np.uint64) % np.uint64(n_shards))
+    files: List[str] = []
+    for s in shards:
+        sdir = os.path.join(index_dir, "postings", f"shard={int(s)}")
+        if os.path.isdir(sdir):
+            files.extend(
+                os.path.join(sdir, f)
+                for f in sorted(os.listdir(sdir))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+    flt = pads.field("th").isin([int(v) for v in uniq])
+    hits = rd.read_parquet(files, columns=["th", id_col, "pos"], filter=flt)
+    # slot table: term hash -> phrase positions it occupies (repeats ok)
+    slot_th = th.astype(np.int64)
+    slot_i = np.arange(k, dtype=np.int64)
+
+    def _route(t: pa.Table) -> pa.Table:
+        d = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (splitmix64(d.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _verify(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        gth = g["th"].combine_chunks().to_numpy(zero_copy_only=False)
+        gd = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        gp = g["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        # explode each occurrence into every phrase slot its term fills
+        rows = []
+        for i in range(k):
+            m = gth == slot_th[i]
+            if not m.any():
+                return empty  # a slot with zero occurrences kills all
+            base = gp[m] - slot_i[i]
+            ok = base >= 0
+            rows.append(
+                np.column_stack(
+                    (gd[m][ok], base[ok], np.full(int(ok.sum()), i, np.int64))
+                )
+            )
+        tri = np.unique(np.concatenate(rows), axis=0)  # distinct (d, b, i)
+        key = tri[:, 0] * np.int64(1 << 22) + tri[:, 1]  # pos < 2^22
+        uk, cnt = np.unique(key, return_counts=True)
+        hit_docs = np.unique((uk >> 22)[cnt == k])
+        return pa.table({id_col: pa.array(hit_docs, pa.int64())})
+
+    return (
+        hits.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _verify(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -3492,3 +3492,42 @@ def test_lang_balance_cap_and_determinism(ray_session):
     b = q_lang_balance("/root/testdata/sf0.001").to_pandas()
     key = lambda df: sorted(map(tuple, df[["lang", "doc_id"]].values.tolist()))
     assert key(a) == key(b)
+
+
+def test_phrase_search_adjacency(ray_session, tmp_path):
+    """phrase_search: exact token adjacency incl. repeated phrase terms,
+    phrase at doc start/end, across-boundary non-matches, vs a python
+    substring-of-tokens oracle."""
+    from rio_cogeo_ray.stages import search
+
+    docs = [
+        (0, "the cat sat on the mat"),          # "the cat" yes
+        (1, "cat the cat the cat"),             # "the cat the" yes (repeat slots)
+        (2, "the dog cat"),                     # "the cat" no (not adjacent)
+        (3, "the cat"),                         # exact doc == phrase
+        (4, "x the cat"),                       # at end
+        (5, ""),
+        (6, "cat the"),                         # reversed -> no
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([s for _, s in docs], pa.string()),
+    })
+    idx = str(tmp_path / "pos")
+    search.build_positional_index(rd.from_arrow(t).repartition(3), idx)
+
+    def oracle(phrase):
+        out = []
+        for d, s in docs:
+            toks = s.split()
+            k = len(phrase)
+            if any(toks[i:i + k] == phrase for i in range(len(toks) - k + 1)):
+                out.append(d)
+        return sorted(out)
+
+    for phrase in (["the", "cat"], ["the", "cat", "the"], ["cat"],
+                   ["mat", "the"], ["nosuchword", "cat"]):
+        got = sorted(
+            r["doc_id"] for r in search.phrase_search(idx, phrase).take_all()
+        )
+        assert got == oracle(phrase), phrase
