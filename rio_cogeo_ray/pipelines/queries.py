@@ -583,6 +583,44 @@ GROUP BY l_returnflag
 """
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured side-data aggregate (functions/jsonx.py): the
+    flat-JSON ``props`` payload's integer field extracts in ONE RE2
+    pass (no per-row json.loads), then the standard partial→final
+    grouped aggregate. Oracle uses DuckDB's NATIVE ->> JSON operator,
+    so the regex kernel is held to real JSON semantics."""
+    from rio_cogeo_ray.functions import jsonx
+
+    ev = _read(os.path.join(sf_dir, "events.parquet"), ["event_type", "props"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": jsonx.extract_int(t["props"], "k"),
+            }
+        )
+
+    return agg.partial_group_agg(
+        ev.map_batches(_k, batch_format="pyarrow"),
+        keys=["event_type"],
+        sum_cols=["k"],
+        min_cols=["k"],
+        max_cols=["k"],
+        count_as="n",
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention (stages/window.py:cohort_retention):
     batches collapse to distinct (user, week) pairs map-side, ONE
@@ -4588,6 +4626,7 @@ def queries() -> Dict[str, Callable]:
         "cohort_retention": q_cohort_retention,
         "lang_balance": q_lang_balance,
         "phrase_search": q_phrase_search,
+        "props_stats": q_props_stats,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4730,6 +4769,7 @@ def oracle_sql() -> Dict[str, str]:
         "cohort_retention": SQL_COHORT_RETENTION,
         "lang_balance": SQL_LANG_BALANCE,
         "phrase_search": SQL_PHRASE_SEARCH,
+        "props_stats": SQL_PROPS_STATS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

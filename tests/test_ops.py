@@ -3531,3 +3531,27 @@ def test_phrase_search_adjacency(ray_session, tmp_path):
             r["doc_id"] for r in search.phrase_search(idx, phrase).take_all()
         )
         assert got == oracle(phrase), phrase
+
+
+def test_jsonx_extract_kernels():
+    """jsonx: int/str extraction over flat JSON, null on absent key,
+    non-integer value, or null row; keys regex-escaped."""
+    from rio_cogeo_ray.functions import jsonx
+
+    arr = pa.array(
+        [
+            '{"k": 87}',
+            '{"k": -3, "m": 1}',
+            '{"m": 5}',           # absent
+            '{"k": "text"}',      # not an int
+            None,
+            '{"a.b": 9}',         # key needing escape
+            '{"s": "hi"}',
+        ],
+        pa.string(),
+    )
+    assert jsonx.extract_int(arr, "k").to_pylist() == [87, -3, None, None, None, None, None]
+    assert jsonx.extract_int(arr, "a.b").to_pylist() == [None, None, None, None, None, 9, None]
+    # "a.b" must NOT match '{"axb": 9}' (dot escaped)
+    assert jsonx.extract_int(pa.array(['{"axb": 9}']), "a.b").to_pylist() == [None]
+    assert jsonx.extract_str(arr, "s").to_pylist() == [None, None, None, None, None, None, "hi"]
