@@ -583,6 +583,39 @@ GROUP BY l_returnflag
 """
 
 
+def q_incr_agg(sf_dir: str):
+    """Incremental aggregate maintenance (stages/agg.py:
+    combine_aggregates — the materialized-view merge): a 'prior
+    snapshot' aggregate (doc_id < median split) combines with the
+    'new crawl' delta aggregate into the aggregate of the union — no
+    corpus rescan, cost O(aggregate rows). The oracle is simply the
+    full-corpus aggregate, so the merge is held to exactness."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    cut = 250  # deterministic split: 'yesterday' vs 'today'
+    prior = agg.partial_group_agg(
+        ds.filter(expr=f"doc_id < {cut}"),
+        keys=["lang"], sum_cols=["n_chars"], min_cols=["doc_id"],
+        max_cols=["doc_id"], count_as="n",
+    )
+    delta = agg.partial_group_agg(
+        ds.filter(expr=f"doc_id >= {cut}"),
+        keys=["lang"], sum_cols=["n_chars"], min_cols=["doc_id"],
+        max_cols=["doc_id"], count_as="n",
+    )
+    return agg.combine_aggregates(
+        [prior, delta],
+        keys=["lang"], sum_cols=["n_chars"], min_cols=["doc_id"],
+        max_cols=["doc_id"], count_as="n",
+    )
+
+
+SQL_INCR_AGG = (
+    "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+)
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured side-data aggregate (functions/jsonx.py): the
     flat-JSON ``props`` payload's integer field extracts in ONE RE2
@@ -4627,6 +4660,7 @@ def queries() -> Dict[str, Callable]:
         "lang_balance": q_lang_balance,
         "phrase_search": q_phrase_search,
         "props_stats": q_props_stats,
+        "incr_agg": q_incr_agg,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4770,6 +4804,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_balance": SQL_LANG_BALANCE,
         "phrase_search": SQL_PHRASE_SEARCH,
         "props_stats": SQL_PROPS_STATS,
+        "incr_agg": SQL_INCR_AGG,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

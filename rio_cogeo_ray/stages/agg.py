@@ -400,3 +400,47 @@ def grouping_sets_agg(
             cols[c] = g[c]
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
+
+
+def combine_aggregates(
+    agg_dses,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_as: Optional[str] = "n",
+    n_buckets: int = 64,
+):
+    """Incremental aggregate maintenance (the materialized-view merge):
+    combine ALREADY-AGGREGATED tables — yesterday's persisted groupby
+    result plus today's delta aggregate — into the aggregate of the
+    union WITHOUT rescanning either input corpus. Sound because every
+    partial_group_agg measure is associative and self-mergeable
+    (int64 sums re-sum, mins re-min, counts re-sum); inputs union as
+    Datasets and ride the standard bucketed merge, so the cost is
+    O(Σ aggregate rows), independent of the corpus sizes that produced
+    them. Inputs must share the partial_group_agg output schema
+    (``sum_<c>``/``min_<c>``/``max_<c>``/``<count_as>``)."""
+    keys = list(keys)
+    merge_specs: List[_Spec] = (
+        [(f"sum_{c}", f"sum_{c}", "sum") for c in sum_cols]
+        + [(f"min_{c}", f"min_{c}", "min") for c in min_cols]
+        + [(f"max_{c}", f"max_{c}", "max") for c in max_cols]
+        + ([(count_as, count_as, "sum")] if count_as else [])
+    )
+    ds = agg_dses[0]
+    for other in agg_dses[1:]:
+        ds = ds.union(other)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _reduce_table(g.drop_columns(["__bucket"]), keys, merge_specs),
+            batch_format="pyarrow",
+        )
+    )

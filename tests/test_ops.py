@@ -3555,3 +3555,35 @@ def test_jsonx_extract_kernels():
     # "a.b" must NOT match '{"axb": 9}' (dot escaped)
     assert jsonx.extract_int(pa.array(['{"axb": 9}']), "a.b").to_pylist() == [None]
     assert jsonx.extract_str(arr, "s").to_pylist() == [None, None, None, None, None, None, "hi"]
+
+
+def test_combine_aggregates_equals_full(ray_session):
+    """combine_aggregates: merging disjoint-split aggregates (and a
+    three-way split) equals the full aggregate; empty delta is a
+    no-op."""
+    rng = np.random.default_rng(13)
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], 900)),
+        "v": pa.array(rng.integers(0, 50, 900), pa.int64()),
+        "i": pa.array(np.arange(900), pa.int64()),
+    })
+    kw = dict(keys=["g"], sum_cols=["v"], min_cols=["i"], max_cols=["i"], count_as="n")
+    full = agg.partial_group_agg(rd.from_arrow(t), **kw).to_pandas().sort_values("g").reset_index(drop=True)
+
+    parts = [
+        agg.partial_group_agg(rd.from_arrow(t.slice(a, b - a)), **kw)
+        for a, b in ((0, 300), (300, 700), (700, 900))
+    ]
+    merged = (
+        agg.combine_aggregates(parts, **kw)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, full)
+
+    empty = rd.from_arrow(t.slice(0, 0))
+    e_agg = agg.partial_group_agg(empty, **kw)
+    merged2 = (
+        agg.combine_aggregates([parts[0], parts[1], parts[2], e_agg], **kw)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged2, full)
