@@ -948,13 +948,17 @@ def checksum_int(ds, col: str, modulus: int = (1 << 63) - 1):
             }
         )
 
-    rows = pa.concat_tables(
-        _ray.get(
+    blocks = [
+        b
+        for b in _ray.get(
             ds.map_batches(_partial, batch_format="pyarrow").to_arrow_refs()
         )
-    )
-    total = sum(int(x) for x in rows["s"].to_pylist())
-    n = sum(int(x) for x in rows["n"].to_pylist())
+        # an empty input yields schema-less zero-row blocks without the
+        # partial columns — they contribute nothing
+        if b.num_rows and "s" in b.column_names
+    ]
+    total = sum(int(x) for b in blocks for x in b["s"].to_pylist())
+    n = sum(int(x) for b in blocks for x in b["n"].to_pylist())
     return pa.table(
         {
             "checksum": pa.array([total % modulus], pa.int64()),
