@@ -583,6 +583,44 @@ GROUP BY l_returnflag
 """
 
 
+COPURCHASE_K = 25
+
+
+def q_copurchase(sf_dir: str):
+    """Frequent co-purchased part pairs (market-basket mining): parts
+    sharing ≥2 orders, top-25 by shared-order count. Pure reuse of the
+    EXACT set-overlap machinery (stages/dedup.py:ranking_overlap_join
+    — entity=part, item=order): one item-bucket pass generates
+    triangular pairs per order run, partial→final pair sums, filter,
+    bounded sort. Baskets are small so the per-run quadratic is
+    bounded by basket size, never corpus size."""
+    from rio_cogeo_ray.stages.dedup import ranking_overlap_join
+
+    li = _read(
+        os.path.join(sf_dir, "lineitem.parquet"), ["l_partkey", "l_orderkey"]
+    )
+    # distinct (part, order): a part may appear on several lines of one
+    # order and must count once
+    distinct = agg.partial_group_agg(
+        li, keys=["l_partkey", "l_orderkey"], count_as=None
+    )
+    pairs = ranking_overlap_join(
+        distinct, entity_col="l_partkey", item_col="l_orderkey", min_overlap=2
+    )
+    return pairs.sort(
+        ["overlap", "ua", "ub"], descending=[True, False, False]
+    ).limit(COPURCHASE_K)
+
+
+SQL_COPURCHASE = f"""
+WITH d AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem),
+pr AS (SELECT a.p AS ua, b.p AS ub, CAST(COUNT(*) AS BIGINT) AS overlap
+       FROM d a JOIN d b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+SELECT ua, ub, overlap FROM pr WHERE overlap >= 2
+ORDER BY overlap DESC, ua, ub LIMIT {COPURCHASE_K}
+"""
+
+
 def q_incr_agg(sf_dir: str):
     """Incremental aggregate maintenance (stages/agg.py:
     combine_aggregates — the materialized-view merge): a 'prior
@@ -4661,6 +4699,7 @@ def queries() -> Dict[str, Callable]:
         "phrase_search": q_phrase_search,
         "props_stats": q_props_stats,
         "incr_agg": q_incr_agg,
+        "copurchase": q_copurchase,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4805,6 +4844,7 @@ def oracle_sql() -> Dict[str, str]:
         "phrase_search": SQL_PHRASE_SEARCH,
         "props_stats": SQL_PROPS_STATS,
         "incr_agg": SQL_INCR_AGG,
+        "copurchase": SQL_COPURCHASE,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

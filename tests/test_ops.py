@@ -3587,3 +3587,29 @@ def test_combine_aggregates_equals_full(ray_session):
         .to_pandas().sort_values("g").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(merged2, full)
+
+
+def test_copurchase_vs_brute_force(ray_session):
+    """copurchase shape: ranking_overlap_join as market-basket pair
+    counter — duplicate lines inside one basket count once."""
+    from rio_cogeo_ray.stages.dedup import ranking_overlap_join
+
+    rows = [  # (part, order) with a duplicate line in order 1
+        (10, 1), (20, 1), (20, 1), (30, 1),
+        (10, 2), (20, 2),
+        (10, 3), (30, 3),
+        (40, 4),
+    ]
+    t = pa.table({
+        "p": pa.array([r[0] for r in rows], pa.int64()),
+        "o": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    distinct = agg.partial_group_agg(
+        rd.from_arrow(t).repartition(3), keys=["p", "o"], count_as=None
+    )
+    got = {
+        (r["ua"], r["ub"]): r["overlap"]
+        for r in ranking_overlap_join(distinct, "p", "o", min_overlap=2).take_all()
+    }
+    # (10,20) share orders 1,2; (10,30) share 1,3; others < 2
+    assert got == {(10, 20): 2, (10, 30): 2}
