@@ -547,16 +547,29 @@ def bigram_lift(
     ).map_batches(
         lambda t: t.rename_columns(["w1", "w2", "n"]), batch_format="pyarrow"
     )
-    bi = bi.filter(expr=f"n >= {int(min_n)}")
+    # top-k is an ASSOCIATIVE selection: each merged block keeps its
+    # local top-k (the global top-k rows each live in exactly one
+    # block), the driver sorts the ≤ blocks·k survivors — replacing
+    # the Dataset filter+sort stages, which cost ~5 s on a 351k-row
+    # merged table at 600k pages (an all-to-all for 30 rows)
+    def _local_top(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(min_n, pa.int64())))
+        if t.num_rows > k:
+            t = t.sort_by(
+                [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+            ).slice(0, k)
+        return t
+
     top = pa.concat_tables(
         _ray.get(
-            bi.sort(["n", "w1", "w2"], descending=[True, False, False])
-            .limit(k)
-            .to_arrow_refs()
+            bi.map_batches(_local_top, batch_format="pyarrow").to_arrow_refs()
         )
     ).combine_chunks()
     if top.num_rows == 0:
         return out_schema.empty_table()
+    top = top.sort_by(
+        [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+    ).slice(0, k)
 
     cand = pa.array(
         np.unique(
