@@ -692,6 +692,31 @@ FROM events GROUP BY event_type
 """
 
 
+TIME_BAND_US = 30 * 60 * 1_000_000
+
+
+def q_time_band_join(sf_dir: str):
+    """Stream-stream time-band self-join (stages/window.py:
+    time_band_join — the bounded Flink-style interval join): every
+    ordered same-user event pair within 30 min. One hash(user)
+    exchange; per bucket a collision-free monotone segment key turns
+    the whole multi-user band lookup into ONE vectorized searchsorted
+    pair + repeat/offset pair explode."""
+    ev = _read(
+        os.path.join(sf_dir, "events.parquet"), ["user_id", "ts", "event_id"]
+    )
+    return window.time_band_join(ev, TIME_BAND_US)
+
+
+SQL_TIME_BAND_JOIN = f"""
+SELECT a.user_id, a.event_id AS a_event, b.event_id AS b_event,
+       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {TIME_BAND_US}
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention (stages/window.py:cohort_retention):
     batches collapse to distinct (user, week) pairs map-side, ONE
@@ -4700,6 +4725,7 @@ def queries() -> Dict[str, Callable]:
         "props_stats": q_props_stats,
         "incr_agg": q_incr_agg,
         "copurchase": q_copurchase,
+        "time_band_join": q_time_band_join,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4845,6 +4871,7 @@ def oracle_sql() -> Dict[str, str]:
         "props_stats": SQL_PROPS_STATS,
         "incr_agg": SQL_INCR_AGG,
         "copurchase": SQL_COPURCHASE,
+        "time_band_join": SQL_TIME_BAND_JOIN,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -697,3 +697,105 @@ def cohort_retention(
         lambda t: t.rename_columns(["cohort_week", "week_offset", "active_users"]),
         batch_format="pyarrow",
     )
+
+
+def time_band_join(
+    ds,
+    delta_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Stream-stream TIME-BAND self-join: every ordered pair of events
+    of the same key with ``0 < ts_b − ts_a ≤ delta_us`` — the bounded
+    stream-stream join (Flink interval join) that asof_join (nearest
+    ONE match) and the broadcast interval join (static ranges) don't
+    cover. Returns (user, a_event, b_event, dt_us).
+
+    Partitioning: ONE hash(user) exchange; per bucket the whole
+    multi-user join is vectorized — rows sort by (user, ts, id), each
+    user segment maps onto a collision-free monotone key
+    ``seg·(span+Δ+1) + (ts − seg_start)`` so ONE global searchsorted
+    pair finds every row's band window (segment bleed impossible by
+    construction), and pairs explode via repeat/offset arithmetic.
+    Python cost O(n_buckets). Output volume is the true join size —
+    bounded by events-per-key × band density, the caller's Δ knob."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                user_col: u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            user_col: pa.array([], pa.int64()),
+            "a_event": pa.array([], pa.int64()),
+            "b_event": pa.array([], pa.int64()),
+            "dt_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def _band_bucket(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return empty
+        g = g.sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        u = g[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        idx = np.arange(len(g), dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        ts_local = ts - ts[seg_start]
+        span = np.int64(int(ts_local.max()) + int(delta_us) + 1)
+        if (int(seg.max()) + 1) * int(span) >= (1 << 63):
+            # monotone-key headroom: segments-per-bucket × (max key
+            # span + Δ) must fit int64 — raise n_buckets to shrink it
+            raise ValueError(
+                "time_band_join: bucket too dense for the monotone key "
+                f"(segments={int(seg.max()) + 1}, span={int(span)}); "
+                "increase n_buckets"
+            )
+        key = seg * span + ts_local
+        lo = np.searchsorted(key, key, side="right")
+        hi = np.searchsorted(key, key + np.int64(delta_us), side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(idx, cnt)
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        offs = np.arange(total, dtype=np.int64) - np.repeat(excl, cnt)
+        b_idx = np.repeat(lo, cnt) + offs
+        return pa.table(
+            {
+                user_col: pa.array(u[a_idx], pa.int64()),
+                "a_event": pa.array(eid[a_idx], pa.int64()),
+                "b_event": pa.array(eid[b_idx], pa.int64()),
+                "dt_us": pa.array(ts[b_idx] - ts[a_idx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_cast, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _band_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )

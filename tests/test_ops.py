@@ -3613,3 +3613,30 @@ def test_copurchase_vs_brute_force(ray_session):
     }
     # (10,20) share orders 1,2; (10,30) share 1,3; others < 2
     assert got == {(10, 20): 2, (10, 30): 2}
+
+
+def test_time_band_join_vs_pandas(ray_session):
+    """time_band_join: exact pair set vs a brute-force pandas oracle,
+    strict lower bound (equal-ts pairs excluded), per-user isolation."""
+    rng = np.random.default_rng(21)
+    n = 800
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    D = 500
+    got = sorted(
+        (r["user_id"], r["a_event"], r["b_event"], r["dt_us"])
+        for r in window.time_band_join(
+            rd.from_arrow(t).repartition(5), D
+        ).take_all()
+    )
+    df = t.to_pandas()
+    want = sorted(
+        (int(a.user_id), int(a.event_id), int(b.event_id), int(b.ts - a.ts))
+        for _, a in df.iterrows()
+        for _, b in df[df.user_id == a.user_id].iterrows()
+        if 0 < b.ts - a.ts <= D
+    )
+    assert got == want
