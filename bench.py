@@ -408,18 +408,18 @@ def bench_dsir():
             out["lang"] = t["lang"]
         return pa.table(out)
 
-    raw = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
-        _pid, batch_format="pyarrow"
-    )
-    tgt = (
+    raw = (
         rd.read_parquet(PAGES_DIR, columns=["url", "text", "lang"])
         .map_batches(_pid, batch_format="pyarrow")
         .map_batches(
-            lambda t: t.filter(pc.equal(t["lang"], "en")).select(["pid", "text"]),
+            lambda t: t.append_column("is_en", pc.equal(t["lang"], "en"))
+            .select(["pid", "text", "is_en"]),
             batch_format="pyarrow",
         )
     )
-    return text_mod.dsir_score(raw, tgt, id_col="pid").count()
+    # fused dual-count path: one tokenize pass + ONE vocab shuffle
+    # counts both the raw and the en-target unigram models
+    return text_mod.dsir_score(raw, id_col="pid", target_mask_col="is_en").count()
 
 
 def bench_text_index():

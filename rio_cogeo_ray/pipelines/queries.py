@@ -4117,12 +4117,21 @@ def q_dsir(sf_dir: str):
     hash-exact at any parallelism."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
 
-    def _en_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "text"])
+    def _mask(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "is_en": pc.equal(t["lang"], "en"),
+            }
+        )
 
-    tgt = ds.map_batches(_en_only, batch_format="pyarrow")
-    raw = _docs(sf_dir, ["doc_id", "text"])
-    return text.dsir_score(raw, tgt)
+    # fused path: target = mask-true subset ⇒ one tokenize pass and
+    # ONE vocab shuffle count both models (text.py:_hash_vocab_counts_dual)
+    return text.dsir_score(
+        ds.map_batches(_mask, batch_format="pyarrow"),
+        target_mask_col="is_en",
+    )
 
 
 SQL_DSIR = r"""

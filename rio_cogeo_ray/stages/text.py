@@ -1154,7 +1154,79 @@ def _hash_vocab_counts(ds, id_col: str, text_col: str):
     return th_v[order], cf_v[order]
 
 
-def dsir_score(raw_ds, target_ds, id_col: str = "doc_id", text_col: str = "text"):
+def _hash_vocab_counts_dual(ds, id_col: str, text_col: str, mask_col: str):
+    """One-pass variant of :func:`_hash_vocab_counts` for the common
+    DSIR case where the target corpus is a FILTERED SUBSET of the raw
+    corpus (e.g. the en-language slice): tokenize once, count each
+    token's raw occurrences AND its occurrences in mask-true rows in
+    the same per-batch collapse, one vocab-bounded shuffle total —
+    instead of tokenizing the corpus twice and shuffling two vocab
+    tables. Returns (th_sorted, cf_all, cf_masked)."""
+    import polars as pl
+
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "th": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "nm": pa.array([], pa.int64()),
+            }
+        )
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) == 0:
+            return empty
+        th = (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        m = (
+            pc.fill_null(batch[mask_col].combine_chunks().cast(pa.bool_()), False)
+            .to_numpy(zero_copy_only=False)
+        )
+        tok_m = m[row]
+        uniq, inv, cnt = np.unique(th, return_inverse=True, return_counts=True)
+        cnt_m = np.bincount(inv[tok_m], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "th": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "nm": pa.array(cnt_m, pa.int64()),
+            }
+        )
+
+    vocab = partial_group_agg(
+        ds.map_batches(_vocab_partial, batch_format="pyarrow"),
+        keys=["th"],
+        sum_cols=["n", "nm"],
+        count_as=None,
+    )
+    vt = pa.concat_tables(
+        _ray.get(vocab.to_arrow_refs()), promote_options="default"
+    ).combine_chunks()
+    z = np.zeros(0, dtype=np.int64)
+    if not vt.num_rows:
+        return z, z, z
+    th_v = vt["th"].to_numpy(zero_copy_only=False)
+    cf_v = vt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cm_v = vt["sum_nm"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(th_v)
+    return th_v[order], cf_v[order], cm_v[order]
+
+
+def dsir_score(
+    raw_ds,
+    target_ds=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_mask_col: str = None,
+):
     """DSIR hashed-unigram importance weight (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling",
     NeurIPS 2023) with an INTEGER-EXACT bit unit. Each token occurrence
@@ -1200,16 +1272,32 @@ def dsir_score(raw_ds, target_ds, id_col: str = "doc_id", text_col: str = "text"
         }
     )
 
-    th_r, cf_r = _hash_vocab_counts(raw_ds, id_col, text_col)
-    th_t, cf_t = _hash_vocab_counts(target_ds, id_col, text_col)
-    th_u = np.union1d(th_r, th_t)
-    v = len(th_u)
-    if v == 0:
-        return raw_ds.map_batches(lambda t: _EMPTY, batch_format="pyarrow")
-    cf_r_u = np.zeros(v, dtype=np.int64)
-    cf_r_u[np.searchsorted(th_u, th_r)] = cf_r
-    cf_t_u = np.zeros(v, dtype=np.int64)
-    cf_t_u[np.searchsorted(th_u, th_t)] = cf_t
+    if (target_ds is None) == (target_mask_col is None):
+        raise ValueError(
+            "dsir_score takes exactly one of target_ds (separate target "
+            "corpus) or target_mask_col (target = mask-true subset of raw)"
+        )
+    if target_mask_col is not None:
+        # fused path: target ⊆ raw ⇒ union vocab = raw vocab; one
+        # tokenize pass and ONE vocab shuffle count both models
+        th_u, cf_r_u, cf_t_u = _hash_vocab_counts_dual(
+            raw_ds, id_col, text_col, target_mask_col
+        )
+        v = len(th_u)
+        if v == 0:
+            return raw_ds.map_batches(lambda t: _EMPTY, batch_format="pyarrow")
+        cf_r, cf_t = cf_r_u, cf_t_u
+    else:
+        th_r, cf_r = _hash_vocab_counts(raw_ds, id_col, text_col)
+        th_t, cf_t = _hash_vocab_counts(target_ds, id_col, text_col)
+        th_u = np.union1d(th_r, th_t)
+        v = len(th_u)
+        if v == 0:
+            return raw_ds.map_batches(lambda t: _EMPTY, batch_format="pyarrow")
+        cf_r_u = np.zeros(v, dtype=np.int64)
+        cf_r_u[np.searchsorted(th_u, th_r)] = cf_r
+        cf_t_u = np.zeros(v, dtype=np.int64)
+        cf_t_u[np.searchsorted(th_u, th_t)] = cf_t
     n_r = int(cf_r.sum())
     n_t = int(cf_t.sum())
     # (N + V) // (cf + 1) >= 1 always (cf <= N, V >= 1), so floor-log2

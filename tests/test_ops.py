@@ -3640,3 +3640,35 @@ def test_time_band_join_vs_pandas(ray_session):
         if 0 < b.ts - a.ts <= D
     )
     assert got == want
+
+
+def test_dsir_fused_mask_path_equals_two_corpus_path(ray_session):
+    """dsir_score(target_mask_col=...) (one tokenize + one vocab
+    shuffle) returns bit-identical scores to the two-dataset path when
+    the target is the mask-true subset; exactly one target arg is
+    enforced."""
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 12)))) for _ in range(200)]
+    en = rng.random(200) < 0.4
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "is_en": pa.array(en),
+    })
+    fused = (
+        text.dsir_score(rd.from_arrow(t).repartition(4), target_mask_col="is_en")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    raw = rd.from_arrow(t.select(["doc_id", "text"])).repartition(4)
+    tgt = rd.from_arrow(t.filter(pa.array(en)).select(["doc_id", "text"]))
+    two = (
+        text.dsir_score(raw, tgt)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, two)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        text.dsir_score(raw)
+    with pytest.raises(ValueError, match="exactly one"):
+        text.dsir_score(rd.from_arrow(t), tgt, target_mask_col="is_en")
