@@ -695,6 +695,33 @@ FROM events GROUP BY event_type
 TIME_BAND_US = 30 * 60 * 1_000_000
 
 
+RADIUS_M = 500_000
+
+
+def q_radius_pairs(sf_dir: str):
+    """Spatial self-join within 500 km (stages/knn.py:radius_pairs):
+    cell size = radius ⇒ every qualifying pair co-locates with ≤8
+    ghost replicas; one hash(cell) exchange, per-bucket vectorized
+    home×all pair pass, exactly-once orientation rule. Distances on
+    floor-integer meters so the comparison is integer-exact."""
+    from rio_cogeo_ray.stages.knn import radius_pairs
+
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+    return radius_pairs(ds, RADIUS_M)
+
+
+SQL_RADIUS_PAIRS = (
+    _geo_cte()
+    + ", q AS (SELECT doc_id, CAST(FLOOR(mx) AS BIGINT) AS qx, "
+    "CAST(FLOOR(my) AS BIGINT) AS qy FROM m) "
+    "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    "((a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)) AS d2 "
+    "FROM q a JOIN q b ON a.doc_id < b.doc_id "
+    f"AND ((a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)) "
+    f"<= {RADIUS_M}::BIGINT * {RADIUS_M}::BIGINT"
+)
+
+
 def q_time_band_join(sf_dir: str):
     """Stream-stream time-band self-join (stages/window.py:
     time_band_join — the bounded Flink-style interval join): every
@@ -4735,6 +4762,7 @@ def queries() -> Dict[str, Callable]:
         "incr_agg": q_incr_agg,
         "copurchase": q_copurchase,
         "time_band_join": q_time_band_join,
+        "radius_pairs": q_radius_pairs,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4881,6 +4909,7 @@ def oracle_sql() -> Dict[str, str]:
         "incr_agg": SQL_INCR_AGG,
         "copurchase": SQL_COPURCHASE,
         "time_band_join": SQL_TIME_BAND_JOIN,
+        "radius_pairs": SQL_RADIUS_PAIRS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

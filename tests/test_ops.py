@@ -3672,3 +3672,42 @@ def test_dsir_fused_mask_path_equals_two_corpus_path(ray_session):
         text.dsir_score(raw)
     with pytest.raises(ValueError, match="exactly one"):
         text.dsir_score(rd.from_arrow(t), tgt, target_mask_col="is_en")
+
+
+def test_radius_pairs_vs_brute_force(ray_session):
+    """radius_pairs: exact pair set vs brute force across cell
+    boundaries, exactly-once reporting, a_id < b_id, boundary d2 == D^2
+    included."""
+    from rio_cogeo_ray.stages.knn import radius_pairs
+
+    rng = np.random.default_rng(4)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "mx": pa.array(rng.uniform(-1e6, 1e6, n)),
+        "my": pa.array(rng.uniform(-1e6, 1e6, n)),
+    })
+    D = 150_000
+    got = sorted(
+        (r["a_id"], r["b_id"], r["d2"])
+        for r in radius_pairs(rd.from_arrow(t).repartition(4), D).take_all()
+    )
+    qx = np.floor(t["mx"].to_numpy()).astype(np.int64)
+    qy = np.floor(t["my"].to_numpy()).astype(np.int64)
+    want = sorted(
+        (i, j, int((qx[i] - qx[j]) ** 2 + (qy[i] - qy[j]) ** 2))
+        for i in range(n) for j in range(i + 1, n)
+        if (qx[i] - qx[j]) ** 2 + (qy[i] - qy[j]) ** 2 <= D * D
+    )
+    assert got == want
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # exactly once
+    assert all(a < b for a, b, _ in got)
+
+    # exact-boundary pair: d2 == D^2 must be included
+    t2 = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "mx": pa.array([0.0, 100.0]),
+        "my": pa.array([0.0, 0.0]),
+    })
+    out = radius_pairs(rd.from_arrow(t2), 100).take_all()
+    assert out == [{"a_id": 1, "b_id": 2, "d2": 10000}]
