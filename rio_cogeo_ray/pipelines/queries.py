@@ -692,6 +692,32 @@ FROM events GROUP BY event_type
 """
 
 
+def q_time_rollup(sf_dir: str):
+    """Multi-resolution time pyramid (stages/window.py:time_rollup):
+    hour/day/week aggregates from ONE corpus pass — every coarser
+    level re-reduces the previous level's bounded table (the
+    reference's overview-pyramid doctrine, cogeo.py:381-390, on the
+    time axis)."""
+    ev = _read(
+        os.path.join(sf_dir, "events.parquet"), ["event_type", "ts", "value"]
+    )
+    return window.time_rollup(ev)
+
+
+_TR_H = 3_600_000_000
+_TR_LVL = (
+    "SELECT {i} AS level, event_type, "
+    "(epoch_us(ts) // {u}) * {u} AS window_start_us, "
+    "CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_q, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, window_start_us"
+)
+
+SQL_TIME_ROLLUP = " UNION ALL ".join(
+    _TR_LVL.format(i=i, u=u)
+    for i, u in enumerate((_TR_H, 24 * _TR_H, 7 * 24 * _TR_H))
+)
+
+
 TIME_BAND_US = 30 * 60 * 1_000_000
 
 
@@ -4763,6 +4789,7 @@ def queries() -> Dict[str, Callable]:
         "copurchase": q_copurchase,
         "time_band_join": q_time_band_join,
         "radius_pairs": q_radius_pairs,
+        "time_rollup": q_time_rollup,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4910,6 +4937,7 @@ def oracle_sql() -> Dict[str, str]:
         "copurchase": SQL_COPURCHASE,
         "time_band_join": SQL_TIME_BAND_JOIN,
         "radius_pairs": SQL_RADIUS_PAIRS,
+        "time_rollup": SQL_TIME_ROLLUP,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

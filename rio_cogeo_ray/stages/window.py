@@ -799,3 +799,93 @@ def time_band_join(
             batch_format="pyarrow",
         )
     )
+
+
+def time_rollup(
+    ds,
+    levels_us=(US_PER_HOUR, 24 * US_PER_HOUR, 7 * 24 * US_PER_HOUR),
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 1000,
+):
+    """Multi-resolution time pyramid (hour → day → week) from ONE
+    corpus pass — the reference's overview-pyramid doctrine
+    (cogeo.py:381-390: each coarser level reduces the previous level,
+    never the source) applied to the time axis: level 0 is the only
+    pass over raw events; every coarser level re-reduces the PREVIOUS
+    level's bounded aggregate (int64 sums of sums, counts of counts),
+    exact because each coarser window is a whole multiple of the finer
+    one. Returns (level, key, window_start_us, sum_value_q, n) for all
+    levels unioned."""
+    for a, b in zip(levels_us, levels_us[1:]):
+        if b % a:
+            raise ValueError(
+                f"each rollup level must be a multiple of the previous "
+                f"({b} % {a} != 0)"
+            )
+    from rio_cogeo_ray.stages.agg import combine_aggregates
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.floor(v * value_scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                key_col: t[key_col].combine_chunks(),
+                "win": pa.array(ts // levels_us[0], pa.int64()),
+                "value_q": pa.array(q, pa.int64()),
+            }
+        )
+
+    lvl = partial_group_agg(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        keys=[key_col, "win"],
+        sum_cols=["value_q"],
+        count_as="n",
+    )
+
+    def _decorate(i: int, unit: int):
+        def _d(t: pa.Table) -> pa.Table:
+            w = t["win"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "level": pa.array(np.full(len(t), i, np.int64), pa.int64()),
+                    key_col: t[key_col].combine_chunks(),
+                    "window_start_us": pa.array(w * np.int64(unit), pa.int64()),
+                    "sum_value_q": t["sum_value_q"].combine_chunks(),
+                    "n": t["n"].combine_chunks(),
+                }
+            )
+
+        return _d
+
+    outs = [lvl.map_batches(_decorate(0, levels_us[0]), batch_format="pyarrow")]
+    prev = lvl
+    for i in range(1, len(levels_us)):
+        ratio = levels_us[i] // levels_us[i - 1]
+
+        def _rekey(t: pa.Table, r=ratio) -> pa.Table:
+            w = t["win"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    key_col: t[key_col].combine_chunks(),
+                    "win": pa.array(w // np.int64(r), pa.int64()),
+                    "sum_value_q": t["sum_value_q"].combine_chunks(),
+                    "n": t["n"].combine_chunks(),
+                }
+            )
+
+        prev = combine_aggregates(
+            [prev.map_batches(_rekey, batch_format="pyarrow")],
+            keys=[key_col, "win"],
+            sum_cols=["value_q"],
+            count_as="n",
+            n_buckets=16,
+        )
+        outs.append(prev.map_batches(_decorate(i, levels_us[i]), batch_format="pyarrow"))
+
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    return u

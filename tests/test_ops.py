@@ -3711,3 +3711,40 @@ def test_radius_pairs_vs_brute_force(ray_session):
     })
     out = radius_pairs(rd.from_arrow(t2), 100).take_all()
     assert out == [{"a_id": 1, "b_id": 2, "d2": 10000}]
+
+
+def test_time_rollup_levels_consistent(ray_session):
+    """time_rollup: each coarser level equals a direct aggregate of
+    raw rows at that granularity (re-reduction is exact), and level
+    sums are conserved; non-multiple levels rejected."""
+    rng = np.random.default_rng(17)
+    n = 2000
+    H = 3_600_000_000
+    t = pa.table({
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        "ts": pa.array(rng.integers(0, 21 * 24 * H, n), pa.int64()),
+        "value": pa.array(rng.uniform(0, 10, n)),
+    })
+    out = window.time_rollup(rd.from_arrow(t).repartition(4)).to_pandas()
+    df = t.to_pandas()
+    df["q"] = np.floor(df["value"] * 1000 + 0.5).astype(np.int64)
+    for lvl, unit in ((0, H), (1, 24 * H), (2, 7 * 24 * H)):
+        got = (
+            out[out["level"] == lvl]
+            .sort_values(["event_type", "window_start_us"])
+            .reset_index(drop=True)
+        )
+        df["w"] = (df["ts"].astype(np.int64) // unit) * unit
+        want = (
+            df.groupby(["event_type", "w"], as_index=False)
+            .agg(sum_value_q=("q", "sum"), n=("q", "size"))
+            .sort_values(["event_type", "w"])
+            .reset_index(drop=True)
+        )
+        assert got["sum_value_q"].tolist() == want["sum_value_q"].tolist()
+        assert got["n"].tolist() == want["n"].tolist()
+        assert got["window_start_us"].tolist() == want["w"].tolist()
+        assert got["n"].sum() == n  # mass conserved at every level
+
+    with pytest.raises(ValueError, match="multiple"):
+        window.time_rollup(rd.from_arrow(t), levels_us=(H, 5 * H, 7 * H))
