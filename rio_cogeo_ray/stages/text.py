@@ -560,11 +560,17 @@ def bigram_lift(
             ).slice(0, k)
         return t
 
-    top = pa.concat_tables(
-        _ray.get(
+    cand_blocks = [
+        b
+        for b in _ray.get(
             bi.map_batches(_local_top, batch_format="pyarrow").to_arrow_refs()
         )
-    ).combine_chunks()
+        # zero-row blocks that never reached a UDF carry NO schema
+        if b.num_rows and {"w1", "w2", "n"} <= set(b.column_names)
+    ]
+    if not cand_blocks:
+        return out_schema.empty_table()
+    top = pa.concat_tables(cand_blocks).combine_chunks()
     if top.num_rows == 0:
         return out_schema.empty_table()
     top = top.sort_by(
@@ -627,13 +633,16 @@ def bigram_lift(
             }
         )
 
-    rows = pa.concat_tables(
-        _ray.get(
+    uni_blocks = [
+        b
+        for b in _ray.get(
             ds.map_batches(
                 _uni_partial, batch_format="pyarrow", batch_size=batch_size
             ).to_arrow_refs()
         )
-    ).combine_chunks()
+        if b.num_rows and "token" in b.column_names
+    ]
+    rows = pa.concat_tables(uni_blocks).combine_chunks()
     t_uni = int(pc.sum(rows["tot"]).as_py() or 0)
     t_bi = t_uni - int(pc.sum(rows["docs"]).as_py() or 0)
     uni: Dict[str, int] = {}
