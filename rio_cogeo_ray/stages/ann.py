@@ -734,7 +734,10 @@ def pca_fit(ds, k: int = 8, emb_col: str = "embedding"):
     parts = ds.map_batches(
         lambda t: _pca_partial(t, emb_col), batch_format="pyarrow"
     ).map_batches(_pca_merge, batch_format="pyarrow", batch_size=1024)
-    top = _pca_merge(pa.concat_tables(ray.get(parts.to_arrow_refs())).combine_chunks())
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        raise ValueError("pca_fit: empty dataset")
+    top = _pca_merge(pa.concat_tables(blocks).combine_chunks())
     if not top.num_rows:
         raise ValueError("pca_fit: empty dataset")
     n = int(top["n"][0].as_py())

@@ -44,8 +44,14 @@ def detect_hot_keys(ds, key_col: str, threshold: int) -> pa.Table:
         return t.filter(pc.greater(t["n"], threshold))
 
     hot = counts.map_batches(_filter, batch_format="pyarrow")
-    refs = hot.to_arrow_refs()
-    return pa.concat_tables([ray.get(r) for r in refs]).combine_chunks()
+    # zero-row blocks that never reach a UDF carry NO schema — drop
+    # them before the concat (the bigram_lift 5M-page lesson)
+    blocks = [b for b in ray.get(hot.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.table(
+            {key_col: pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(blocks).combine_chunks()
 
 
 def add_salt(

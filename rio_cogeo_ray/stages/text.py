@@ -1016,10 +1016,16 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
         tot = int(pc.sum(c).as_py() or 0)
         return pa.table({"n": pa.array([tot], pa.int64())})
 
-    n_rows = pa.concat_tables(
-        _ray.get(ds.map_batches(_ntok, batch_format="pyarrow").to_arrow_refs())
+    ntok_blocks = [
+        b
+        for b in _ray.get(
+            ds.map_batches(_ntok, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows and "n" in b.column_names
+    ]
+    n_total = sum(
+        int(pc.sum(b["n"]).as_py() or 0) for b in ntok_blocks
     )
-    n_total = int(pc.sum(n_rows["n"]).as_py() or 0)
     if n_total == 0:
         return ds.map_batches(lambda t: _EMPTY_OUT, batch_format="pyarrow")
 
