@@ -586,6 +586,54 @@ GROUP BY l_returnflag
 COPURCHASE_K = 25
 
 
+def q_salted_join(sf_dir: str):
+    """Hot-key SALTED hash join (stages/join.py:salted_hash_join): a
+    deliberately skewed key (80 % of docs share key 0) would flood one
+    reduce bucket in the plain bucketed join; the salted join detects
+    hot keys with one count pass, salts left rows deterministically,
+    replicates the hot keys' right rows once per salt, and joins on
+    the composite (key, salt) — result identical to the unsalted
+    join."""
+    from rio_cogeo_ray.stages.join import salted_hash_join
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _skew(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = np.where(d % 5 < 4, 0, d % 53).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "k": pa.array(k, pa.int64()),
+            }
+        )
+
+    left = ds.map_batches(_skew, batch_format="pyarrow")
+    dim = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(53, dtype=np.int64), pa.int64()),
+                "weight": pa.array(
+                    np.arange(53, dtype=np.int64) * 7 + 1, pa.int64()
+                ),
+            }
+        )
+    )
+    return salted_hash_join(
+        left, dim, on="k", salt_source_col="doc_id", hot_threshold=50,
+        n_salts=8,
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 < 4 THEN 0 ELSE doc_id % 53 END AS k
+           FROM documents),
+dim AS (SELECT range AS k, range * 7 + 1 AS weight FROM range(0, 53))
+SELECT d.doc_id, d.k, dim.weight FROM d JOIN dim ON d.k = dim.k
+"""
+
+
 def q_copurchase(sf_dir: str):
     """Frequent co-purchased part pairs (market-basket mining): parts
     sharing ≥2 orders, top-25 by shared-order count. Pure reuse of the
@@ -4790,6 +4838,7 @@ def queries() -> Dict[str, Callable]:
         "time_band_join": q_time_band_join,
         "radius_pairs": q_radius_pairs,
         "time_rollup": q_time_rollup,
+        "salted_join": q_salted_join,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4938,6 +4987,7 @@ def oracle_sql() -> Dict[str, str]:
         "time_band_join": SQL_TIME_BAND_JOIN,
         "radius_pairs": SQL_RADIUS_PAIRS,
         "time_rollup": SQL_TIME_ROLLUP,
+        "salted_join": SQL_SALTED_JOIN,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

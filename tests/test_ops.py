@@ -3748,3 +3748,45 @@ def test_time_rollup_levels_consistent(ray_session):
 
     with pytest.raises(ValueError, match="multiple"):
         window.time_rollup(rd.from_arrow(t), levels_us=(H, 5 * H, 7 * H))
+
+
+def test_salted_join_equals_unsalted(ray_session):
+    """salted_hash_join == bucketed_hash_join for every supported mode
+    under heavy key skew, incl. duplicate right keys and rows whose key
+    has no match; determinism under repartitioning."""
+    from rio_cogeo_ray.stages.join import bucketed_hash_join, salted_hash_join
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    keys = np.where(rng.random(n) < 0.8, 0, rng.integers(1, 20, n)).astype(np.int64)
+    left = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+    })
+    # right: keys 0..14 (5 unmatched on left side beyond 14), key 0 has
+    # TWO rows (duplicate right keys must fan out identically)
+    right = pa.table({
+        "k": pa.array(list(range(15)) + [0], pa.int64()),
+        "w": pa.array(list(range(15)) + [99], pa.int64()),
+    })
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        df = df[cols].fillna(-999)  # NaN != NaN would break tuple equality
+        return sorted(map(tuple, df.values.tolist()))
+
+    for how in ("inner", "left", "semi", "anti"):
+        a = canon(salted_hash_join(
+            rd.from_arrow(left).repartition(5), rd.from_arrow(right),
+            on="k", salt_source_col="id", hot_threshold=100, n_salts=4, how=how,
+        ))
+        b = canon(bucketed_hash_join(
+            rd.from_arrow(left).repartition(3), rd.from_arrow(right),
+            on="k", how=how,
+        ))
+        assert a == b, how
+
+    with pytest.raises(ValueError, match="not support"):
+        salted_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                         on="k", salt_source_col="id", how="outer")
