@@ -3869,6 +3869,47 @@ WHERE ' ' || array_to_string(regexp_extract_all(text, '\S+'), ' ') || ' '
 """
 
 
+SUBSTRING_NEEDLE = "merge batch"
+
+
+def _trigram_index_dir(sf_dir: str) -> str:
+    """Build (or reuse) the character-trigram index for this sf_dir."""
+    import hashlib
+
+    from rio_cogeo_ray.stages import search
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    tag = hashlib.sha256(
+        f"tri:{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/rcr_triindex/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, search.MANIFEST)):
+        search.build_trigram_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
+    return idx_dir
+
+
+def q_substring_search(sf_dir: str):
+    """Exact substring search (LIKE '%…%') without a full text scan
+    (stages/search.py: substring_search — the pg_trgm doctrine): the
+    needle's collision-free packed trigrams prune candidates through
+    the sharded trigram index, one corpus pass over the broadcast
+    candidate set verifies with exact match_substring — zero false
+    positives or negatives."""
+    from rio_cogeo_ray.stages import search
+
+    return search.substring_search(
+        _trigram_index_dir(sf_dir),
+        SUBSTRING_NEEDLE,
+        _docs(sf_dir, ["doc_id", "text"]),
+    )
+
+
+SQL_SUBSTRING_SEARCH = (
+    f"SELECT doc_id FROM documents WHERE strpos(text, '{SUBSTRING_NEEDLE}') > 0"
+)
+
+
 def q_bm25_rank(sf_dir: str):
     """BM25 ranked retrieval (stages/search.py: bm25_search) over the
     shard-pruned inverted index: idf from matched-posting df, doc
@@ -4839,6 +4880,7 @@ def queries() -> Dict[str, Callable]:
         "radius_pairs": q_radius_pairs,
         "time_rollup": q_time_rollup,
         "salted_join": q_salted_join,
+        "substring_search": q_substring_search,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -4988,6 +5030,7 @@ def oracle_sql() -> Dict[str, str]:
         "radius_pairs": SQL_RADIUS_PAIRS,
         "time_rollup": SQL_TIME_ROLLUP,
         "salted_join": SQL_SALTED_JOIN,
+        "substring_search": SQL_SUBSTRING_SEARCH,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

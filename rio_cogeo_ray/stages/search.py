@@ -469,3 +469,152 @@ def phrase_search(index_dir: str, phrase: Sequence[str], n_buckets: int = 16):
             batch_format="pyarrow",
         )
     )
+
+
+def build_trigram_index(
+    ds,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> str:
+    """Character-TRIGRAM inverted index for substring search (the
+    pg_trgm doctrine): postings are (th, doc_id) with th the 3×21-bit
+    collision-FREE packed codepoint window (text.py:_doc_trigram_keys
+    — key equality ⟺ 3-char substring equality, no hash odds at all),
+    DISTINCT per doc, partitioned by ``th % n_shards``. Build is ONE
+    pure-map pass + partitioned write, no shuffle."""
+    from rio_cogeo_ray.stages.text import _doc_trigram_keys
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "th": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            }
+        )
+        keys, rows = _doc_trigram_keys(batch, text_col)
+        if len(keys) == 0:
+            return empty
+        ids = (
+            batch[id_col].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pair = np.unique(
+            np.column_stack((keys.view(np.int64), ids[rows])), axis=0
+        )
+        th = pair[:, 0]
+        return pa.table(
+            {
+                "th": pa.array(th, pa.int64()),
+                id_col: pa.array(pair[:, 1], pa.int64()),
+                "shard": pa.array(
+                    (th.view(np.uint64) % np.uint64(n_shards)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    post_dir = os.path.join(index_dir, "postings")
+    tmp_dir = os.path.join(index_dir, ".postings.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.map_batches(_postings, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["shard"]
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    shutil.rmtree(post_dir, ignore_errors=True)
+    os.replace(tmp_dir, post_dir)
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        json.dump({"n_shards": n_shards, "id_col": id_col, "trigram": True}, f)
+    return index_dir
+
+
+def substring_search(
+    index_dir: str,
+    needle: str,
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact SUBSTRING search (``LIKE '%needle%'``) without a full text
+    scan: the needle's trigrams prune candidates through the trigram
+    index (a doc can contain the needle only if it contains EVERY
+    needle trigram — the packed keys are collision-free, so the filter
+    is a true superset), then ONE corpus pass over the broadcast
+    candidate-id set verifies with an exact match_substring. Zero
+    false positives and zero false negatives; needle must be ≥3
+    codepoints (shorter needles have no trigram and would demand the
+    full scan this operator exists to avoid)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray as _ray
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    cps = [ord(c) for c in needle]
+    if len(cps) < 3:
+        raise ValueError("substring_search needs a needle of ≥3 characters")
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    if not man.get("trigram"):
+        raise ValueError(f"{index_dir} is not a trigram index")
+    n_shards = man["n_shards"]
+    c = np.array(cps, dtype=np.uint64)
+    th = np.unique(
+        ((c[:-2] << np.uint64(42)) | (c[1:-1] << np.uint64(21)) | c[2:]).view(
+            np.int64
+        )
+    )
+    shards = np.unique(th.view(np.uint64) % np.uint64(n_shards))
+    files: List[str] = []
+    for s in shards:
+        sdir = os.path.join(index_dir, "postings", f"shard={int(s)}")
+        if os.path.isdir(sdir):
+            files.extend(
+                os.path.join(sdir, f)
+                for f in sorted(os.listdir(sdir))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+    flt = pads.field("th").isin([int(v) for v in th])
+    hits = rd.read_parquet(files, columns=["th", id_col], filter=flt)
+    counted = partial_group_agg(hits, keys=[id_col], count_as="c")
+    need = len(th)
+    cand_blocks = [
+        b
+        for b in _ray.get(counted.to_arrow_refs())
+        if b.num_rows and "c" in b.column_names
+    ]
+    if not cand_blocks:
+        return rd.from_arrow(empty)
+    cand_t = pa.concat_tables(cand_blocks).combine_chunks()
+    cand = cand_t.filter(pc.equal(cand_t["c"], need))[id_col]
+    if len(cand) == 0:
+        return rd.from_arrow(empty)
+    cand_ref = _ray.put(
+        np.sort(cand.to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        cs = _ray.get(cand_ref)
+        ids = (
+            t[id_col].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = np.clip(np.searchsorted(cs, ids), 0, len(cs) - 1)
+        m = cs[pos] == ids
+        t = t.filter(pa.array(m))
+        if t.num_rows == 0:
+            return empty
+        hit = pc.fill_null(
+            pc.match_substring(t[text_col].combine_chunks().cast(pa.string()), needle),
+            False,
+        )
+        return pa.table({id_col: t[id_col].combine_chunks().cast(pa.int64()).filter(hit)})
+
+    return docs_ds.map_batches(_verify, batch_format="pyarrow")

@@ -3790,3 +3790,36 @@ def test_salted_join_equals_unsalted(ray_session):
     with pytest.raises(ValueError, match="not support"):
         salted_hash_join(rd.from_arrow(left), rd.from_arrow(right),
                          on="k", salt_source_col="id", how="outer")
+
+
+def test_substring_search_exact(ray_session, tmp_path):
+    """substring_search: equals brute-force `needle in text` — incl.
+    needles spanning whitespace, absent needles, trigram-superset
+    candidates that fail exact verify; short needles rejected."""
+    from rio_cogeo_ray.stages import search
+
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "the alphabet song"),       # contains "alphabe" trigrams but not "alpha b"
+        (2, "xx alpha beta yy"),
+        (3, "beta alpha"),              # reversed
+        (4, ""),
+        (5, "alp ha beta"),             # trigrams differ
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([s for _, s in docs], pa.string()),
+    })
+    idx = str(tmp_path / "tri")
+    search.build_trigram_index(rd.from_arrow(t).repartition(3), idx)
+
+    for needle in ("alpha b", "beta", "zzz", "alpha beta gamma"):
+        got = sorted(
+            r["doc_id"]
+            for r in search.substring_search(idx, needle, rd.from_arrow(t)).take_all()
+        )
+        want = sorted(d for d, s in docs if needle in s)
+        assert got == want, needle
+
+    with pytest.raises(ValueError, match="3 char"):
+        search.substring_search(idx, "ab", rd.from_arrow(t))
