@@ -375,3 +375,135 @@ def append_shards(
         json.dump(man, f, sort_keys=True)
     os.replace(tmp, mpath)
     return man
+
+
+def _shard_part_tables(shard_dir: str, columns=None):
+    """(ordered list of pa.Tables) for one shard: base generation
+    (files directly under ``shard=K/``) first, then ``gen=G`` dirs
+    ascending — each part sorted by ``pos``. The deterministic global
+    order is their concatenation."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    base_files = sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(".parquet")
+    )
+    if base_files:
+        t = pa.concat_tables(pq.read_table(f, columns=columns) for f in base_files)
+        parts.append(t.sort_by([("pos", "ascending")]))
+    gen_dirs = sorted(
+        (
+            int(d.split("=", 1)[1]),
+            os.path.join(shard_dir, d),
+        )
+        for d in os.listdir(shard_dir)
+        if d.startswith("gen=") and os.path.isdir(os.path.join(shard_dir, d))
+    )
+    for _, gd in gen_dirs:
+        files = sorted(
+            os.path.join(gd, f) for f in os.listdir(gd) if f.endswith(".parquet")
+        )
+        if files:
+            t = pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
+            parts.append(t.sort_by([("pos", "ascending")]))
+    return parts
+
+
+def read_shard(out_dir: str, shard_id: int, columns=None) -> pa.Table:
+    """One shard's rows in the deterministic global training order
+    ``(generation, pos)`` — the reader contract write_shards /
+    append_shards promise."""
+    shard_dir = os.path.join(out_dir, f"shard={int(shard_id)}")
+    _repair_interrupted_compaction(shard_dir)
+    if not os.path.isdir(shard_dir):
+        return pa.table({})
+    parts = _shard_part_tables(shard_dir, columns)
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def _repair_interrupted_compaction(shard_dir: str) -> None:
+    """A compaction crash between the two renames leaves
+    ``shard=K.old`` behind; restore it if the final dir is missing,
+    else it is a completed swap's leftover — drop it."""
+    import shutil
+
+    old = shard_dir + ".old"
+    if os.path.isdir(old):
+        if not os.path.isdir(shard_dir):
+            os.rename(old, shard_dir)
+        else:
+            shutil.rmtree(old)
+
+
+def compact_shards(out_dir: str) -> dict:
+    """Merge every shard's generations back into the base layout (the
+    lakehouse compaction that completes the write_shards →
+    append_shards lifecycle): per shard, read the deterministic
+    ``(gen, pos)`` order and rewrite the shard as ONE base file with
+    contiguous ``pos`` — the global row order is PRESERVED exactly, so
+    a training job reading before and after compaction sees the same
+    sequence. Shard-LOCAL by construction (rows never change shard):
+    no cross-shard exchange at any corpus size; shards compact in
+    parallel as raw Ray tasks (a per-directory rewrite the Dataset API
+    cannot express). Crash-safe per shard via rename-swap + the
+    ``.old`` repair protocol; re-running is a no-op (no generations
+    left). Returns the updated manifest."""
+    import json
+
+    import ray
+
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"{out_dir} has no shard manifest")
+    with open(mpath) as f:
+        man = json.load(f)
+
+    @ray.remote
+    def _compact_one(shard_dir: str) -> int:
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        _repair_interrupted_compaction(shard_dir)
+        if not os.path.isdir(shard_dir):
+            return 0
+        has_gens = any(d.startswith("gen=") for d in os.listdir(shard_dir))
+        base_files = [
+            f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+        ]
+        if not has_gens and len(base_files) <= 1:
+            return -1  # already compact — no rewrite
+        parts = _shard_part_tables(shard_dir)
+        t = pa.concat_tables(parts, promote_options="default")
+        pos = np.arange(t.num_rows, dtype=np.int64)
+        t = t.set_column(
+            t.schema.get_field_index("pos"), "pos", pa.array(pos, pa.int64())
+        )
+        new_dir = shard_dir + ".compact"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir)
+        pq.write_table(t, os.path.join(new_dir, "data-0.parquet"))
+        old_dir = shard_dir + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(shard_dir, old_dir)
+        os.rename(new_dir, shard_dir)
+        shutil.rmtree(old_dir)
+        return t.num_rows
+
+    shard_dirs = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("shard=") and os.path.isdir(os.path.join(out_dir, d))
+        and not (d.endswith(".old") or d.endswith(".compact"))
+    )
+    ray.get([_compact_one.remote(d) for d in shard_dirs])
+    man["generations"] = []
+    man["base_rows"] = int(man.get("rows", 0))
+    man["compacted"] = man.get("compacted", 0) + 1
+    with open(mpath, "w") as f:
+        json.dump(man, f, sort_keys=True)
+    return man

@@ -3823,3 +3823,56 @@ def test_substring_search_exact(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="3 char"):
         search.substring_search(idx, "ab", rd.from_arrow(t))
+
+
+def test_compact_shards_preserves_order(ray_session, tmp_path):
+    """compact_shards: the (gen, pos) global order read before
+    compaction is EXACTLY the order read after; gen dirs disappear,
+    pos becomes contiguous, re-compacting is a no-op, and an
+    interrupted swap (.old leftover) self-repairs."""
+    import os
+    import shutil
+
+    from rio_cogeo_ray.stages import shard
+
+    base = pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "lang": pa.array(["en"] * 100),
+    })
+    d1 = pa.table({
+        "doc_id": pa.array(np.arange(100, 160, dtype=np.int64)),
+        "lang": pa.array(["fr"] * 60),
+    })
+    d2 = pa.table({
+        "doc_id": pa.array(np.arange(160, 200, dtype=np.int64)),
+        "lang": pa.array(["de"] * 40),
+    })
+    out = str(tmp_path / "sh")
+    shard.write_shards(rd.from_arrow(base), out, "doc_id", 4, src_fingerprint="b")
+    shard.append_shards(rd.from_arrow(d1), out, "doc_id", src_fingerprint="d1")
+    shard.append_shards(rd.from_arrow(d2), out, "doc_id", src_fingerprint="d2")
+
+    before = {
+        s: shard.read_shard(out, s)["doc_id"].to_pylist() for s in range(4)
+    }
+    assert sum(len(v) for v in before.values()) == 200
+
+    m = shard.compact_shards(out)
+    assert m["generations"] == [] and m["base_rows"] == m["rows"]
+    for s in range(4):
+        sd = os.path.join(out, f"shard={s}")
+        assert not any(x.startswith("gen=") for x in os.listdir(sd))
+        after = shard.read_shard(out, s)
+        assert after["doc_id"].to_pylist() == before[s]
+        assert after["pos"].to_pylist() == list(range(len(before[s])))
+
+    # idempotent
+    m2 = shard.compact_shards(out)
+    after2 = shard.read_shard(out, 0)["doc_id"].to_pylist()
+    assert after2 == before[0]
+
+    # interrupted-swap repair: simulate a crash that left shard=1.old
+    sd = os.path.join(out, "shard=1")
+    shutil.move(sd, sd + ".old")
+    assert shard.read_shard(out, 1)["doc_id"].to_pylist() == before[1]
+    assert os.path.isdir(sd) and not os.path.isdir(sd + ".old")
