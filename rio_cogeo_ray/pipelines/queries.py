@@ -433,6 +433,71 @@ def q_dedup_stats(sf_dir: str):
     )
 
 
+def q_corpus_card(sf_dir: str):
+    """One-row corpus 'dataset card' (the training-data reporting
+    staple): doc count, language count, char total, exact median doc
+    length, and exact duplicate count — composed entirely from
+    existing exact distributed passes (per-lang aggregate, two-pass
+    exact quantile, hash-based distinct), each of which keeps the
+    driver at O(bounded) rows."""
+    from rio_cogeo_ray.stages import sketch
+
+    langs_blocks = [
+        b
+        for b in __import__("ray").get(
+            agg.partial_group_agg(
+                _docs(sf_dir, ["lang", "n_chars"]),
+                keys=["lang"], sum_cols=["n_chars"], count_as="n",
+            ).to_arrow_refs()
+        )
+        if b.num_rows and "lang" in b.column_names
+    ]
+    if langs_blocks:
+        lt = pa.concat_tables(langs_blocks).combine_chunks()
+        n_docs = int(pc.sum(lt["n"]).as_py() or 0)
+        n_langs = lt.num_rows
+        total_chars = int(pc.sum(lt["sum_n_chars"]).as_py() or 0)
+    else:
+        n_docs = n_langs = total_chars = 0
+    if n_docs:
+        med = sketch.exact_quantiles(
+            _docs(sf_dir, ["n_chars"]), "n_chars", (0.5,), scale=1
+        )
+        median_chars = int(med[0.5])
+        distinct = dedup.exact_dedup(
+            _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id"
+        ).count()
+    else:
+        median_chars = 0
+        distinct = 0
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_langs": pa.array([n_langs], pa.int64()),
+            "total_chars": pa.array([total_chars], pa.int64()),
+            "median_chars": pa.array([median_chars], pa.int64()),
+            "dup_docs": pa.array([n_docs - distinct], pa.int64()),
+        }
+    )
+
+
+SQL_CORPUS_CARD = """
+WITH m AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY n_chars
+), r AS (
+  SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum,
+         (SELECT SUM(c) FROM m) AS tot FROM m
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS total_chars,
+       (SELECT CAST(MIN(n_chars) AS BIGINT) FROM r
+        WHERE cum >= CAST(CEIL(0.5 * tot) AS BIGINT)) AS median_chars,
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM documents)
+       AS dup_docs
+"""
+
+
 #: Deterministic prior/new split of the documents table for the
 #: incremental-dedup scenario: knuth32(doc_id) % 10 < 3 is "the prior
 #: crawl snapshot" (~30%), the rest is "the new crawl" — mirrored
@@ -4881,6 +4946,7 @@ def queries() -> Dict[str, Callable]:
         "time_rollup": q_time_rollup,
         "salted_join": q_salted_join,
         "substring_search": q_substring_search,
+        "corpus_card": q_corpus_card,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5031,6 +5097,7 @@ def oracle_sql() -> Dict[str, str]:
         "time_rollup": SQL_TIME_ROLLUP,
         "salted_join": SQL_SALTED_JOIN,
         "substring_search": SQL_SUBSTRING_SEARCH,
+        "corpus_card": SQL_CORPUS_CARD,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -3876,3 +3876,23 @@ def test_compact_shards_preserves_order(ray_session, tmp_path):
     shutil.move(sd, sd + ".old")
     assert shard.read_shard(out, 1)["doc_id"].to_pylist() == before[1]
     assert os.path.isdir(sd) and not os.path.isdir(sd + ".old")
+
+
+def test_corpus_card_values(ray_session):
+    """corpus_card: every field matches a direct pandas computation at
+    sf0.001."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines.queries import q_corpus_card
+
+    got = q_corpus_card("/root/testdata/sf0.001").to_pydict()
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    n = len(df)
+    med = int(np.sort(df["n_chars"].to_numpy())[max(int(np.ceil(0.5 * n)), 1) - 1])
+    assert got == {
+        "n_docs": [n],
+        "n_langs": [df["lang"].nunique()],
+        "total_chars": [int(df["n_chars"].sum())],
+        "median_chars": [med],
+        "dup_docs": [n - df["text"].nunique()],
+    }
