@@ -315,6 +315,55 @@ def crs84_tile(lon: ArrayLike, lat: ArrayLike, z: int) -> Tuple[np.ndarray, np.n
     return tx, ty
 
 
+def quad_tile(
+    xc: ArrayLike,
+    yc: ArrayLike,
+    z: int,
+    tms: dict,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """USER-DEFINED quad tile matrix set — the reference's ``--tms
+    custom.json`` axis (rio_cogeo/cli.py:214-218,273-276: any
+    morecantile TMS JSON) generalized: a TMS here is a dict
+    ``{origin_x, origin_y, span_x, span_y, cols0, rows0}`` describing a
+    grid of ``cols0·2^z × rows0·2^z`` tiles over the rectangle
+    ``[origin_x, origin_x+span_x] × [origin_y−span_y, origin_y]``
+    (y-down from the top-left origin, the TMS convention both built-in
+    grids follow). WebMercatorQuad ≡ ``{−O, +O, 2O, 2O, 1, 1}``;
+    WorldCRS84Quad ≡ ``{−180, 90, 360, 180, 2, 1}`` — both built-ins
+    are special cases, pinned by a pytest.
+
+    Same floor/tie/clamp rules as the built-ins: right/bottom boundary
+    belongs to the next tile, world edge clamps in. Pure arithmetic —
+    mirrors into SQL literally."""
+    nx = np.int64(int(tms["cols0"])) << np.int64(z)
+    ny = np.int64(int(tms["rows0"])) << np.int64(z)
+    sx = float(tms["span_x"]) / float(nx)
+    sy = float(tms["span_y"]) / float(ny)
+    tx = np.floor((np.asarray(xc, dtype=np.float64) - float(tms["origin_x"])) / sx)
+    ty = np.floor((float(tms["origin_y"]) - np.asarray(yc, dtype=np.float64)) / sy)
+    tx = np.clip(tx, 0, float(nx - 1)).astype(np.int64)
+    ty = np.clip(ty, 0, float(ny - 1)).astype(np.int64)
+    return tx, ty
+
+
+def load_tms_json(path: str) -> dict:
+    """Load a user TMS definition from JSON (the CLI-facing hook; keys
+    as in :func:`quad_tile`, all required, spans positive)."""
+    import json
+
+    with open(path) as f:
+        tms = json.load(f)
+    required = {"origin_x", "origin_y", "span_x", "span_y", "cols0", "rows0"}
+    missing = required - set(tms)
+    if missing:
+        raise ValueError(f"TMS JSON missing keys: {sorted(missing)}")
+    if float(tms["span_x"]) <= 0 or float(tms["span_y"]) <= 0:
+        raise ValueError("TMS spans must be positive")
+    if int(tms["cols0"]) < 1 or int(tms["rows0"]) < 1:
+        raise ValueError("TMS base grid must be at least 1×1")
+    return tms
+
+
 def ladder_step(base: int) -> int:
     """Ladder z decrement per pyramid step for a decimation base:
     log2(base) for powers of two (real TMS zooms); 1 otherwise (pseudo-

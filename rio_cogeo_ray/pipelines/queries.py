@@ -123,6 +123,50 @@ SQL_TILE_ASSIGN = (
 )
 
 
+#: User-defined TMS for q_tile_assign_tms (the reference's --tms
+#: custom.json axis): a 3×2 base quad grid over the plain-degree world.
+_CUSTOM_TMS = {
+    "origin_x": -180.0, "origin_y": 90.0,
+    "span_x": 360.0, "span_y": 180.0,
+    "cols0": 3, "rows0": 2,
+}
+CUSTOM_TMS_Z = 4
+
+
+def q_tile_assign_tms(sf_dir: str):
+    """Tile assignment under a USER-DEFINED tile matrix set
+    (functions/tms.py:quad_tile — the reference's custom-TMS JSON
+    parameter generalized to any origin/span/base-grid quad): a 3×2
+    base grid over plain degrees at z=4. Pure arithmetic, mirrored
+    literally in SQL."""
+    ds = _valid_only(_prepared_docs(sf_dir, TILE_Z))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy(zero_copy_only=False)
+        lat = t["lat"].combine_chunks().to_numpy(zero_copy_only=False)
+        x, y = tms.quad_tile(lon, lat, CUSTOM_TMS_Z, _CUSTOM_TMS)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+_CT_NX = _CUSTOM_TMS["cols0"] << CUSTOM_TMS_Z
+_CT_NY = _CUSTOM_TMS["rows0"] << CUSTOM_TMS_Z
+
+SQL_TILE_ASSIGN_TMS = (
+    _geo_cte() + f" SELECT doc_id, "
+    f"CAST(LEAST(GREATEST(FLOOR((lon - (-180.0)) / (360.0 / {_CT_NX})), 0), {_CT_NX - 1}) AS BIGINT) AS x, "
+    f"CAST(LEAST(GREATEST(FLOOR((90.0 - lat) / (180.0 / {_CT_NY})), 0), {_CT_NY - 1}) AS BIGINT) AS y "
+    f"FROM m"
+)
+
+
 def q_tile_density(sf_dir: str):
     """Per-tile page count + char sum at z=4 (windowed block copy /
     density aggregate analog, with partial pre-agg before the shuffle)."""
@@ -4950,6 +4994,7 @@ def queries() -> Dict[str, Callable]:
         "salted_join": q_salted_join,
         "substring_search": q_substring_search,
         "corpus_card": q_corpus_card,
+        "tile_assign_tms": q_tile_assign_tms,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5101,6 +5146,7 @@ def oracle_sql() -> Dict[str, str]:
         "salted_join": SQL_SALTED_JOIN,
         "substring_search": SQL_SUBSTRING_SEARCH,
         "corpus_card": SQL_CORPUS_CARD,
+        "tile_assign_tms": SQL_TILE_ASSIGN_TMS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

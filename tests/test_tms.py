@@ -282,3 +282,48 @@ def test_crs84_tile_grid():
     np.testing.assert_array_equal(
         y, np.clip(np.floor((90.0 - la) / span), 0, 63).astype(np.int64)
     )
+
+
+def test_quad_tile_generalizes_builtin_grids():
+    """quad_tile with the built-in grids' parameters reproduces
+    mercator_tile and crs84_tile exactly (boundaries, clamps, ties);
+    load_tms_json validates."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from rio_cogeo_ray.functions import tms
+
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-85, 85, 500)
+    # include exact boundary points
+    lon[:4] = [-180.0, 0.0, 180.0, 179.999999]
+    lat[:4] = [85.0, 0.0, -85.0, -84.999999]
+    mx, my = tms.lonlat_to_mercator(lon, lat)
+    O = 20037508.342789244
+    merc_tms = {"origin_x": -O, "origin_y": O, "span_x": 2 * O,
+                "span_y": 2 * O, "cols0": 1, "rows0": 1}
+    crs84_tms = {"origin_x": -180.0, "origin_y": 90.0, "span_x": 360.0,
+                 "span_y": 180.0, "cols0": 2, "rows0": 1}
+    for z in (0, 3, 7):
+        x1, y1 = tms.mercator_tile(mx, my, z)
+        x2, y2 = tms.quad_tile(mx, my, z, merc_tms)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+        a1, b1 = tms.crs84_tile(lon, lat, z)
+        a2, b2 = tms.quad_tile(lon, lat, z, crs84_tms)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.json")
+        with open(p, "w") as f:
+            json.dump(merc_tms, f)
+        assert tms.load_tms_json(p)["cols0"] == 1
+        with open(p, "w") as f:
+            json.dump({"origin_x": 0}, f)
+        with pytest.raises(ValueError, match="missing"):
+            tms.load_tms_json(p)
