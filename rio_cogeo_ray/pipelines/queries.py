@@ -4869,6 +4869,49 @@ GROUP BY 1
 """
 
 
+def q_custkey_setops(sf_dir: str):
+    """SQL set operators as distributed compositions (stages/setops.py):
+    INTERSECT = semi(distinct, distinct), EXCEPT = anti(distinct,
+    distinct). Customers WITH at least one order ('both') and customers
+    with NO orders ('left_only') — the classic TPC-H ~1/3-never-ordered
+    split. Each side collapses to distinct keys map-side before the one
+    bucketed existence join; raw rows never shuffle."""
+    from rio_cogeo_ray.stages import setops
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["custkey"])
+
+    cust = _read(os.path.join(sf_dir, "customer.parquet"), ["c_custkey"]).map_batches(
+        _rename, batch_format="pyarrow"
+    )
+    ords = _read(os.path.join(sf_dir, "orders.parquet"), ["o_custkey"]).map_batches(
+        _rename, batch_format="pyarrow"
+    )
+    both = setops.set_op(cust, ords, on="custkey", op="intersect", n_buckets=16)
+    only = setops.set_op(cust, ords, on="custkey", op="except", n_buckets=16)
+
+    def _tag(label: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("op", pa.array([label] * len(t), pa.string()))
+
+        return fn
+
+    return both.map_batches(_tag("both"), batch_format="pyarrow").union(
+        only.map_batches(_tag("left_only"), batch_format="pyarrow")
+    )
+
+
+SQL_CUSTKEY_SETOPS = """
+SELECT custkey, 'both' AS op
+FROM (SELECT c_custkey AS custkey FROM customer
+      INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT custkey, 'left_only' AS op
+FROM (SELECT c_custkey AS custkey FROM customer
+      EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -4917,6 +4960,7 @@ def queries() -> Dict[str, Callable]:
         "running_total": q_running_total,
         "lineitem_melt": q_lineitem_melt,
         "user_paths": q_user_paths,
+        "custkey_setops": q_custkey_setops,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
@@ -5121,6 +5165,7 @@ def oracle_sql() -> Dict[str, str]:
         "running_total": SQL_RUNNING_TOTAL,
         "lineitem_melt": SQL_LINEITEM_MELT,
         "user_paths": SQL_USER_PATHS,
+        "custkey_setops": SQL_CUSTKEY_SETOPS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,

@@ -351,3 +351,50 @@ def test_bucketed_join_composite_anti(ray_session):
         .tolist()
     )
     assert got == [10, 21, 30]
+
+
+def test_set_op_intersect_except(ray_session):
+    """INTERSECT/EXCEPT (stages/setops.py) vs python sets: DISTINCT
+    semantics (input duplicates collapse), composite string+int keys,
+    and the empty-side paths."""
+    from rio_cogeo_ray.stages import setops
+
+    left = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "c", "c", "d"], pa.string()),
+            "g": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["b", "c", "c", "e"], pa.string()),
+            "g": pa.array([2, 3, 99, 5], pa.int64()),
+        }
+    )
+    l, r = rd.from_arrow(left), rd.from_arrow(right)
+
+    inter = setops.set_op(l, r, on=["k", "g"], op="intersect").to_pandas()
+    got = sorted(map(tuple, inter[["k", "g"]].itertuples(index=False)))
+    # distinct left = {(a,1),(b,2),(c,3),(d,4)}; right has (b,2),(c,3)
+    assert got == [("b", 2), ("c", 3)]
+
+    exc = setops.set_op(l, r, on=["k", "g"], op="except").to_pandas()
+    got = sorted(map(tuple, exc[["k", "g"]].itertuples(index=False)))
+    assert got == [("a", 1), ("d", 4)]
+
+    # single string key
+    inter1 = setops.set_op(l, r, on="k", op="intersect").to_pandas()
+    assert sorted(inter1["k"]) == ["b", "c"]
+
+    # empty right: intersect empty, except = distinct left
+    e = rd.from_arrow(left.slice(0, 0)).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    assert setops.set_op(l, e, on=["k", "g"], op="intersect").count() == 0
+    assert setops.set_op(l, e, on=["k", "g"], op="except").count() == 4
+    # empty left: both ops empty
+    assert setops.set_op(e, r, on=["k", "g"], op="intersect").count() == 0
+    assert setops.set_op(e, r, on=["k", "g"], op="except").count() == 0
+
+    with pytest.raises(ValueError):
+        setops.set_op(l, r, on="k", op="union")
