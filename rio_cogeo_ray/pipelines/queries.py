@@ -4912,6 +4912,65 @@ FROM (SELECT c_custkey AS custkey FROM customer
 """
 
 
+def q_bloom_lookup(sf_dir: str):
+    """Bloom-file-index point lookup (sources/bloomidx.py): documents
+    are laid out by a key the lookup does NOT use (hash(doc_id)%16
+    hive files — every file's doc_id min/max spans the domain, so
+    zone maps cannot prune), and a per-FILE bloom of doc_id is built
+    once as a side manifest. The IN-list query probes the blooms,
+    reads ONLY candidate files, and exact-filters away false
+    positives — identical to a full scan + filter, minus the I/O."""
+    import hashlib
+
+    from rio_cogeo_ray.sources import bloomidx
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    tag = hashlib.sha256(
+        f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    bdir = f"/tmp/rcr_bloomidx/{tag}"
+    if not os.path.exists(os.path.join(bdir, bloomidx.MANIFEST)):
+
+        def _bfile(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = (knuth32(ids) % np.uint64(16)).astype(np.int64)
+            return t.append_column("bfile", pa.array(b, pa.int64()))
+
+        _read(doc_path, ["doc_id", "lang", "source", "n_chars"]).map_batches(
+            _bfile, batch_format="pyarrow"
+        ).write_parquet(bdir, partition_cols=["bfile"])
+        bloomidx.build_bloom_index(bdir, "doc_id")
+
+    # max doc_id from the ORIGINAL table's footer stats (metadata-only)
+    md = pq.ParquetFile(doc_path).metadata
+    ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+    mx = 0
+    for rg in range(md.num_row_groups):
+        s = md.row_group(rg).column(ci).statistics
+        if s is not None and s.has_min_max:
+            mx = max(mx, s.max)
+    keys = [0, mx // 7, mx // 3, mx // 2, mx - mx // 5, mx]
+    ds = bloomidx.read_point_lookup(
+        bdir, keys, columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "lang", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BLOOM_LOOKUP = """
+WITH m AS (SELECT MAX(doc_id) AS mx FROM documents)
+SELECT doc_id, lang, source, n_chars
+FROM documents, m
+WHERE doc_id IN (0, mx // 7, mx // 3, mx // 2, mx - mx // 5, mx)
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -4961,6 +5020,7 @@ def queries() -> Dict[str, Callable]:
         "lineitem_melt": q_lineitem_melt,
         "user_paths": q_user_paths,
         "custkey_setops": q_custkey_setops,
+        "bloom_lookup": q_bloom_lookup,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
@@ -5166,6 +5226,7 @@ def oracle_sql() -> Dict[str, str]:
         "lineitem_melt": SQL_LINEITEM_MELT,
         "user_paths": SQL_USER_PATHS,
         "custkey_setops": SQL_CUSTKEY_SETOPS,
+        "bloom_lookup": SQL_BLOOM_LOOKUP,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,

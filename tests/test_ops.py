@@ -3896,3 +3896,72 @@ def test_corpus_card_values(ray_session):
         "median_chars": [med],
         "dup_docs": [n - df["text"].nunique()],
     }
+
+
+def test_bloom_index_point_lookup(ray_session, tmp_path):
+    """sources/bloomidx.py: per-file blooms prune point lookups on a
+    non-layout key — candidate files are a strict subset AND a true
+    superset of the files actually holding the keys; results equal a
+    full scan + filter; an absent key returns an empty, schema-intact
+    result."""
+    from rio_cogeo_ray.sources import bloomidx
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    ids = rng.permutation(n).astype(np.int64)  # scattered across files
+    t = pa.table(
+        {
+            "k": pa.array(ids, pa.int64()),
+            "v": pa.array(ids * 3, pa.int64()),
+        }
+    )
+    d = str(tmp_path / "data")
+    # 8 files, ids scattered: min/max spans everything in every file
+    rd.from_arrow(t).repartition(8).write_parquet(d)
+    bloomidx.build_bloom_index(d, "k", m_bits=1 << 14)
+
+    all_files = bloomidx._leaf_files(d)
+    assert len(all_files) == 8
+
+    keys = [5, 1234, 3999]
+    cand = bloomidx.probe_files(d, keys)
+    # pruning is real (3 keys live in <=3 files; FP odds tiny at 2^14 bits)
+    assert 1 <= len(cand) < len(all_files)
+    # superset guarantee: every file that truly holds a key is a candidate
+    import pyarrow.parquet as _pq
+
+    truly = {
+        f
+        for f in all_files
+        if np.isin(
+            _pq.read_table(f, columns=["k"])["k"].to_numpy(), keys
+        ).any()
+    }
+    assert truly <= set(cand)
+
+    got = (
+        bloomidx.read_point_lookup(d, keys)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == sorted(keys)
+    assert got["v"].tolist() == [k * 3 for k in sorted(keys)]
+
+    # column pruning keeps the key for the exact filter, output has it
+    got2 = bloomidx.read_point_lookup(d, [77], columns=["v", "k"]).to_pandas()
+    assert sorted(got2.columns) == ["k", "v"] and got2["v"].tolist() == [231]
+
+    # absent key: bloom may or may not hit (FP), result is exactly empty;
+    # when NO file matches, the explicit empty path keeps the schema (a
+    # transformed 0-row Dataset loses it in Ray — the engine-wide quirk)
+    absent = 10**12
+    eds = bloomidx.read_point_lookup(d, [absent])
+    assert eds.count() == 0
+    if not bloomidx.probe_files(d, [absent]):
+        # the explicit no-candidate path keeps the real schema on the
+        # Dataset (to_pandas drops columns on ANY 0-row dataset — Ray)
+        assert "k" in [f.name for f in eds.schema().base_schema]
+
+    with pytest.raises(ValueError):
+        bloomidx.build_bloom_index(d, "k", m_bits=1001)
