@@ -4971,6 +4971,63 @@ WHERE doc_id IN (0, mx // 7, mx // 3, mx // 2, mx - mx // 5, mx)
 """
 
 
+def q_union_evolved(sf_dir: str):
+    """Schema-evolution union (sources/evolve.py): the documents table
+    split into two writer generations under /tmp — v1 (even doc_ids)
+    predates the n_chars column and stores (lang, doc_id) in drifted
+    order; v2 (odd doc_ids) has the full (doc_id, lang, n_chars)
+    schema. read_union_by_name aligns by NAME (missing column → typed
+    nulls, DuckDB's UNION ALL BY NAME rule) and the per-lang aggregate
+    runs over the streamed union — sum_n_chars counts only v2 rows
+    because v1's nulls never enter the SUM, exactly as in SQL."""
+    import hashlib
+
+    from rio_cogeo_ray.sources import evolve
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    tag = hashlib.sha256(
+        f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/rcr_evolve/{tag}"
+    if not os.path.exists(os.path.join(base, ".done")):
+        docs = _read(doc_path, ["doc_id", "lang", "n_chars"])
+
+        def _v1(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks()
+            m = pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), 0)
+            return t.filter(m).select(["lang", "doc_id"])  # drifted order
+
+        def _v2(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks()
+            m = pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), 1)
+            return t.filter(m)
+
+        docs.map_batches(_v1, batch_format="pyarrow").write_parquet(f"{base}/v1")
+        docs.map_batches(_v2, batch_format="pyarrow").write_parquet(f"{base}/v2")
+        with open(os.path.join(base, ".done"), "w") as f:
+            f.write("ok")
+
+    ds = evolve.read_union_by_name([f"{base}/v1", f"{base}/v2"])
+    out = agg.partial_group_agg(
+        ds, keys=["lang"], sum_cols=["n_chars"], count_as="n_docs"
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "sum_n_chars", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_UNION_EVOLVED = """
+SELECT lang,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+           AS sum_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5021,6 +5078,7 @@ def queries() -> Dict[str, Callable]:
         "user_paths": q_user_paths,
         "custkey_setops": q_custkey_setops,
         "bloom_lookup": q_bloom_lookup,
+        "union_evolved": q_union_evolved,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
@@ -5227,6 +5285,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_paths": SQL_USER_PATHS,
         "custkey_setops": SQL_CUSTKEY_SETOPS,
         "bloom_lookup": SQL_BLOOM_LOOKUP,
+        "union_evolved": SQL_UNION_EVOLVED,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,

@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rio_cogeo_ray.functions.hashing import hash_columns
 
@@ -58,13 +59,32 @@ def _reduce_table(batch: pa.Table, keys: Sequence[str], specs: Sequence[_Spec]) 
             continue
         v = batch[src].combine_chunks().to_numpy(zero_copy_only=False)
         if op in ("sum", "count"):
-            if not np.issubdtype(v.dtype, np.integer):
+            arr = batch[src].combine_chunks()
+            if not pa.types.is_integer(arr.type):
                 raise TypeError(
-                    f"grouped sums must be integer columns (got {v.dtype} for "
+                    f"grouped sums must be integer columns (got {arr.type} for "
                     f"{src!r}); quantize floats explicitly or use min/max"
                 )
-            out = np.add.reduceat(v.astype(np.int64), starts)
-            cols.append(pa.array(out, pa.int64()))
+            if arr.null_count:
+                # NULL-SKIPPING sum (SQL semantics): nulls contribute 0,
+                # an all-null group yields null. Nullable int columns
+                # arrive as a float64 numpy view — refill from Arrow to
+                # stay int64-exact past 2^53. Null partials re-merge
+                # through this same branch, so the rule is recursive.
+                valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                vi = arr.fill_null(0).to_numpy(zero_copy_only=False)
+                out = np.add.reduceat(vi.astype(np.int64), starts)
+                n_valid = np.add.reduceat(valid.astype(np.int64), starts)
+                cols.append(
+                    pa.array(
+                        np.where(n_valid > 0, out, 0),
+                        pa.int64(),
+                        mask=n_valid == 0,
+                    )
+                )
+            else:
+                out = np.add.reduceat(v.astype(np.int64), starts)
+                cols.append(pa.array(out, pa.int64()))
         elif op in ("min", "max"):
             typ = batch.schema.field(src).type
             arr = batch[src].combine_chunks()

@@ -3965,3 +3965,93 @@ def test_bloom_index_point_lookup(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         bloomidx.build_bloom_index(d, "k", m_bits=1001)
+
+
+def test_union_by_name_schema_evolution(ray_session, tmp_path):
+    """sources/evolve.py: name-aligned union across writer generations —
+    drifted column order, missing columns as typed nulls, loss-free
+    numeric widening; incompatible types raise."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rio_cogeo_ray.sources import evolve
+
+    v1 = pa.table(
+        {
+            "lang": pa.array(["en", "de"], pa.string()),
+            "id": pa.array([1, 2], pa.int32()),  # old narrow id
+        }
+    )
+    v2 = pa.table(
+        {
+            "id": pa.array([3, 4], pa.int64()),  # widened
+            "score": pa.array([10, 20], pa.int64()),  # new column
+            "lang": pa.array(["fr", "es"], pa.string()),
+        }
+    )
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    os.makedirs(d1), os.makedirs(d2)
+    _pq.write_table(v1, os.path.join(d1, "part.parquet"))
+    _pq.write_table(v2, os.path.join(d2, "part.parquet"))
+
+    sch = evolve.unified_schema([d1, d2])
+    assert [f.name for f in sch] == ["lang", "id", "score"]
+    assert sch.field("id").type == pa.int64()  # widened
+    assert sch.field("score").type == pa.int64()
+
+    df = (
+        evolve.read_union_by_name([d1, d2])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert df["id"].tolist() == [1, 2, 3, 4]
+    assert df["lang"].tolist() == ["en", "de", "fr", "es"]
+    # v1 rows carry typed nulls for the column it predates
+    assert df["score"].isna().tolist() == [True, True, False, False]
+    assert df["score"].dropna().tolist() == [10, 20]
+
+    # column pruning projects the unified schema
+    df2 = evolve.read_union_by_name([d1, d2], columns=["id", "score"]).to_pandas()
+    assert sorted(df2.columns) == ["id", "score"]
+
+    # incompatible same-name types refuse loudly
+    v3 = pa.table({"id": pa.array(["x"], pa.string())})
+    d3 = str(tmp_path / "v3")
+    os.makedirs(d3)
+    _pq.write_table(v3, os.path.join(d3, "part.parquet"))
+    with pytest.raises(TypeError):
+        evolve.unified_schema([d1, d3])
+
+
+def test_partial_group_agg_null_skipping_sum(ray_session):
+    """Grouped sums over NULLABLE int columns follow SQL semantics:
+    nulls contribute nothing, an all-null group sums to NULL, and
+    values stay int64-exact past 2^53 (no float64 detour)."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    big = 2**60  # would corrupt through a float64 view
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "c"], pa.string()),
+            "v": pa.array([big, None, 5, 7, None], pa.int64()),
+        }
+    )
+    out = (
+        partial_group_agg(rd.from_arrow(t), keys=["g"], sum_cols=["v"])
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 2, 1]
+    assert out["sum_v"][0] == big  # exact, null skipped
+    assert out["sum_v"][1] == 12
+    assert out["sum_v"].isna().tolist() == [False, False, True]  # all-null -> NULL
+
+    # float columns still refuse
+    tf = pa.table(
+        {"g": pa.array(["a"], pa.string()), "v": pa.array([1.5], pa.float64())}
+    )
+    with pytest.raises(Exception):
+        partial_group_agg(rd.from_arrow(tf), keys=["g"], sum_cols=["v"]).materialize()
