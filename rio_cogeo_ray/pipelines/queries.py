@@ -3924,6 +3924,25 @@ def q_semantic_dedup(sf_dir: str):
     return ann.semantic_dedup(ds, n_clusters=16, threshold=0.99)
 
 
+def q_semantic_decontam(sf_dir: str):
+    """Semantic benchmark decontamination (stages/ann.py:
+    semantic_decontam): every 97th embedding plays the eval set; the
+    normalized eval matrix broadcasts once and the 'training' side
+    streams through one stateless cosine filter (zero shuffle). The
+    planted eval rows ARE in the corpus (cosine 1 with themselves) so
+    they all drop at τ=0.999. Float cosine ⇒ rows-only; exact numpy
+    brute-force equality pinned in pytest."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    mask = qt["vec_id"].to_numpy() % 97 == 0
+    eval_vecs = np.array(
+        qt.filter(pa.array(mask))["embedding"].to_pylist(), dtype=np.float64
+    )
+    ds = _read(emb_path, ["vec_id", "embedding"])
+    kept = ann.semantic_decontam(ds, eval_vecs, threshold=0.999)
+    return kept.map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+
+
 def _text_index_dir(sf_dir: str) -> str:
     """Build (or reuse) the inverted text index for this sf_dir."""
     import hashlib
@@ -5183,6 +5202,7 @@ def queries() -> Dict[str, Callable]:
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_decontam": q_semantic_decontam,
         "pca_embed": q_pca_embed,
         "media_phash": q_media_phash,
         "bm25_rank": q_bm25_rank,

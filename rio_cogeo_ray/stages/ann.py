@@ -798,3 +798,50 @@ def pca_project(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def semantic_decontam(
+    train,
+    eval_vecs: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_scores: bool = False,
+    batch_size: int = 4096,
+):
+    """Embedding-space benchmark decontamination: drop every TRAINING
+    row whose embedding is cosine-similar (``>= threshold``) to ANY
+    eval embedding — the semantic sibling of the exact-key filter
+    (stages/dedup.py:decontaminate) and the n-gram-overlap filter
+    (dedup.py:decontaminate_ngrams), for paraphrased/translated eval
+    leakage that key and token matching both miss.
+
+    Scale contract (the decontaminate doctrine): eval sets are SMALL
+    by definition, so the L2-normalized eval matrix ships once via
+    ``ray.put`` and the corpus streams through one stateless filter —
+    ZERO shuffle of the training side at any corpus size. Per batch:
+    one (n, d)×(d, Q) matmul + row max. An empty eval set keeps
+    everything. ``keep_scores`` appends ``max_sim`` (float64) for
+    threshold tuning."""
+    q = np.asarray(eval_vecs, dtype=np.float64)
+    q = _normalize(q) if q.size else q.reshape(0, q.shape[1] if q.ndim == 2 else 0)
+    q_ref = ray.put(np.ascontiguousarray(q.T) if q.size else q)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)  # zero-copy plasma view
+        if qt.size == 0 or batch.num_rows == 0:
+            if keep_scores and batch.num_rows:
+                return batch.append_column(
+                    "max_sim", pa.array(np.full(batch.num_rows, -1.0), pa.float64())
+                )
+            return batch
+        m = _normalize(_matrix(batch[emb_col]))
+        sims = (m @ qt).max(axis=1)
+        kept = batch.filter(pa.array(sims < threshold))
+        if keep_scores:
+            kept = kept.append_column(
+                "max_sim", pa.array(sims[sims < threshold], pa.float64())
+            )
+        return kept
+
+    return train.map_batches(_filter, batch_format="pyarrow", batch_size=batch_size)

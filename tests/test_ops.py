@@ -4055,3 +4055,49 @@ def test_partial_group_agg_null_skipping_sum(ray_session):
     )
     with pytest.raises(Exception):
         partial_group_agg(rd.from_arrow(tf), keys=["g"], sum_cols=["v"]).materialize()
+
+
+def test_semantic_decontam_matches_numpy(ray_session):
+    """stages/ann.py:semantic_decontam vs a brute-force numpy oracle:
+    exact kept-set equality at the same threshold; planted eval
+    duplicates always drop; empty eval set keeps everything;
+    keep_scores appends max_sim for the kept rows."""
+    from rio_cogeo_ray.stages import ann as ann_mod
+
+    rng = np.random.RandomState(3)
+    n, d = 400, 16
+    m = rng.standard_normal((n, d))
+    # plant: rows 7 and 123 are (scaled) copies of eval rows
+    ev = np.vstack([m[7] * 2.0, m[123] * 0.5, rng.standard_normal(d)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(m.astype(np.float32))),
+        }
+    )
+    ds = rd.from_arrow(t)
+    tau = 0.9
+
+    kept = ann_mod.semantic_decontam(ds, ev, threshold=tau).to_pandas()
+
+    def _norm(x):
+        x = np.asarray(x, np.float64)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    # oracle over the SAME float32-rounded corpus the engine reads
+    sims = (_norm(m.astype(np.float32)) @ _norm(ev).T).max(axis=1)
+    want = set(np.flatnonzero(sims < tau))
+    assert set(kept["vec_id"]) == want
+    assert 7 not in want and 123 not in want  # planted copies drop
+
+    scored = ann_mod.semantic_decontam(
+        ds, ev, threshold=tau, keep_scores=True
+    ).to_pandas()
+    got = dict(zip(scored["vec_id"], scored["max_sim"]))
+    assert set(got) == want
+    for i in sorted(want)[:20]:
+        assert abs(got[i] - sims[i]) < 1e-12
+
+    # empty eval: nothing drops
+    empty_ev = np.zeros((0, d))
+    assert ann_mod.semantic_decontam(ds, empty_ev, threshold=tau).count() == n
