@@ -5047,6 +5047,44 @@ GROUP BY lang
 """
 
 
+def q_dup_span_scrub(sf_dir: str):
+    """Exact duplicated-span scrub (stages/text.py:dup_span_scrub — the
+    removal half of Lee et al. 2021's exact substring dedup; dup_ngrams
+    is the signal half): every token covered by a 5-gram that appears
+    in ≥2 documents is removed, except in the gram's keeper (min
+    doc_id). Dup-gram discovery is cross_doc_ngrams' bucketed exchange;
+    the bounded (gram, keeper) table broadcasts once and ONE corpus
+    pass rebuilds the scrubbed text map-side."""
+    from rio_cogeo_ray.stages.text import dup_span_scrub
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return dup_span_scrub(ds, n=5, min_docs=2)
+
+
+SQL_DUP_SPAN_SCRUB = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM w),
+g AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram FROM e),
+d AS (SELECT gram, MIN(doc_id) AS keeper
+      FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.i + u.off AS p
+        FROM g JOIN d USING (gram)
+        CROSS JOIN (SELECT unnest(range(0, 5)) AS off) u
+        WHERE g.doc_id <> d.keeper),
+t1 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM w),
+tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM t1),
+res AS (SELECT tok.doc_id,
+               string_agg(tok.tok, ' ' ORDER BY tok.pos) FILTER (cov.p IS NULL) AS text,
+               CAST(COUNT(*) FILTER (cov.p IS NOT NULL) AS BIGINT) AS n_removed
+        FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.pos
+        GROUP BY tok.doc_id)
+SELECT d0.doc_id, COALESCE(res.text, '') AS text,
+       COALESCE(res.n_removed, 0) AS n_removed
+FROM (SELECT doc_id FROM documents) d0 LEFT JOIN res USING (doc_id)
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5098,6 +5136,7 @@ def queries() -> Dict[str, Callable]:
         "custkey_setops": q_custkey_setops,
         "bloom_lookup": q_bloom_lookup,
         "union_evolved": q_union_evolved,
+        "dup_span_scrub": q_dup_span_scrub,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
@@ -5306,6 +5345,7 @@ def oracle_sql() -> Dict[str, str]:
         "custkey_setops": SQL_CUSTKEY_SETOPS,
         "bloom_lookup": SQL_BLOOM_LOOKUP,
         "union_evolved": SQL_UNION_EVOLVED,
+        "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,

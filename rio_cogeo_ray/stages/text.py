@@ -2234,3 +2234,211 @@ def lm_coverage(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-SPAN scrub (Lee et al. 2021, the removal half)
+# ---------------------------------------------------------------------------
+
+
+def _pack128(g1: np.ndarray, g2: np.ndarray) -> np.ndarray:
+    """(g1, g2) int64 pairs as big-endian 16-byte 'S16' keys: numpy
+    bytes compare lexicographically, which on big-endian equals the
+    unsigned numeric pair order — so ONE vectorized searchsorted probes
+    the full 128-bit gram space with no collision-prone 64-bit fold
+    (the HostBlocklist fixed-width-bytes discipline)."""
+    m = len(g1)
+    buf = np.empty((m, 2), dtype=">u8")
+    buf[:, 0] = g1.astype(np.int64, copy=False).view(np.uint64)
+    buf[:, 1] = g2.astype(np.int64, copy=False).view(np.uint64)
+    return np.ascontiguousarray(buf).view("S16").reshape(m)
+
+
+def _dup_gram_keepers(
+    g: pa.Table, id_col: str, min_docs: int
+) -> pa.Table:
+    """Reduce one gram bucket: grams with doc frequency ≥ min_docs →
+    (g1, g2, keeper = min doc_id). Input rows are per-doc DISTINCT."""
+    empty = pa.table(
+        {
+            "g1": pa.array([], pa.int64()),
+            "g2": pa.array([], pa.int64()),
+            "keeper": pa.array([], pa.int64()),
+        }
+    )
+    if not g.num_rows:
+        return empty
+    g1 = g["g1"].combine_chunks().to_numpy(zero_copy_only=False)
+    g2 = g["g2"].combine_chunks().to_numpy(zero_copy_only=False)
+    doc = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((g2, g1))
+    g1s, g2s, docs_ = g1[order], g2[order], doc[order]
+    start = np.r_[True, (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1])]
+    starts = np.flatnonzero(start)
+    df = np.diff(np.append(starts, len(g1s)))
+    hit = df >= min_docs
+    if not hit.any():
+        return empty
+    keepers = np.minimum.reduceat(docs_, starts)[hit]
+    return pa.table(
+        {
+            "g1": pa.array(g1s[starts[hit]], pa.int64()),
+            "g2": pa.array(g2s[starts[hit]], pa.int64()),
+            "keeper": pa.array(keepers.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def dup_span_scrub(
+    ds,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    max_broadcast: int = 1 << 24,
+):
+    """Remove cross-document duplicated token SPANS — the scrub half of
+    Lee et al. 2021's exact substring dedup (cross_doc_ngrams is the
+    signal half): a token is removed from a document iff it is covered
+    by an occurrence of an n-gram that appears in ≥ ``min_docs``
+    distinct documents AND this document is not the gram's keeper (min
+    doc_id) — the keeper retains one copy of every duplicated span.
+    Returns one row per input document: (id, text, n_removed), kept
+    tokens re-joined by single spaces (the repo-wide string_agg
+    contract).
+
+    Scale shape, the segment_dedup discipline:
+
+    1. dup-gram discovery = cross_doc_ngrams' two linear stages (per-doc
+       distinct 128-bit gram hashes → one gram-bucket exchange), but
+       each bucket emits (gram, keeper) rows — BOUNDED by the corpus's
+       duplicated-gram mass, and materialized regardless for the gate.
+    2. the bounded table broadcasts once via ``ray.put`` as a sorted
+       16-byte-packed key array + aligned keeper ids; ONE corpus pass
+       recomputes gram hashes WITH positions map-side, probes by
+       searchsorted, expands hits to a token coverage mask (diff +
+       cumsum), and rebuilds text via Arrow binary_join — the corpus
+       text never enters any shuffle.
+
+    ``max_broadcast`` gates step 2 (default 16M grams ≈ 384 MiB of
+    keys+keepers): above it, raise loudly — the documented alternative
+    is the segment_dedup bloom-split route (co-bucket dirty docs with
+    their gram hits), which trades the broadcast for one text exchange
+    of the dirty fraction."""
+    import ray as _ray
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    rows = ds.map_batches(
+        lambda t: _doc_ngram_hashes(t, n, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (
+            splitmix64(
+                t["g1"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    dup_blocks = [
+        b
+        for b in _ray.get(
+            rows.map_batches(_route, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: _dup_gram_keepers(g.drop_columns(["__bucket"]), id_col, min_docs),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+        if b.num_rows and {"g1", "g2", "keeper"} <= set(b.column_names)
+    ]
+    if dup_blocks:
+        dup = pa.concat_tables(dup_blocks).combine_chunks()
+    else:
+        dup = pa.table(
+            {
+                "g1": pa.array([], pa.int64()),
+                "g2": pa.array([], pa.int64()),
+                "keeper": pa.array([], pa.int64()),
+            }
+        )
+    if dup.num_rows > max_broadcast:
+        raise ValueError(
+            f"{dup.num_rows} duplicated grams exceed max_broadcast="
+            f"{max_broadcast}; use the segment_dedup bloom-split route "
+            "(co-bucket dirty docs with their gram hits) for this corpus"
+        )
+    packed = _pack128(
+        dup["g1"].to_numpy(zero_copy_only=False),
+        dup["g2"].to_numpy(zero_copy_only=False),
+    )
+    order = np.argsort(packed)
+    pair_ref = _ray.put(
+        (packed[order], dup["keeper"].to_numpy(zero_copy_only=False)[order])
+    )
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        packed_s, keepers = _ray.get(pair_ref)
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nrows = batch.num_rows
+        toks, row, _wpos = _tokenize_with_positions(batch, id_col, text_col)
+        m = len(row)
+        total = np.bincount(row, minlength=nrows).astype(np.int64)
+        cover = np.zeros(m, dtype=bool)
+        if m >= n and len(packed_s):
+            h1 = (
+                pl.from_arrow(toks.cast(pa.large_string()))
+                .hash(seed=101)
+                .to_numpy()
+                .astype(np.uint64)
+            )
+            h2 = splitmix64(h1 ^ np.uint64(0xD1B54A32D192ED03))
+            nw = m - n + 1
+            g1 = np.zeros(nw, dtype=np.uint64)
+            g2 = np.zeros(nw, dtype=np.uint64)
+            for j in range(n):
+                g1 = splitmix64(g1 + h1[j : j + nw])
+                g2 = splitmix64(g2 + h2[j : j + nw])
+            valid = row[:nw] == row[n - 1 :]
+            starts_flat = np.flatnonzero(valid)
+            probes = _pack128(
+                g1[valid].astype(np.int64), g2[valid].astype(np.int64)
+            )
+            pos = np.searchsorted(packed_s, probes)
+            pos_c = np.minimum(pos, len(packed_s) - 1)
+            hit = packed_s[pos_c] == probes
+            not_keeper = ids[row[:nw][valid]] != keepers[pos_c]
+            s = starts_flat[hit & not_keeper]
+            if len(s):
+                delta = np.zeros(m + 1, dtype=np.int64)
+                np.add.at(delta, s, 1)
+                np.add.at(delta, s + n, -1)
+                cover = np.cumsum(delta[:m]) > 0
+        keep = ~cover
+        kept_toks = toks.filter(pa.array(keep))
+        kept_cnt = np.bincount(row[keep], minlength=nrows).astype(np.int64)
+        offsets = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(kept_cnt, out=offsets[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_toks.cast(pa.large_string())
+        )
+        joined = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                text_col: joined.cast(pa.string()),
+                "n_removed": pa.array(total - kept_cnt, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_scrub, batch_format="pyarrow", batch_size=8192)

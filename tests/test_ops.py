@@ -4101,3 +4101,66 @@ def test_semantic_decontam_matches_numpy(ray_session):
     # empty eval: nothing drops
     empty_ev = np.zeros((0, d))
     assert ann_mod.semantic_decontam(ds, empty_ev, threshold=tau).count() == n
+
+
+def _dup_span_oracle(docs, n, min_docs):
+    """Brute-force python oracle for dup_span_scrub."""
+    toks = {i: t.split() for i, t in docs.items()}
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            where[tuple(ts[i : i + n])].add(d)
+    keeper = {g: min(ds_) for g, ds_ in where.items() if len(ds_) >= min_docs}
+    out = {}
+    for d, ts in toks.items():
+        cover = [False] * len(ts)
+        for i in range(len(ts) - n + 1):
+            g = tuple(ts[i : i + n])
+            if g in keeper and keeper[g] != d:
+                for p in range(i, i + n):
+                    cover[p] = True
+        kept = [t for t, c in zip(ts, cover) if not c]
+        out[d] = (" ".join(kept), sum(cover))
+    return out
+
+
+def test_dup_span_scrub_matches_oracle(ray_session):
+    """stages/text.py:dup_span_scrub vs a brute-force oracle: keeper
+    retains the span, non-keepers lose exactly the covered tokens,
+    overlapping duplicated grams merge their coverage, and a within-doc
+    repeat alone (df counts DISTINCT docs) is not duplicated."""
+    from rio_cogeo_ray.stages.text import dup_span_scrub
+
+    span = "q w e r t y u i"  # 8 tokens: every 5-gram inside is dup
+    docs = {
+        0: f"alpha beta {span} gamma delta epsilon",
+        1: f"zeta eta theta {span} iota kappa",
+        2: f"unique0 unique1 unique2 {span}",
+        # within-doc repeat of its OWN 5-gram, never shared: kept
+        3: "r1 r2 r3 r4 r5 x y z r1 r2 r3 r4 r5",
+        4: "short doc",
+        5: "",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        }
+    )
+    got = (
+        dup_span_scrub(rd.from_arrow(t), n=5, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _dup_span_oracle(docs, 5, 2)
+    assert len(got) == len(docs)
+    for d in sorted(docs):
+        assert got.loc[d, "text"] == want[d][0], f"doc {d}"
+        assert got.loc[d, "n_removed"] == want[d][1], f"doc {d}"
+    # sanity on the oracle itself: keeper 0 kept the span, 1 and 2 lost it
+    assert span in want[0][0]
+    assert want[1][1] == 8 and want[2][1] == 8
+    assert want[3][1] == 0  # within-doc repeat not scrubbed
