@@ -5085,6 +5085,36 @@ FROM (SELECT doc_id FROM documents) d0 LEFT JOIN res USING (doc_id)
 """
 
 
+def q_lang_temperature(sf_dir: str):
+    """Language-temperature mixing (stages/shard.py:mix_temperature —
+    the mT5 recipe, alpha=0.5): low-resource languages up-sample by
+    sqrt(n_max/n_lang) so realized shares follow n^alpha. One bounded
+    per-lang count aggregate, broadcast rates, map-side explode with
+    the id-addressed credit rule — the corpus never shuffles. The
+    sqrt boost is float64-IEEE in both engines ⇒ hash-exact."""
+    from rio_cogeo_ray.stages.shard import mix_temperature
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return mix_temperature(ds, group_col="lang", id_col="doc_id", alpha=0.5)
+
+
+SQL_LANG_TEMPERATURE = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+m AS (SELECT MAX(n) AS nmax FROM c),
+r AS (SELECT lang,
+             CAST(FLOOR(SQRT(1000000000000.0 * nmax / n)) AS BIGINT) AS num
+      FROM c, m),
+d AS (SELECT doc_id, documents.lang, num,
+             num // 1000000
+             + CASE WHEN ((doc_id + 0) * 2654435761) % 4294967296 % 1000000
+                         < num % 1000000 THEN 1 ELSE 0 END AS nc
+      FROM documents JOIN r USING (lang))
+SELECT doc_id, lang, CAST(g AS BIGINT) AS copy_idx
+FROM d CROSS JOIN generate_series(0, 63) gs(g)
+WHERE g < nc
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5137,6 +5167,7 @@ def queries() -> Dict[str, Callable]:
         "bloom_lookup": q_bloom_lookup,
         "union_evolved": q_union_evolved,
         "dup_span_scrub": q_dup_span_scrub,
+        "lang_temperature": q_lang_temperature,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
@@ -5346,6 +5377,7 @@ def oracle_sql() -> Dict[str, str]:
         "bloom_lookup": SQL_BLOOM_LOOKUP,
         "union_evolved": SQL_UNION_EVOLVED,
         "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
+        "lang_temperature": SQL_LANG_TEMPERATURE,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,

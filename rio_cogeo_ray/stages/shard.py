@@ -37,6 +37,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rio_cogeo_ray.stages.sketch import hash_sample_batch, knuth32
 
@@ -507,3 +508,83 @@ def compact_shards(out_dir: str) -> dict:
     with open(mpath, "w") as f:
         json.dump(man, f, sort_keys=True)
     return man
+
+
+def mix_temperature(
+    ds,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+    salt: int = 0,
+):
+    """Temperature-balanced multi-source mixing — the T5/mT5 recipe:
+    low-resource groups (languages, domains) are up-sampled so realized
+    shares follow ``n_s^alpha`` instead of the raw ``n_s``. Each group's
+    boost is ``(n_max / n_s)^(1-alpha)`` (the largest group stays at
+    rate 1.0), quantized to ``scale`` ppm and realized with
+    :func:`repeat_weighted_batch`'s id-addressed credit rule, so any
+    parallelism / resume yields the same multiset.
+
+    Scale shape: ONE bounded per-group count aggregate (partial→final,
+    O(groups) driver rows), the (group → rate) pair broadcast in the
+    map closure, then a pure map-side explode — the corpus itself never
+    shuffles. ``alpha=0.5`` (the default) computes the boost as a
+    float64 ``sqrt`` — IEEE-correctly-rounded in both numpy and SQL, so
+    the mix is SQL-mirrorable; other alphas use ``pow`` (libm-specific
+    rounding: engine-exact, oracle-approximate).
+
+    Output: input columns + ``copy_idx`` (0-based per-row copy)."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    counts = partial_group_agg(
+        ds.select_columns([group_col]), keys=[group_col], count_as="n"
+    )
+    blocks = [
+        b
+        for b in _ray.get(counts.to_arrow_refs())
+        if b.num_rows and {group_col, "n"} <= set(b.column_names)
+    ]
+    if blocks:
+        ct = pa.concat_tables(blocks).combine_chunks()
+        groups = ct[group_col]
+        n = ct["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_max = float(n.max())
+        if alpha == 0.5:
+            boosts = np.sqrt((float(scale) ** 2 * n_max) / n)
+        else:
+            boosts = float(scale) * np.power(n_max / n, 1.0 - alpha)
+        nums = np.floor(boosts).astype(np.int64)
+    else:
+        groups, nums = None, np.zeros(0, dtype=np.int64)
+    pair_ref = _ray.put((groups, nums))
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        g, rate_nums = _ray.get(pair_ref)
+        if g is None or batch.num_rows == 0:
+            out = batch.slice(0, 0)
+            return out.append_column("copy_idx", pa.array([], pa.int64()))
+        idx = pc.index_in(batch[group_col].combine_chunks(), value_set=g)
+        # every group was seen by the count pass (same dataset); a null
+        # here would mean a nondeterministic source — rate 1.0 fallback
+        idxn = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        num = np.where(idxn >= 0, rate_nums[idxn], scale)
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        reps = num // scale + (
+            (knuth32(ids, salt) % np.uint64(scale)) < (num % scale).view(np.uint64)
+        )
+        total = int(reps.sum())
+        if total == 0:
+            out = batch.slice(0, 0)
+            return out.append_column("copy_idx", pa.array([], pa.int64()))
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        excl = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        copy_idx = np.arange(total, dtype=np.int64) - np.repeat(excl, reps)
+        out = batch.take(pa.array(row_idx, pa.int64()))
+        return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
+
+    return ds.map_batches(_explode, batch_format="pyarrow")

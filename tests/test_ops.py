@@ -4164,3 +4164,52 @@ def test_dup_span_scrub_matches_oracle(ray_session):
     assert span in want[0][0]
     assert want[1][1] == 8 and want[2][1] == 8
     assert want[3][1] == 0  # within-doc repeat not scrubbed
+
+
+def test_mix_temperature_shares_and_determinism(ray_session):
+    """stages/shard.py:mix_temperature: per-group copy counts match the
+    python credit-rule oracle exactly, realized shares flatten toward
+    n^alpha, the multiset is invariant under repartitioning, and empty
+    input flows."""
+    from rio_cogeo_ray.stages.shard import mix_temperature
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    n_big, n_small = 900, 100
+    ids = np.arange(n_big + n_small, dtype=np.int64)
+    grp = np.array(["big"] * n_big + ["small"] * n_small)
+    t = pa.table({"id": pa.array(ids, pa.int64()), "g": pa.array(grp, pa.string())})
+
+    out = mix_temperature(
+        rd.from_arrow(t), group_col="g", id_col="id", alpha=0.5
+    ).to_pandas()
+
+    # oracle: num = floor(sqrt(1e12 * nmax / n)); copies by credit rule
+    def copies(i, num):
+        return num // 10**6 + (
+            1 if knuth32(np.array([i]))[0] % 10**6 < num % 10**6 else 0
+        )
+
+    num_big = int(np.floor(np.sqrt(1e12 * 900 / 900)))
+    num_small = int(np.floor(np.sqrt(1e12 * 900 / 100)))
+    want_big = sum(copies(i, num_big) for i in range(n_big))
+    want_small = sum(copies(i, num_small) for i in range(n_big, n_big + n_small))
+    got = out.groupby("g").size()
+    assert got["big"] == want_big == n_big  # largest group: rate exactly 1.0
+    assert got["small"] == want_small
+    # flattening: small's share rises from 10% toward sqrt-share ~25%
+    share = got["small"] / got.sum()
+    assert 0.2 < share < 0.3
+    # copies are distinguishable and 0-based per row
+    small0 = out[out["id"] == n_big]
+    assert sorted(small0["copy_idx"]) == list(range(len(small0)))
+
+    # partitioning invariance: same multiset from a different layout
+    out2 = mix_temperature(
+        rd.from_arrow(t).repartition(7), group_col="g", id_col="id", alpha=0.5
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id", "copy_idx"]].itertuples(index=False)))
+    assert key(out) == key(out2)
+
+    # empty input flows (schema-less zero-block case)
+    e = rd.from_arrow(t.slice(0, 0)).map_batches(lambda b: b, batch_format="pyarrow")
+    assert mix_temperature(e, group_col="g", id_col="id").count() == 0
