@@ -458,6 +458,33 @@ def bench_text_index():
     return search.bm25_search(idx, terms, k=10).num_rows
 
 
+def bench_dup_span():
+    """Exact duplicated-span scrub over the pages corpus: bucketed
+    dup-gram discovery + broadcast keeper table + one map-side text
+    rebuild (Lee et al. removal half)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return text_mod.dup_span_scrub(ds, n=5, min_docs=2, id_col="pid").count()
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -481,6 +508,7 @@ BENCHES = {
     "surprisal": bench_surprisal,
     "dsir": bench_dsir,
     "text_index": bench_text_index,
+    "dup_span": bench_dup_span,
 }
 
 
