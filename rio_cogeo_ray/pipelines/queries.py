@@ -4945,6 +4945,18 @@ def q_bloom_lookup(sf_dir: str):
     from rio_cogeo_ray.stages.sketch import knuth32
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
+    if pq.ParquetFile(doc_path).metadata.num_rows == 0:
+        # an empty dataset writes NO parquet files — no layout to index
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        )
     st = os.stat(doc_path)
     tag = hashlib.sha256(
         f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()
@@ -5004,6 +5016,17 @@ def q_union_evolved(sf_dir: str):
     from rio_cogeo_ray.sources import evolve
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
+    if pq.ParquetFile(doc_path).metadata.num_rows == 0:
+        # an empty dataset writes NO parquet files — no generations exist
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "sum_n_chars": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        )
     st = os.stat(doc_path)
     tag = hashlib.sha256(
         f"{doc_path}:{st.st_size}:{st.st_mtime_ns}".encode()
@@ -5024,6 +5047,25 @@ def q_union_evolved(sf_dir: str):
 
         docs.map_batches(_v1, batch_format="pyarrow").write_parquet(f"{base}/v1")
         docs.map_batches(_v2, batch_format="pyarrow").write_parquet(f"{base}/v2")
+        # a generation with zero matching rows writes NO files (Ray):
+        # materialize its schema explicitly so the union still sees it
+        for sub, sch in (
+            ("v1", pa.schema([("lang", pa.string()), ("doc_id", pa.int64())])),
+            (
+                "v2",
+                pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("lang", pa.string()),
+                        ("n_chars", pa.int64()),
+                    ]
+                ),
+            ),
+        ):
+            d = f"{base}/{sub}"
+            os.makedirs(d, exist_ok=True)
+            if not any(f.endswith(".parquet") for f in os.listdir(d)):
+                pq.write_table(sch.empty_table(), os.path.join(d, "empty.parquet"))
         with open(os.path.join(base, ".done"), "w") as f:
             f.write("ok")
 
