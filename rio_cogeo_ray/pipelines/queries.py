@@ -5157,6 +5157,83 @@ WHERE g < nc
 """
 
 
+def q_zone_join(sf_dir: str):
+    """Storage-partitioned join (sources/zonemap.py:zone_join — the
+    Iceberg/Spark SPJ shape): orders is zone-mapped on o_orderkey and
+    lineitem is CO-PARTITIONED on l_orderkey with orders' recorded
+    cuts, so equal keys share a __zone directory and the join runs as
+    per-zone task-local pyarrow hash joins over pruned reads — ZERO
+    shuffle (no bucket exchange, no sort). Aggregated per priority."""
+    import hashlib
+
+    from rio_cogeo_ray.sources import zonemap
+
+    o_path = os.path.join(sf_dir, "orders.parquet")
+    l_path = os.path.join(sf_dir, "lineitem.parquet")
+    if (
+        pq.ParquetFile(o_path).metadata.num_rows == 0
+        or pq.ParquetFile(l_path).metadata.num_rows == 0
+    ):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "min_o_orderkey": pa.array([], pa.int64()),
+                    "max_o_orderkey": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    so, sl = os.stat(o_path), os.stat(l_path)
+    tag = hashlib.sha256(
+        f"{o_path}:{so.st_size}:{so.st_mtime_ns}:{sl.st_size}:{sl.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/rcr_zonejoin/{tag}"
+    odir, ldir = f"{base}/orders", f"{base}/lineitem"
+    if not os.path.exists(os.path.join(base, ".done")):
+        zonemap.write_zonemapped(
+            _read(o_path, ["o_orderkey", "o_orderpriority"]),
+            odir,
+            "o_orderkey",
+            n_zones=16,
+        )
+        zonemap.write_zonemapped(
+            _read(l_path, ["l_orderkey", "l_linenumber"]),
+            ldir,
+            "l_orderkey",
+            cuts=zonemap.layout_cuts(odir),
+        )
+        with open(os.path.join(base, ".done"), "w") as f:
+            f.write("ok")
+    joined = zonemap.zone_join(
+        odir,
+        ldir,
+        a_columns=["o_orderkey", "o_orderpriority"],
+        b_columns=["l_orderkey", "l_linenumber"],
+    )
+    out = agg.partial_group_agg(
+        joined,
+        keys=["o_orderpriority"],
+        min_cols=["o_orderkey"],
+        max_cols=["o_orderkey"],
+        count_as="n",
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["o_orderpriority", "min_o_orderkey", "max_o_orderkey", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ZONE_JOIN = """
+SELECT o_orderpriority, MIN(o_orderkey) AS min_o_orderkey,
+       MAX(o_orderkey) AS max_o_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5210,6 +5287,7 @@ def queries() -> Dict[str, Callable]:
         "union_evolved": q_union_evolved,
         "dup_span_scrub": q_dup_span_scrub,
         "lang_temperature": q_lang_temperature,
+        "zone_join": q_zone_join,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
@@ -5420,6 +5498,7 @@ def oracle_sql() -> Dict[str, str]:
         "union_evolved": SQL_UNION_EVOLVED,
         "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
         "lang_temperature": SQL_LANG_TEMPERATURE,
+        "zone_join": SQL_ZONE_JOIN,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "pip_sample": SQL_PIP_SAMPLE,

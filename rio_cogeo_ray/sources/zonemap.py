@@ -35,16 +35,30 @@ import pyarrow.parquet as pq
 MANIFEST = "zonemap.json"
 
 
-def write_zonemapped(ds, out_dir: str, col: str, n_zones: int = 16) -> str:
+def write_zonemapped(
+    ds,
+    out_dir: str,
+    col: str,
+    n_zones: int = 16,
+    cuts: Optional[np.ndarray] = None,
+) -> str:
     """Write ``ds`` as ``out_dir/data/__zone=<i>/*.parquet`` plus a
     min/max manifest. ``col`` must be an integer or float column (the
     zone key). Rebuilds replace atomically (tmp dir + os.replace) —
-    the resume/append doctrine of pipelines/create.py."""
+    the resume/append doctrine of pipelines/create.py.
+
+    ``cuts``: explicit zone boundaries instead of the sketched
+    quantiles — pass another layout's recorded cuts (``layout_cuts``)
+    to CO-PARTITION two tables on the same key ranges, which makes
+    :func:`zone_join` a zero-shuffle storage-partitioned join."""
     from rio_cogeo_ray.stages.sketch import quantile_sketch
 
-    qs = [i / n_zones for i in range(1, n_zones)]
-    qt = quantile_sketch(ds, col, qs)
-    cuts = np.unique(qt["value"].to_numpy(zero_copy_only=False))
+    if cuts is None:
+        qs = [i / n_zones for i in range(1, n_zones)]
+        qt = quantile_sketch(ds, col, qs)
+        cuts = np.unique(qt["value"].to_numpy(zero_copy_only=False))
+    else:
+        cuts = np.asarray(cuts, dtype=np.float64)
 
     def _assign(t: pa.Table) -> pa.Table:
         v = t[col].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -84,8 +98,83 @@ def write_zonemapped(ds, out_dir: str, col: str, n_zones: int = 16) -> str:
         if zmin is not None:
             zones[name] = [zmin, zmax]
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
-        json.dump({"col": col, "zones": zones}, f)
+        json.dump(
+            {"col": col, "zones": zones, "cuts": [float(c) for c in cuts]}, f
+        )
     return out_dir
+
+
+def layout_cuts(out_dir: str) -> np.ndarray:
+    """A layout's recorded zone boundaries — feed to write_zonemapped
+    to co-partition a second table for :func:`zone_join`."""
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        return np.asarray(json.load(f)["cuts"], dtype=np.float64)
+
+
+def zone_join(
+    a_dir: str,
+    b_dir: str,
+    a_columns: Optional[Sequence[str]] = None,
+    b_columns: Optional[Sequence[str]] = None,
+    suffix: str = "_r",
+):
+    """Storage-partitioned inner join of two CO-PARTITIONED zonemap
+    layouts (Iceberg/Spark's storage-partitioned join): both sides were
+    written with IDENTICAL cuts (enforced from the manifests), so equal
+    keys live in the same ``__zone=<i>`` directory on both sides and
+    the join is a per-zone task-local pyarrow hash join over pruned
+    reads — ZERO shuffle: no bucket exchange, no sort, no repartition.
+    The right key column is renamed to the left's; shared non-key
+    columns take ``suffix``. Zones missing on either side prune
+    entirely (inner semantics)."""
+    import ray.data as rd
+
+    with open(os.path.join(a_dir, MANIFEST)) as f:
+        man_a = json.load(f)
+    with open(os.path.join(b_dir, MANIFEST)) as f:
+        man_b = json.load(f)
+    if man_a.get("cuts") != man_b.get("cuts"):
+        raise ValueError(
+            "zone_join requires co-partitioned layouts: write the second "
+            "table with cuts=layout_cuts(first_layout)"
+        )
+    key_a, key_b = man_a["col"], man_b["col"]
+
+    def _zdirs(base: str) -> dict:
+        d = os.path.join(base, "data")
+        return {
+            name: os.path.join(d, name)
+            for name in os.listdir(d)
+            if name.startswith("__zone=")
+        }
+    za, zb = _zdirs(a_dir), _zdirs(b_dir)
+    common = sorted(set(za) & set(zb))  # inner join: one-sided zones prune
+
+    def _join_zone(batch: pa.Table) -> pa.Table:
+        outs = []
+        for name in batch["zone"].to_pylist():
+            ta = pq.read_table(za[name], columns=list(a_columns) if a_columns else None)
+            tb = pq.read_table(zb[name], columns=list(b_columns) if b_columns else None)
+            if key_b != key_a:
+                tb = tb.rename_columns(
+                    [key_a if c == key_b else c for c in tb.column_names]
+                )
+            shared = (set(ta.column_names) & set(tb.column_names)) - {key_a}
+            if shared:
+                tb = tb.rename_columns(
+                    [c + suffix if c in shared else c for c in tb.column_names]
+                )
+            outs.append(ta.join(tb, keys=[key_a], join_type="inner"))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    if not common:
+        # typed empty: join schema from any pair of files when possible
+        return rd.from_arrow(pa.table({}))
+    return rd.from_items([{"zone": z} for z in common]).map_batches(
+        _join_zone, batch_format="pyarrow", batch_size=1
+    )
 
 
 def select_zones(out_dir: str, lo, hi) -> Tuple[List[str], int]:

@@ -4269,3 +4269,52 @@ def test_tar_shard_sink_roundtrip(ray_session, tmp_path):
         b1 = open(os.path.join(d1, s["path"]), "rb").read()
         b2 = open(os.path.join(d2, s["path"]), "rb").read()
         assert hashlib.sha256(b1).digest() == hashlib.sha256(b2).digest()
+
+
+def test_zone_join_copartitioned(ray_session, tmp_path):
+    """sources/zonemap.py:zone_join: co-partitioned layouts join with
+    zero shuffle and equal pandas-merge results; mismatched cuts raise;
+    one-sided zones prune under inner semantics."""
+    from rio_cogeo_ray.sources import zonemap
+
+    rng = np.random.RandomState(11)
+    a = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 1000, 600).astype(np.int64), pa.int64()),
+            "pa_": pa.array(np.arange(600), pa.int64()),
+        }
+    )
+    # right side covers only the LOWER half of the key domain: upper
+    # zones exist on one side only and must prune
+    b = pa.table(
+        {
+            "kk": pa.array(rng.randint(0, 500, 400).astype(np.int64), pa.int64()),
+            "pb": pa.array(np.arange(400), pa.int64()),
+        }
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    zonemap.write_zonemapped(rd.from_arrow(a), da, "k", n_zones=8)
+    zonemap.write_zonemapped(
+        rd.from_arrow(b), db, "kk", cuts=zonemap.layout_cuts(da)
+    )
+
+    got = (
+        zonemap.zone_join(da, db)
+        .to_pandas()
+        .sort_values(["k", "pa_", "pb"])
+        .reset_index(drop=True)
+    )
+    want = (
+        a.to_pandas()
+        .merge(b.to_pandas().rename(columns={"kk": "k"}), on="k")
+        .sort_values(["k", "pa_", "pb"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got[["k", "pa_", "pb"]].values == want[["k", "pa_", "pb"]].values).all()
+
+    # independently-cut layouts refuse loudly
+    db2 = str(tmp_path / "b2")
+    zonemap.write_zonemapped(rd.from_arrow(b), db2, "kk", n_zones=8)
+    with pytest.raises(ValueError):
+        zonemap.zone_join(da, db2)
