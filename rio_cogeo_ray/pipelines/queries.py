@@ -4971,10 +4971,19 @@ def q_bloom_lookup(sf_dir: str):
             b = (knuth32(ids) % np.uint64(16)).astype(np.int64)
             return t.append_column("bfile", pa.array(b, pa.int64()))
 
+        # atomic build (zonemap doctrine): Ray write_parquet APPENDS, so
+        # a crashed half-build must never be appended into — build aside,
+        # replace on success
+        import shutil
+
+        build = bdir + ".build"
+        shutil.rmtree(build, ignore_errors=True)
         _read(doc_path, ["doc_id", "lang", "source", "n_chars"]).map_batches(
             _bfile, batch_format="pyarrow"
-        ).write_parquet(bdir, partition_cols=["bfile"])
-        bloomidx.build_bloom_index(bdir, "doc_id")
+        ).write_parquet(build, partition_cols=["bfile"])
+        bloomidx.build_bloom_index(build, "doc_id")
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.replace(build, bdir)
 
     # max doc_id from the ORIGINAL table's footer stats (metadata-only)
     md = pq.ParquetFile(doc_path).metadata
@@ -5033,6 +5042,13 @@ def q_union_evolved(sf_dir: str):
     ).hexdigest()[:12]
     base = f"/tmp/rcr_evolve/{tag}"
     if not os.path.exists(os.path.join(base, ".done")):
+        # atomic build: Ray write_parquet APPENDS into existing dirs, so
+        # a crashed half-build would double rows forever under the same
+        # stat-keyed tag — build aside, replace on success
+        import shutil
+
+        final_base, base = base, base + ".build"
+        shutil.rmtree(base, ignore_errors=True)
         docs = _read(doc_path, ["doc_id", "lang", "n_chars"])
 
         def _v1(t: pa.Table) -> pa.Table:
@@ -5068,6 +5084,9 @@ def q_union_evolved(sf_dir: str):
                 pq.write_table(sch.empty_table(), os.path.join(d, "empty.parquet"))
         with open(os.path.join(base, ".done"), "w") as f:
             f.write("ok")
+        shutil.rmtree(final_base, ignore_errors=True)
+        os.replace(base, final_base)
+        base = final_base
 
     ds = evolve.read_union_by_name([f"{base}/v1", f"{base}/v2"])
     out = agg.partial_group_agg(
@@ -5137,7 +5156,11 @@ def q_lang_temperature(sf_dir: str):
     from rio_cogeo_ray.stages.shard import mix_temperature
 
     ds = _docs(sf_dir, ["doc_id", "lang"])
-    return mix_temperature(ds, group_col="lang", id_col="doc_id", alpha=0.5)
+    # max_copies pins the engine to the SQL mirror's generate_series
+    # bound (0..63) so the two agree by construction at any skew
+    return mix_temperature(
+        ds, group_col="lang", id_col="doc_id", alpha=0.5, max_copies=64
+    )
 
 
 SQL_LANG_TEMPERATURE = """

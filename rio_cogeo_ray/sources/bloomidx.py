@@ -57,7 +57,7 @@ def build_bloom_index(
     column only; returns the manifest path."""
     import ray.data as rd
 
-    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.join import set_bloom_bits
 
     if m_bits % 8 or m_bits <= 0:
         # the probe recovers m from the blob's byte length — a
@@ -66,7 +66,6 @@ def build_bloom_index(
     files = _leaf_files(data_dir)
     if not files:
         raise FileNotFoundError(f"no parquet files under {data_dir}")
-    m = np.uint64(m_bits)
 
     def _one_file(batch: pa.Table) -> pa.Table:
         paths, blobs = [], []
@@ -78,11 +77,9 @@ def build_bloom_index(
                 .to_numpy(zero_copy_only=False)
             )
             bits = np.zeros(m_bits // 8, dtype=np.uint8)
-            for i in range(k_hashes):
-                h = (
-                    splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % m
-                ).astype(np.int64)
-                np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
+            # the ONE build kernel (shared with join.build_bloom) —
+            # probe goes through join.bloom_hits, same hash family
+            set_bloom_bits(bits, keys, k_hashes)
             paths.append(p)
             blobs.append(bits.tobytes())
         return pa.table({"path": pa.array(paths, pa.string()), "bloom": pa.array(blobs, pa.binary())})
@@ -128,7 +125,7 @@ def probe_files(data_dir: str, keys: Sequence[int]) -> List[str]:
 def read_point_lookup(
     data_dir: str,
     keys: Sequence[int],
-    columns: Optional[Sequence[int]] = None,
+    columns: Optional[Sequence[str]] = None,
 ):
     """``WHERE key IN (...)`` over a bloom-indexed layout: probe the
     manifest, read ONLY the candidate files (column-pruned), then apply

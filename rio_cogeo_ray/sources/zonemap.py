@@ -133,10 +133,17 @@ def zone_join(
         man_a = json.load(f)
     with open(os.path.join(b_dir, MANIFEST)) as f:
         man_b = json.load(f)
-    if man_a.get("cuts") != man_b.get("cuts"):
+    if (
+        "cuts" not in man_a
+        or "cuts" not in man_b
+        or man_a["cuts"] != man_b["cuts"]
+    ):
+        # a manifest without recorded cuts (legacy layout) can never
+        # prove co-partitioning — None == None must NOT pass the guard
         raise ValueError(
             "zone_join requires co-partitioned layouts: write the second "
-            "table with cuts=layout_cuts(first_layout)"
+            "table with cuts=layout_cuts(first_layout) (and rebuild any "
+            "layout whose manifest predates recorded cuts)"
         )
     key_a, key_b = man_a["col"], man_b["col"]
 
@@ -170,8 +177,31 @@ def zone_join(
         return pa.concat_tables(outs)
 
     if not common:
-        # typed empty: join schema from any pair of files when possible
-        return rd.from_arrow(pa.table({}))
+        # typed empty: derive the join schema from any file pair so
+        # downstream aggregates keep their columns
+        def _any_leaf(zdirs: dict) -> Optional[str]:
+            for name in sorted(zdirs):
+                for f in sorted(os.listdir(zdirs[name])):
+                    if f.endswith(".parquet"):
+                        return os.path.join(zdirs[name], f)
+            return None
+
+        fa, fb = _any_leaf(za), _any_leaf(zb)
+        cols: dict = {}
+        if fa is not None:
+            sa = pq.read_schema(fa)
+            for n in (a_columns if a_columns else sa.names):
+                cols[n] = pa.array([], sa.field(n).type)
+        if fb is not None:
+            sb = pq.read_schema(fb)
+            for n in (b_columns if b_columns else sb.names):
+                out_n = key_a if n == key_b else n
+                if out_n in cols:
+                    out_n = out_n if out_n == key_a else out_n + suffix
+                    if out_n in cols:
+                        continue
+                cols[out_n] = pa.array([], sb.field(n).type)
+        return rd.from_arrow(pa.table(cols))
     return rd.from_items([{"zone": z} for z in common]).map_batches(
         _join_zone, batch_format="pyarrow", batch_size=1
     )

@@ -57,7 +57,6 @@ def _reduce_table(batch: pa.Table, keys: Sequence[str], specs: Sequence[_Spec]) 
             cols.append(pa.array((ends - starts).astype(np.int64), pa.int64()))
             names.append(dst)
             continue
-        v = batch[src].combine_chunks().to_numpy(zero_copy_only=False)
         if op in ("sum", "count"):
             arr = batch[src].combine_chunks()
             if not pa.types.is_integer(arr.type):
@@ -83,11 +82,13 @@ def _reduce_table(batch: pa.Table, keys: Sequence[str], specs: Sequence[_Spec]) 
                     )
                 )
             else:
+                v = arr.to_numpy(zero_copy_only=False)
                 out = np.add.reduceat(v.astype(np.int64), starts)
                 cols.append(pa.array(out, pa.int64()))
         elif op in ("min", "max"):
             typ = batch.schema.field(src).type
             arr = batch[src].combine_chunks()
+            v = arr.to_numpy(zero_copy_only=False)
             if arr.null_count and np.issubdtype(v.dtype, np.floating):
                 # nulls surface as NaN in the numpy view: NaN-IGNORING
                 # reduce (SQL MIN/MAX skip nulls), all-null group → null.

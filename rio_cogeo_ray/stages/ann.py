@@ -830,9 +830,12 @@ def semantic_decontam(
     def _filter(batch: pa.Table) -> pa.Table:
         qt = ray.get(q_ref)  # zero-copy plasma view
         if qt.size == 0 or batch.num_rows == 0:
-            if keep_scores and batch.num_rows:
+            # keep_scores must add max_sim on EVERY path (incl. empty
+            # batches) or blocks disagree on schema
+            if keep_scores:
                 return batch.append_column(
-                    "max_sim", pa.array(np.full(batch.num_rows, -1.0), pa.float64())
+                    "max_sim",
+                    pa.array(np.full(batch.num_rows, -1.0), pa.float64()),
                 )
             return batch
         m = _normalize(_matrix(batch[emb_col]))

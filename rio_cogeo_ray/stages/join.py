@@ -605,9 +605,7 @@ def build_bloom(ds, key_col: str, m_bits: int = 1 << 23, k_hashes: int = 4) -> b
     def _partial(t: pa.Table) -> pa.Table:
         keys = t[key_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        for i in range(k_hashes):
-            h = (splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % m).astype(np.int64)
-            np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
+        set_bloom_bits(bits, keys, k_hashes)
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
     def _merge(t: pa.Table) -> pa.Table:
@@ -627,6 +625,17 @@ def build_bloom(ds, key_col: str, m_bits: int = 1 << 23, k_hashes: int = 4) -> b
     for row in rows.take_all():
         acc |= np.frombuffer(row["bloom"], dtype=np.uint8)
     return acc.tobytes()
+
+
+def set_bloom_bits(bits: np.ndarray, keys: np.ndarray, k_hashes: int = 4) -> None:
+    """In-place bit-set twin of :func:`bloom_hits` — the ONE copy of
+    the build loop, so build and probe can never desync on the hash
+    family ``splitmix64(key + 2i+1) % m`` or the probe count. Every
+    builder (build_bloom, sources/bloomidx.py) goes through here."""
+    m = np.uint64(len(bits) * 8)
+    for i in range(k_hashes):
+        h = (splitmix64(keys.astype(np.uint64) + np.uint64(2 * i + 1)) % m).astype(np.int64)
+        np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
 
 
 def bloom_hits(bits: np.ndarray, keys: np.ndarray, k_hashes: int = 4) -> np.ndarray:

@@ -517,6 +517,7 @@ def mix_temperature(
     alpha: float = 0.5,
     scale: int = 1_000_000,
     salt: int = 0,
+    max_copies: Optional[int] = None,
 ):
     """Temperature-balanced multi-source mixing — the T5/mT5 recipe:
     low-resource groups (languages, domains) are up-sampled so realized
@@ -577,6 +578,11 @@ def mix_temperature(
         reps = num // scale + (
             (knuth32(ids, salt) % np.uint64(scale)) < (num % scale).view(np.uint64)
         )
+        if max_copies is not None:
+            # hard per-row ceiling: callers with a bounded SQL mirror
+            # (generate_series) or an epoch budget pin the same cap here
+            # so engine and oracle agree by construction
+            reps = np.minimum(reps, max_copies)
         total = int(reps.sum())
         if total == 0:
             out = batch.slice(0, 0)

@@ -4318,3 +4318,44 @@ def test_zone_join_copartitioned(ray_session, tmp_path):
     zonemap.write_zonemapped(rd.from_arrow(b), db2, "kk", n_zones=8)
     with pytest.raises(ValueError):
         zonemap.zone_join(da, db2)
+
+    # legacy manifests without recorded cuts must NOT pass (None==None)
+    import json as _json
+    import os
+
+    mpath = os.path.join(db2, zonemap.MANIFEST)
+    man = _json.load(open(mpath))
+    man.pop("cuts")
+    _json.dump(man, open(mpath, "w"))
+    ma = os.path.join(da, zonemap.MANIFEST)
+    man_a = _json.load(open(ma))
+    cuts_a = man_a.pop("cuts")
+    _json.dump(man_a, open(ma, "w"))
+    with pytest.raises(ValueError):
+        zonemap.zone_join(da, db2)
+    man_a["cuts"] = cuts_a
+    _json.dump(man_a, open(ma, "w"))
+
+    # disjoint key domains: no common zones -> typed empty, not {}
+    c = pa.table(
+        {
+            "kk": pa.array(
+                np.full(50, 999, dtype=np.int64), pa.int64()
+            ),  # top zone only
+            "pb": pa.array(np.arange(50), pa.int64()),
+        }
+    )
+    dc = str(tmp_path / "c")
+    zonemap.write_zonemapped(rd.from_arrow(c), dc, "kk", cuts=zonemap.layout_cuts(da))
+    lowa = pa.table(
+        {
+            "k": pa.array(np.zeros(50, dtype=np.int64), pa.int64()),  # bottom zone
+            "pa_": pa.array(np.arange(50), pa.int64()),
+        }
+    )
+    dla = str(tmp_path / "la")
+    zonemap.write_zonemapped(rd.from_arrow(lowa), dla, "k", cuts=zonemap.layout_cuts(da))
+    eds = zonemap.zone_join(dla, dc)
+    assert eds.count() == 0
+    names = [f.name for f in eds.schema().base_schema]
+    assert "k" in names and "pa_" in names and "pb" in names
