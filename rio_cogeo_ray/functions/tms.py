@@ -458,3 +458,37 @@ def cell_to_tile(cell: ArrayLike) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     x = _compact1by1(morton >> np.uint64(1)).astype(np.int64)
     y = _compact1by1(morton).astype(np.int64)
     return level, x, y
+
+
+def tile_quadkey_int(x: "np.ndarray", y: "np.ndarray", z: int) -> "np.ndarray":
+    """Bing-maps quadkeys for (x, y) tiles at zoom z, packed as base-10
+    int64 (digit i = x-bit + 2·y-bit at level i, most significant
+    first): the string key is ``str(qk).zfill(z)``. Decimal packing
+    keeps the kernel integer-only and SQL-mirrorable with plain
+    arithmetic + LPAD; z ≤ 18 fits int64 (10^18 < 2^63). The quadkey
+    is the classic web-tile addressing scheme of the reference's TMS
+    ecosystem (morecantile Tile ids; rio-cogeo's --tms axis,
+    /root/reference/rio_cogeo/cogeo.py:86)."""
+    if not 1 <= z <= 18:
+        raise ValueError(f"quadkey zoom must be in [1, 18], got {z}")
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    qk = np.zeros(len(x), dtype=np.int64)
+    for i in range(z):
+        b = z - 1 - i
+        d = ((x >> b) & 1) + 2 * ((y >> b) & 1)
+        qk = qk * 10 + d
+    return qk
+
+
+def quadkey_to_tile(qk: str):
+    """Inverse of :func:`tile_quadkey_int`'s string form: quadkey
+    string → (x, y, z)."""
+    x = y = 0
+    for ch in qk:
+        d = ord(ch) - 48
+        if not 0 <= d <= 3:
+            raise ValueError(f"invalid quadkey digit {ch!r}")
+        x = (x << 1) | (d & 1)
+        y = (y << 1) | (d >> 1)
+    return x, y, len(qk)

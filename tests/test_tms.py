@@ -327,3 +327,27 @@ def test_quad_tile_generalizes_builtin_grids():
             json.dump({"origin_x": 0}, f)
         with pytest.raises(ValueError, match="missing"):
             tms.load_tms_json(p)
+
+
+def test_quadkey_roundtrip_and_hierarchy():
+    """functions/tms.py quadkeys: the Bing documentation pin
+    (tile x=3, y=5, level=3 -> "213"), exact string roundtrip for
+    random tiles, and the parent-prefix property."""
+    rng = np.random.RandomState(5)
+    z = 9
+    x = rng.randint(0, 1 << z, 200).astype(np.int64)
+    y = rng.randint(0, 1 << z, 200).astype(np.int64)
+    qk = tms.tile_quadkey_int(x, y, z)
+    for i in range(len(x)):
+        s = str(qk[i]).zfill(z)
+        assert tms.quadkey_to_tile(s) == (int(x[i]), int(y[i]), z)
+    # Bing pin
+    assert str(tms.tile_quadkey_int(np.array([3]), np.array([5]), 3)[0]).zfill(3) == "213"
+    # parent quadkey is the child's string prefix
+    pqk = tms.tile_quadkey_int(x >> 1, y >> 1, z - 1)
+    for i in range(len(x)):
+        assert str(qk[i]).zfill(z)[: z - 1] == str(pqk[i]).zfill(z - 1)
+    with pytest.raises(ValueError):
+        tms.tile_quadkey_int(x, y, 19)
+    with pytest.raises(ValueError):
+        tms.quadkey_to_tile("12a")
