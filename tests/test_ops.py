@@ -4359,3 +4359,83 @@ def test_zone_join_copartitioned(ray_session, tmp_path):
     assert eds.count() == 0
     names = [f.name for f in eds.schema().base_schema]
     assert "k" in names and "pa_" in names and "pb" in names
+
+
+# -- property-based conformance for the newest kernels -----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])  # tiny vocab => dup-rich
+_doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_dup_span_scrub_property(ray_session, texts):
+    """Random dup-rich corpora: dup_span_scrub == the brute-force
+    oracle exactly (coverage merge, keeper retention, n_removed)."""
+    from rio_cogeo_ray.stages.text import dup_span_scrub
+
+    docs = dict(enumerate(texts))
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        }
+    )
+    got = (
+        dup_span_scrub(rd.from_arrow(t), n=3, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _dup_span_oracle(docs, 3, 2)
+    assert len(got) == len(docs)
+    for d in sorted(docs):
+        assert got.loc[d, "text"] == want[d][0]
+        assert got.loc[d, "n_removed"] == want[d][1]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda p: p[0],
+    ),
+    st.integers(1, 4),
+)
+def test_mix_temperature_property(ray_session, rows, cap):
+    """Random corpora: every row's copy count equals the credit-rule
+    oracle (floor + hash credit, capped), and copy_idx enumerates
+    0..copies-1."""
+    from rio_cogeo_ray.stages.shard import mix_temperature
+    from rio_cogeo_ray.stages.sketch import knuth32
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    grp = np.array([r[1] for r in rows])
+    t = pa.table({"id": pa.array(ids, pa.int64()), "g": pa.array(grp, pa.string())})
+    out = mix_temperature(
+        rd.from_arrow(t), group_col="g", id_col="id", alpha=0.5, max_copies=cap
+    ).to_pandas()
+
+    import collections
+
+    n_by = collections.Counter(grp)
+    n_max = max(n_by.values())
+    nums = {
+        g: int(np.floor(np.sqrt((1e12 * n_max) / n))) for g, n in n_by.items()
+    }
+    got = collections.Counter(out["id"])
+    for i, g in zip(ids, grp):
+        num = nums[g]
+        want = num // 10**6 + (
+            1 if int(knuth32(np.array([i]))[0]) % 10**6 < num % 10**6 else 0
+        )
+        want = min(want, cap)
+        assert got[i] == want, (i, g, num)
+    for i in ids[:5]:
+        cp = sorted(out[out["id"] == i]["copy_idx"])
+        assert cp == list(range(len(cp)))
