@@ -46,15 +46,11 @@ def _term_hash(terms: Sequence[str]) -> np.ndarray:
     return pl.from_arrow(arr).hash(seed=11).to_numpy().astype(np.uint64).view(np.int64)
 
 
-def build_text_index(
-    ds,
-    index_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_shards: int = 64,
-) -> str:
-    """Materialize the inverted index under ``index_dir/postings/
-    shard=<k>/``. Postings are (th, doc_id), DISTINCT per doc."""
+def _make_postings_fn(id_col: str, text_col: str, n_shards: int):
+    """The ONE postings map kernel, shared by build_text_index and
+    append_text_index (same tokenizer, hash seed, shard routing and
+    stats-sentinel convention — a drifted copy would silently split
+    the index)."""
     import polars as pl
 
     from rio_cogeo_ray.stages.text import _tokenize_with_positions
@@ -115,6 +111,61 @@ def build_text_index(
         )
         return pa.concat_tables([out, stats_row])
 
+    return _postings
+
+
+def _harvest_sentinel(tmp_dir: str, id_col: str) -> "tuple[int, int]":
+    """Pop the shard=-1 stats partition from a freshly-written postings
+    dir: (n docs with tokens, Σ doc length). The sentinel rows rode the
+    SAME single tokenize pass that built the postings."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmp_dir, exist_ok=True)  # empty corpus writes nothing
+    n_docs, total_dl = 0, 0
+    sent_dir = os.path.join(tmp_dir, "shard=-1")
+    if os.path.isdir(sent_dir):
+        st = pq.read_table(sent_dir, columns=[id_col, "tf"])
+        n_docs = int(pa.compute.sum(st[id_col]).as_py() or 0)
+        total_dl = int(pa.compute.sum(st["tf"]).as_py() or 0)
+        shutil.rmtree(sent_dir, ignore_errors=True)
+    return n_docs, total_dl
+
+
+def _posting_roots(index_dir: str) -> List[str]:
+    """Every postings root: the base build plus appended generations."""
+    roots = [os.path.join(index_dir, "postings")]
+    for name in sorted(os.listdir(index_dir)):
+        if name.startswith("postings.gen-"):
+            roots.append(os.path.join(index_dir, name))
+    return [r for r in roots if os.path.isdir(r)]
+
+
+def _shard_files(index_dir: str, shards) -> List[str]:
+    """Parquet leafs of the probed shards across ALL generations."""
+    files: List[str] = []
+    for root in _posting_roots(index_dir):
+        for s in shards:
+            sdir = os.path.join(root, f"shard={int(s)}")
+            if os.path.isdir(sdir):
+                files.extend(
+                    os.path.join(sdir, f)
+                    for f in sorted(os.listdir(sdir))
+                    if f.endswith(".parquet")
+                )
+    return files
+
+
+def build_text_index(
+    ds,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> str:
+    """Materialize the inverted index under ``index_dir/postings/
+    shard=<k>/``. Postings are (th, doc_id), DISTINCT per doc."""
+    _postings = _make_postings_fn(id_col, text_col, n_shards)
+
     os.makedirs(index_dir, exist_ok=True)
     post_dir = os.path.join(index_dir, "postings")
     tmp_dir = os.path.join(index_dir, ".postings.tmp")
@@ -123,39 +174,76 @@ def build_text_index(
         tmp_dir, partition_cols=["shard"]
     )
 
-    # corpus stats (N docs with tokens, Σ doc length) from a pruned
-    # 2-int-column scan of the compact index — first=1 marks one
     # corpus stats (N docs with tokens, Σ doc length): driver-side sum
     # over the shard=-1 sentinel rows — one tiny partition directory
     # (one row per map batch), NOT a scan of the per-task × per-shard
     # posting files; the corpus text was tokenized exactly ONCE above
-    import pyarrow.parquet as pq
+    n_docs, total_dl = _harvest_sentinel(tmp_dir, id_col)
 
-    # an empty corpus writes no fragments (and possibly no directory)
-    os.makedirs(tmp_dir, exist_ok=True)
-    n_docs, total_dl = 0, 0
-    sent_dir = os.path.join(tmp_dir, "shard=-1")
-    if os.path.isdir(sent_dir):
-        st = pq.read_table(sent_dir, columns=[id_col, "tf"])
-        n_docs = int(pa.compute.sum(st[id_col]).as_py() or 0)
-        total_dl = int(pa.compute.sum(st["tf"]).as_py() or 0)
-        # drop the sentinel partition from the final layout: postings
-        # dirs then hold postings only (queries never probe -1 anyway)
-        shutil.rmtree(sent_dir, ignore_errors=True)
-
-    shutil.rmtree(post_dir, ignore_errors=True)
+    # a rebuild removes every appended generation too — the index is
+    # whole again from this corpus alone
+    for root in _posting_roots(index_dir):
+        shutil.rmtree(root, ignore_errors=True)
     os.replace(tmp_dir, post_dir)
-    with open(os.path.join(index_dir, MANIFEST), "w") as f:
-        json.dump(
-            {
-                "n_shards": n_shards,
-                "id_col": id_col,
-                "n_docs": n_docs,
-                "total_dl": total_dl,
-            },
-            f,
-        )
+    _write_manifest(
+        index_dir,
+        {
+            "n_shards": n_shards,
+            "id_col": id_col,
+            "n_docs": n_docs,
+            "total_dl": total_dl,
+            "generations": [],
+        },
+    )
     return index_dir
+
+
+def _write_manifest(index_dir: str, man: dict) -> None:
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+
+
+def append_text_index(
+    ds_new,
+    index_dir: str,
+    text_col: str = "text",
+    fingerprint: str = "gen1",
+) -> dict:
+    """Incremental index growth (the append_shards doctrine for
+    retrieval): new documents land as a sibling postings GENERATION
+    ``postings.gen-<fingerprint>/shard=<k>/`` — prior postings are
+    never rewritten or re-tokenized, queries read every generation's
+    probed shards (``_shard_files``), and corpus stats (n_docs,
+    total_dl) accumulate in the manifest so BM25's idf/avgdl stay
+    exact over the union.
+
+    Contract: new doc ids must be DISJOINT from already-indexed ones
+    (run dedup.incremental_dedup upstream) — a re-indexed id would
+    double its postings. Idempotent per fingerprint: an existing
+    generation directory makes the call a no-op (the crash-safe
+    rename happens after the sentinel harvest, so a half-built
+    generation is invisible). Returns the updated manifest."""
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        man = json.load(f)
+    gen_root = os.path.join(index_dir, f"postings.gen-{fingerprint}")
+    if os.path.isdir(gen_root):
+        return man  # this delta is already in — no-op
+    id_col, n_shards = man["id_col"], man["n_shards"]
+    _postings = _make_postings_fn(id_col, text_col, n_shards)
+    tmp_dir = os.path.join(index_dir, f".gen-{fingerprint}.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds_new.map_batches(_postings, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["shard"]
+    )
+    d_docs, d_dl = _harvest_sentinel(tmp_dir, id_col)
+    os.replace(tmp_dir, gen_root)  # atomic: generation appears whole
+    man["n_docs"] = int(man["n_docs"]) + d_docs
+    man["total_dl"] = int(man["total_dl"]) + d_dl
+    man.setdefault("generations", []).append(fingerprint)
+    _write_manifest(index_dir, man)
+    return man
 
 
 def search_index(index_dir: str, terms: Sequence[str], mode: str = "and"):
@@ -176,15 +264,7 @@ def search_index(index_dir: str, terms: Sequence[str], mode: str = "and"):
     n_shards, id_col = man["n_shards"], man["id_col"]
     th = _term_hash(terms)
     shards = np.unique(th.view(np.uint64) % np.uint64(n_shards))
-    files: List[str] = []
-    for s in shards:
-        sdir = os.path.join(index_dir, "postings", f"shard={int(s)}")
-        if os.path.isdir(sdir):
-            files.extend(
-                os.path.join(sdir, f)
-                for f in sorted(os.listdir(sdir))
-                if f.endswith(".parquet")
-            )
+    files = _shard_files(index_dir, shards)
     empty = pa.table({id_col: pa.array([], pa.int64())})
     if not files:
         return rd.from_arrow(empty)
@@ -247,15 +327,7 @@ def bm25_search(
     th = _term_hash(terms)
     th_set = sorted(set(int(v) for v in th))
     shards = np.unique(np.array(th_set, dtype=np.int64).view(np.uint64) % np.uint64(n_shards))
-    files: List[str] = []
-    for s in shards:
-        sdir = os.path.join(index_dir, "postings", f"shard={int(s)}")
-        if os.path.isdir(sdir):
-            files.extend(
-                os.path.join(sdir, f)
-                for f in sorted(os.listdir(sdir))
-                if f.endswith(".parquet")
-            )
+    files = _shard_files(index_dir, shards)
     if not files:
         return empty
     flt = pads.field("th").isin(th_set)

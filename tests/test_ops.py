@@ -4439,3 +4439,59 @@ def test_mix_temperature_property(ray_session, rows, cap):
     for i in ids[:5]:
         cp = sorted(out[out["id"] == i]["copy_idx"])
         assert cp == list(range(len(cp)))
+
+
+def test_append_text_index_incremental(ray_session, tmp_path):
+    """stages/search.py:append_text_index: appended generations are
+    searchable without re-tokenizing prior postings, BM25 stats
+    accumulate exactly (results == a from-scratch rebuild over the
+    union), re-appending the same fingerprint is a no-op, and a
+    rebuild clears generations."""
+    import os
+
+    from rio_cogeo_ray.stages import search
+
+    def _tab(ids, texts):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    base = _tab([1, 2, 3], ["apple banana", "banana cherry", "cherry date"])
+    delta = _tab([10, 11], ["apple cherry", "banana banana epsilon"])
+
+    idx = str(tmp_path / "idx")
+    search.build_text_index(rd.from_arrow(base), idx, n_shards=8)
+    man = search.append_text_index(
+        rd.from_arrow(delta), idx, fingerprint="crawl2"
+    )
+    assert man["n_docs"] == 5 and man["generations"] == ["crawl2"]
+
+    # boolean search sees both generations
+    got = sorted(search.search_index(idx, ["banana"]).to_pandas()["doc_id"])
+    assert got == [1, 2, 11]
+    got = sorted(search.search_index(idx, ["apple", "cherry"]).to_pandas()["doc_id"])
+    assert got == [10]
+
+    # BM25 over the union == a from-scratch index over the union
+    idx2 = str(tmp_path / "idx2")
+    both = _tab([1, 2, 3, 10, 11], [
+        "apple banana", "banana cherry", "cherry date",
+        "apple cherry", "banana banana epsilon",
+    ])
+    search.build_text_index(rd.from_arrow(both), idx2, n_shards=8)
+    r1 = search.bm25_search(idx, ["banana", "cherry"], k=10)
+    r2 = search.bm25_search(idx2, ["banana", "cherry"], k=10)
+    assert r1.to_pydict() == r2.to_pydict()
+
+    # idempotence: same fingerprint is a no-op
+    man2 = search.append_text_index(rd.from_arrow(delta), idx, fingerprint="crawl2")
+    assert man2["n_docs"] == 5
+    assert sorted(search.search_index(idx, ["banana"]).to_pandas()["doc_id"]) == [1, 2, 11]
+
+    # rebuild clears appended generations
+    search.build_text_index(rd.from_arrow(base), idx, n_shards=8)
+    assert not [d for d in os.listdir(idx) if d.startswith("postings.gen-")]
+    assert sorted(search.search_index(idx, ["banana"]).to_pandas()["doc_id"]) == [1, 2]
