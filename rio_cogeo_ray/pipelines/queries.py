@@ -5303,6 +5303,43 @@ SQL_QUADKEY = (
 )
 
 
+JACCARD_TAU_PPM = 800_000
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT set-similarity self-join (stages/simjoin.py — prefix
+    filtering, AllPairs/PPJoin family): every doc pair whose distinct
+    whitespace-token sets have Jaccard >= 0.8, with integer-exact
+    (inter, uni, jac_ppm). Unlike minhash_clusters this has zero false
+    negatives, which is what makes it SQL-mirrorable. Subset to
+    doc_id % 4 == 0 so the quadratic pair set inside planted duplicate
+    clusters stays test-sized (the operator itself takes the full
+    corpus)."""
+    from rio_cogeo_ray.stages import simjoin
+
+    def _subset(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 4) == 0))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _subset, batch_format="pyarrow"
+    )
+    return simjoin.jaccard_self_join(ds, tau_ppm=JACCARD_TAU_PPM)
+
+
+SQL_JACCARD_PAIRS = (
+    r"WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token "
+    "FROM documents WHERE doc_id % 4 = 0), "
+    "sz AS (SELECT doc_id, COUNT(*) AS size FROM tok GROUP BY doc_id), "
+    "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
+    "FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, inter, sa.size + sb.size - inter AS uni, "
+    "(1000000 * inter) // (sa.size + sb.size - inter) AS jac_ppm "
+    "FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+    f"WHERE 1000000 * inter >= {JACCARD_TAU_PPM} * (sa.size + sb.size - inter)"
+)
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5436,6 +5473,7 @@ def queries() -> Dict[str, Callable]:
         "substring_search": q_substring_search,
         "corpus_card": q_corpus_card,
         "tile_assign_tms": q_tile_assign_tms,
+        "jaccard_pairs": q_jaccard_pairs,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5596,6 +5634,7 @@ def oracle_sql() -> Dict[str, str]:
         "substring_search": SQL_SUBSTRING_SEARCH,
         "corpus_card": SQL_CORPUS_CARD,
         "tile_assign_tms": SQL_TILE_ASSIGN_TMS,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

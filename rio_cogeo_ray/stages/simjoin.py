@@ -1,0 +1,293 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs /
+PPJoin family, Bayardo et al. WWW'07; Xiao et al. WWW'08 Lemma 1).
+
+Unlike the LSH-banded near-dup joins in stages/dedup.py (probabilistic
+recall, tuned by band count), this operator is EXACT: it returns every
+document pair whose whitespace-token-set Jaccard similarity is >= a
+threshold, with zero false negatives — which also makes it
+SQL-mirrorable (DuckDB computes the same pairs by brute-force token
+self-join at test scale).
+
+Scale story (the 100 TB question):
+
+- Token rows ship as (doc_id, token, set_size) — one row per DISTINCT
+  token per doc, the same volume as the inverted-index build
+  (stages/search.py); the text itself never shuffles.
+- The global token order is document-frequency ascending (rare tokens
+  first, ties on the token string). Prefix tokens are therefore the
+  RAREST tokens of each doc, so the candidate-generation groupby's
+  buckets are small by construction — the stopword hot keys that would
+  melt a naive token self-join never appear in any prefix.
+- A doc of n distinct tokens contributes a prefix of only
+  n - ceil(tau*n) + 1 rows to the candidate exchange (~(1-tau)*n).
+- Candidate pairs are verified by exact intersection counting through
+  two bucketed hash joins keyed on (doc_id) then (doc_id, token) —
+  standard partitioned exchanges, no all-pairs stage anywhere.
+
+Everything is integer-exact: the threshold is a ppm (parts-per-million)
+integer and the emitted similarity is (1e6 * |A∩B|) // |A∪B|, so the
+DuckDB oracle matches hash-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rio_cogeo_ray.functions.hashing import hash_columns
+
+
+def _doc_token_sets(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(id, token, size) rows — the DISTINCT whitespace tokens of each
+    doc with the doc's distinct-token count attached to every row.
+    Tokens are the RE2 ``\\S+`` matches (same mirror as
+    stages/text.py:token_value_counts). A doc lives entirely in one
+    row, so both the de-dup and the size are exact map-side — no
+    shuffle."""
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lists = pc.ascii_split_whitespace(t.cast(pa.string()))
+    lens = (
+        pc.fill_null(pc.list_value_length(lists), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(lists)
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    pairs = pa.table(
+        {
+            id_col: ids.take(pa.array(rep[keep], pa.int64())),
+            "token": flat.filter(pa.array(keep)),
+        }
+    )
+    d = pairs.group_by([id_col, "token"]).aggregate([]).combine_chunks()
+    if len(d) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], ids.type),
+                "token": pa.array([], pa.string()),
+                "size": pa.array([], pa.int64()),
+            }
+        )
+    idv = d[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    _, inv, counts = np.unique(idv, return_inverse=True, return_counts=True)
+    return pa.table(
+        {
+            id_col: d[id_col].combine_chunks(),
+            "token": d["token"].combine_chunks().cast(pa.string()),
+            "size": pa.array(counts[inv].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _prefix_len(sizes: np.ndarray, tau_ppm: int) -> np.ndarray:
+    """Prefix length n - ceil(tau*n) + 1 per doc, integer-exact."""
+    ceil_tau_n = (sizes * tau_ppm + 999_999) // 1_000_000
+    return sizes - ceil_tau_n + 1
+
+
+def _pairs_within_segments(seg_counts: np.ndarray):
+    """All (i, j) index pairs with i < j inside each contiguous segment
+    of the given lengths — fully vectorized (no Python loop over
+    segments). Returns (L, R) global row indices."""
+    starts = np.concatenate(([0], np.cumsum(seg_counts)))[:-1]
+    n = int(seg_counts.sum())
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    seg_of = np.repeat(np.arange(len(seg_counts), dtype=np.int64), seg_counts)
+    pos = np.arange(n, dtype=np.int64) - starts[seg_of]
+    # row at (seg, pos k) pairs with the c-k-1 rows after it
+    left_rep = seg_counts[seg_of] - pos - 1
+    L = np.repeat(np.arange(n, dtype=np.int64), left_rep)
+    run_start = np.concatenate(([0], np.cumsum(left_rep)))[:-1]
+    R = L + 1 + (np.arange(len(L), dtype=np.int64) - np.repeat(run_start, left_rep))
+    return L, R
+
+
+def jaccard_self_join(
+    ds,
+    tau_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Every pair (id_a < id_b) whose distinct-whitespace-token sets
+    have Jaccard >= tau_ppm/1e6, with exact integer similarity:
+
+        (id_a, id_b, inter, uni, jac_ppm = (1e6*inter)//uni)
+
+    Docs with zero tokens never pair (their token sets are empty; the
+    SQL mirror's token CTE drops them identically).
+
+    Stages: tokenize map-side → df groupby → df attach (bucketed join
+    on token) → per-doc prefix (bucketed by id) → candidate pairs
+    (bucketed by prefix token) → pair distinct → exact intersection
+    count (two bucketed joins) → threshold filter.
+    """
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    tok = ds.map_batches(
+        lambda t: _doc_token_sets(t, id_col, text_col), batch_format="pyarrow"
+    )
+
+    # global document frequency per token (rare-first order). One row
+    # per distinct token per batch leaves the combiner.
+    def _df_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["token"].combine_chunks())
+        return pa.table(
+            {
+                "token": vc.field("values").cast(pa.string()),
+                "dfp": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    df = partial_group_agg(
+        tok.map_batches(_df_partial, batch_format="pyarrow"),
+        keys=["token"],
+        sum_cols=["dfp"],
+        count_as=None,
+        n_buckets=n_buckets,
+    ).map_batches(lambda t: t.rename_columns(["token", "df"]), batch_format="pyarrow")
+
+    with_df = bucketed_hash_join(tok, df, on="token", n_buckets=n_buckets)
+
+    # per-doc prefix under the global (df, token) order
+    def _route_id(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, [id_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def _prefix_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [(id_col, "ascending"), ("df", "ascending"), ("token", "ascending")]
+        )
+        idv = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sizes = g["size"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = idv[1:] != idv[:-1]
+        starts = np.flatnonzero(new)
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        rank = np.arange(n, dtype=np.int64) - seg_start
+        keep = rank < _prefix_len(sizes, tau_ppm)
+        kept = g.filter(pa.array(keep)).select([id_col, "token", "size"])
+        return kept
+
+    prefix = (
+        with_df.map_batches(_route_id, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_prefix_bucket, batch_format="pyarrow")
+    )
+
+    # candidate pairs: docs sharing a prefix token, length-compatible
+    def _route_token(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def _cand_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("token", "ascending"), ("size", "ascending"), (id_col, "ascending")]
+        )
+        tokv = g["token"].combine_chunks()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = pc.not_equal(tokv.slice(1), tokv.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        seg_counts = np.diff(np.append(np.flatnonzero(new), n))
+        L, R = _pairs_within_segments(seg_counts)
+        idv = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = g["size"].combine_chunks().to_numpy(zero_copy_only=False)
+        # J >= tau needs tau * |larger| <= |smaller|; rows sorted size
+        # ascending within each token so sz[L] <= sz[R]
+        ok = 1_000_000 * sz[L] >= tau_ppm * sz[R]
+        L, R = L[ok], R[ok]
+        a, b = idv[L], idv[R]
+        sa, sb = sz[L], sz[R]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        sa2 = np.where(swap, sb, sa)
+        sb2 = np.where(swap, sa, sb)
+        return pa.table(
+            {
+                "id_a": pa.array(a2, pa.int64()),
+                "id_b": pa.array(b2, pa.int64()),
+                "size_a": pa.array(sa2, pa.int64()),
+                "size_b": pa.array(sb2, pa.int64()),
+            }
+        )
+
+    cand = (
+        prefix.map_batches(_route_token, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_cand_bucket, batch_format="pyarrow")
+    )
+
+    # global pair-distinct (a pair may share several prefix tokens)
+    pairs = partial_group_agg(
+        cand,
+        keys=["id_a", "id_b"],
+        min_cols=["size_a", "size_b"],
+        count_as=None,
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "size_a", "size_b"]),
+        batch_format="pyarrow",
+    )
+
+    # exact verify: |A∩B| by re-joining the token sets
+    tok_a = tok.map_batches(
+        lambda t: t.select([id_col, "token"]).rename_columns(["id_a", "token"]),
+        batch_format="pyarrow",
+    )
+    tok_b = tok.map_batches(
+        lambda t: t.select([id_col, "token"]).rename_columns(["id_b", "token"]),
+        batch_format="pyarrow",
+    )
+    expl = bucketed_hash_join(pairs, tok_a, on="id_a", n_buckets=n_buckets)
+    shared = bucketed_hash_join(
+        expl, tok_b, on=["id_b", "token"], how="semi", n_buckets=n_buckets
+    )
+    inter = partial_group_agg(
+        shared,
+        keys=["id_a", "id_b"],
+        min_cols=["size_a", "size_b"],
+        count_as="inter",
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "size_a", "size_b", "inter"]),
+        batch_format="pyarrow",
+    )
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        ia = t["inter"].combine_chunks().to_numpy(zero_copy_only=False)
+        uni = (
+            t["size_a"].combine_chunks().to_numpy(zero_copy_only=False)
+            + t["size_b"].combine_chunks().to_numpy(zero_copy_only=False)
+            - ia
+        )
+        keep = 1_000_000 * ia >= tau_ppm * uni
+        out = pa.table(
+            {
+                "id_a": t["id_a"].combine_chunks(),
+                "id_b": t["id_b"].combine_chunks(),
+                "inter": pa.array(ia, pa.int64()),
+                "uni": pa.array(uni, pa.int64()),
+                "jac_ppm": pa.array(
+                    np.where(uni > 0, (1_000_000 * ia) // np.maximum(uni, 1), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return inter.map_batches(_finalize, batch_format="pyarrow")

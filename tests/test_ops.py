@@ -4495,3 +4495,59 @@ def test_append_text_index_incremental(ray_session, tmp_path):
     search.build_text_index(rd.from_arrow(base), idx, n_shards=8)
     assert not [d for d in os.listdir(idx) if d.startswith("postings.gen-")]
     assert sorted(search.search_index(idx, ["banana"]).to_pandas()["doc_id"]) == [1, 2]
+
+
+def test_jaccard_self_join_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered set-similarity join (stages/simjoin.py) returns
+    EXACTLY the brute-force pair set — zero false negatives at every
+    threshold, integer-exact similarities."""
+    from rio_cogeo_ray.stages import simjoin
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for i in range(60):
+        n = rng.randint(1, 12)
+        toks = list(rng.choice(vocab, size=n, replace=True))
+        # plant near-dup pairs: every 4th doc is a light edit of doc i-1
+        if i % 4 == 3 and texts:
+            prev = texts[-1].split()
+            if prev:
+                prev[rng.randint(len(prev))] = rng.choice(vocab)
+            toks = prev
+        texts.append(" ".join(toks))
+        ids.append(i)
+    texts.append("")  # zero-token doc must never pair
+    ids.append(60)
+
+    def brute(tau_ppm):
+        sets = {i: set(t.split()) for i, t in zip(ids, texts)}
+        out = set()
+        for a in ids:
+            for b in ids:
+                if a >= b or not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if 1_000_000 * inter >= tau_ppm * uni:
+                    out.add((a, b, inter, uni, (1_000_000 * inter) // uni))
+        return out
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    for tau in (300_000, 600_000, 1_000_000):
+        got = {
+            (r["id_a"], r["id_b"], r["inter"], r["uni"], r["jac_ppm"])
+            for r in simjoin.jaccard_self_join(ds, tau_ppm=tau).take_all()
+        }
+        assert got == brute(tau), f"tau={tau}"
+
+
+def test_jaccard_self_join_empty_input(ray_session):
+    from rio_cogeo_ray.stages import simjoin
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert simjoin.jaccard_self_join(ds).count() == 0
