@@ -5303,6 +5303,46 @@ SQL_QUADKEY = (
 )
 
 
+def q_pareto_customers(sf_dir: str):
+    """Distributed skyline (Pareto front — stages/agg.py:skyline):
+    customers not dominated on (order count, total spend, max order).
+    Two-level combiner reduction: per-batch local skyline prunes
+    map-side, survivors collapse once for the exact final pass. Spend
+    quantized to integer cents (the engine's exact-sum doctrine)."""
+    ds = _read(os.path.join(sf_dir, "orders.parquet"), ["o_custkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": t["o_custkey"].combine_chunks(),
+                "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per = agg.partial_group_agg(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        keys=["custkey"],
+        sum_cols=["cents"],
+        max_cols=["cents"],
+        count_as="n_orders",
+    )
+    return agg.skyline(per, dims=["n_orders", "sum_cents", "max_cents"])
+
+
+SQL_PARETO_CUSTOMERS = (
+    "WITH c AS (SELECT o_custkey AS custkey, "
+    "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents, "
+    "MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) "
+    "SELECT custkey, sum_cents, max_cents, n_orders FROM c a "
+    "WHERE NOT EXISTS (SELECT 1 FROM c b WHERE "
+    "b.n_orders >= a.n_orders AND b.sum_cents >= a.sum_cents AND "
+    "b.max_cents >= a.max_cents AND (b.n_orders > a.n_orders OR "
+    "b.sum_cents > a.sum_cents OR b.max_cents > a.max_cents))"
+)
+
+
 JACCARD_TAU_PPM = 800_000
 
 
@@ -5474,6 +5514,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_card": q_corpus_card,
         "tile_assign_tms": q_tile_assign_tms,
         "jaccard_pairs": q_jaccard_pairs,
+        "pareto_customers": q_pareto_customers,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5635,6 +5676,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_card": SQL_CORPUS_CARD,
         "tile_assign_tms": SQL_TILE_ASSIGN_TMS,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "pareto_customers": SQL_PARETO_CUSTOMERS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

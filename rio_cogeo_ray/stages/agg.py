@@ -465,3 +465,74 @@ def combine_aggregates(
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_table(t: pa.Table, dims: Sequence[str], signs: Sequence[int]) -> pa.Table:
+    """Rows not dominated on the given dimensions. Row b dominates row
+    a iff b is >= a on every (sign-adjusted) dim and > on at least one.
+    Ties on all dims: both survive (neither strictly dominates).
+
+    Kernel: sort by dim-sum descending — domination implies a STRICTLY
+    greater sum, so every row's potential dominators precede it — then
+    one pass comparing each row against the kept set (vectorized per
+    row; the kept set is the running skyline, small in practice)."""
+    if len(t) == 0:
+        return t
+    X = np.stack(
+        [
+            s * t[d].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            for d, s in zip(dims, signs)
+        ],
+        axis=1,
+    )
+    order = np.argsort(-X.sum(axis=1), kind="stable")
+    Xs = X[order]
+    kept_rows: list = []
+    kept = np.empty((0, X.shape[1]), dtype=np.int64)
+    for i in range(len(Xs)):
+        x = Xs[i]
+        if len(kept_rows):
+            dominated = np.any(np.all(kept >= x, axis=1) & np.any(kept > x, axis=1))
+            if dominated:
+                continue
+        kept_rows.append(order[i])
+        kept = np.vstack((kept, x[None, :]))
+    idx = np.sort(np.asarray(kept_rows, dtype=np.int64))
+    return t.take(pa.array(idx, pa.int64()))
+
+
+def skyline(ds, dims: Sequence[str], maximize: Sequence[bool] | None = None):
+    """Distributed skyline (Pareto front) over integer dimension
+    columns: the rows not dominated by any other row. ``maximize[i]``
+    False flips dim i to minimize (default: maximize every dim).
+
+    Two-level combiner reduction — the skyline operator is idempotent
+    and distributive (a globally non-dominated row is non-dominated in
+    any subset containing it, so skyline(∪ local skylines) is exact):
+    a per-batch local skyline prunes the stream map-side, survivors
+    collapse to one block for the final pass. The final block is
+    bounded by the sum of local skyline sizes — small for correlated
+    dims; for adversarially anti-correlated data where the true
+    skyline itself is huge, the operator's output is inherently that
+    large and no algorithm shrinks it.
+
+    Dims must be integer-valued (quantize floats first — same doctrine
+    as every exact aggregate in this engine)."""
+    dims = list(dims)
+    if maximize is None:
+        maximize = [True] * len(dims)
+    signs = [1 if m else -1 for m in maximize]
+
+    local = ds.map_batches(
+        lambda t: _skyline_table(t, dims, signs), batch_format="pyarrow"
+    )
+    return local.repartition(1).map_batches(
+        lambda t: _skyline_table(t, dims, signs),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

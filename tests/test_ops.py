@@ -4551,3 +4551,43 @@ def test_jaccard_self_join_empty_input(ray_session):
         pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
     )
     assert simjoin.jaccard_self_join(ds).count() == 0
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    """agg.skyline == O(n²) dominance scan, with planted exact
+    duplicates (both must survive) and a mixed max/min direction."""
+    rng = np.random.RandomState(11)
+    n = 400
+    a = rng.randint(0, 25, n).astype(np.int64)
+    b = rng.randint(0, 25, n).astype(np.int64)
+    c = rng.randint(0, 25, n).astype(np.int64)
+    a[50:60], b[50:60], c[50:60] = a[40], b[40], c[40]  # duplicate block
+    t = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                  "a": pa.array(a), "b": pa.array(b), "c": pa.array(c)})
+
+    def brute(maximize):
+        sg = np.array([1 if m else -1 for m in maximize])
+        X = np.stack([a, b, c], axis=1) * sg
+        keep = []
+        for i in range(n):
+            dom = np.any(
+                np.all(X >= X[i], axis=1) & np.any(X > X[i], axis=1)
+            )
+            if not dom:
+                keep.append(i)
+        return set(keep)
+
+    for maximize in ([True, True, True], [True, False, True]):
+        ds = rd.from_arrow(t).repartition(7)  # force multi-batch local pass
+        got = {
+            r["rid"]
+            for r in agg.skyline(ds, ["a", "b", "c"], maximize=maximize).take_all()
+        }
+        assert got == brute(maximize), maximize
+
+
+def test_skyline_empty_and_single(ray_session):
+    t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    assert agg.skyline(rd.from_arrow(t), ["a", "b"]).count() == 0
+    t1 = pa.table({"a": pa.array([3], pa.int64()), "b": pa.array([4], pa.int64())})
+    assert agg.skyline(rd.from_arrow(t1), ["a", "b"]).count() == 1
