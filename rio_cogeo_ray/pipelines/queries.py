@@ -5303,6 +5303,27 @@ SQL_QUADKEY = (
 )
 
 
+EVENT_GAP_US = 2 * 3600 * 1_000_000
+
+
+def q_event_gaps(sf_dir: str):
+    """Gaps-and-islands (gap half — stages/window.py:event_gaps): per
+    user, consecutive-event pairs >= 2h apart. LEAD() mirror; equal
+    timestamps are tie-order-proof (consecutive pairs of a sorted
+    multiset are unique)."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts"])
+    return window.event_gaps(ds, min_gap_us=EVENT_GAP_US)
+
+
+SQL_EVENT_GAPS = (
+    "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
+    "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt "
+    "FROM events) "
+    "SELECT user_id, t AS gap_start_us, nxt AS gap_end_us, nxt - t AS gap_us "
+    f"FROM s WHERE nxt - t >= {EVENT_GAP_US}"
+)
+
+
 def q_pareto_customers(sf_dir: str):
     """Distributed skyline (Pareto front — stages/agg.py:skyline):
     customers not dominated on (order count, total spend, max order).
@@ -5515,6 +5536,7 @@ def queries() -> Dict[str, Callable]:
         "tile_assign_tms": q_tile_assign_tms,
         "jaccard_pairs": q_jaccard_pairs,
         "pareto_customers": q_pareto_customers,
+        "event_gaps": q_event_gaps,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5677,6 +5699,7 @@ def oracle_sql() -> Dict[str, str]:
         "tile_assign_tms": SQL_TILE_ASSIGN_TMS,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "pareto_customers": SQL_PARETO_CUSTOMERS,
+        "event_gaps": SQL_EVENT_GAPS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -889,3 +889,70 @@ def time_rollup(
     for o in outs[1:]:
         u = u.union(o)
     return u
+
+
+def event_gaps(
+    ds,
+    ts_col: str = "ts",
+    min_gap_us: int = 2 * US_PER_HOUR,
+    n_buckets: int = 64,
+):
+    """Gaps half of gaps-and-islands: per user, every pair of
+    CONSECUTIVE events separated by >= min_gap_us, as
+    (user_id, gap_start_us, gap_end_us, gap_us).
+
+    Same partitioning contract as sessionize: users hash into
+    n_buckets, one vectorized diff pass per bucket — per-group Python
+    cost O(n_buckets). Equal timestamps are tie-order-proof: the
+    multiset of consecutive pairs of a sorted multiset is unique, so
+    any parallel order (and the SQL LEAD mirror) yields the same rows.
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _gaps_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "gap_start_us": pa.array([], pa.int64()),
+                "gap_end_us": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), (ts_col, "ascending")])
+        u = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        same = u[1:] == u[:-1]
+        gaps = t[1:] - t[:-1]
+        keep = same & (gaps >= min_gap_us)
+        if not np.any(keep):
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(u[1:][keep], pa.int64()),
+                "gap_start_us": pa.array(t[:-1][keep], pa.int64()),
+                "gap_end_us": pa.array(t[1:][keep], pa.int64()),
+                "gap_us": pa.array(gaps[keep], pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_cast, batch_format="pyarrow")
+    return slim.groupby("__bucket").map_groups(
+        lambda g: _gaps_bucket(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )

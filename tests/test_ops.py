@@ -4591,3 +4591,29 @@ def test_skyline_empty_and_single(ray_session):
     assert agg.skyline(rd.from_arrow(t), ["a", "b"]).count() == 0
     t1 = pa.table({"a": pa.array([3], pa.int64()), "b": pa.array([4], pa.int64())})
     assert agg.skyline(rd.from_arrow(t1), ["a", "b"]).count() == 1
+
+
+def test_event_gaps_ties_and_partitioning(ray_session):
+    """event_gaps is exact under duplicate timestamps and any block
+    layout (user bucket contract), vs a brute per-user diff."""
+    rng = np.random.RandomState(3)
+    users = rng.randint(0, 9, 300).astype(np.int64)
+    ts = rng.randint(0, 50, 300).astype(np.int64) * 1_000_000
+    ts[10:20] = ts[9]  # duplicate-timestamp run within user stream
+    t = pa.table({"user_id": pa.array(users), "ts": pa.array(ts, pa.int64())})
+    gap = 7_000_000
+
+    expect = set()
+    for u in np.unique(users):
+        s = np.sort(ts[users == u])
+        d = s[1:] - s[:-1]
+        for a, b, g in zip(s[:-1][d >= gap], s[1:][d >= gap], d[d >= gap]):
+            expect.add((int(u), int(a), int(b), int(g)))
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {
+            (r["user_id"], r["gap_start_us"], r["gap_end_us"], r["gap_us"])
+            for r in window.event_gaps(ds, min_gap_us=gap).take_all()
+        }
+        assert got == expect, parts
