@@ -5303,6 +5303,29 @@ SQL_QUADKEY = (
 )
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid lexical+semantic retrieval (stages/search.py:
+    hybrid_search): BM25 over the shard-pruned inverted index fused
+    with exact cosine top-k over the embeddings table by integer
+    reciprocal-rank fusion (Cormack SIGIR'09). Query = SEARCH_TERMS +
+    the vec_id=0 embedding. Float cosine leg ⇒ rows-only; exact RRF
+    arithmetic pinned in pytest."""
+    import pyarrow.parquet as pq_mod
+
+    from rio_cogeo_ray.stages import search
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq_mod.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    emb_ds = _read(emb_path, ["vec_id", "embedding"])
+    return search.hybrid_search(
+        _text_index_dir(sf_dir), list(SEARCH_TERMS), emb_ds, qvec, k=20
+    )
+
+
 EVENT_GAP_US = 2 * 3600 * 1_000_000
 
 
@@ -5569,6 +5592,7 @@ def queries() -> Dict[str, Callable]:
         "bm25_rank": q_bm25_rank,
         "kcore": q_kcore,
         "quality_classifier": q_quality_classifier,
+        "hybrid_search": q_hybrid_search,
     }
 
 

@@ -690,3 +690,73 @@ def substring_search(
         return pa.table({id_col: t[id_col].combine_chunks().cast(pa.int64()).filter(hit)})
 
     return docs_ds.map_batches(_verify, batch_format="pyarrow")
+
+
+def rrf_fuse(legs, k_const: int = 60, topk: int = 10, id_col: str = "doc_id"):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of ranked
+    retrieval legs. ``legs``: small tables ALREADY in rank order (row i
+    = rank i+1) each holding ``id_col``. Integer-exact scoring —
+    contribution of rank r is 1_000_000_000 // (k_const + r) — so the
+    fused ordering is bit-identical everywhere; ties break by id.
+
+    Driver-side by contract: each leg is a top-k output (bounded),
+    never a corpus. The distributed work lives in the legs."""
+    scores: dict = {}
+    ranks: list = []
+    for li, t in enumerate(legs):
+        ids = t[id_col].to_pylist() if t.num_rows else []
+        rmap = {}
+        for r, i in enumerate(ids, start=1):
+            rmap[i] = r
+            scores[i] = scores.get(i, 0) + 1_000_000_000 // (k_const + r)
+        ranks.append(rmap)
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:topk]
+    return pa.table(
+        {
+            id_col: pa.array(order, pa.int64()),
+            "rrf_nano": pa.array([scores[i] for i in order], pa.int64()),
+            **{
+                f"rank_{li}": pa.array(
+                    [ranks[li].get(i, 0) for i in order], pa.int64()
+                )
+                for li in range(len(legs))
+            },
+        }
+    )
+
+
+def hybrid_search(
+    index_dir: str,
+    terms,
+    emb_ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    pool: int = 50,
+    k_const: int = 60,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+):
+    """Hybrid lexical+semantic retrieval: BM25 over the shard-pruned
+    inverted index fused with exact cosine top-k over the embedding
+    table by reciprocal-rank fusion. Both legs are distributed,
+    bounded-output retrievals; the fusion is a driver-side merge of two
+    ≤pool-row lists. Embedding ids must share the document id space."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.ann import knn_cosine
+
+    lex = bm25_search(index_dir, terms, k=pool)
+    sem_ds = knn_cosine(emb_ds, np.asarray(query_vec)[None, :], k=pool, id_col=emb_id_col)
+    sem = pa.concat_tables(
+        [t for t in _ray.get(sem_ds.to_arrow_refs()) if t.num_rows > 0]
+        or [pa.table({emb_id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})],
+        promote_options="default",
+    )
+    sem = sem.sort_by([("score", "descending"), (emb_id_col, "ascending")])
+    sem = sem.rename_columns(
+        [id_col if c == emb_id_col else c for c in sem.column_names]
+    ).select([id_col])
+    fused = rrf_fuse([lex.select([id_col]), sem], k_const=k_const, topk=k, id_col=id_col)
+    return fused.rename_columns(
+        [id_col, "rrf_nano", "bm25_rank", "cosine_rank"]
+    )

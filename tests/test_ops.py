@@ -4617,3 +4617,54 @@ def test_event_gaps_ties_and_partitioning(ray_session):
             for r in window.event_gaps(ds, min_gap_us=gap).take_all()
         }
         assert got == expect, parts
+
+
+def test_rrf_fuse_exact_arithmetic():
+    """Integer RRF matches hand arithmetic; ties break by id."""
+    from rio_cogeo_ray.stages import search as search_mod
+
+    a = pa.table({"doc_id": pa.array([5, 2, 9], pa.int64())})
+    b = pa.table({"doc_id": pa.array([2, 7], pa.int64())})
+    out = search_mod.rrf_fuse([a, b], k_const=60, topk=10)
+    got = {r["doc_id"]: (r["rrf_nano"], r["rank_0"], r["rank_1"])
+           for r in out.to_pylist()}
+    B = 1_000_000_000
+    assert got[2] == (B // 62 + B // 61, 2, 1)
+    assert got[5] == (B // 61, 1, 0)
+    assert got[9] == (B // 63, 3, 0)
+    assert got[7] == (B // 62, 0, 2)
+    # full order: fused score desc, id asc
+    assert out["doc_id"].to_pylist() == [2, 5, 7, 9]
+
+
+def test_hybrid_search_planted_winner(ray_session, tmp_path):
+    """A doc that is both the lexical AND semantic best must come out
+    on top of the fused ranking."""
+    from rio_cogeo_ray.stages import search as search_mod
+
+    n = 40
+    texts = [f"filler{i} noise{i % 7}" for i in range(n)]
+    texts[13] = "zebra quantum lattice"  # unique lexical hit
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    )
+    idx = str(tmp_path / "idx")
+    search_mod.build_text_index(docs, idx, n_shards=4)
+
+    rng = np.random.RandomState(5)
+    embs = rng.standard_normal((n, 8))
+    qvec = embs[13].copy()  # semantic best = same doc
+    emb_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, e)) for e in embs]),
+            }
+        )
+    )
+    out = search_mod.hybrid_search(
+        idx, ["zebra", "quantum"], emb_ds, qvec, k=5
+    )
+    assert out["doc_id"].to_pylist()[0] == 13
+    top = out.to_pylist()[0]
+    assert top["bm25_rank"] == 1 and top["cosine_rank"] == 1
