@@ -5303,6 +5303,49 @@ SQL_QUADKEY = (
 )
 
 
+def q_lang_spearman(sf_dir: str):
+    """Per-language Spearman rank correlation between doc length and
+    whitespace token count (stages/sketch.py:grouped_spearman).
+    ROW_NUMBER-over-(value, doc_id) ranks — a deterministic unique
+    tiebreak that makes the statistic permutation-exact and
+    SQL-mirrorable; rho in integer ppm."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "lang": t["lang"].combine_chunks(),
+                "n_chars": t["n_chars"].combine_chunks(),
+                "tokens": text.token_count(t["text"].combine_chunks()),
+            }
+        )
+
+    from rio_cogeo_ray.stages import sketch
+
+    return sketch.grouped_spearman(
+        ds.map_batches(_tok, batch_format="pyarrow"),
+        group_col="lang",
+        col_a="n_chars",
+        col_b="tokens",
+        id_col="doc_id",
+    )
+
+
+SQL_LANG_SPEARMAN = (
+    r"WITH t AS (SELECT lang, doc_id, n_chars, "
+    r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens FROM documents), "
+    "r AS (SELECT lang, "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS ra, "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tokens, doc_id) AS rb FROM t) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2, "
+    "CAST(1000000 - (6000000 * SUM((ra - rb) * (ra - rb))) "
+    "// (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT) AS rho_ppm "
+    "FROM r GROUP BY lang HAVING COUNT(*) >= 2"
+)
+
+
 def q_hybrid_search(sf_dir: str):
     """Hybrid lexical+semantic retrieval (stages/search.py:
     hybrid_search): BM25 over the shard-pruned inverted index fused
@@ -5560,6 +5603,7 @@ def queries() -> Dict[str, Callable]:
         "jaccard_pairs": q_jaccard_pairs,
         "pareto_customers": q_pareto_customers,
         "event_gaps": q_event_gaps,
+        "lang_spearman": q_lang_spearman,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5724,6 +5768,7 @@ def oracle_sql() -> Dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "pareto_customers": SQL_PARETO_CUSTOMERS,
         "event_gaps": SQL_EVENT_GAPS,
+        "lang_spearman": SQL_LANG_SPEARMAN,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

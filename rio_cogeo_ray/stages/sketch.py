@@ -965,3 +965,99 @@ def checksum_int(ds, col: str, modulus: int = (1 << 63) - 1):
             "n_rows": pa.array([n], pa.int64()),
         }
     )
+
+
+def grouped_spearman(
+    ds,
+    group_col: str,
+    col_a: str,
+    col_b: str,
+    id_col: str,
+    n_buckets: int = 64,
+):
+    """Per-group Spearman rank correlation with a deterministic unique
+    tiebreak: ranks are ROW_NUMBER over (value, id) — permutation-exact
+    and therefore SQL-mirrorable (no averaged tie ranks).
+
+    Output per group: (group, n, sum_d2, rho_ppm) with
+    rho_ppm = 1e6 - (6e6 * Σd²) // (n(n²-1)); the quotient is computed
+    in arbitrary-precision Python ints at finalize (one row per group).
+    Σd² itself accumulates in int64 via reduceat: Σd² ≤ n³/3, exact up
+    to ~3M rows per group — beyond that, chunk-split the reduce (the
+    int128-bucket step the moments query documents). Groups of n < 2
+    drop.
+
+    Partitioning contract: one group's rows must co-locate (hash(group)
+    buckets — same as grouped quantiles); inside a bucket both rank
+    passes are vectorized lexsorts over all its groups at once."""
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, [group_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_d2": pa.array([], pa.int64()),
+                "rho_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        grp = g[group_col].combine_chunks()
+        _, gcode = np.unique(
+            grp.to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        a = g[col_a].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g[col_b].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+
+        def _ranks(v: np.ndarray) -> np.ndarray:
+            order = np.lexsort((i, v, gcode))
+            gs = gcode[order]
+            new = np.ones(n, dtype=bool)
+            new[1:] = gs[1:] != gs[:-1]
+            seg_start = np.repeat(np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), n)))
+            r = np.empty(n, dtype=np.int64)
+            r[order] = np.arange(n, dtype=np.int64) - seg_start + 1
+            return r
+
+        d = _ranks(a) - _ranks(b)
+        order = np.argsort(gcode, kind="stable")
+        gs = gcode[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, n))
+        d2 = (d * d)[order]
+        sum_d2 = np.add.reduceat(d2, starts)
+        keep = cnt >= 2
+        rows_grp, rows_n, rows_s, rows_r = [], [], [], []
+        gvals = grp.to_numpy(zero_copy_only=False)[order]
+        for s_, c_, sd in zip(starts[keep], cnt[keep], sum_d2[keep]):
+            nn, sdi = int(c_), int(sd)
+            rho = 1_000_000 - (6_000_000 * sdi) // (nn * (nn * nn - 1))
+            rows_grp.append(gvals[s_])
+            rows_n.append(nn)
+            rows_s.append(sdi)
+            rows_r.append(rho)
+        if not rows_grp:
+            return empty
+        return pa.table(
+            {
+                group_col: pa.array([str(x) for x in rows_grp], pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+                "sum_d2": pa.array(rows_s, pa.int64()),
+                "rho_ppm": pa.array(rows_r, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
+    )

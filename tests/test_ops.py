@@ -4668,3 +4668,51 @@ def test_hybrid_search_planted_winner(ray_session, tmp_path):
     assert out["doc_id"].to_pylist()[0] == 13
     top = out.to_pylist()[0]
     assert top["bm25_rank"] == 1 and top["cosine_rank"] == 1
+
+
+def test_grouped_spearman_bruteforce(ray_session):
+    """grouped_spearman == per-group numpy rank formula (unique
+    tiebreak), incl. a planted perfectly anti-correlated group and
+    invariance to block layout."""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.RandomState(9)
+    n = 240
+    grp = np.array(["g%d" % (i % 4) for i in range(n)])
+    a = rng.randint(0, 40, n).astype(np.int64)
+    b = rng.randint(0, 40, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    anti = grp == "g3"  # planted: b strictly decreasing in a, unique vals
+    a[anti] = np.arange(anti.sum())
+    b[anti] = -np.arange(anti.sum()) + 1000
+
+    def brute():
+        out = {}
+        for gname in np.unique(grp):
+            m = grp == gname
+            av, bv, iv = a[m], b[m], ids[m]
+            nn = int(m.sum())
+
+            def rk(v):
+                order = np.lexsort((iv, v))
+                r = np.empty(nn, np.int64)
+                r[order] = np.arange(1, nn + 1)
+                return r
+
+            d = rk(av) - rk(bv)
+            sd = int((d * d).sum())
+            out[gname] = (nn, sd, 1_000_000 - (6_000_000 * sd) // (nn * (nn * nn - 1)))
+        return out
+
+    t = pa.table({"g": grp.tolist(), "a": pa.array(a), "b": pa.array(b),
+                  "i": pa.array(ids)})
+    expect = brute()
+    for parts in (1, 6):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {
+            r["g"]: (r["n"], r["sum_d2"], r["rho_ppm"])
+            for r in sketch.grouped_spearman(ds, "g", "a", "b", "i").take_all()
+        }
+        assert got == expect, parts
+    # the anti-correlated group must sit at (or floor-near) rho = -1
+    assert expect["g3"][2] <= -999_000
