@@ -5303,6 +5303,44 @@ SQL_QUADKEY = (
 )
 
 
+def q_rolling_value(sf_dir: str):
+    """Per-user trailing row window (stages/window.py:rolling_sum):
+    sum/count of the last 4 events (3 PRECEDING + current) ordered by
+    (ts, event_id) — the unique tiebreak makes the frame
+    permutation-exact. Value quantized to milli-units (exact-sum
+    doctrine)."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "value"],
+    )
+
+    def _q(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "ts": t["ts"].combine_chunks(),
+                "event_id": t["event_id"].combine_chunks(),
+                "vq": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return window.rolling_sum(
+        ds.map_batches(_q, batch_format="pyarrow"), preceding=3
+    )
+
+
+SQL_ROLLING_VALUE = (
+    "WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, "
+    "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq FROM events) "
+    "SELECT user_id, event_id, t_us, "
+    "CAST(SUM(vq) OVER w AS BIGINT) AS roll_sum_q, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS n_win FROM q "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+)
+
+
 def q_lang_spearman(sf_dir: str):
     """Per-language Spearman rank correlation between doc length and
     whitespace token count (stages/sketch.py:grouped_spearman).
@@ -5604,6 +5642,7 @@ def queries() -> Dict[str, Callable]:
         "pareto_customers": q_pareto_customers,
         "event_gaps": q_event_gaps,
         "lang_spearman": q_lang_spearman,
+        "rolling_value": q_rolling_value,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5769,6 +5808,7 @@ def oracle_sql() -> Dict[str, str]:
         "pareto_customers": SQL_PARETO_CUSTOMERS,
         "event_gaps": SQL_EVENT_GAPS,
         "lang_spearman": SQL_LANG_SPEARMAN,
+        "rolling_value": SQL_ROLLING_VALUE,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

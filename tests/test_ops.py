@@ -4716,3 +4716,37 @@ def test_grouped_spearman_bruteforce(ray_session):
         assert got == expect, parts
     # the anti-correlated group must sit at (or floor-near) rho = -1
     assert expect["g3"][2] <= -999_000
+
+
+def test_rolling_sum_bruteforce(ray_session):
+    """rolling_sum == per-key brute trailing frame, duplicate-ts-proof
+    (unique id tiebreak) and block-layout-invariant."""
+    rng = np.random.RandomState(21)
+    n = 500
+    users = rng.randint(0, 7, n).astype(np.int64)
+    ts = rng.randint(0, 40, n).astype(np.int64)  # heavy ties
+    ids = rng.permutation(n).astype(np.int64)
+    v = rng.randint(-5, 50, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(users), "ts": pa.array(ts),
+                  "event_id": pa.array(ids), "vq": pa.array(v)})
+    W = 2
+
+    expect = {}
+    for u in np.unique(users):
+        m = np.flatnonzero(users == u)
+        order = m[np.lexsort((ids[m], ts[m]))]
+        for k, row in enumerate(order):
+            lo = max(0, k - W)
+            expect[int(ids[row])] = (
+                int(users[row]), int(ts[row]),
+                int(v[order[lo:k + 1]].sum()), k - lo + 1,
+            )
+
+    for parts in (1, 4):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = window.rolling_sum(ds, preceding=W).take_all()
+        got = {
+            r["event_id"]: (r["user_id"], r["t_us"], r["roll_sum_q"], r["n_win"])
+            for r in out
+        }
+        assert got == expect, parts
