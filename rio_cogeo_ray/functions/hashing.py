@@ -9,6 +9,20 @@ from __future__ import annotations
 
 import numpy as np
 
+# Import polars EAGERLY and touch a lazily-registered attribute: Ray can
+# run two UDF threads in one worker process, and a first-use `import
+# polars` racing across threads surfaces as partially-initialized
+# submodules ("polars._reexport has no attribute 'Series'", observed in
+# a fused map_groups→map_batches task). Importing here runs under this
+# module's import lock, so polars is fully initialized before any UDF
+# thread calls hash_columns.
+try:
+    import polars as _pl
+
+    _ = _pl.Series
+except Exception:  # pragma: no cover - polars is a hard dep in practice
+    _pl = None
+
 _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM_M2 = np.uint64(0x94D049BB133111EB)
@@ -54,9 +68,7 @@ def hash_columns(table, cols) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            import polars as pl
-
-            v = pl.from_arrow(col.cast(pa.large_string())).hash(seed=17).to_numpy().astype(np.uint64)
+            v = _pl.from_arrow(col.cast(pa.large_string())).hash(seed=17).to_numpy().astype(np.uint64)
         else:
             v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
         h = hash2(h, v)

@@ -116,6 +116,7 @@ def jaccard_self_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    max_pairs_per_bucket: "int | None" = 50_000_000,
 ):
     """Every pair (id_a < id_b) whose distinct-whitespace-token sets
     have Jaccard >= tau_ppm/1e6, with exact integer similarity:
@@ -129,6 +130,17 @@ def jaccard_self_join(
     on token) → per-doc prefix (bucketed by id) → candidate pairs
     (bucketed by prefix token) → pair distinct → exact intersection
     count (two bucketed joins) → threshold filter.
+
+    DATA ASSUMPTION (the prefix-filter contract): the corpus has a
+    heavy-tailed (Zipfian) vocabulary, so each doc's prefix holds
+    genuinely rare tokens and candidate groups stay small. On a corpus
+    whose distinct-token count is tiny relative to its doc count (e.g.
+    tiny-vocab synthetic text), EVERY token is frequent and candidate
+    generation degrades toward all-pairs — exact set-similarity join
+    is then inherently quadratic and the LSH path
+    (dedup.text_similarity_join) is the right tool.
+    ``max_pairs_per_bucket`` turns that degradation into a loud
+    ValueError instead of a silent near-hang.
     """
     from rio_cogeo_ray.stages.agg import partial_group_agg
     from rio_cogeo_ray.stages.join import bucketed_hash_join
@@ -203,6 +215,16 @@ def jaccard_self_join(
                 zero_copy_only=False
             )
         seg_counts = np.diff(np.append(np.flatnonzero(new), n))
+        est = int((seg_counts * (seg_counts - 1) // 2).sum())
+        if max_pairs_per_bucket is not None and est > max_pairs_per_bucket:
+            raise ValueError(
+                f"jaccard_self_join: candidate generation would emit {est} "
+                f"pairs in one token bucket (> max_pairs_per_bucket="
+                f"{max_pairs_per_bucket}). The corpus vocabulary is too "
+                "small for prefix filtering to prune (see the DATA "
+                "ASSUMPTION note) — use the LSH near-dup path "
+                "(dedup.text_similarity_join) or raise the cap explicitly."
+            )
         L, R = _pairs_within_segments(seg_counts)
         idv = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         sz = g["size"].combine_chunks().to_numpy(zero_copy_only=False)
