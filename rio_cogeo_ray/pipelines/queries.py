@@ -5559,6 +5559,11 @@ def queries() -> Dict[str, Callable]:
         "dup_span_scrub": q_dup_span_scrub,
         "lang_temperature": q_lang_temperature,
         "zone_join": q_zone_join,
+        "jaccard_pairs": q_jaccard_pairs,
+        "pareto_customers": q_pareto_customers,
+        "event_gaps": q_event_gaps,
+        "lang_spearman": q_lang_spearman,
+        "rolling_value": q_rolling_value,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -5638,11 +5643,6 @@ def queries() -> Dict[str, Callable]:
         "substring_search": q_substring_search,
         "corpus_card": q_corpus_card,
         "tile_assign_tms": q_tile_assign_tms,
-        "jaccard_pairs": q_jaccard_pairs,
-        "pareto_customers": q_pareto_customers,
-        "event_gaps": q_event_gaps,
-        "lang_spearman": q_lang_spearman,
-        "rolling_value": q_rolling_value,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
