@@ -5303,6 +5303,25 @@ SQL_QUADKEY = (
 )
 
 
+def q_key_skew(sf_dir: str):
+    """Join-key skew diagnostic (stages/profile.py:key_skew): the
+    multiplicity histogram of lineitem.l_orderkey — the planning input
+    for salting / broadcast decisions. Two chained partial→final
+    aggregations; the histogram is O(distinct multiplicities) rows."""
+    from rio_cogeo_ray.stages import profile
+
+    ds = _read(os.path.join(sf_dir, "lineitem.parquet"), ["l_orderkey"])
+    return profile.key_skew(ds, "l_orderkey")
+
+
+SQL_KEY_SKEW = (
+    "WITH k AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS m "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT m AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_keys, "
+    "CAST(SUM(m) AS BIGINT) AS total_rows FROM k GROUP BY m"
+)
+
+
 def q_rolling_value(sf_dir: str):
     """Per-user trailing row window (stages/window.py:rolling_sum):
     sum/count of the last 4 events (3 PRECEDING + current) ordered by
@@ -5564,6 +5583,7 @@ def queries() -> Dict[str, Callable]:
         "event_gaps": q_event_gaps,
         "lang_spearman": q_lang_spearman,
         "rolling_value": q_rolling_value,
+        "key_skew": q_key_skew,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -5809,6 +5829,7 @@ def oracle_sql() -> Dict[str, str]:
         "event_gaps": SQL_EVENT_GAPS,
         "lang_spearman": SQL_LANG_SPEARMAN,
         "rolling_value": SQL_ROLLING_VALUE,
+        "key_skew": SQL_KEY_SKEW,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

@@ -90,3 +90,43 @@ def profile_columns(
             "max": pa.array([acc[c]["max"] for c in cols], pa.float64()),
         }
     )
+
+
+def key_skew(ds, key_col: str, n_buckets: int = 64):
+    """Join-key skew diagnostic: the multiplicity histogram of a key
+    column — for every multiplicity m, how many distinct keys occur
+    exactly m times and how many rows they carry. This is the planning
+    input for the hot-key decisions the engine documents everywhere
+    (salted joins, skew_salting, broadcast-vs-bucket choices): a long
+    multiplicity tail means the bucketed exchange needs salting.
+
+    Two chained partial->final aggregations: per-key counts (one row
+    per distinct key per batch leaves the combiner), then the tiny
+    histogram over counts. Output: (multiplicity, n_keys, total_rows)."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    per_key = partial_group_agg(
+        ds, keys=[key_col], count_as="m", n_buckets=n_buckets
+    )
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.select(["m"])
+
+    hist = partial_group_agg(
+        per_key.map_batches(_strip, batch_format="pyarrow"),
+        keys=["m"],
+        sum_cols=["m"],
+        count_as="n_keys",
+        n_buckets=n_buckets,
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "multiplicity": t["m"].combine_chunks().cast(pa.int64()),
+                "n_keys": t["n_keys"].combine_chunks().cast(pa.int64()),
+                "total_rows": t["sum_m"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return hist.map_batches(_final, batch_format="pyarrow")

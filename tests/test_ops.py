@@ -4750,3 +4750,27 @@ def test_rolling_sum_bruteforce(ray_session):
             for r in out
         }
         assert got == expect, parts
+
+
+def test_key_skew_histogram(ray_session):
+    """key_skew == collections.Counter double-count, any block layout."""
+    import collections
+
+    from rio_cogeo_ray.stages import profile as profile_mod
+
+    rng = np.random.RandomState(2)
+    keys = np.concatenate([rng.randint(0, 50, 400), np.full(77, 999)]).astype(np.int64)
+    per_key = collections.Counter(keys.tolist())
+    hist = collections.Counter(per_key.values())
+    expect = {
+        m: (cnt, m * cnt) for m, cnt in hist.items()
+    }
+    t = pa.table({"k": pa.array(keys)})
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {
+            r["multiplicity"]: (r["n_keys"], r["total_rows"])
+            for r in profile_mod.key_skew(ds, "k").take_all()
+        }
+        assert got == expect, parts
+    assert expect[77][0] >= 1  # the planted hot key is visible in the tail
