@@ -5416,10 +5416,17 @@ def q_hybrid_search(sf_dir: str):
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq_mod.read_table(emb_path, columns=["vec_id", "embedding"])
-    qvec = np.asarray(
-        qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()[0],
-        dtype=np.float64,
-    )
+    qrows = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()
+    if not qrows:  # empty/degenerate corpus: no query vector exists
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "rrf_nano": pa.array([], pa.int64()),
+                "bm25_rank": pa.array([], pa.int64()),
+                "cosine_rank": pa.array([], pa.int64()),
+            }
+        )
+    qvec = np.asarray(qrows[0], dtype=np.float64)
     emb_ds = _read(emb_path, ["vec_id", "embedding"])
     return search.hybrid_search(
         _text_index_dir(sf_dir), list(SEARCH_TERMS), emb_ds, qvec, k=20

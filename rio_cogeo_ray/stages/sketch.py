@@ -1008,8 +1008,14 @@ def grouped_spearman(
         if len(g) == 0:
             return empty
         grp = g[group_col].combine_chunks()
-        _, gcode = np.unique(
-            grp.to_numpy(zero_copy_only=False), return_inverse=True
+        # dictionary_encode handles NULL group values (np.unique would
+        # raise comparing None to str); nulls become their own group
+        # code, mirroring SQL's NULL partition
+        enc = grp.dictionary_encode()
+        gcode = (
+            enc.indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         a = g[col_a].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         b = g[col_b].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
