@@ -4381,6 +4381,53 @@ GROUP BY t.doc_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity bucketing (stages/text.py:
+    ccnet_buckets — Wenzek et al. 2020): integer millibits/token
+    surprisal scores, exact per-lang 1/3 and 2/3 order-statistic
+    thresholds, docs labeled head/middle/tail; output is the audit
+    table (lang, bucket, n_docs, total_tokens). Every step is
+    integer-exact (the surprisal + grouped_quantile contracts), so it
+    lands hash-exact at any parallelism. NULL lang coalesces to ''
+    on both sides."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return text.ccnet_buckets(ds)
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+             FROM documents),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+bits AS (SELECT t.doc_id,
+                CAST(SUM(LENGTH(bin((SELECT n FROM tot) // c.c)) - 1) AS BIGINT)
+                  AS b,
+                CAST(COUNT(*) AS BIGINT) AS ntok
+         FROM tok t JOIN cf c ON t.tok = c.tok GROUP BY t.doc_id),
+score AS (SELECT COALESCE(d.lang, '') AS lang, b.doc_id,
+                 (1000 * b.b) // b.ntok AS s, b.ntok
+          FROM bits b JOIN documents d ON b.doc_id = d.doc_id),
+ranked AS (SELECT lang, s,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s) AS rn,
+                  COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM score),
+thr AS (SELECT lang,
+               MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT) THEN s END)
+                 AS t33,
+               MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS BIGINT) THEN s END)
+                 AS t67
+        FROM ranked GROUP BY lang)
+SELECT sc.lang,
+       CASE WHEN sc.s <= th.t33 THEN 'head'
+            WHEN sc.s <= th.t67 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sc.ntok) AS BIGINT) AS total_tokens
+FROM score sc JOIN thr th ON sc.lang = th.lang
+GROUP BY 1, 2
+"""
+
+
 def q_dsir(sf_dir: str):
     """DSIR importance-weight scoring (stages/text.py:dsir_score — Xie
     et al. 2023 data-selection recipe): every document scored by
@@ -5591,6 +5638,7 @@ def queries() -> Dict[str, Callable]:
         "lang_spearman": q_lang_spearman,
         "rolling_value": q_rolling_value,
         "key_skew": q_key_skew,
+        "ccnet_buckets": q_ccnet_buckets,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -5837,6 +5885,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_spearman": SQL_LANG_SPEARMAN,
         "rolling_value": SQL_ROLLING_VALUE,
         "key_skew": SQL_KEY_SKEW,
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

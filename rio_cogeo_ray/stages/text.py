@@ -2442,3 +2442,144 @@ def dup_span_scrub(
         )
 
     return ds.map_batches(_scrub, batch_format="pyarrow", batch_size=8192)
+
+
+_CCNET_EMPTY = pa.table(
+    {
+        "lang": pa.array([], pa.string()),
+        "bucket": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "total_tokens": pa.array([], pa.int64()),
+    }
+)
+
+
+def ccnet_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang", n_buckets: int = 64):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): score every document with the integer
+    unigram surprisal (:func:`surprisal_score` — the KenLM-perplexity
+    analog), cut each language's score distribution at its exact 1/3
+    and 2/3 order statistics, and label documents head (cleanest
+    third), middle, tail — CCNet trains on head+middle. Returns the
+    audit table (lang, bucket, n_docs, total_tokens).
+
+    Exactness: scores are integer millibits/token
+    (``1000·bits // n_tokens``); thresholds are exact type-1 order
+    statistics (grouped_quantile, rank = ceil(q·n) — the SQL
+    ROW_NUMBER mirror), so the recipe is hash-exact at any
+    parallelism. NULL lang coalesces to '' on BOTH engine and oracle
+    sides (web corpora carry nulls); zero-token documents drop (no
+    score exists), mirroring the SQL tokenizer CTE.
+
+    Scale shape: text collapses to the compact per-doc projection
+    (id, lang, s, n_tokens) in ONE scoring pass, materialized once
+    (fixed-width columns, ~10² B/doc, spill-friendly) because it feeds
+    TWO consumers — recomputing the tokenize+score pass would cost
+    more than the object-store residency. The threshold quantile's
+    exchange moves one row per DISTINCT (lang, millibits) value — s is
+    bounded by 1000·log2(N) ≲ 60k distinct per lang regardless of
+    corpus size. Thresholds are O(langs) rows (the bounded-partial
+    driver-materialization doctrine), broadcast once via ``ray.put``;
+    the final exchange carries ≤ langs×3 partial rows per batch."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+    from rio_cogeo_ray.stages.sketch import grouped_quantile
+
+    scored = surprisal_score(ds, id_col=id_col, text_col=text_col,
+                             n_buckets=n_buckets)
+
+    def _s(t: pa.Table) -> pa.Table:
+        bits = t["surprisal_bits"].combine_chunks().to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        # surprisal_score never emits n_tokens == 0 rows; // is exact
+        s = (1000 * bits) // ntok
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "s": pa.array(s.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _lang(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                lang_col: pc.fill_null(
+                    t[lang_col].combine_chunks().cast(pa.string()), ""
+                ),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        scored.map_batches(_s, batch_format="pyarrow"),
+        ds.map_batches(_lang, batch_format="pyarrow"),
+        on=id_col,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    thr_blocks = [
+        b
+        for b in _ray.get(
+            grouped_quantile(
+                joined, lang_col, "s", qs=[1 / 3, 2 / 3], scale=1,
+                n_buckets=n_buckets,
+            ).to_arrow_refs()
+        )
+        if b.num_rows and "q" in b.column_names
+    ]
+    if not thr_blocks:
+        return _CCNET_EMPTY
+    thr = pa.concat_tables(thr_blocks, promote_options="default")
+    t33, t67 = {}, {}
+    for lang, q, v in zip(
+        thr[lang_col].to_pylist(), thr["q"].to_pylist(), thr["value"].to_pylist()
+    ):
+        (t33 if q < 0.5 else t67)[lang] = int(v)
+    langs = sorted(t33)
+    state = _ray.put(
+        (
+            pa.array(langs, pa.string()),
+            np.array([t33[l] for l in langs], np.int64),
+            np.array([t67[l] for l in langs], np.int64),
+        )
+    )
+
+    def _assign(t: pa.Table) -> pa.Table:
+        la, lo, hi = _ray.get(state)
+        lang = t[lang_col].combine_chunks()
+        # every lang in the materialized join has a threshold row by
+        # construction, so index_in never misses
+        idx = pc.index_in(lang, la).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = np.where(s <= lo[idx], "head", np.where(s <= hi[idx], "middle", "tail"))
+        return pa.table(
+            {
+                lang_col: lang,
+                "bucket": pa.array(b, pa.string()),
+                "n_tokens": t["n_tokens"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    agg = partial_group_agg(
+        joined.map_batches(_assign, batch_format="pyarrow"),
+        keys=[lang_col, "bucket"],
+        sum_cols=["n_tokens"],
+        count_as="n_docs",
+        n_buckets=n_buckets,
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t[lang_col].combine_chunks().cast(pa.string()),
+                "bucket": t["bucket"].combine_chunks().cast(pa.string()),
+                "n_docs": t["n_docs"].combine_chunks().cast(pa.int64()),
+                "total_tokens": t["sum_n_tokens"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -4774,3 +4774,77 @@ def test_key_skew_histogram(ray_session):
         }
         assert got == expect, parts
     assert expect[77][0] >= 1  # the planted hot key is visible in the tail
+
+
+def _brute_ccnet(docs):
+    """Driver-side CCNet-bucket oracle: unigram surprisal millibits per
+    token, per-lang tertile thresholds at rank ceil(q*n), head/middle/
+    tail counts. docs: list of (doc_id, text, lang)."""
+    import math
+    from collections import Counter
+
+    toks = {d: (t or "").split() for d, t, _ in docs}
+    cf = Counter(tok for ts in toks.values() for tok in ts)
+    total = sum(cf.values())
+    score = {}
+    for d, _, lang in docs:
+        ts = toks[d]
+        if not ts:
+            continue
+        bits = sum((total // cf[tok]).bit_length() - 1 for tok in ts)
+        score[d] = (lang or "", 1000 * bits // len(ts), len(ts))
+    by_lang = {}
+    for lang, s, _ in score.values():
+        by_lang.setdefault(lang, []).append(s)
+    thr = {}
+    for lang, ss in by_lang.items():
+        ss = sorted(ss)
+        n = len(ss)
+        thr[lang] = (ss[math.ceil(n / 3) - 1], ss[math.ceil(2 * n / 3) - 1])
+    res = {}
+    for lang, s, ntok in score.values():
+        t33, t67 = thr[lang]
+        b = "head" if s <= t33 else ("middle" if s <= t67 else "tail")
+        cell = res.setdefault((lang, b), [0, 0])
+        cell[0] += 1
+        cell[1] += ntok
+    return {k: tuple(v) for k, v in res.items()}
+
+
+def test_ccnet_buckets_vs_brute_force(ray_session):
+    # two langs with spread-out score profiles, a null lang (coalesces
+    # to ''), an empty-text doc (drops: no score exists), and planted
+    # score TIES straddling a tertile boundary
+    docs = [
+        (1, "the the the the of of and and", "en"),
+        (2, "the of and to in for on with", "en"),
+        (3, "qq zz xx vv kk jj", "en"),
+        (4, "the qq of zz and xx", "en"),
+        (5, "the the qq of and to", "en"),
+        (6, "rare1 rare2 rare3 the of", "en"),
+        (7, "der die das und und", "de"),
+        (8, "der qux1 die qux2", "de"),
+        (9, "der die und das der die", "de"),
+        (10, "qux3 qux4 qux5 qux6", "de"),
+        (11, "the of and", None),
+        (12, "   ", "en"),
+        (13, "the of and", None),  # exact tie with doc 11 in lang ''
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x, _ in docs], pa.string()),
+            "lang": pa.array([l for _, _, l in docs], pa.string()),
+        }
+    )
+    expect = _brute_ccnet(docs)
+    for parts in (1, 5):
+        out = text.ccnet_buckets(rd.from_arrow(t).repartition(parts), n_buckets=8)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        got = {
+            (r.lang, r.bucket): (int(r.n_docs), int(r.total_tokens))
+            for r in df.itertuples()
+        }
+        assert got == expect, (parts, got, expect)
+    # the empty-text doc contributed nothing anywhere
+    assert sum(v[0] for v in expect.values()) == len(docs) - 1
