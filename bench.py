@@ -385,6 +385,37 @@ def bench_surprisal():
     return text_mod.surprisal_score(ds, id_col="pid").count()
 
 
+def bench_ccnet():
+    """CCNet per-language perplexity bucketing over the pages corpus:
+    one surprisal scoring pass into a materialized compact projection
+    (pid, lang, millibits, ntok), a per-lang exact-quantile threshold
+    whose exchange is bounded by distinct (lang, millibits) values,
+    a broadcast threshold lookup, and a langs x 3 count aggregate."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+                "lang": t["lang"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text", "lang"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    out = text_mod.ccnet_buckets(ds, id_col="pid")
+    return out.count() if hasattr(out, "count") else out.num_rows
+
+
 def bench_dsir():
     """DSIR importance-weight scoring over the pages corpus: two
     vocab-bounded count shuffles (raw + en-target) then a stateless
@@ -506,6 +537,7 @@ BENCHES = {
     "seg_dedup": bench_seg_dedup,
     "intradoc_dedup": bench_intradoc_dedup,
     "surprisal": bench_surprisal,
+    "ccnet_buckets": bench_ccnet,
     "dsir": bench_dsir,
     "text_index": bench_text_index,
     "dup_span": bench_dup_span,

@@ -891,7 +891,8 @@ def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
-                    n_buckets: int = 64, broadcast_vocab: bool = True):
+                    n_buckets: int = 64, broadcast_vocab: bool = True,
+                    carry_cols: tuple = ()):
     """Unigram surprisal quality score per document — the CCNet/KenLM
     perplexity-filter analog with an INTEGER-EXACT surprisal unit:
     each token occurrence contributes ``floor(log2(N // cf(token)))``
@@ -924,13 +925,28 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
     - ``broadcast_vocab=False``: tfidf_topk's three linear stages —
       (doc, token-hash, tf) combiner → bucket by token hash, cf and
       bits attach in place per bucket → partial→final sum per doc.
-      Unbounded vocab, but the exchange moves doc-token pair rows."""
+      Unbounded vocab, but the exchange moves doc-token pair rows.
+
+    ``carry_cols``: extra input columns forwarded onto the scored rows
+    (zero-token docs drop with their carried values). Only the
+    broadcast path supports it — the fallback's per-doc partial→final
+    sum cannot carry non-key columns; consumers there re-join by id.
+    This is what lets ccnet_buckets avoid an O(docs)-row join AND a
+    third corpus read just to recover the language column."""
     import polars as pl
 
     import ray as _ray
 
     from rio_cogeo_ray.functions.hashing import splitmix64
     from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    carry_cols = tuple(carry_cols)
+    if carry_cols and not broadcast_vocab:
+        raise ValueError(
+            "carry_cols requires broadcast_vocab=True (the fallback's "
+            "per-doc partial aggregate cannot carry non-key columns; "
+            "re-join by id instead)"
+        )
 
     def _th(toks: pa.Array) -> np.ndarray:
         return (
@@ -941,13 +957,21 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
             .view(np.int64)
         )
 
-    _EMPTY_OUT = pa.table(
-        {
+    def _empty_out(batch=None) -> pa.Table:
+        cols = {
             id_col: pa.array([], pa.int64()),
             "surprisal_bits": pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
         }
-    )
+        for c in carry_cols:
+            cols[c] = (
+                batch[c].combine_chunks().slice(0, 0)
+                if batch is not None
+                else pa.array([], pa.string())
+            )
+        return pa.table(cols)
+
+    _EMPTY_OUT = _empty_out()
 
     if broadcast_vocab:
         def _vocab_partial(batch: pa.Table) -> pa.Table:
@@ -974,7 +998,7 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
             _ray.get(vocab.to_arrow_refs()), promote_options="default"
         ).combine_chunks()
         if not vt.num_rows:
-            return ds.map_batches(lambda t: _EMPTY_OUT, batch_format="pyarrow")
+            return ds.map_batches(_empty_out, batch_format="pyarrow")
         th_v = vt["th"].to_numpy(zero_copy_only=False)
         cf_v = vt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(th_v)
@@ -993,7 +1017,7 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
             th_s, bits_s = _ray.get(state)
             toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
             if len(row) == 0:
-                return _EMPTY_OUT
+                return _empty_out(batch)
             b = bits_s[np.searchsorted(th_s, _th(toks))]
             n = batch.num_rows
             # float64 sums are exact here: bits ≤ 63, ≤ 2^53 tokens/doc
@@ -1001,13 +1025,15 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
             cnts = np.bincount(row, minlength=n)
             nz = cnts > 0
             ids = batch[id_col].combine_chunks().cast(pa.int64())
-            return pa.table(
-                {
-                    id_col: ids.filter(pa.array(nz)),
-                    "surprisal_bits": pa.array(sums[nz].astype(np.int64), pa.int64()),
-                    "n_tokens": pa.array(cnts[nz].astype(np.int64), pa.int64()),
-                }
-            )
+            nz_mask = pa.array(nz)
+            cols = {
+                id_col: ids.filter(nz_mask),
+                "surprisal_bits": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+            }
+            for c in carry_cols:
+                cols[c] = batch[c].combine_chunks().filter(nz_mask)
+            return pa.table(cols)
 
         return ds.map_batches(_score, batch_format="pyarrow")
 
@@ -1027,7 +1053,7 @@ def surprisal_score(ds, id_col: str = "doc_id", text_col: str = "text",
         int(pc.sum(b["n"]).as_py() or 0) for b in ntok_blocks
     )
     if n_total == 0:
-        return ds.map_batches(lambda t: _EMPTY_OUT, batch_format="pyarrow")
+        return ds.map_batches(_empty_out, batch_format="pyarrow")
 
     def _hash_counts(batch: pa.Table) -> pa.Table:
         """(id, th, n) in-batch combined token-hash frequencies — one
@@ -2473,23 +2499,41 @@ def ccnet_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
     score exists), mirroring the SQL tokenizer CTE.
 
     Scale shape: text collapses to the compact per-doc projection
-    (id, lang, s, n_tokens) in ONE scoring pass, materialized once
-    (fixed-width columns, ~10² B/doc, spill-friendly) because it feeds
-    TWO consumers — recomputing the tokenize+score pass would cost
-    more than the object-store residency. The threshold quantile's
-    exchange moves one row per DISTINCT (lang, millibits) value — s is
-    bounded by 1000·log2(N) ≲ 60k distinct per lang regardless of
-    corpus size. Thresholds are O(langs) rows (the bounded-partial
-    driver-materialization doctrine), broadcast once via ``ray.put``;
-    the final exchange carries ≤ langs×3 partial rows per batch."""
+    (lang, s, n_tokens) in ONE scoring pass — the language column rides
+    the surprisal stage itself (``carry_cols``), so there is NO
+    re-join-by-id and NO extra corpus read. The projection materializes
+    once (fixed-width columns, ~10² B/doc, spill-friendly) because it
+    feeds TWO consumers — recomputing the tokenize+score pass would
+    cost more than the object-store residency. The threshold
+    quantile's exchange moves one row per DISTINCT (lang, millibits)
+    value — s is bounded by 1000·log2(N) ≲ 60k distinct per lang
+    regardless of corpus size. Thresholds are O(langs) rows (the
+    bounded-partial driver-materialization doctrine), broadcast once
+    via ``ray.put``; the final exchange carries ≤ langs×3 partial rows
+    per batch."""
     import ray as _ray
 
     from rio_cogeo_ray.stages.agg import partial_group_agg
-    from rio_cogeo_ray.stages.join import bucketed_hash_join
     from rio_cogeo_ray.stages.sketch import grouped_quantile
 
-    scored = surprisal_score(ds, id_col=id_col, text_col=text_col,
-                             n_buckets=n_buckets)
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                text_col: t[text_col].combine_chunks().cast(pa.string()),
+                lang_col: pc.fill_null(
+                    t[lang_col].combine_chunks().cast(pa.string()), ""
+                ),
+            }
+        )
+
+    scored = surprisal_score(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        carry_cols=(lang_col,),
+    )
 
     def _s(t: pa.Table) -> pa.Table:
         bits = t["surprisal_bits"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -2498,28 +2542,13 @@ def ccnet_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
         s = (1000 * bits) // ntok
         return pa.table(
             {
-                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                lang_col: t[lang_col].combine_chunks().cast(pa.string()),
                 "s": pa.array(s.astype(np.int64), pa.int64()),
                 "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
             }
         )
 
-    def _lang(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: t[id_col].combine_chunks().cast(pa.int64()),
-                lang_col: pc.fill_null(
-                    t[lang_col].combine_chunks().cast(pa.string()), ""
-                ),
-            }
-        )
-
-    joined = bucketed_hash_join(
-        scored.map_batches(_s, batch_format="pyarrow"),
-        ds.map_batches(_lang, batch_format="pyarrow"),
-        on=id_col,
-        n_buckets=n_buckets,
-    ).materialize()
+    joined = scored.map_batches(_s, batch_format="pyarrow").materialize()
 
     thr_blocks = [
         b

@@ -4848,3 +4848,27 @@ def test_ccnet_buckets_vs_brute_force(ray_session):
         assert got == expect, (parts, got, expect)
     # the empty-text doc contributed nothing anywhere
     assert sum(v[0] for v in expect.values()) == len(docs) - 1
+
+
+def test_surprisal_carry_cols(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a b", "   ", "b c"], pa.string()),
+            "lang": pa.array(["en", "de", "fr"], pa.string()),
+        }
+    )
+    out = (
+        text.surprisal_score(rd.from_arrow(t).repartition(2), carry_cols=("lang",))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # zero-token doc 2 dropped WITH its carried value; others keep lang
+    assert list(out.index) == [1, 3]
+    assert list(out["lang"]) == ["en", "fr"]
+    # the fallback path cannot carry non-key columns and says so
+    with pytest.raises(ValueError):
+        text.surprisal_score(
+            rd.from_arrow(t), broadcast_vocab=False, carry_cols=("lang",)
+        )
