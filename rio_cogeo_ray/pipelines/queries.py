@@ -2662,6 +2662,96 @@ SQL_HOST_STATS = (
 )
 
 
+_DOMAIN_SUFFIX_CHOICES = (
+    "com", "org", "net", "io", "co.uk", "github.io", "com.au",
+    "s3.amazonaws.com",
+)
+
+
+def q_domain_rollup(sf_dir: str):
+    """Registrable-domain (eTLD+1) rollup (stages/text.py:
+    registrable_domains — the Public Suffix List longest-match
+    algorithm over an embedded PSL subset): deterministic synthetic
+    hosts derived from doc_id mix subdomain depths 0-2, single- and
+    multi-label public suffixes, and planted hosts that ARE a public
+    suffix (doc_id % 97 == 0 → registrable domain ''). Per-domain
+    distinct-host count + page count via the two-level
+    partial→final aggregate (the host_stats COUNT(DISTINCT)
+    pattern). The 3 last-k-label RE2 extracts and the suffix CASE are
+    mirrored character-for-character in the SQL."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id"])
+    sufx_choices = pa.array(list(_DOMAIN_SUFFIX_CHOICES), pa.string())
+
+    def _synth_domains(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        d = did.to_numpy(zero_copy_only=False)
+        h = d % 53
+        sub = pa.array(["", "www.", "a.b."], pa.string()).take(pa.array(d % 3))
+        sufx = sufx_choices.take(pa.array(h % 8))
+        full = pc.binary_join_element_wise(
+            sub, "site", pa.array(h.astype(str)), ".", sufx, ""
+        )
+        host = pc.if_else(pa.array(d % 97 == 0), sufx, full)
+        out = text.registrable_domains(pa.table({"host": host}))
+        return out.select(["domain", "host"])
+
+    per_host = agg.partial_group_agg(
+        docs.map_batches(_synth_domains, batch_format="pyarrow"),
+        keys=["domain", "host"],
+        count_as="pages",
+    )
+    per_domain = agg.partial_group_agg(
+        per_host, keys=["domain"], sum_cols=["pages"], count_as="n_hosts"
+    )
+    return per_domain.map_batches(
+        lambda t: pa.table(
+            {
+                "domain": t["domain"],
+                "n_hosts": t["n_hosts"],
+                "n_pages": t["sum_pages"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_domain_rollup() -> str:
+    from rio_cogeo_ray.stages.text import PUBLIC_SUFFIXES_2, PUBLIC_SUFFIXES_3
+
+    suf2 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+    suf3 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_3)
+    sufx_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_DOMAIN_SUFFIX_CHOICES[:-1])
+    )
+    seg = r"[^.]+"
+    pats = {k: r"(" + r"\.".join([seg] * k) + r")$" for k in (2, 3, 4)}
+    return (
+        "WITH base AS (SELECT doc_id, doc_id % 53 AS h, "
+        "(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'a.b.' END) AS sub, "
+        f"(CASE (doc_id % 53) % 8 {sufx_case} "
+        f"ELSE '{_DOMAIN_SUFFIX_CHOICES[-1]}' END) AS sufx FROM documents), "
+        "hosts AS (SELECT CASE WHEN doc_id % 97 = 0 THEN sufx "
+        "ELSE sub || 'site' || CAST(h AS VARCHAR) || '.' || sufx END AS host "
+        "FROM base), "
+        f"lab AS (SELECT host, regexp_extract(host, '{pats[2]}', 1) AS l2, "
+        f"regexp_extract(host, '{pats[3]}', 1) AS l3, "
+        f"regexp_extract(host, '{pats[4]}', 1) AS l4 FROM hosts), "
+        f"dom AS (SELECT host, CASE WHEN l3 IN ({suf3}) THEN l4 "
+        f"WHEN l2 IN ({suf2}) THEN l3 ELSE l2 END AS domain FROM lab), "
+        "ph AS (SELECT domain, host, CAST(COUNT(*) AS BIGINT) AS pages "
+        "FROM dom GROUP BY domain, host) "
+        "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_hosts, "
+        "CAST(SUM(pages) AS BIGINT) AS n_pages FROM ph GROUP BY domain"
+    )
+
+
+SQL_DOMAIN_ROLLUP = _sql_domain_rollup()
+
+
 def q_repetition(sf_dir: str):
     """Per-doc token repetition stats (stages/text.py:repetition_stats
     — the Gopher-style duplicate-token quality signal)."""
@@ -5639,6 +5729,7 @@ def queries() -> Dict[str, Callable]:
         "rolling_value": q_rolling_value,
         "key_skew": q_key_skew,
         "ccnet_buckets": q_ccnet_buckets,
+        "domain_rollup": q_domain_rollup,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -5886,6 +5977,7 @@ def oracle_sql() -> Dict[str, str]:
         "rolling_value": SQL_ROLLING_VALUE,
         "key_skew": SQL_KEY_SKEW,
         "ccnet_buckets": SQL_CCNET_BUCKETS,
+        "domain_rollup": SQL_DOMAIN_ROLLUP,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

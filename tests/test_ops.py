@@ -4872,3 +4872,25 @@ def test_surprisal_carry_cols(ray_session):
         text.surprisal_score(
             rd.from_arrow(t), broadcast_vocab=False, carry_cols=("lang",)
         )
+
+
+def test_registrable_domains_psl_cases():
+    cases = [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", ""),               # host IS a public suffix
+        ("uk", ""),                  # single label: no registrable domain
+        ("user.github.io", "user.github.io"),
+        ("deep.user.github.io", "user.github.io"),
+        ("github.io", ""),           # private-section suffix itself
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("s3.amazonaws.com", ""),    # 3-label suffix itself
+        ("amazonaws.com", "amazonaws.com"),  # NOT a listed suffix pair
+        ("", ""),
+    ]
+    t = pa.table({"host": pa.array([h for h, _ in cases], pa.string())})
+    out = text.registrable_domains(t)
+    assert out["domain"].to_pylist() == [d for _, d in cases]
