@@ -2498,23 +2498,21 @@ def ccnet_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
     sides (web corpora carry nulls); zero-token documents drop (no
     score exists), mirroring the SQL tokenizer CTE.
 
-    Scale shape: text collapses to the compact per-doc projection
-    (lang, s, n_tokens) in ONE scoring pass — the language column rides
-    the surprisal stage itself (``carry_cols``), so there is NO
-    re-join-by-id and NO extra corpus read. The projection materializes
-    once (fixed-width columns, ~10² B/doc, spill-friendly) because it
-    feeds TWO consumers — recomputing the tokenize+score pass would
-    cost more than the object-store residency. The threshold
-    quantile's exchange moves one row per DISTINCT (lang, millibits)
-    value — s is bounded by 1000·log2(N) ≲ 60k distinct per lang
-    regardless of corpus size. Thresholds are O(langs) rows (the
-    bounded-partial driver-materialization doctrine), broadcast once
-    via ``ray.put``; the final exchange carries ≤ langs×3 partial rows
-    per batch."""
+    Scale shape — ONE corpus-scale pipeline, streaming end to end: the
+    language column rides the surprisal stage itself (``carry_cols``),
+    so there is NO re-join-by-id and NO extra corpus read; the per-doc
+    scores collapse map-side into a per-(lang, millibits) HISTOGRAM
+    whose size is corpus-independent (s ≤ 1000·log2(N) ≲ 60k distinct
+    values per lang), because the audit table needs only distribution
+    mass, never per-doc rows. Thresholds AND bucket rollups both
+    derive from that one bounded histogram driver-side (the
+    histogram-bin doctrine — same class as exact_quantiles' bins), so
+    there is no second pass, no broadcast, no materialize. A per-doc
+    labeling variant is the documented composition: surprisal_score →
+    this function's thresholds → a stateless ``s <= t`` map."""
     import ray as _ray
 
     from rio_cogeo_ray.stages.agg import partial_group_agg
-    from rio_cogeo_ray.stages.sketch import grouped_quantile
 
     def _prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2548,70 +2546,61 @@ def ccnet_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    joined = scored.map_batches(_s, batch_format="pyarrow").materialize()
-
-    thr_blocks = [
-        b
-        for b in _ray.get(
-            grouped_quantile(
-                joined, lang_col, "s", qs=[1 / 3, 2 / 3], scale=1,
-                n_buckets=n_buckets,
-            ).to_arrow_refs()
-        )
-        if b.num_rows and "q" in b.column_names
-    ]
-    if not thr_blocks:
-        return _CCNET_EMPTY
-    thr = pa.concat_tables(thr_blocks, promote_options="default")
-    t33, t67 = {}, {}
-    for lang, q, v in zip(
-        thr[lang_col].to_pylist(), thr["q"].to_pylist(), thr["value"].to_pylist()
-    ):
-        (t33 if q < 0.5 else t67)[lang] = int(v)
-    langs = sorted(t33)
-    state = _ray.put(
-        (
-            pa.array(langs, pa.string()),
-            np.array([t33[l] for l in langs], np.int64),
-            np.array([t67[l] for l in langs], np.int64),
-        )
-    )
-
-    def _assign(t: pa.Table) -> pa.Table:
-        la, lo, hi = _ray.get(state)
-        lang = t[lang_col].combine_chunks()
-        # every lang in the materialized join has a threshold row by
-        # construction, so index_in never misses
-        idx = pc.index_in(lang, la).to_numpy(zero_copy_only=False).astype(np.int64)
-        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = np.where(s <= lo[idx], "head", np.where(s <= hi[idx], "middle", "tail"))
-        return pa.table(
-            {
-                lang_col: lang,
-                "bucket": pa.array(b, pa.string()),
-                "n_tokens": t["n_tokens"].combine_chunks().cast(pa.int64()),
-            }
-        )
-
-    agg = partial_group_agg(
-        joined.map_batches(_assign, batch_format="pyarrow"),
-        keys=[lang_col, "bucket"],
+    hist = partial_group_agg(
+        scored.map_batches(_s, batch_format="pyarrow"),
+        keys=[lang_col, "s"],
         sum_cols=["n_tokens"],
         count_as="n_docs",
         n_buckets=n_buckets,
     )
+    blocks = [
+        b
+        for b in _ray.get(hist.to_arrow_refs())
+        if b.num_rows and "n_docs" in b.column_names
+    ]
+    if not blocks:
+        return _CCNET_EMPTY
+    h = pa.concat_tables(blocks, promote_options="default").combine_chunks()
+    lang_v = h[lang_col].to_numpy(zero_copy_only=False)
+    s_v = h["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd_v = h["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nt_v = h["sum_n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((s_v, lang_v))
+    lang_v, s_v, nd_v, nt_v = lang_v[order], s_v[order], nd_v[order], nt_v[order]
 
-    def _final(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": t[lang_col].combine_chunks().cast(pa.string()),
-                "bucket": t["bucket"].combine_chunks().cast(pa.string()),
-                "n_docs": t["n_docs"].combine_chunks().cast(pa.int64()),
-                "total_tokens": t["sum_n_tokens"].combine_chunks().cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(_final, batch_format="pyarrow")
+    out = {"lang": [], "bucket": [], "n_docs": [], "total_tokens": []}
+    starts = np.flatnonzero(
+        np.concatenate(([True], lang_v[1:] != lang_v[:-1]))
+    )
+    ends = np.append(starts[1:], len(lang_v))
+    for a, b in zip(starts, ends):
+        cnt, tok, sv = nd_v[a:b], nt_v[a:b], s_v[a:b]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        # type-1 order statistic: smallest s with cumcount >= ceil(q*n)
+        # — identical to grouped_quantile's rank and the SQL ROW_NUMBER
+        # mirror (rank clamped to >= 1)
+        r33 = max(int(np.ceil(n / 3)), 1)
+        r67 = max(int(np.ceil(2 * n / 3)), 1)
+        t33 = sv[np.searchsorted(cum, r33)]
+        t67 = sv[np.searchsorted(cum, r67)]
+        head = sv <= t33
+        mid = (~head) & (sv <= t67)
+        tail = sv > t67
+        for bucket, m in (("head", head), ("middle", mid), ("tail", tail)):
+            if m.any():
+                out["lang"].append(lang_v[a])
+                out["bucket"].append(bucket)
+                out["n_docs"].append(int(cnt[m].sum()))
+                out["total_tokens"].append(int(tok[m].sum()))
+    return pa.table(
+        {
+            "lang": pa.array([str(x) for x in out["lang"]], pa.string()),
+            "bucket": pa.array(out["bucket"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "total_tokens": pa.array(out["total_tokens"], pa.int64()),
+        }
+    )
 
 
 # Multi-label public suffixes — a documented SUBSET of the Mozilla
