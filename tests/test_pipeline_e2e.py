@@ -511,3 +511,36 @@ def test_append_equals_full_create(ray_session, tmp_path):
 
     with _pytest.raises(errors_mod.IncompatibleOptions):
         create_mod.append(b_path, out_mode)
+
+
+def test_resume_after_simulated_mid_write_crash(ray_session, tmp_path):
+    """Crash-mid-write: kill between the level-dir rmtree and the
+    tmp→final rename — the worst interleaving the atomic sink allows
+    (a stale .tmp-z dir exists, the final level dir does not). Resume
+    must rebuild that level, clear the stale tmp, and converge to the
+    same tiles as an uninterrupted run."""
+    import shutil
+
+    path = fixtures.scenario_path("pages_rgb")
+    spec = _spec_for("pages_rgb", zoom=6, overview_levels=3)
+    ref_out = str(tmp_path / "out_ref")
+    create_mod.create(path, ref_out, spec, source="pages", batch_size=512)
+
+    out = str(tmp_path / "out_crash")
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+    victim = spec.zooms[1]
+    # simulate the crash window: final level gone, half-written tmp left
+    shutil.rmtree(mani.level_dir(out, victim))
+    tmp = os.path.join(out, "tiles", f".tmp-z={victim}")
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "partial.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+
+    create_mod.create(path, out, spec, source="pages", batch_size=512)
+    assert not os.path.exists(tmp)
+    got = pq.read_table(mani.level_dir(out, victim))
+    want = pq.read_table(mani.level_dir(ref_out, victim))
+    key = ["z", "x", "y"]
+    assert got.sort_by([(k, "ascending") for k in key]).equals(
+        want.sort_by([(k, "ascending") for k in key])
+    )
