@@ -2752,6 +2752,29 @@ def _sql_domain_rollup() -> str:
 SQL_DOMAIN_ROLLUP = _sql_domain_rollup()
 
 
+_BADWORDS = ("spark", "dup", "slow")
+
+
+def q_badword_filter(sf_dir: str):
+    """C4-style dirty-word document filter signal (stages/text.py:
+    word_blocklist_counts — Raffel et al. 2020 §2.2): per-doc count of
+    lowercased whitespace tokens in the blocklist, rows only for
+    flagged docs. Pure map, zero shuffle; the word set rides the task
+    closure. The blocklist here is a synthetic stand-in (the corpus
+    has no profanity); the mechanism is list-content-independent."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return text.word_blocklist_counts(docs, _BADWORDS)
+
+
+SQL_BADWORD_FILTER = (
+    r"WITH tok AS (SELECT doc_id, "
+    r"unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocked FROM tok "
+    f"WHERE lower(tok) IN ({', '.join(repr(w) for w in _BADWORDS)}) "
+    "GROUP BY doc_id"
+)
+
+
 def q_repetition(sf_dir: str):
     """Per-doc token repetition stats (stages/text.py:repetition_stats
     — the Gopher-style duplicate-token quality signal)."""
@@ -5730,6 +5753,7 @@ def queries() -> Dict[str, Callable]:
         "key_skew": q_key_skew,
         "ccnet_buckets": q_ccnet_buckets,
         "domain_rollup": q_domain_rollup,
+        "badword_filter": q_badword_filter,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -5978,6 +6002,7 @@ def oracle_sql() -> Dict[str, str]:
         "key_skew": SQL_KEY_SKEW,
         "ccnet_buckets": SQL_CCNET_BUCKETS,
         "domain_rollup": SQL_DOMAIN_ROLLUP,
+        "badword_filter": SQL_BADWORD_FILTER,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

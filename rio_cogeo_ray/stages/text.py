@@ -2652,3 +2652,58 @@ def registrable_domains(
     in2 = pc.is_in(l2, value_set=pa.array(PUBLIC_SUFFIXES_2, pa.string()))
     dom = pc.if_else(in3, l4, pc.if_else(in2, l3, l2))
     return batch.append_column(out_col, dom)
+
+
+def word_blocklist_counts(
+    ds,
+    words,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """C4-style dirty-word DOCUMENT filter signal (Raffel et al. 2020,
+    §2.2 — C4 drops any page containing a word from the "List of
+    Dirty, Naughty, Obscene or Otherwise Bad Words"; the list itself
+    is a runtime input here): per-document count of whitespace tokens
+    whose LOWERCASED form is in the blocklist, one row per flagged
+    document (docs with zero hits emit nothing — at web scale the
+    overwhelming majority — so the output is proportional to the
+    flagged set, not the corpus). Filtering is the trivial
+    composition: anti-semi-join doc ids against this, or invert the
+    predicate map-side.
+
+    Scale shape: pure map, ZERO shuffle — the word set broadcasts in
+    the task closure (the list is small by contract: C4's is ~400
+    entries/language); per batch one tokenize + one ``utf8_lower`` +
+    one ``pc.is_in`` (vectorized C++ hash probe) + one bincount.
+    SQL mirror: unnest(regexp_extract_all(text, '\\S+')) …
+    WHERE lower(tok) IN (...) GROUP BY doc_id."""
+    words = sorted({w.lower() for w in words})
+    word_set = pa.array(words, pa.string())
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_blocked": pa.array([], pa.int64()),
+            }
+        )
+        if len(row) == 0:
+            return empty
+        hit = pc.is_in(
+            pc.utf8_lower(toks), value_set=word_set
+        ).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        n = batch.num_rows
+        cnt = np.bincount(row[hit], minlength=n).astype(np.int64)
+        nz = cnt > 0
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(nz)),
+                "n_blocked": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -4894,3 +4894,28 @@ def test_registrable_domains_psl_cases():
     t = pa.table({"host": pa.array([h for h, _ in cases], pa.string())})
     out = text.registrable_domains(t)
     assert out["domain"].to_pylist() == [d for _, d in cases]
+
+
+def test_word_blocklist_counts_hand_computed(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Bad WOLF bad wolf again",   # case-insensitive hits
+                    "perfectly clean document",  # no row emitted
+                    "wolfpack is one token",     # substring is NOT a hit
+                    None,                        # null text: no row
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        text.word_blocklist_counts(rd.from_arrow(t).repartition(3), ["wolf", "bad"])
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1]
+    assert int(out.loc[1, "n_blocked"]) == 4  # Bad, WOLF, bad, wolf
