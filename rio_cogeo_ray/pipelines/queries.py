@@ -2775,6 +2775,59 @@ SQL_BADWORD_FILTER = (
 )
 
 
+def q_c4_clean(sf_dir: str):
+    """C4 line-level cleaner (stages/text.py:c4_line_clean — Raffel et
+    al. 2020 §2.2: terminal-punctuation lines only, ≥5 words per line,
+    no 'javascript' lines, drop docs with <3 surviving lines). The
+    corpus text is single-line, so a deterministic 5-line document is
+    synthesized from character slices of each text — one passing '.',
+    one too-short, one passing '?', one 'javascript.' (always
+    dropped), one passing '!' — mirrored character-for-character in
+    the SQL (ASCII corpus ⇒ utf8_slice_codeunits ≡ substring, the
+    doc_chunks contract). Zero shuffle; output rows ∝ survivors."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt.cast(pa.string()), "")
+        s1 = pc.utf8_slice_codeunits(txt, 0, 40)
+        s2 = pc.utf8_slice_codeunits(txt, 40, 80)
+        s3 = pc.utf8_slice_codeunits(txt, 80, 120)
+        s4 = pc.utf8_slice_codeunits(txt, 120, 165)
+        l1 = pc.binary_join_element_wise(s1, ".", "")
+        l3 = pc.binary_join_element_wise(s2, "?", "")
+        l4 = pc.binary_join_element_wise(s3, " javascript.", "")
+        l5 = pc.binary_join_element_wise(s4, "!", "")
+        multi = pc.binary_join_element_wise(
+            l1, pa.scalar("short"), l3, l4, l5, "\n"
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": multi})
+
+    return text.c4_line_clean(docs.map_batches(_mk, batch_format="pyarrow"))
+
+
+SQL_C4_CLEAN = r"""
+WITH m AS (SELECT doc_id,
+    substring(COALESCE(text, ''), 1, 40) || '.' || chr(10) ||
+    'short' || chr(10) ||
+    substring(COALESCE(text, ''), 41, 40) || '?' || chr(10) ||
+    substring(COALESCE(text, ''), 81, 40) || ' javascript.' || chr(10) ||
+    substring(COALESCE(text, ''), 121, 45) || '!' AS text
+  FROM documents),
+l AS (SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x ->
+        regexp_matches(x, '[.!?"]$')
+        AND len(regexp_extract_all(x, '\S+')) >= 5
+        AND NOT contains(lower(x), 'javascript')) AS keep
+  FROM m)
+SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
+       CAST(len(keep) AS BIGINT) AS n_kept
+FROM l WHERE len(keep) >= 3
+"""
+
+
 def q_repetition(sf_dir: str):
     """Per-doc token repetition stats (stages/text.py:repetition_stats
     — the Gopher-style duplicate-token quality signal)."""
@@ -5754,6 +5807,7 @@ def queries() -> Dict[str, Callable]:
         "ccnet_buckets": q_ccnet_buckets,
         "domain_rollup": q_domain_rollup,
         "badword_filter": q_badword_filter,
+        "c4_clean": q_c4_clean,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -6003,6 +6057,7 @@ def oracle_sql() -> Dict[str, str]:
         "ccnet_buckets": SQL_CCNET_BUCKETS,
         "domain_rollup": SQL_DOMAIN_ROLLUP,
         "badword_filter": SQL_BADWORD_FILTER,
+        "c4_clean": SQL_C4_CLEAN,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

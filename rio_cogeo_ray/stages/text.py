@@ -2707,3 +2707,92 @@ def word_blocklist_counts(
         )
 
     return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+def c4_line_clean(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+    drop_tokens: tuple = ("javascript",),
+):
+    """C4 line-level cleaner (Raffel et al. 2020 §2.2): keep only lines
+    that end in a terminal punctuation mark ``. ! ? "`` AND contain at
+    least ``min_words`` whitespace tokens AND do not mention any of
+    ``drop_tokens`` (case-insensitive substring — C4 drops lines with
+    the word "Javascript"); then drop documents with fewer than
+    ``min_lines`` surviving lines (C4's "fewer than 3 sentences"
+    rule). Returns (id, text_clean, n_kept) for surviving documents —
+    text_clean is the kept lines rejoined with ``\\n``.
+
+    Scale shape: pure map, ZERO shuffle — one ``split_pattern('\\n')``
+    explode per batch, three vectorized line predicates
+    (``match_substring_regex`` / ``count_substring_regex`` /
+    lowercased ``match_substring``), and an offsets-rebuild +
+    ``binary_join`` to reassemble each document's kept lines. No
+    Python per row or per line; dropped documents emit nothing, so
+    output ∝ survivors."""
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+                "n_kept": pa.array([], pa.int64()),
+            }
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        lists = pc.split_pattern(t.cast(pa.string()), "\n")
+        lens = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(row) == 0:
+            return empty
+        keep = pc.match_substring_regex(flat, r'[.!?"]$')
+        keep = pc.and_(
+            keep,
+            pc.greater_equal(
+                pc.count_substring_regex(flat, r"\S+"),
+                pa.scalar(min_words, pa.int32()),
+            ),
+        )
+        low = pc.utf8_lower(flat)
+        for tok in drop_tokens:
+            keep = pc.and_(keep, pc.invert(pc.match_substring(low, tok)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept_rows = row[keep_np]
+        cnt = np.bincount(kept_rows, minlength=n).astype(np.int64)
+        doc_ok = cnt >= min_lines
+        if not doc_ok.any():
+            return empty
+        # flatten preserves (row, line) order, so the survivors are
+        # already grouped by row: rebuild list offsets from the counts
+        line_sel = doc_ok[kept_rows]
+        lines2 = flat.filter(pa.array(keep_np)).filter(pa.array(line_sel))
+        counts2 = cnt[doc_ok]
+        offsets = np.concatenate(([0], np.cumsum(counts2)))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), lines2.combine_chunks()
+            if isinstance(lines2, pa.ChunkedArray) else lines2
+        )
+        text_clean = pc.binary_join(la, pa.scalar("\n", pa.string()))
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(doc_ok)),
+                "text_clean": text_clean,
+                "n_kept": pa.array(counts2, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_clean, batch_format="pyarrow")

@@ -4919,3 +4919,39 @@ def test_word_blocklist_counts_hand_computed(ray_session):
     )
     assert list(out.index) == [1]
     assert int(out.loc[1, "n_blocked"]) == 4  # Bad, WOLF, bad, wolf
+
+
+def test_c4_line_clean_hand_computed(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    # 3 passing lines + 2 dropped (short, javascript)
+                    "This first line has enough words here.\n"
+                    "too short.\n"
+                    "Does this second line also have enough words?\n"
+                    "Enable JavaScript to view the full content here.\n"
+                    'He said the last line counts too, "quote"',
+                    # only 2 passing lines -> doc dropped
+                    "Just two good lines are not enough here.\n"
+                    "Second good line is also long enough, truly!",
+                    None,          # null text -> dropped
+                    "no terminal punctuation on this long line at all",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        text.c4_line_clean(rd.from_arrow(t).repartition(3), min_lines=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [1]
+    assert int(out.loc[1, "n_kept"]) == 3
+    assert out.loc[1, "text_clean"] == (
+        "This first line has enough words here.\n"
+        "Does this second line also have enough words?\n"
+        'He said the last line counts too, "quote"'
+    )
