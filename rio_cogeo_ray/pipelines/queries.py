@@ -2828,6 +2828,60 @@ FROM l WHERE len(keep) >= 3
 """
 
 
+def q_gopher_quality(sf_dir: str):
+    """Full Gopher quality-rule battery (stages/text.py:gopher_rules —
+    Rae et al. 2021 appendix A1.1): seven per-doc integer flags
+    (word-count bounds, mean word length, symbol ratio, bullet /
+    ellipsis line ratios, alpha-word fraction, distinct-stopword
+    presence) + the AND. All rules are integer cross-multiplications,
+    so every flag is hash-exact; pure map, zero shuffle."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return text.gopher_rules(docs)
+
+
+def _sql_gopher() -> str:
+    from rio_cogeo_ray.stages.text import _GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        rf"(CASE WHEN regexp_matches(t, '\b{w}\b') THEN 1 ELSE 0 END)"
+        for w in _GOPHER_STOPWORDS
+    )
+    return (
+        "WITH s AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+        "c AS (SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS words, "
+        r"CAST(length(regexp_replace(t, '\s+', '', 'g')) AS BIGINT) AS tok_chars, "
+        "CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash, "
+        "CAST(length(t) - length(replace(t, '…', '')) AS BIGINT) AS n_ell, "
+        r"CAST(len(regexp_extract_all(t, '\S*[^\p{L}\s]\S*')) AS BIGINT) AS nonalpha, "
+        "CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(string_split(t, chr(10)), "
+        r"x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS n_bullet, "
+        "CAST(len(list_filter(string_split(t, chr(10)), "
+        r"x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ell_end, "
+        f"({stop_sum}) AS stop_present FROM s) "
+        "SELECT doc_id, "
+        "CAST(CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words, "
+        "CAST(CASE WHEN 3 * words <= tok_chars AND tok_chars <= 10 * words THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen, "
+        "CAST(CASE WHEN 10 * (n_hash + n_ell) <= words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol, "
+        "CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet, "
+        "CAST(CASE WHEN 10 * n_ell_end <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis, "
+        "CAST(CASE WHEN 5 * (words - nonalpha) >= 4 * words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha, "
+        "CAST(CASE WHEN stop_present >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop, "
+        "CAST(CASE WHEN words >= 50 AND words <= 100000 "
+        "AND 3 * words <= tok_chars AND tok_chars <= 10 * words "
+        "AND 10 * (n_hash + n_ell) <= words "
+        "AND 10 * n_bullet <= 9 * n_lines "
+        "AND 10 * n_ell_end <= 3 * n_lines "
+        "AND 5 * (words - nonalpha) >= 4 * words "
+        "AND stop_present >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_ok "
+        "FROM c"
+    )
+
+
+SQL_GOPHER_QUALITY = _sql_gopher()
+
+
 def q_repetition(sf_dir: str):
     """Per-doc token repetition stats (stages/text.py:repetition_stats
     — the Gopher-style duplicate-token quality signal)."""
@@ -5808,6 +5862,7 @@ def queries() -> Dict[str, Callable]:
         "domain_rollup": q_domain_rollup,
         "badword_filter": q_badword_filter,
         "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -6058,6 +6113,7 @@ def oracle_sql() -> Dict[str, str]:
         "domain_rollup": SQL_DOMAIN_ROLLUP,
         "badword_filter": SQL_BADWORD_FILTER,
         "c4_clean": SQL_C4_CLEAN,
+        "gopher_quality": SQL_GOPHER_QUALITY,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

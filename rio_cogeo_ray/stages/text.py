@@ -2796,3 +2796,113 @@ def c4_line_clean(
         )
 
     return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The full Gopher quality-rule battery (Rae et al. 2021, appendix
+    A1.1) as per-document integer flags — the reference doc-level
+    filter set for web-scale LM corpora. Every rule is an INTEGER
+    cross-multiplication (no float ratios), so the output is
+    hash-exact at any parallelism and SQL-mirrorable:
+
+    - r_words:    50 ≤ word count ≤ 100000
+    - r_wordlen:  mean word length in [3, 10]  (3·w ≤ Σlen ≤ 10·w)
+    - r_symbol:   (#count('#') + count('…')) / words ≤ 0.1
+    - r_bullet:   lines starting with a bullet (- * •) ≤ 90%
+    - r_ellipsis: lines ending in … or ... ≤ 30%
+    - r_alpha:    ≥ 80% of words contain ≥ 1 alphabetic character
+    - r_stop:     ≥ 2 DISTINCT stopwords of {the be to of and that
+                  have with} present
+    - gopher_ok:  AND of all seven
+
+    Scale shape: pure map, ZERO shuffle — everything is
+    count_substring / count_substring_regex / split-explode kernels
+    per batch; line rules explode on '\\n' and bincount per doc, no
+    per-line Python."""
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t.cast(pa.string()), "")
+        n = batch.num_rows
+
+        words = pc.count_substring_regex(t, r"\S+").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tok_chars = (
+            pc.utf8_length(pc.replace_substring_regex(t, r"\s+", ""))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n_hash = pc.count_substring(t, "#").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_ell = pc.count_substring(t, "…").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # words containing a non-letter, subtracted from the word count
+        # (RE2 has no lookahead — the QualityScore device)
+        nonalpha = (
+            pc.count_substring_regex(t, r"\S*[^\p{L}\s]\S*")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        alpha_words = words - nonalpha
+
+        # line rules: one split-explode, two line predicates, bincounts
+        lists = pc.split_pattern(t, "\n")
+        lens = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        n_lines = np.maximum(lens, 1)  # '' splits to one empty line
+        bullet = pc.match_substring_regex(
+            flat, r"^\s*[-*•]"
+        ).to_numpy(zero_copy_only=False)
+        ell_end = pc.match_substring_regex(
+            flat, r"(\.\.\.|…)\s*$"
+        ).to_numpy(zero_copy_only=False)
+        n_bullet = np.bincount(row[bullet], minlength=n).astype(np.int64)
+        n_ell_end = np.bincount(row[ell_end], minlength=n).astype(np.int64)
+
+        stop_present = np.zeros(n, dtype=np.int64)
+        for w in _GOPHER_STOPWORDS:
+            hit = pc.match_substring_regex(t, rf"\b{w}\b").to_numpy(
+                zero_copy_only=False
+            )
+            stop_present += hit.astype(np.int64)
+
+        r_words = (words >= 50) & (words <= 100_000)
+        r_wordlen = (3 * words <= tok_chars) & (tok_chars <= 10 * words)
+        r_symbol = 10 * (n_hash + n_ell) <= words
+        r_bullet = 10 * n_bullet <= 9 * n_lines
+        r_ellipsis = 10 * n_ell_end <= 3 * n_lines
+        r_alpha = 5 * alpha_words >= 4 * words
+        r_stop = stop_present >= 2
+        ok = (
+            r_words & r_wordlen & r_symbol & r_bullet & r_ellipsis
+            & r_alpha & r_stop
+        )
+        flags = {
+            "r_words": r_words, "r_wordlen": r_wordlen,
+            "r_symbol": r_symbol, "r_bullet": r_bullet,
+            "r_ellipsis": r_ellipsis, "r_alpha": r_alpha,
+            "r_stop": r_stop, "gopher_ok": ok,
+        }
+        cols = {id_col: batch[id_col].combine_chunks().cast(pa.int64())}
+        for k, v in flags.items():
+            cols[k] = pa.array(v.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(_rules, batch_format="pyarrow")

@@ -4955,3 +4955,39 @@ def test_c4_line_clean_hand_computed(ray_session):
         "Does this second line also have enough words?\n"
         'He said the last line counts too, "quote"'
     )
+
+
+def test_gopher_rules_hand_computed(ray_session):
+    good = (
+        "the quick brown fox jumps over that lazy dog and then "
+        "keeps running with steady easy strides through fields "
+        "woods towns roads paths hills creeks barns yards lanes "
+        "gates fences meadows orchards gardens bridges tunnels "
+        "stations village hamlet suburb city county region nation "
+        "continent planet system galaxy cluster universe cosmos "
+    ) * 2  # comfortably over 50 words, all rules pass
+    bullety = "- one bullet line\n- two bullet line\n- three bullet line"
+    symbolic = "the fox # and # that # dog # with # hash # flood #"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([good, bullety, symbolic, None], pa.string()),
+        }
+    )
+    out = (
+        text.gopher_rules(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert int(out.loc[1, "gopher_ok"]) == 1
+    assert int(out.loc[1, "r_stop"]) == 1  # the/that/and/with present
+    # every line is a bullet -> 100% > 90% cap
+    assert int(out.loc[2, "r_bullet"]) == 0
+    assert int(out.loc[2, "r_words"]) == 0  # far under 50 words
+    # 7 hashes over 13 words -> ratio > 0.1
+    assert int(out.loc[3, "r_symbol"]) == 0
+    # null text: zero words fails bounds but symbol/bullet caps hold
+    assert int(out.loc[4, "r_words"]) == 0
+    assert int(out.loc[4, "r_bullet"]) == 1
+    assert int(out.loc[4, "gopher_ok"]) == 0
