@@ -2882,6 +2882,80 @@ def _sql_gopher() -> str:
 SQL_GOPHER_QUALITY = _sql_gopher()
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition-rule battery (stages/text.py:
+    gopher_repetition — Rae et al. 2021 A1.1, the within-doc
+    companion): duplicate line/paragraph occurrence + char fractions,
+    top-2/3/4-gram char mass, repeated-5..10-gram char mass, all as
+    integer cross-multiplication flags. Pure map, zero shuffle; nine
+    rolling-hash gram passes per batch."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return text.gopher_repetition(docs)
+
+
+def _sql_gopher_repetition() -> str:
+    from rio_cogeo_ray.stages.text import _GOPHER_REP_DUP, _GOPHER_REP_TOP
+
+    gram_ctes, joins, flags = [], [], []
+    for gn, pct in {**_GOPHER_REP_TOP, **_GOPHER_REP_DUP}.items():
+        agg = (
+            "MAX(c * l)"
+            if gn in _GOPHER_REP_TOP
+            else "SUM(CASE WHEN c >= 2 THEN c * l ELSE 0 END)"
+        )
+        gram_ctes.append(
+            f"a{gn} AS (SELECT doc_id, CAST({agg} AS BIGINT) AS mass FROM "
+            f"(SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c, "
+            f"CAST(length(g) AS BIGINT) AS l FROM "
+            f"(SELECT doc_id, array_to_string(list_slice(toks, i, i + {gn - 1}), ' ') AS g "
+            f"FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {gn} + 2)) AS i "
+            f"FROM base)) GROUP BY doc_id, g) GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN a{gn} ON base.doc_id = a{gn}.doc_id")
+        kind = "top" if gn in _GOPHER_REP_TOP else "dup"
+        flags.append(
+            f"CAST(CASE WHEN 100 * COALESCE(a{gn}.mass, 0) <= {pct} * base.total_chars "
+            f"THEN 1 ELSE 0 END AS BIGINT) AS r_{kind}{gn}"
+        )
+    unit = (
+        "{k} AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_units, "
+        "CAST(SUM(c - 1) AS BIGINT) AS dup_units, "
+        "CAST(SUM(c * l) AS BIGINT) AS unit_chars, "
+        "CAST(SUM((c - 1) * l) AS BIGINT) AS dup_chars FROM "
+        "(SELECT doc_id, u, CAST(COUNT(*) AS BIGINT) AS c, "
+        "CAST(length(u) AS BIGINT) AS l FROM "
+        "(SELECT doc_id, unnest(string_split(t, {sep})) AS u FROM s) "
+        "GROUP BY doc_id, u) GROUP BY doc_id)"
+    )
+    rule_names = (
+        ["r_dline", "r_dpara", "r_dline_char", "r_dpara_char"]
+        + [f"r_top{g}" for g in _GOPHER_REP_TOP]
+        + [f"r_dup{g}" for g in _GOPHER_REP_DUP]
+    )
+    ok = " * ".join(rule_names)
+    return (
+        "WITH s AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+        "base AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS total_chars, "
+        r"regexp_extract_all(t, '\S+') AS toks FROM s), "
+        + unit.format(k="lsum", sep="chr(10)") + ", "
+        + unit.format(k="psum", sep="chr(10) || chr(10)") + ", "
+        + ", ".join(gram_ctes)
+        + " SELECT base.doc_id, "
+        "CAST(CASE WHEN 10 * lsum.dup_units <= 3 * lsum.n_units THEN 1 ELSE 0 END AS BIGINT) AS r_dline, "
+        "CAST(CASE WHEN 10 * psum.dup_units <= 3 * psum.n_units THEN 1 ELSE 0 END AS BIGINT) AS r_dpara, "
+        "CAST(CASE WHEN 5 * lsum.dup_chars <= lsum.unit_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dline_char, "
+        "CAST(CASE WHEN 5 * psum.dup_chars <= psum.unit_chars THEN 1 ELSE 0 END AS BIGINT) AS r_dpara_char, "
+        + ", ".join(flags)
+        + f", CAST({ok} AS BIGINT) AS repetition_ok "
+        "FROM base JOIN lsum ON base.doc_id = lsum.doc_id "
+        "JOIN psum ON base.doc_id = psum.doc_id "
+        + " ".join(joins)
+    )
+
+
+SQL_GOPHER_REPETITION = _sql_gopher_repetition()
+
+
 def q_repetition(sf_dir: str):
     """Per-doc token repetition stats (stages/text.py:repetition_stats
     — the Gopher-style duplicate-token quality signal)."""
@@ -5863,6 +5937,7 @@ def queries() -> Dict[str, Callable]:
         "badword_filter": q_badword_filter,
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "quadkey": q_quadkey,
         # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
@@ -6114,6 +6189,7 @@ def oracle_sql() -> Dict[str, str]:
         "badword_filter": SQL_BADWORD_FILTER,
         "c4_clean": SQL_C4_CLEAN,
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "gopher_repetition": SQL_GOPHER_REPETITION,
         # token_mg (approximate sketch; ±n/(k+1) guarantee pinned by pytest),
         # ann_ivf, minhash_clusters, simhash, langid, fingerprint,
         # media_stats, media_frames, embed_neardup, ann_ivf_indexed:

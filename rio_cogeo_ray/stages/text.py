@@ -2906,3 +2906,182 @@ def gopher_rules(
         return pa.table(cols)
 
     return ds.map_batches(_rules, batch_format="pyarrow")
+
+
+_GOPHER_REP_TOP = {2: 20, 3: 18, 4: 16}      # top-n-gram char %, Rae A1.1
+_GOPHER_REP_DUP = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_repetition(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher repetition-rule battery (Rae et al. 2021 appendix A1.1)
+    as per-document integer flags — the within-document companion of
+    :func:`gopher_rules`:
+
+    - r_dline / r_dpara:            duplicate line / paragraph
+                                    OCCURRENCES ≤ 30% of units
+    - r_dline_char / r_dpara_char:  chars in duplicate occurrences
+                                    ≤ 20% of unit chars
+    - r_top2 / r_top3 / r_top4:     char mass of the heaviest n-gram
+                                    (max over grams of count·len) ≤
+                                    20% / 18% / 16% of doc chars
+    - r_dup5 … r_dup10:             char mass of ALL repeated n-grams
+                                    (Σ count·len over count ≥ 2) ≤
+                                    15% … 10% of doc chars
+    - repetition_ok:                AND of all thirteen
+
+    Exactness contract: "top gram" is the MAXIMUM of count·char_len
+    (not an arbitrary tie-broken argmax — deterministic under count
+    ties), and the dup-gram mass counts every occurrence's chars
+    (Σ count·len), a documented upper-bound reading of Gopher's
+    character-coverage fraction (exact position-coverage needs an
+    interval union; the proxy is deterministic, SQL-mirrorable, and
+    monotone in the same signal). Gram char len = token chars +
+    (n−1) separators ≡ SQL ``length(array_to_string(gram, ' '))``;
+    denominators are raw doc chars. All thresholds are integer
+    cross-multiplications. Units/grams compare by two-seed 64-bit
+    hashes (the hash128 collision contract).
+
+    Scale shape: pure map, ZERO shuffle — one line + one paragraph
+    explode and nine vectorized rolling-hash gram passes per batch;
+    per-doc reductions are lexsort+reduceat, no per-row Python."""
+    import polars as pl
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _unit_dup(strs, row: np.ndarray, n: int):
+        """Per-row (n_units, dup_occurrences, unit_chars, dup_chars)
+        over string units — duplicate = any occurrence past the first
+        of an equal unit within the same row."""
+        z = np.zeros(n, np.int64)
+        if len(row) == 0:
+            return z, z.copy(), z.copy(), z.copy()
+        if isinstance(strs, pa.ChunkedArray):
+            strs = strs.combine_chunks()
+        h1 = (
+            pl.from_arrow(strs.cast(pa.large_string()))
+            .hash(seed=131).to_numpy().astype(np.uint64)
+        )
+        h2 = splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15))
+        ln = pc.utf8_length(strs).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1, row))
+        r, a, b, l = row[order], h1[order], h2[order], ln[order]
+        first = np.r_[
+            True, (r[1:] != r[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        ]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(r))).astype(np.int64)
+        rl, rr = l[starts], r[starts]
+        n_units = np.bincount(row, minlength=n).astype(np.int64)
+        # float64 bincount weights: char sums per doc ≪ 2^53, exact
+        dup_units = np.bincount(rr, weights=cnt - 1, minlength=n).astype(np.int64)
+        unit_chars = np.bincount(rr, weights=cnt * rl, minlength=n).astype(np.int64)
+        dup_chars = np.bincount(
+            rr, weights=(cnt - 1) * rl, minlength=n
+        ).astype(np.int64)
+        return n_units, dup_units, unit_chars, dup_chars
+
+    def _rules(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t.cast(pa.string()), "")
+        total_chars = pc.utf8_length(t).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+        def _explode(sep: str):
+            lists = pc.split_pattern(t, sep)
+            lens = (
+                pc.fill_null(pc.list_value_length(lists), 0)
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pc.list_flatten(lists), np.repeat(
+                np.arange(n, dtype=np.int64), lens
+            )
+
+        lu = _unit_dup(*_explode("\n"), n)
+        pu = _unit_dup(*_explode("\n\n"), n)
+
+        # token stream once; nine rolling gram passes reuse it
+        lists = pc.ascii_split_whitespace(t)
+        lens = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(keep))
+        rep = rep[keep]
+        m = len(rep)
+        tl = pc.utf8_length(toks).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if m else np.zeros(0, np.int64)
+        cs = np.concatenate(([0], np.cumsum(tl)))
+        if m:
+            h1 = (
+                pl.from_arrow(toks.cast(pa.large_string()))
+                .hash(seed=101).to_numpy().astype(np.uint64)
+            )
+            h2 = splitmix64(h1 ^ np.uint64(0xD1B54A32D192ED03))
+
+        top_mass = {k: np.zeros(n, np.int64) for k in _GOPHER_REP_TOP}
+        dup_mass = {k: np.zeros(n, np.int64) for k in _GOPHER_REP_DUP}
+        for gn in (*_GOPHER_REP_TOP, *_GOPHER_REP_DUP):
+            nw = m - gn + 1
+            if nw <= 0:
+                continue
+            g1 = np.zeros(nw, dtype=np.uint64)
+            g2 = np.zeros(nw, dtype=np.uint64)
+            for j in range(gn):
+                g1 = splitmix64(g1 + h1[j : j + nw])
+                g2 = splitmix64(g2 + h2[j : j + nw])
+            valid = rep[:nw] == rep[gn - 1 :]
+            if not valid.any():
+                continue
+            doc = rep[:nw][valid]
+            glen = (cs[gn:] - cs[:-gn])[valid] + (gn - 1)
+            a, b = g1[valid], g2[valid]
+            order = np.lexsort((b, a, doc))
+            d_, a_, b_, l_ = doc[order], a[order], b[order], glen[order]
+            first = np.r_[
+                True,
+                (d_[1:] != d_[:-1]) | (a_[1:] != a_[:-1]) | (b_[1:] != b_[:-1]),
+            ]
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.append(starts, len(d_))).astype(np.int64)
+            mass = cnt * l_[starts]
+            docs_ = d_[starts]
+            if gn in top_mass:
+                np.maximum.at(top_mass[gn], docs_, mass)
+            else:
+                dup = cnt >= 2
+                dup_mass[gn] += np.bincount(
+                    docs_[dup], weights=mass[dup], minlength=n
+                ).astype(np.int64)
+
+        flags = {
+            "r_dline": 10 * lu[1] <= 3 * lu[0],
+            "r_dpara": 10 * pu[1] <= 3 * pu[0],
+            "r_dline_char": 5 * lu[3] <= lu[2],
+            "r_dpara_char": 5 * pu[3] <= pu[2],
+        }
+        for gn, pct in _GOPHER_REP_TOP.items():
+            flags[f"r_top{gn}"] = 100 * top_mass[gn] <= pct * total_chars
+        for gn, pct in _GOPHER_REP_DUP.items():
+            flags[f"r_dup{gn}"] = 100 * dup_mass[gn] <= pct * total_chars
+        ok = np.ones(n, dtype=bool)
+        for v in flags.values():
+            ok &= v
+        cols = {id_col: batch[id_col].combine_chunks().cast(pa.int64())}
+        for k, v in flags.items():
+            cols[k] = pa.array(v.astype(np.int64), pa.int64())
+        cols["repetition_ok"] = pa.array(ok.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(_rules, batch_format="pyarrow")

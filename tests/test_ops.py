@@ -4991,3 +4991,34 @@ def test_gopher_rules_hand_computed(ray_session):
     assert int(out.loc[4, "r_words"]) == 0
     assert int(out.loc[4, "r_bullet"]) == 1
     assert int(out.loc[4, "gopher_ok"]) == 0
+
+
+def test_gopher_repetition_hand_computed(ray_session):
+    spam = "buy now " * 30                      # top-2-gram dominates
+    # all-unique words, long enough that a count-1 top n-gram is a
+    # small char fraction (short docs legitimately fail the top-gram
+    # rules — the most frequent gram IS most of a short doc)
+    clean = " ".join(f"w{i:03d}" for i in range(120))
+    dup_lines = "same line\nsame line\nsame line\nunique trailer line"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([spam, clean, dup_lines, None], pa.string()),
+        }
+    )
+    out = (
+        text.gopher_repetition(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # "buy now" repeated 30x: top-2-gram mass ~ doc chars >> 20%
+    assert int(out.loc[1, "r_top2"]) == 0
+    assert int(out.loc[1, "r_dup5"]) == 0       # repeated 5-grams too
+    assert int(out.loc[1, "repetition_ok"]) == 0
+    assert int(out.loc[2, "repetition_ok"]) == 1
+    # 3 of 4 lines are the same: 2 duplicate occurrences of 4 > 30%
+    assert int(out.loc[3, "r_dline"]) == 0
+    assert int(out.loc[3, "r_dpara"]) == 1      # one paragraph only
+    # null text: no units, no grams -> all rules pass vacuously
+    assert int(out.loc[4, "repetition_ok"]) == 1
