@@ -385,6 +385,35 @@ def bench_surprisal():
     return text_mod.surprisal_score(ds, id_col="pid").count()
 
 
+def bench_gopher():
+    """Gopher quality + repetition batteries over the pages corpus —
+    both pure-map stages chained in one streaming pass each (the
+    repetition battery's nine rolling-hash gram passes dominate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    n1 = text_mod.gopher_rules(ds, id_col="pid").count()
+    n2 = text_mod.gopher_repetition(ds, id_col="pid").count()
+    return n1 + n2
+
+
 def bench_ccnet():
     """CCNet per-language perplexity bucketing over the pages corpus:
     one surprisal scoring pass into a materialized compact projection
@@ -538,6 +567,7 @@ BENCHES = {
     "intradoc_dedup": bench_intradoc_dedup,
     "surprisal": bench_surprisal,
     "ccnet_buckets": bench_ccnet,
+    "gopher_filters": bench_gopher,
     "dsir": bench_dsir,
     "text_index": bench_text_index,
     "dup_span": bench_dup_span,
