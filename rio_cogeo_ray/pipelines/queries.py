@@ -5872,6 +5872,48 @@ SQL_JACCARD_PAIRS = (
 )
 
 
+def q_script_mix(sf_dir: str):
+    """Per-document Unicode script mix (stages/text.py:
+    script_profile): one count per RE2 script class, dominant script
+    (ties to earlier class), and the integer-ppm share of scripted
+    codepoints outside the dominant script — the wrong-script /
+    mixed-script spam signal beside langid. Pure map, zero shuffle;
+    pyarrow and DuckDB both run RE2 so the script tables agree
+    codepoint for codepoint."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.script_profile(ds)
+
+
+def _sql_script_mix() -> str:
+    from rio_cogeo_ray.stages.text import SCRIPT_CLASSES
+
+    cnt = ",\n    ".join(
+        rf"CAST(len(regexp_extract_all(COALESCE(text, ''), '\p{{{s}}}')) AS BIGINT)"
+        rf" AS n_{s.lower()}"
+        for s in SCRIPT_CLASSES
+    )
+    cols = [f"n_{s.lower()}" for s in SCRIPT_CLASSES]
+    greatest = "GREATEST(" + ", ".join(cols) + ")"
+    tot = " + ".join(cols)
+    dom = " ".join(
+        f"WHEN {c} = top_c THEN '{s}'" for s, c in zip(SCRIPT_CLASSES, cols)
+    )
+    return f"""
+WITH s AS (SELECT doc_id,
+    {cnt}
+  FROM documents),
+g AS (SELECT *, {greatest} AS top_c, {tot} AS tot FROM s)
+SELECT doc_id, {', '.join(cols)},
+  CASE WHEN top_c = 0 THEN '' {dom} END AS dominant_script,
+  CAST(CASE WHEN tot = 0 THEN 0 ELSE ((tot - top_c) * 1000000) // tot END
+       AS BIGINT) AS mixed_ppm
+FROM g
+"""
+
+
+SQL_SCRIPT_MIX = _sql_script_mix()
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5881,6 +5923,7 @@ def queries() -> Dict[str, Callable]:
     ``no_oracle`` and must not burn driver slots."""
     return {
         # -- SQL-exact, never driver-checked before round 3 ----------------
+        "script_mix": q_script_mix,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6055,6 +6098,7 @@ def queries() -> Dict[str, Callable]:
 
 def oracle_sql() -> Dict[str, str]:
     return {
+        "script_mix": SQL_SCRIPT_MIX,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

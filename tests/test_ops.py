@@ -5022,3 +5022,47 @@ def test_gopher_repetition_hand_computed(ray_session):
     assert int(out.loc[3, "r_dpara"]) == 1      # one paragraph only
     # null text: no units, no grams -> all rules pass vacuously
     assert int(out.loc[4, "repetition_ok"]) == 1
+
+
+def test_script_profile_hand_computed(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello мир",        # 5 Latin + 3 Cyrillic -> Latin dominant
+                    "мир мир",          # pure Cyrillic
+                    "世界 漢字 a",       # 4 Han + 1 Latin -> Han dominant
+                    None,               # null -> all zero, dominant ''
+                    "12345 !!!",        # no scripted codepoints
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        text.script_profile(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert int(out.loc[1, "n_latin"]) == 5
+    assert int(out.loc[1, "n_cyrillic"]) == 3
+    assert out.loc[1, "dominant_script"] == "Latin"
+    assert int(out.loc[1, "mixed_ppm"]) == (3 * 1_000_000) // 8
+    assert out.loc[2, "dominant_script"] == "Cyrillic"
+    assert int(out.loc[2, "mixed_ppm"]) == 0
+    assert out.loc[3, "dominant_script"] == "Han"
+    assert int(out.loc[3, "n_han"]) == 4
+    assert out.loc[4, "dominant_script"] == ""
+    assert int(out.loc[4, "mixed_ppm"]) == 0
+    assert out.loc[5, "dominant_script"] == ""
+    # tie: equal Latin/Cyrillic counts break to the EARLIER class
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "text": pa.array(["ab мг"], pa.string()),
+        }
+    )
+    out2 = text.script_profile(rd.from_arrow(t2)).to_pandas()
+    assert out2.loc[0, "dominant_script"] == "Latin"
