@@ -414,6 +414,69 @@ def bench_gopher():
     return n1 + n2
 
 
+def bench_outlinks():
+    """Web-graph build over raw page html: anchors planted map-side
+    (the fixture html carries none), then the production chain —
+    split-device outlink explode + host contraction to ONE bounded
+    (src_host, dst_host) count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _plant(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        d = np.abs(h)
+        link = pc.binary_join_element_wise(
+            pa.scalar('<a href="https://h'),
+            pc.cast(pa.array((d * 7) % 1009, pa.int64()), pa.string()),
+            pa.scalar('.example.com/p">x</a>'),
+            "",
+        )
+        html = pc.binary_join_element_wise(
+            t["html"].combine_chunks().cast(pa.string()), link, ""
+        )
+        src = pc.binary_join_element_wise(
+            pa.scalar("h"),
+            pc.cast(pa.array(d % 1009, pa.int64()), pa.string()),
+            pa.scalar(".example.com"),
+            "",
+        )
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "html": html,
+                "src_host": src,
+            }
+        )
+
+    pages = rd.read_parquet(PAGES_DIR, columns=["url", "html"]).map_batches(
+        _plant, batch_format="pyarrow"
+    )
+    links = text_mod.extract_outlinks(pages, id_col="pid", html_col="html")
+
+    def _src(t: pa.Table) -> pa.Table:
+        import numpy as np
+        d = np.abs(
+            t["pid"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        src = pc.binary_join_element_wise(
+            pa.scalar("h"),
+            pc.cast(pa.array(d % 1009, pa.int64()), pa.string()),
+            pa.scalar(".example.com"),
+            "",
+        )
+        return t.append_column("src_host", src)
+
+    return text_mod.host_link_edges(
+        links.map_batches(_src, batch_format="pyarrow")
+    ).count()
+
+
 def bench_ccnet():
     """CCNet per-language perplexity bucketing over the pages corpus:
     one surprisal scoring pass into a materialized compact projection
@@ -568,6 +631,7 @@ BENCHES = {
     "surprisal": bench_surprisal,
     "ccnet_buckets": bench_ccnet,
     "gopher_filters": bench_gopher,
+    "outlinks": bench_outlinks,
     "dsir": bench_dsir,
     "text_index": bench_text_index,
     "dup_span": bench_dup_span,

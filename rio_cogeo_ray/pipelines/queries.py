@@ -5914,6 +5914,103 @@ FROM g
 SQL_SCRIPT_MIX = _sql_script_mix()
 
 
+def q_outlink_graph(sf_dir: str):
+    """Host-level web-graph construction from raw page HTML
+    (stages/text.py: extract_outlinks + host_link_edges — the
+    Common-Crawl outlink pipeline feeding graph.py's pagerank /
+    k_core): href values by the documented split-device contract,
+    destination hosts by anchored RE2, ONE partial→final count per
+    (src_host, dst_host). The corpus has no html column, so pages are
+    synthesized deterministically from doc_id/text IDENTICALLY in both
+    engines (the host_cap doctrine): each doc links to h((7·id)%23)
+    and every third doc also to h((13·id)%23); src host is h(id%23).
+    Everything downstream of the synthesis is the production kernel
+    chain."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _html(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+
+        def _s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        second = pc.if_else(
+            pa.array(d % 3 == 0),
+            pc.binary_join_element_wise(
+                pa.scalar('<a href="https://h'),
+                _s((d * 13) % 23),
+                pa.scalar('.example.com/q">y</a>'),
+                "",
+            ),
+            pa.scalar(""),
+        )
+        html = pc.binary_join_element_wise(
+            pa.scalar("<html><body><p>"),
+            txt,
+            pa.scalar('</p><a href="https://h'),
+            _s((d * 7) % 23),
+            pa.scalar(".example.com/p"),
+            _s(d % 11),
+            pa.scalar('">x</a>'),
+            second,
+            pa.scalar("</body></html>"),
+            "",
+        )
+        src = pc.binary_join_element_wise(
+            pa.scalar("h"), _s(d % 23), pa.scalar(".example.com"), ""
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "html": html,
+                "src_host": src,
+            }
+        )
+
+    pages = ds.map_batches(_html, batch_format="pyarrow")
+    links = text.extract_outlinks(pages, id_col="doc_id", html_col="html")
+    # re-attach src_host: it is derivable from doc_id alone, so derive
+    # it map-side instead of carrying it through the explode
+    def _src(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        src = pc.binary_join_element_wise(
+            pa.scalar("h"),
+            pc.cast(pa.array(d % 23, pa.int64()), pa.string()),
+            pa.scalar(".example.com"),
+            "",
+        )
+        return t.append_column("src_host", src)
+
+    return text.host_link_edges(
+        links.map_batches(_src, batch_format="pyarrow")
+    )
+
+
+SQL_OUTLINK_GRAPH = r"""
+WITH h AS (SELECT doc_id,
+  '<html><body><p>' || COALESCE(text, '') || '</p><a href="https://h'
+    || (doc_id * 7) % 23 || '.example.com/p' || doc_id % 11 || '">x</a>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<a href="https://h' || (doc_id * 13) % 23 || '.example.com/q">y</a>'
+            ELSE '' END
+    || '</body></html>' AS html
+  FROM documents),
+p AS (SELECT doc_id, unnest(str_split(html, 'href="')[2:]) AS piece FROM h),
+l AS (SELECT doc_id, str_split(piece, '"')[1] AS outlink
+      FROM p WHERE contains(piece, '"')),
+e AS (SELECT 'h' || doc_id % 23 || '.example.com' AS src_host,
+             COALESCE(regexp_extract(outlink, '^https?://([^/]+)', 1), '') AS dst_host
+      FROM l)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -5924,6 +6021,7 @@ def queries() -> Dict[str, Callable]:
     return {
         # -- SQL-exact, never driver-checked before round 3 ----------------
         "script_mix": q_script_mix,
+        "outlink_graph": q_outlink_graph,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6099,6 +6197,7 @@ def queries() -> Dict[str, Callable]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "script_mix": SQL_SCRIPT_MIX,
+        "outlink_graph": SQL_OUTLINK_GRAPH,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

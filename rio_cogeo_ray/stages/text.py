@@ -3146,3 +3146,117 @@ def script_profile(
         return pa.table(cols)
 
     return ds.map_batches(_profile, batch_format="pyarrow")
+
+
+def extract_outlinks(
+    ds,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    out_col: str = "outlink",
+):
+    """Outgoing-link extraction from raw page HTML (the Common-Crawl
+    web-graph builder — outlinks feed host-graph PageRank / spam-rank
+    pipelines): one (id, outlink) row per ``href="…"`` attribute value.
+
+    Extraction contract is SPLIT-DEVICE semantics, not regex-match
+    semantics, and is documented as such: pieces between literal
+    ``href="`` delimiters, each truncated at its first ``"``;
+    pieces with no terminating quote (truncated/malformed html) are
+    dropped. This is exactly DuckDB
+    ``str_split(html, 'href=\"')[2:]`` + ``str_split(piece,'\"')[1]``
+    filtered on ``contains(piece, '\"')`` — both engines scan the same
+    literal delimiters, so results are hash-exact. (A nested
+    ``href=`` inside an attribute VALUE attributes to the outer link
+    in both engines alike.)
+
+    Scale shape: pure map, ZERO shuffle — one ``split_pattern``
+    explode per batch plus one bounded ``max_splits=1`` split for the
+    terminating quote; no Python per row; output rows ∝ links. Binary
+    html is cast to utf8 (the corpus contract; invalid utf8 raises
+    loudly rather than silently corrupting links)."""
+
+    def _links(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                out_col: pa.array([], pa.string()),
+            }
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        h = batch[html_col]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
+            h = h.cast(pa.string() if pa.types.is_binary(h.type) else pa.large_string())
+        h = pc.fill_null(h, "")
+        lists = pc.split_pattern(h, 'href="')
+        lens = (
+            pc.list_value_length(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(row) == 0:
+            return empty
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(row), dtype=np.int64) - np.repeat(starts, lens)
+        keep = (pos > 0) & pc.match_substring(flat, '"').to_numpy(
+            zero_copy_only=False
+        )
+        if not keep.any():
+            return empty
+        pieces = flat.filter(pa.array(keep))
+        links = pc.list_element(pc.split_pattern(pieces, '"', max_splits=1), 0)
+        ids = (
+            batch[id_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[row[keep]], pa.int64()),
+                out_col: links.cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(_links, batch_format="pyarrow")
+
+
+def host_link_edges(
+    links,
+    id_col: str = "doc_id",
+    link_col: str = "outlink",
+    src_host_col: str = "src_host",
+):
+    """Host-level web-graph edge counts from an (id, src_host,
+    outlink) Dataset: destination host via one anchored RE2 extract
+    (`^https?://([^/]+)` — relative/malformed links yield '' exactly
+    like DuckDB's no-match ``regexp_extract`` convention), then ONE
+    partial→final count per (src_host, dst_host) — the standard
+    web-graph contraction feeding pagerank/k-core in stages/graph.py.
+    Edge rows are bounded by distinct host pairs, not by corpus
+    size."""
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _dst(batch: pa.Table) -> pa.Table:
+        u = batch[link_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        ex = pc.extract_regex(u, r"^https?://(?P<host>[^/]+)")
+        return pa.table(
+            {
+                src_host_col: batch[src_host_col].combine_chunks().cast(pa.string()),
+                "dst_host": pc.fill_null(ex.field("host"), "").cast(pa.string()),
+            }
+        )
+
+    hosts = links.map_batches(_dst, batch_format="pyarrow")
+    return partial_group_agg(
+        hosts, keys=[src_host_col, "dst_host"], sum_cols=[], count_as="n_links"
+    )

@@ -5066,3 +5066,52 @@ def test_script_profile_hand_computed(ray_session):
     )
     out2 = text.script_profile(rd.from_arrow(t2)).to_pandas()
     assert out2.loc[0, "dominant_script"] == "Latin"
+
+
+def test_extract_outlinks_kernel(ray_session):
+    html = [
+        '<a href="https://a.com/x">one</a> text <a href="http://b.com">two</a>',
+        '<p>no links at all</p>',
+        'truncated <a href="https://c.com/unterminated',   # no closing quote
+        None,
+        '<a href="">empty value</a>',
+        'nested <a href="https://outer.com/a href=oops">v</a>',
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "html": pa.array([h.encode() if h is not None else None for h in html], pa.binary()),
+        }
+    )
+    out = (
+        text.extract_outlinks(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values(["doc_id", "outlink"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["doc_id"], out["outlink"]))
+    assert got == [
+        (0, "http://b.com"),
+        (0, "https://a.com/x"),
+        (4, ""),
+        (5, "https://outer.com/a href=oops"),
+    ]
+    # host edge contraction: relative/malformed dst -> ''
+    links = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "src_host": pa.array(["s1", "s1", "s2"], pa.string()),
+            "outlink": pa.array(
+                ["https://d.com/p", "/relative/path", "http://d.com:80/q"],
+                pa.string(),
+            ),
+        }
+    )
+    edges = (
+        text.host_link_edges(rd.from_arrow(links))
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    got_e = list(zip(edges["src_host"], edges["dst_host"], edges["n_links"]))
+    assert got_e == [("s1", "", 1), ("s1", "d.com", 1), ("s2", "d.com:80", 1)]
