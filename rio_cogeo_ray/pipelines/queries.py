@@ -6011,6 +6011,45 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_scd2(sf_dir: str):
+    """SCD Type-2 dimension build (stages/window.py: scd2_intervals):
+    compress the event change log into per-user validity intervals of
+    ``event_type`` — consecutive same-value runs collapse, valid_to is
+    the next change (NULL = current version). One hash(user) exchange,
+    one vectorized lexsort+diff pass per bucket; the (ts, event_id)
+    unique tiebreak makes intervals permutation-exact."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"),
+               ["event_id", "ts", "user_id", "event_type"])
+    from rio_cogeo_ray.stages import window as window_mod
+
+    return window_mod.scd2_intervals(ds)
+
+
+SQL_SCD2 = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+           LAG(event_type) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev,
+           ROW_NUMBER() OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+f AS (SELECT *, CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS brk FROM o),
+i AS (SELECT *, SUM(brk) OVER
+        (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+        AS isl FROM f),
+g AS (SELECT user_id, isl,
+             MIN(t) AS valid_from_us,
+             ANY_VALUE(event_type) AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM i GROUP BY user_id, isl)
+SELECT user_id, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER
+         (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+       n_events
+FROM g
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -6022,6 +6061,7 @@ def queries() -> Dict[str, Callable]:
         # -- SQL-exact, never driver-checked before round 3 ----------------
         "script_mix": q_script_mix,
         "outlink_graph": q_outlink_graph,
+        "scd2": q_scd2,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6198,6 +6238,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "script_mix": SQL_SCRIPT_MIX,
         "outlink_graph": SQL_OUTLINK_GRAPH,
+        "scd2": SQL_SCD2,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rio_cogeo_ray.stages.agg import partial_group_agg
 
@@ -1035,4 +1036,107 @@ def rolling_sum(
         ds.map_batches(_route, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
+    )
+
+
+def scd2_intervals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """SCD Type-2 dimension build (the lakehouse change-history op):
+    compress a change log into validity intervals — per key, runs of
+    CONSECUTIVE rows with the same ``attr_col`` value collapse into
+    one (key, value, valid_from_us, valid_to_us, n_events) row;
+    ``valid_to_us`` is the next differing change's timestamp and NULL
+    for the current (open) version. Ordering is (ts, id) with the
+    unique ``id_col`` tiebreak, so intervals are permutation-exact at
+    any parallelism (the rolling_sum doctrine).
+
+    Partitioning contract: keys hash into ``n_buckets``; per bucket
+    ONE vectorized lexsort + one diff pass builds every key's islands
+    together — no per-key Python. One exchange total; output rows ∝
+    version changes, not corpus size.
+
+    SQL mirror: LAG(value) breaks + windowed SUM island ids +
+    GROUP BY island + LEAD(valid_from) — the standard gaps-and-islands
+    SCD2 statement."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: k,
+                "__ts": t[ts_col].combine_chunks().cast(pa.int64()),
+                "__id": t[id_col].combine_chunks().cast(pa.int64()),
+                "__val": t[attr_col].combine_chunks().cast(pa.string()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _islands(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                attr_col: pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        g = g.sort_by(
+            [(key_col, "ascending"), ("__ts", "ascending"), ("__id", "ascending")]
+        )
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["__ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["__val"].combine_chunks()
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        # value break: compare each row's value to the previous row's
+        # null attr values: treat NULL == NULL as same (SQL mirror uses
+        # IS NOT DISTINCT FROM)
+        same_val = pc.fill_null(
+            pc.equal(v.slice(1), v.slice(0, len(v) - 1)), False
+        ).to_numpy(zero_copy_only=False)
+        both_null = pc.and_(
+            pc.is_null(v.slice(1)), pc.is_null(v.slice(0, len(v) - 1))
+        ).to_numpy(zero_copy_only=False)
+        same_val = same_val | both_null
+        brk = new_key | np.r_[False, ~same_val]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, len(k)])
+        key_out = k[starts]
+        vf = t[starts]
+        # valid_to = next island's valid_from within the SAME key
+        nxt_vf = np.r_[vf[1:], 0]
+        nxt_key = np.r_[key_out[1:], np.int64(-1)]
+        open_end = nxt_key != key_out
+        vt = pc.if_else(
+            pa.array(~open_end),
+            pa.array(nxt_vf, pa.int64()),
+            pa.scalar(None, pa.int64()),
+        )
+        return pa.table(
+            {
+                key_col: pa.array(key_out, pa.int64()),
+                attr_col: v.take(pa.array(starts, pa.int64())),
+                "valid_from_us": pa.array(vf, pa.int64()),
+                "valid_to_us": vt,
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_cast, batch_format="pyarrow")
+    return slim.groupby("__bucket").map_groups(
+        lambda g: _islands(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
     )

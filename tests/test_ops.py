@@ -5115,3 +5115,62 @@ def test_extract_outlinks_kernel(ray_session):
     )
     got_e = list(zip(edges["src_host"], edges["dst_host"], edges["n_links"]))
     assert got_e == [("s1", "", 1), ("s1", "d.com", 1), ("s2", "d.com:80", 1)]
+
+
+def test_scd2_intervals_hand_computed(ray_session):
+    from rio_cogeo_ray.stages import window as window_mod
+
+    # user 1: A A B A (runs A[0,1], B[2], A[3]); user 2: single event;
+    # user 3: null then null (NULL==NULL compresses), then X
+    t = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12, 13, 20, 30, 31, 32], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 3, 3, 3], pa.int64()),
+            "ts": pa.array([100, 200, 300, 400, 50, 10, 20, 30], pa.int64()),
+            "event_type": pa.array(
+                ["A", "A", "B", "A", "Z", None, None, "X"], pa.string()
+            ),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            window_mod.scd2_intervals(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values(["user_id", "valid_from_us"])
+            .reset_index(drop=True)
+        )
+        rows = [
+            (
+                int(r.user_id),
+                None if pd.isna(r.event_type) else r.event_type,
+                int(r.valid_from_us),
+                None if pd.isna(r.valid_to_us) else int(r.valid_to_us),
+                int(r.n_events),
+            )
+            for r in out.itertuples()
+        ]
+        assert rows == [
+            (1, "A", 100, 300, 2),
+            (1, "B", 300, 400, 1),
+            (1, "A", 400, None, 1),
+            (2, "Z", 50, None, 1),
+            (3, None, 10, 30, 2),
+            (3, "X", 30, None, 1),
+        ], rows
+    # duplicate timestamps: unique event_id breaks the tie (id order)
+    t2 = pa.table(
+        {
+            "event_id": pa.array([2, 1], pa.int64()),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "ts": pa.array([500, 500], pa.int64()),
+            "event_type": pa.array(["B", "A"], pa.string()),
+        }
+    )
+    out2 = (
+        window_mod.scd2_intervals(rd.from_arrow(t2))
+        .to_pandas()
+        .sort_values("valid_from_us")
+        .reset_index(drop=True)
+    )
+    assert list(out2["event_type"]) == ["A", "B"]
+    assert out2.loc[0, "valid_to_us"] == 500 and pd.isna(out2.loc[1, "valid_to_us"])
