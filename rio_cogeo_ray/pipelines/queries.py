@@ -6050,6 +6050,35 @@ FROM g
 """
 
 
+def q_bigram_surprisal(sf_dir: str):
+    """Bigram conditional surprisal (stages/text.py: bigram_surprisal
+    — the order-2 CCNet/KenLM analog): integer-exact -log2 p(w2|w1)
+    bits summed per doc over the corpus's own pair counts. One
+    model-bounded shuffle + broadcast (pair-hash → bits) scoring —
+    zero doc-token shuffle (the surprisal broadcast doctrine, one
+    order higher)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.bigram_surprisal(ds)
+
+
+SQL_BIGRAM_SURPRISAL = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+             FROM documents),
+pr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM tok CROSS JOIN generate_series(1, 1023) gs(i)
+       WHERE i <= len(toks) - 1),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY w1, w2),
+cp AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS p FROM cb GROUP BY w1)
+SELECT pr.doc_id,
+       CAST(SUM(LENGTH(bin(cp.p // cb.c)) - 1) AS BIGINT) AS bigram_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr
+JOIN cb ON pr.w1 = cb.w1 AND pr.w2 = cb.w2
+JOIN cp ON pr.w1 = cp.w1
+GROUP BY pr.doc_id
+"""
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -6062,6 +6091,7 @@ def queries() -> Dict[str, Callable]:
         "script_mix": q_script_mix,
         "outlink_graph": q_outlink_graph,
         "scd2": q_scd2,
+        "bigram_surprisal": q_bigram_surprisal,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6239,6 +6269,7 @@ def oracle_sql() -> Dict[str, str]:
         "script_mix": SQL_SCRIPT_MIX,
         "outlink_graph": SQL_OUTLINK_GRAPH,
         "scd2": SQL_SCD2,
+        "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

@@ -3260,3 +3260,141 @@ def host_link_edges(
     return partial_group_agg(
         hosts, keys=[src_host_col, "dst_host"], sum_cols=[], count_as="n_links"
     )
+
+
+def bigram_surprisal(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Bigram CONDITIONAL surprisal per document — the order-2
+    extension of ``surprisal_score`` (KenLM-without-backoff over the
+    corpus's own counts): each adjacent token pair (w1, w2)
+    contributes ``floor(log2(cp(w1) // cb(w1, w2)))`` bits, where cb
+    is the corpus-wide count of the pair and cp(w1) = Σ_w cb(w1, w)
+    the count of w1 as a pair prefix — i.e. integer-exact
+    -log2 p(w2 | w1). Text that keeps surprising its own corpus
+    (incoherent word salad) scores high bits/pair; boilerplate scores
+    near zero even when its unigrams are rare. Returns
+    (id, bigram_bits, n_pairs) for docs with ≥ 2 tokens.
+
+    Exactness: the floor-log2-via-float64-exponent device of
+    surprisal_score (exact to 2^53); SQL mirror is
+    ``LENGTH(bin(cp // cb)) - 1`` over string-keyed counts. Tokens
+    collapse to 64-bit polars hashes map-side and pairs to one
+    splitmix64 combine — equal hash stands for equal pair with the
+    documented 2^-64-per-pair collision odds (segment_dedup contract).
+
+    Scale shape (the broadcast-vocab doctrine): ONE model-bounded
+    shuffle — per-batch np.unique collapses pair mass before the
+    exchange, so rows ∝ distinct pairs per batch — then the
+    (pair-hash → bits) table broadcasts once via ``ray.put`` and
+    scoring is a stateless task map with ZERO doc-token shuffle.
+    Memory contract: the bigram model fits one object (~16 B/pair;
+    10^8 distinct pairs ≈ 1.6 GB). Web-scale corpora must bound the
+    model upstream (min_count prune / top-K via the MG sketch) — the
+    same contract as surprisal_score's broadcast path, one order
+    higher."""
+    import polars as pl
+
+    import ray as _ray
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _th(toks: pa.Array) -> np.ndarray:
+        return (
+            pl.from_arrow(toks.cast(pa.large_string()))
+            .hash(seed=11)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+
+    def _pairs(batch: pa.Table):
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        if len(row) < 2:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z, np.zeros(0, dtype=np.int64)
+        h = _th(toks)
+        adj = row[1:] == row[:-1]
+        u1 = h[:-1][adj]
+        u2 = h[1:][adj]
+        prow = row[:-1][adj]
+        ph = splitmix64(u1 * np.uint64(0x9E3779B97F4A7C15) + u2)
+        return ph, u1, prow
+
+    def _empty_out(batch=None) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "bigram_bits": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+
+    def _model_partial(batch: pa.Table) -> pa.Table:
+        ph, u1, _ = _pairs(batch)
+        if len(ph) == 0:
+            return pa.table(
+                {
+                    "ph": pa.array([], pa.int64()),
+                    "h1": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, first_idx, cnt = np.unique(ph, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "ph": pa.array(uniq.view(np.int64), pa.int64()),
+                "h1": pa.array(u1[first_idx].view(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    model = partial_group_agg(
+        ds.map_batches(_model_partial, batch_format="pyarrow"),
+        keys=["ph", "h1"],
+        sum_cols=["n"],
+        count_as=None,
+    )
+    mt = pa.concat_tables(
+        _ray.get(model.to_arrow_refs()), promote_options="default"
+    ).combine_chunks()
+    if not mt.num_rows:
+        return ds.map_batches(_empty_out, batch_format="pyarrow")
+    ph_v = mt["ph"].to_numpy(zero_copy_only=False).view(np.uint64)
+    h1_v = mt["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+    cb_v = mt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # prefix totals: cp(w1) = Σ cb over pairs sharing h1 (one lexsort)
+    o1 = np.argsort(h1_v, kind="stable")
+    h1_s, cb_s = h1_v[o1], cb_v[o1]
+    starts = np.r_[True, h1_s[1:] != h1_s[:-1]]
+    seg = np.cumsum(starts) - 1
+    cp_per_seg = np.add.reduceat(cb_s, np.flatnonzero(starts))
+    cp_back = np.empty_like(cb_v)
+    cp_back[o1] = cp_per_seg[seg]
+    ratio = cp_back // cb_v
+    bits = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)
+    order = np.argsort(ph_v)
+    state = _ray.put((ph_v[order], bits[order]))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ph_s, bits_s = _ray.get(state)
+        ph, _, prow = _pairs(batch)
+        if len(ph) == 0:
+            return _empty_out(batch)
+        b = bits_s[np.searchsorted(ph_s, ph)]
+        n = batch.num_rows
+        sums = np.bincount(prow, weights=b.astype(np.float64), minlength=n)
+        cnts = np.bincount(prow, minlength=n)
+        nz = cnts > 0
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(nz)),
+                "bigram_bits": pa.array(sums[nz].astype(np.int64), pa.int64()),
+                "n_pairs": pa.array(cnts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

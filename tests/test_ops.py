@@ -5174,3 +5174,26 @@ def test_scd2_intervals_hand_computed(ray_session):
     )
     assert list(out2["event_type"]) == ["A", "B"]
     assert out2.loc[0, "valid_to_us"] == 500 and pd.isna(out2.loc[1, "valid_to_us"])
+
+
+def test_bigram_surprisal_hand_computed(ray_session):
+    # cb(a,b)=3 cb(b,a)=1 cb(b,c)=1 ; cp(a)=3 cp(b)=2
+    # bits(a,b)=floor(log2(3//3))=0 bits(b,a)=floor(log2(2//1))=1 bits(b,c)=1
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b a b", "a b c", "x", None], pa.string()),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            text.bigram_surprisal(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out.index) == [1, 2]  # <2-token docs emit nothing
+        assert int(out.loc[1, "bigram_bits"]) == 1   # 0 + 1 + 0
+        assert int(out.loc[1, "n_pairs"]) == 3
+        assert int(out.loc[2, "bigram_bits"]) == 1   # 0 + 1
+        assert int(out.loc[2, "n_pairs"]) == 2
