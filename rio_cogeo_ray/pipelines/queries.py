@@ -6079,6 +6079,39 @@ GROUP BY pr.doc_id
 """
 
 
+def q_neardup_ingest(sf_dir: str):
+    """Incremental near-dup crawl ingest (stages/dedup.py:
+    build_band_index + neardup_ingest): the even-doc_id half of the
+    corpus is the persisted band index; the odd half arrives as a
+    crawl delta and reports (new_id, dup_of, n_band_hits) for every
+    delta doc sharing an LSH bucket with the index. Rows-only (LSH
+    banding is not SQL-expressible); the planted-dup pytest pins exact
+    match behavior across generations."""
+    import tempfile
+
+    from rio_cogeo_ray.stages import dedup as dedup_mod
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _half(par: int):
+        def _f(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(d % 2 == par))
+
+        return _f
+
+    idx = tempfile.mkdtemp(prefix="rcr_bandidx_")
+    dedup_mod.build_band_index(
+        ds.map_batches(_half(0), batch_format="pyarrow"), idx
+    )
+    return dedup_mod.neardup_ingest(
+        ds.map_batches(_half(1), batch_format="pyarrow"),
+        idx,
+        "delta1",
+        append=False,
+    )
+
+
 def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
@@ -6251,6 +6284,7 @@ def queries() -> Dict[str, Callable]:
         "quantile_sketch": q_quantile_sketch,
         "token_cm": q_token_cm,
         "neardup_keepers": q_neardup_keepers,
+        "neardup_ingest": q_neardup_ingest,
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,

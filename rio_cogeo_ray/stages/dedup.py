@@ -1856,3 +1856,270 @@ def text_similarity_join(
         )
 
     return edges.map_batches(_decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH band index + incremental near-dup ingest
+# ---------------------------------------------------------------------------
+
+BAND_INDEX_MANIFEST = "band_index.json"
+
+
+def _band_roots(index_dir: str) -> List[str]:
+    """Every band-row root: the base build plus appended generations
+    (the search.py _posting_roots doctrine)."""
+    import os
+
+    roots = [os.path.join(index_dir, "bands")]
+    for name in sorted(os.listdir(index_dir)):
+        if name.startswith("bands.gen-"):
+            roots.append(os.path.join(index_dir, name))
+    return [r for r in roots if os.path.isdir(r)]
+
+
+def _band_shard_files(index_dir: str, shards) -> List[str]:
+    """Parquet leafs of the probed band shards across ALL generations."""
+    import os
+
+    files: List[str] = []
+    for root in _band_roots(index_dir):
+        for s in shards:
+            sdir = os.path.join(root, f"shard={int(s)}")
+            if os.path.isdir(sdir):
+                files.extend(
+                    os.path.join(sdir, f)
+                    for f in sorted(os.listdir(sdir))
+                    if f.endswith(".parquet")
+                )
+    return files
+
+
+def _band_key(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """One uint64 per (band, band_hash) LSH bucket — the probe key."""
+    return splitmix64(
+        band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ band_hash.astype(np.int64).view(np.uint64)
+    )
+
+
+def _band_rows_sharded(ds, id_col, text_col, num_perm, bands, scheme, n_shards):
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    def _rows(t: pa.Table) -> pa.Table:
+        r = minhash_band_rows(
+            t, id_col, text_col, num_perm, bands, scheme=scheme
+        )
+        sh = (hash_columns(r, ["band", "band_hash"]) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        return r.append_column("shard", pa.array(sh, pa.int64()))
+
+    return ds.map_batches(_rows, batch_format="pyarrow")
+
+
+def build_band_index(
+    ds,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    n_shards: int = 64,
+    scheme: str = "oph",
+) -> str:
+    """Materialize a PERSISTED MinHash band index under
+    ``index_dir/bands/shard=<k>/`` — the standing near-dup registry a
+    continuous crawl ingests against (the build_text_index layout
+    doctrine: hash-sharded parquet, atomic rename, manifest carrying
+    the signature params so every future delta bands IDENTICALLY).
+    Rows are (id, band, band_hash) — 24 B/band-row, text never
+    persisted. A rebuild wipes appended generations: the index is
+    whole again from this corpus alone."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, ".bands.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    _band_rows_sharded(
+        ds, id_col, text_col, num_perm, bands, scheme, n_shards
+    ).write_parquet(tmp, partition_cols=["shard"])
+    os.makedirs(tmp, exist_ok=True)  # empty corpus writes nothing
+    for root in _band_roots(index_dir):
+        shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, os.path.join(index_dir, "bands"))
+    man = {
+        "id_col": id_col,
+        "num_perm": num_perm,
+        "bands": bands,
+        "n_shards": n_shards,
+        "scheme": scheme,
+        "generations": [],
+    }
+    mtmp = os.path.join(index_dir, BAND_INDEX_MANIFEST + ".tmp")
+    with open(mtmp, "w") as f:
+        json.dump(man, f)
+    os.replace(mtmp, os.path.join(index_dir, BAND_INDEX_MANIFEST))
+    return index_dir
+
+
+def neardup_ingest(
+    ds_new,
+    index_dir: str,
+    fingerprint: str,
+    text_col: str = "text",
+    append: bool = True,
+):
+    """Incremental near-dup check of a crawl DELTA against the
+    persisted band index: returns (new_id, dup_of, n_band_hits) — one
+    row per delta doc sharing ≥ 1 LSH bucket with an indexed doc
+    (dup_of = the smallest matching indexed id). With ``append=True``
+    the UNMATCHED delta docs' band rows land as a sibling generation
+    ``bands.gen-<fingerprint>/`` (idempotent per fingerprint; prior
+    rows are never rewritten), so successive crawl increments dedup
+    against everything before them.
+
+    Scale contract (delta ≪ index, the incremental_dedup doctrine):
+    the delta's band rows are bounded (bands × delta docs) and
+    materialize once; its distinct bucket keys broadcast via
+    ``ray.put``; the INDEX side is read shard-PRUNED (only shards the
+    delta probes, across all generations — I/O-level pruning) and
+    streams through ONE stateless membership filter with ZERO
+    shuffle — only colliding index rows (≈ true near-dups) enter the
+    one bucketed join. New doc ids must be disjoint from indexed ids
+    (append_text_index contract)."""
+    import json
+    import os
+    import shutil
+
+    import ray as _ray
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    with open(os.path.join(index_dir, BAND_INDEX_MANIFEST)) as f:
+        man = json.load(f)
+    id_col = man["id_col"]
+    n_shards = int(man["n_shards"])
+
+    new_rows = _band_rows_sharded(
+        ds_new, id_col, text_col, int(man["num_perm"]), int(man["bands"]),
+        man["scheme"], n_shards,
+    ).materialize()
+
+    # delta probe keys + probed shards (bounded by bands × delta docs)
+    blocks = [
+        b
+        for b in _ray.get(new_rows.to_arrow_refs())
+        if b.num_rows
+    ]
+    empty = pa.table(
+        {
+            "new_id": pa.array([], pa.int64()),
+            "dup_of": pa.array([], pa.int64()),
+            "n_band_hits": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return rd.from_arrow(empty)
+    delta = pa.concat_tables(blocks, promote_options="default").combine_chunks()
+    keys = np.unique(
+        _band_key(
+            delta["band"].to_numpy(zero_copy_only=False),
+            delta["band_hash"].to_numpy(zero_copy_only=False),
+        )
+    )
+    probed = np.unique(
+        delta["shard"].to_numpy(zero_copy_only=False)
+    )
+    keys_ref = _ray.put(keys)
+
+    files = _band_shard_files(index_dir, probed)
+    matches = None
+    if files:
+        old = rd.read_parquet(files, columns=[id_col, "band", "band_hash"])
+
+        def _collide(t: pa.Table) -> pa.Table:
+            ks = _ray.get(keys_ref)
+            bk = _band_key(
+                t["band"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["band_hash"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            pos = np.searchsorted(ks, bk)
+            pos[pos >= len(ks)] = len(ks) - 1
+            hit = ks[pos] == bk
+            return t.filter(pa.array(hit)).rename_columns(
+                ["old_id", "band", "band_hash"]
+            )
+
+        survivors = old.map_batches(_collide, batch_format="pyarrow")
+        new_side = new_rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "new_id": t[id_col].combine_chunks().cast(pa.int64()),
+                    "band": t["band"].combine_chunks(),
+                    "band_hash": t["band_hash"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        paired = bucketed_hash_join(
+            new_side, survivors, on=["band", "band_hash"]
+        )
+        matches = partial_group_agg(
+            paired,
+            keys=["new_id"],
+            min_cols=["old_id"],
+            count_as="n_band_hits",
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "new_id": t["new_id"].combine_chunks().cast(pa.int64()),
+                    "dup_of": t["min_old_id"].combine_chunks().cast(pa.int64()),
+                    "n_band_hits": t["n_band_hits"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    if append:
+        gen_root = os.path.join(index_dir, f"bands.gen-{fingerprint}")
+        if not os.path.isdir(gen_root):
+            if matches is not None and matches.count():
+                mt = pa.concat_tables(
+                    _ray.get(matches.to_arrow_refs()), promote_options="default"
+                )
+                matched_ids = np.sort(
+                    mt["new_id"].combine_chunks().to_numpy(zero_copy_only=False)
+                )
+                ids_ref = _ray.put(matched_ids)
+
+                def _unmatched(t: pa.Table) -> pa.Table:
+                    mi = _ray.get(ids_ref)
+                    ids = (
+                        t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+                    )
+                    pos = np.searchsorted(mi, ids)
+                    pos[pos >= len(mi)] = len(mi) - 1
+                    return t.filter(pa.array(mi[pos] != ids))
+
+                to_append = new_rows.map_batches(
+                    _unmatched, batch_format="pyarrow"
+                )
+            else:
+                to_append = new_rows
+            tmp = os.path.join(index_dir, f".gen-{fingerprint}.tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            to_append.write_parquet(tmp, partition_cols=["shard"])
+            os.makedirs(tmp, exist_ok=True)
+            os.replace(tmp, gen_root)
+            man.setdefault("generations", []).append(fingerprint)
+            mtmp = os.path.join(index_dir, BAND_INDEX_MANIFEST + ".tmp")
+            with open(mtmp, "w") as f:
+                json.dump(man, f)
+            os.replace(mtmp, os.path.join(index_dir, BAND_INDEX_MANIFEST))
+
+    return matches if matches is not None else rd.from_arrow(empty)

@@ -5197,3 +5197,81 @@ def test_bigram_surprisal_hand_computed(ray_session):
         assert int(out.loc[1, "n_pairs"]) == 3
         assert int(out.loc[2, "bigram_bits"]) == 1   # 0 + 1
         assert int(out.loc[2, "n_pairs"]) == 2
+
+
+def test_band_index_incremental_ingest(ray_session, tmp_path):
+    from rio_cogeo_ray.stages import dedup as dedup_mod
+
+    base_txt = [
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "pack my box with five dozen liquor jugs before the long trip south",
+        "sphinx of black quartz judge my vow said the old museum curator",
+    ]
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(base_txt, pa.string()),
+        }
+    )
+    idx = str(tmp_path / "bandidx")
+    dedup_mod.build_band_index(rd.from_arrow(corpus), idx, n_shards=8)
+
+    # delta: near-copy of doc 1 (one word tweaked), exact copy of doc 2,
+    # and a fresh doc
+    delta = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(
+                [
+                    base_txt[0].replace("tonight", "today"),
+                    base_txt[1],
+                    "completely unrelated fresh content about distributed arrow kernels",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    m = (
+        dedup_mod.neardup_ingest(rd.from_arrow(delta), idx, "gen1")
+        .to_pandas()
+        .set_index("new_id")
+        .sort_index()
+    )
+    assert 11 in m.index and int(m.loc[11, "dup_of"]) == 2
+    assert int(m.loc[11, "n_band_hits"]) == 16  # exact copy hits every band
+    assert 10 in m.index and int(m.loc[10, "dup_of"]) == 1
+    assert 12 not in m.index  # fresh doc: no collision
+
+    # append idempotence: same fingerprint never re-appends (no new
+    # generation dir); the match pass now ALSO self-matches doc 12
+    # against its own gen1 band rows (ids-disjoint contract)
+    import os
+    gens_before = sorted(d for d in os.listdir(idx) if d.startswith("bands.gen-"))
+    m2 = (
+        dedup_mod.neardup_ingest(rd.from_arrow(delta), idx, "gen1")
+        .to_pandas()
+        .set_index("new_id")
+        .sort_index()
+    )
+    gens_after = sorted(d for d in os.listdir(idx) if d.startswith("bands.gen-"))
+    assert gens_before == gens_after == ["bands.gen-gen1"]
+    assert list(m2.index) == [10, 11, 12]
+    assert int(m2.loc[12, "dup_of"]) == 12
+
+    # second increment: a near-copy of the FIRST delta's fresh doc must
+    # now match id 12 (appended as generation gen1)
+    delta2 = pa.table(
+        {
+            "doc_id": pa.array([20], pa.int64()),
+            "text": pa.array(
+                ["completely unrelated fresh content about distributed parquet kernels"],
+                pa.string(),
+            ),
+        }
+    )
+    m3 = (
+        dedup_mod.neardup_ingest(rd.from_arrow(delta2), idx, "gen2")
+        .to_pandas()
+        .set_index("new_id")
+    )
+    assert 20 in m3.index and int(m3.loc[20, "dup_of"]) == 12
