@@ -6079,6 +6079,34 @@ GROUP BY pr.doc_id
 """
 
 
+KWIC_NEEDLE = "dup"
+KWIC_CONTEXT = 30
+
+
+def q_kwic(sf_dir: str):
+    """Keyword-in-context snippets (stages/search.py: kwic_snippets —
+    search-result rendering): 1-based char position of the first
+    occurrence + a ±30-codepoint window. Pure map, zero shuffle;
+    char-exact via the split/utf8_length position device and the
+    reverse-slice-reverse window (pyarrow find_substring is
+    byte-indexed and cannot mirror SQL strpos)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    from rio_cogeo_ray.stages import search
+
+    return search.kwic_snippets(ds, KWIC_NEEDLE, context=KWIC_CONTEXT)
+
+
+SQL_KWIC = f"""
+WITH m AS (SELECT doc_id, strpos(text, '{KWIC_NEEDLE}') AS p, text
+           FROM documents WHERE strpos(text, '{KWIC_NEEDLE}') > 0)
+SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       substr(text, GREATEST(p - {KWIC_CONTEXT}, 1),
+              (p - GREATEST(p - {KWIC_CONTEXT}, 1))
+                + {len(KWIC_NEEDLE)} + {KWIC_CONTEXT}) AS snippet
+FROM m
+"""
+
+
 def q_neardup_ingest(sf_dir: str):
     """Incremental near-dup crawl ingest (stages/dedup.py:
     build_band_index + neardup_ingest): the even-doc_id half of the
@@ -6125,6 +6153,7 @@ def queries() -> Dict[str, Callable]:
         "outlink_graph": q_outlink_graph,
         "scd2": q_scd2,
         "bigram_surprisal": q_bigram_surprisal,
+        "kwic": q_kwic,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6304,6 +6333,7 @@ def oracle_sql() -> Dict[str, str]:
         "outlink_graph": SQL_OUTLINK_GRAPH,
         "scd2": SQL_SCD2,
         "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
+        "kwic": SQL_KWIC,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

@@ -35,6 +35,7 @@ from typing import List, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MANIFEST = "index.json"
 
@@ -760,3 +761,72 @@ def hybrid_search(
     return fused.rename_columns(
         [id_col, "rrf_nano", "bm25_rank", "cosine_rank"]
     )
+
+
+def kwic_snippets(
+    ds,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 30,
+):
+    """Keyword-in-context snippet extraction (search-result rendering
+    over the corpus): for every doc containing ``needle`` (literal
+    substring), the 1-based CHARACTER position of its first occurrence
+    and a snippet of ``context`` codepoints either side.
+
+    Pure map, ZERO shuffle; output rows ∝ matching docs. Character
+    positions come from ``utf8_length`` of the pre-match piece of one
+    ``max_splits=1`` split (pyarrow's ``find_substring`` is
+    byte-indexed — unusable against char-indexed SQL ``strpos``), and
+    slicing is ``utf8_slice_codeunits`` ≡ SQL ``substr`` (both
+    codepoint-based, end-clamped) — so the whole row is hash-exact
+    against the strpos/substr mirror."""
+
+    def _kwic(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = t.cast(pa.string())
+        parts = pc.split_pattern(t, needle, max_splits=1)
+        hit = pc.equal(pc.list_value_length(parts), 2)
+        hit = pc.fill_null(hit, False)
+        hit_np = hit.to_numpy(zero_copy_only=False)
+        if not hit_np.any():
+            return empty
+        sel = pa.array(hit_np)
+        hit_parts = parts.filter(sel)
+        pre = pc.list_element(hit_parts, 0)
+        post = pc.list_element(hit_parts, 1)
+        pos0 = (
+            pc.utf8_length(pre).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # per-row slice windows with SCALAR kernels: the last `context`
+        # codepoints of pre are the first `context` of its reverse
+        # (utf8_slice_codeunits takes scalar offsets only)
+        pre_tail = pc.utf8_reverse(
+            pc.utf8_slice_codeunits(pc.utf8_reverse(pre), 0, context)
+        )
+        post_head = pc.utf8_slice_codeunits(post, 0, context)
+        snip = pc.binary_join_element_wise(
+            pre_tail, pa.scalar(needle), post_head, ""
+        )
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).filter(sel)
+        return pa.table(
+            {
+                id_col: ids,
+                "pos": pa.array(pos0 + 1, pa.int64()),  # 1-based ≡ strpos
+                "snippet": snip,
+            }
+        )
+
+    return ds.map_batches(_kwic, batch_format="pyarrow")

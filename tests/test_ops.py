@@ -5275,3 +5275,38 @@ def test_band_index_incremental_ingest(ray_session, tmp_path):
         .set_index("new_id")
     )
     assert 20 in m3.index and int(m3.loc[20, "dup_of"]) == 12
+
+
+def test_kwic_snippets_hand_computed(ray_session):
+    from rio_cogeo_ray.stages import search as search_mod
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "xx needle yy",               # interior match
+                    "needle at the very start",   # pos 1, empty pre-context
+                    "no hit here",
+                    None,
+                    "日本語 needle 日本語テキスト",   # multibyte context
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        search_mod.kwic_snippets(
+            rd.from_arrow(t).repartition(2), "needle", context=4
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 5]
+    assert int(out.loc[1, "pos"]) == 4          # 1-based char strpos
+    assert out.loc[1, "snippet"] == "xx needle yy"
+    assert int(out.loc[2, "pos"]) == 1
+    assert out.loc[2, "snippet"] == "needle at "
+    assert int(out.loc[5, "pos"]) == 5          # CHAR position, not byte
+    assert out.loc[5, "snippet"] == "日本語 needle 日本語"
