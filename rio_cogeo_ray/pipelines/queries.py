@@ -6079,6 +6079,85 @@ GROUP BY pr.doc_id
 """
 
 
+def q_anchor_text(sf_dir: str):
+    """Anchor-text aggregation per target host (the classic web-search
+    relevance signal: anchor text describes the TARGET page): outlinks
+    extracted with their anchor's leading text run (inner markup
+    truncates — documented split contract), contracted to one
+    partial→final count per (dst_host, anchor). HTML synthesized
+    deterministically in both engines (the outlink_graph doctrine);
+    every 5th doc plants inner <b> markup to exercise truncation."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _html(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+        def _s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        tail = pc.if_else(
+            pa.array(d % 5 == 0),
+            pa.scalar(" <b>bold</b>"),
+            pa.scalar(" plain"),
+        )
+        html = pc.binary_join_element_wise(
+            pa.scalar('<html><body><a href="https://h'),
+            _s((d * 7) % 23),
+            pa.scalar(".example.com/p"),
+            _s(d % 11),
+            pa.scalar('">w'),
+            _s(d % 7),
+            tail,
+            pa.scalar("</a></body></html>"),
+            "",
+        )
+        return pa.table({"doc_id": pa.array(d, pa.int64()), "html": html})
+
+    pages = ds.map_batches(_html, batch_format="pyarrow")
+    links = text.extract_outlinks(
+        pages, id_col="doc_id", html_col="html", with_anchor=True
+    )
+
+    def _dst(t: pa.Table) -> pa.Table:
+        u = t["outlink"].combine_chunks()
+        ex = pc.extract_regex(u, r"^https?://(?P<host>[^/]+)")
+        return pa.table(
+            {
+                "dst_host": pc.fill_null(ex.field("host"), "").cast(pa.string()),
+                "anchor": t["anchor"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    return partial_group_agg(
+        links.map_batches(_dst, batch_format="pyarrow"),
+        keys=["dst_host", "anchor"],
+        sum_cols=[],
+        count_as="n",
+    )
+
+
+SQL_ANCHOR_TEXT = r"""
+WITH h AS (SELECT doc_id,
+  '<html><body><a href="https://h' || (doc_id * 7) % 23 || '.example.com/p'
+    || doc_id % 11 || '">w' || doc_id % 7
+    || CASE WHEN doc_id % 5 = 0 THEN ' <b>bold</b>' ELSE ' plain' END
+    || '</a></body></html>' AS html
+  FROM documents),
+p AS (SELECT doc_id, unnest(str_split(html, 'href="')[2:]) AS piece FROM h),
+l AS (SELECT str_split(piece, '"')[1] AS outlink,
+             str_split(str_split(piece || '>', '>')[2] || '<', '<')[1] AS anchor
+      FROM p WHERE contains(piece, '"')),
+e AS (SELECT COALESCE(regexp_extract(outlink, '^https?://([^/]+)', 1), '') AS dst_host,
+             anchor FROM l)
+SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY dst_host, anchor
+"""
+
+
 KWIC_NEEDLE = "dup"
 KWIC_CONTEXT = 30
 
@@ -6154,6 +6233,7 @@ def queries() -> Dict[str, Callable]:
         "scd2": q_scd2,
         "bigram_surprisal": q_bigram_surprisal,
         "kwic": q_kwic,
+        "anchor_text": q_anchor_text,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6334,6 +6414,7 @@ def oracle_sql() -> Dict[str, str]:
         "scd2": SQL_SCD2,
         "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
         "kwic": SQL_KWIC,
+        "anchor_text": SQL_ANCHOR_TEXT,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

@@ -3153,6 +3153,7 @@ def extract_outlinks(
     id_col: str = "doc_id",
     html_col: str = "html",
     out_col: str = "outlink",
+    with_anchor: bool = False,
 ):
     """Outgoing-link extraction from raw page HTML (the Common-Crawl
     web-graph builder — outlinks feed host-graph PageRank / spam-rank
@@ -3175,13 +3176,35 @@ def extract_outlinks(
     html is cast to utf8 (the corpus contract; invalid utf8 raises
     loudly rather than silently corrupting links)."""
 
-    def _links(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                out_col: pa.array([], pa.string()),
-            }
+    def _anchor(pieces: pa.Array) -> pa.Array:
+        # anchor text contract (``with_anchor``): the run between the
+        # FIRST and SECOND '>' of the href piece, truncated at its
+        # first '<' — the anchor's leading text; inner markup (<b>…)
+        # truncates. A sentinel delimiter appended before each split
+        # guarantees the element exists (no '>' after the url → ''),
+        # mirroring SQL str_split(piece || '>', '>')[2] then
+        # str_split(x || '<', '<')[1] element-for-element.
+        after_gt = pc.list_element(
+            pc.split_pattern(
+                pc.binary_join_element_wise(pieces, pa.scalar(">"), ""), ">"
+            ),
+            1,
         )
+        return pc.list_element(
+            pc.split_pattern(
+                pc.binary_join_element_wise(after_gt, pa.scalar("<"), ""), "<"
+            ),
+            0,
+        )
+
+    def _links(batch: pa.Table) -> pa.Table:
+        cols = {
+            id_col: pa.array([], pa.int64()),
+            out_col: pa.array([], pa.string()),
+        }
+        if with_anchor:
+            cols["anchor"] = pa.array([], pa.string())
+        empty = pa.table(cols)
         n = batch.num_rows
         if n == 0:
             return empty
@@ -3218,12 +3241,13 @@ def extract_outlinks(
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        return pa.table(
-            {
-                id_col: pa.array(ids[row[keep]], pa.int64()),
-                out_col: links.cast(pa.string()),
-            }
-        )
+        out = {
+            id_col: pa.array(ids[row[keep]], pa.int64()),
+            out_col: links.cast(pa.string()),
+        }
+        if with_anchor:
+            out["anchor"] = _anchor(pieces).cast(pa.string())
+        return pa.table(out)
 
     return ds.map_batches(_links, batch_format="pyarrow")
 

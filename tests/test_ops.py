@@ -5310,3 +5310,31 @@ def test_kwic_snippets_hand_computed(ray_session):
     assert out.loc[2, "snippet"] == "needle at "
     assert int(out.loc[5, "pos"]) == 5          # CHAR position, not byte
     assert out.loc[5, "snippet"] == "日本語 needle 日本語"
+
+
+def test_extract_outlinks_anchor_text(ray_session):
+    html = [
+        '<a href="https://a.com/">Home Page</a>',
+        '<a href="https://b.com/" rel="nofollow">With <b>bold</b> inside</a>',
+        '<a href="https://c.com/">',                   # no anchor close
+        'href="https://d.com/x" dangling no gt',       # quote but no '>'
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "html": pa.array(html, pa.string()),
+        }
+    )
+    out = (
+        text.extract_outlinks(rd.from_arrow(t), with_anchor=True)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "outlink"] == "https://a.com/"
+    assert out.loc[1, "anchor"] == "Home Page"
+    # rel attr: anchor still reads between the tag's closing '>' and '<';
+    # inner markup truncates the run
+    assert out.loc[2, "anchor"] == "With "
+    assert out.loc[3, "anchor"] == ""     # nothing between '>' and '<'... no '<'
+    assert out.loc[4, "anchor"] == ""     # no '>' after the url at all
