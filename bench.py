@@ -414,6 +414,33 @@ def bench_gopher():
     return n1 + n2
 
 
+def bench_bigram_surprisal():
+    """Order-2 conditional surprisal over the pages corpus: one
+    model-bounded pair shuffle + broadcast scoring pass (the unigram
+    surprisal doctrine one order higher)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return text_mod.bigram_surprisal(ds, id_col="pid").count()
+
+
 def bench_outlinks():
     """Web-graph build over raw page html: anchors planted map-side
     (the fixture html carries none), then the production chain —
@@ -632,6 +659,7 @@ BENCHES = {
     "ccnet_buckets": bench_ccnet,
     "gopher_filters": bench_gopher,
     "outlinks": bench_outlinks,
+    "bigram_surprisal": bench_bigram_surprisal,
     "dsir": bench_dsir,
     "text_index": bench_text_index,
     "dup_span": bench_dup_span,
