@@ -6158,6 +6158,63 @@ FROM e GROUP BY dst_host, anchor
 """
 
 
+def q_page_meta(sf_dir: str):
+    """Page metadata extraction (stages/text.py: page_meta): <title>
+    text by the full-split device + robots-meta noindex/nofollow
+    exclusion flags (the crawl-politeness gate). Pure map, zero
+    shuffle; html synthesized identically in both engines (every 7th
+    doc plants noindex, every 11th nofollow)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _html(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+        ni = pc.if_else(
+            pa.array(d % 7 == 0),
+            pa.scalar('<meta name="robots" content="noindex">'),
+            pa.scalar(""),
+        )
+        nf = pc.if_else(
+            pa.array(d % 11 == 0),
+            pa.scalar('<meta name="robots" content="nofollow,noarchive">'),
+            pa.scalar(""),
+        )
+        html = pc.binary_join_element_wise(
+            pa.scalar("<html><head><title>T"),
+            pc.cast(pa.array(d % 13, pa.int64()), pa.string()),
+            pa.scalar(" page</title>"),
+            ni,
+            nf,
+            pa.scalar("</head><body>"),
+            txt,
+            pa.scalar("</body></html>"),
+            "",
+        )
+        return pa.table({"doc_id": pa.array(d, pa.int64()), "html": html})
+
+    return text.page_meta(ds.map_batches(_html, batch_format="pyarrow"))
+
+
+SQL_PAGE_META = r"""
+WITH h AS (SELECT doc_id,
+  '<html><head><title>T' || doc_id % 13 || ' page</title>'
+    || CASE WHEN doc_id % 7 = 0
+            THEN '<meta name="robots" content="noindex">' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN '<meta name="robots" content="nofollow,noarchive">' ELSE '' END
+    || '</head><body>' || COALESCE(text, '') || '</body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+       str_split(str_split(html || '<title>', '<title>')[2] || '</title>',
+                 '</title>')[1] AS title,
+       CAST(regexp_matches(html, '<meta[^>]*noindex') AS BIGINT) AS has_noindex,
+       CAST(regexp_matches(html, '<meta[^>]*nofollow') AS BIGINT) AS has_nofollow
+FROM h
+"""
+
+
 KWIC_NEEDLE = "dup"
 KWIC_CONTEXT = 30
 
@@ -6234,6 +6291,7 @@ def queries() -> Dict[str, Callable]:
         "bigram_surprisal": q_bigram_surprisal,
         "kwic": q_kwic,
         "anchor_text": q_anchor_text,
+        "page_meta": q_page_meta,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
         "lm_coverage": q_lm_coverage,
@@ -6415,6 +6473,7 @@ def oracle_sql() -> Dict[str, str]:
         "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
         "kwic": SQL_KWIC,
         "anchor_text": SQL_ANCHOR_TEXT,
+        "page_meta": SQL_PAGE_META,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,
         "tile_assign_crs84": SQL_TILE_ASSIGN_CRS84,

@@ -3453,3 +3453,65 @@ def bigram_surprisal(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def page_meta(
+    ds,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+):
+    """Page-level HTML metadata for crawl filtering: the <title> text
+    (split-device contract — the run between the first ``<title>`` and
+    the next ``</title>``, '' when absent; sentinel-append guarantees
+    the element exists, ≡ SQL ``str_split(html ‖ '</title>', …)``) and
+    the robots-meta exclusion flags ``has_noindex`` / ``has_nofollow``
+    (RE2 ``<meta[^>]*noindex`` — the standard crawl-politeness gate;
+    literal-lowercase contract documented, normalize upstream for
+    shouting-case html). Pure map, ZERO shuffle, one row per page."""
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "title": pa.array([], pa.string()),
+                "has_noindex": pa.array([], pa.int64()),
+                "has_nofollow": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        h = batch[html_col]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
+            h = h.cast(pa.string() if pa.types.is_binary(h.type) else pa.large_string())
+        h = pc.fill_null(h, "").cast(pa.string())
+        # FULL splits (not max_splits) so every element position means
+        # the same thing as DuckDB str_split's 1-based indexing — the
+        # anchor-text parity rule
+        after = pc.list_element(
+            pc.split_pattern(
+                pc.binary_join_element_wise(h, pa.scalar("<title>"), ""),
+                "<title>",
+            ),
+            1,
+        )
+        title = pc.list_element(
+            pc.split_pattern(
+                pc.binary_join_element_wise(after, pa.scalar("</title>"), ""),
+                "</title>",
+            ),
+            0,
+        )
+        noindex = pc.match_substring_regex(h, r"<meta[^>]*noindex")
+        nofollow = pc.match_substring_regex(h, r"<meta[^>]*nofollow")
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                "title": title.cast(pa.string()),
+                "has_noindex": noindex.cast(pa.int64()),
+                "has_nofollow": nofollow.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_meta, batch_format="pyarrow")

@@ -5338,3 +5338,38 @@ def test_extract_outlinks_anchor_text(ray_session):
     assert out.loc[2, "anchor"] == "With "
     assert out.loc[3, "anchor"] == ""     # nothing between '>' and '<'... no '<'
     assert out.loc[4, "anchor"] == ""     # no '>' after the url at all
+
+
+def test_page_meta_kernel(ray_session):
+    html = [
+        "<html><head><title>Hello World</title></head><body>x</body></html>",
+        '<html><head><meta name="robots" content="noindex,nofollow"></head>no title</html>',
+        "<title>unterminated so junk follows",
+        None,
+        b"<title>from bytes</title>".decode() ,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "html": pa.array(
+                [h.encode() if h is not None else None for h in html], pa.binary()
+            ),
+        }
+    )
+    out = (
+        text.page_meta(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "title"] == "Hello World"
+    assert int(out.loc[1, "has_noindex"]) == 0
+    assert out.loc[2, "title"] == ""
+    assert int(out.loc[2, "has_noindex"]) == 1
+    assert int(out.loc[2, "has_nofollow"]) == 1
+    # unterminated title: trailing junk is the documented both-engines
+    # behavior (split-device parity), so just pin the prefix
+    assert out.loc[3, "title"].startswith("unterminated")
+    assert out.loc[4, "title"] == ""
+    assert int(out.loc[4, "has_noindex"]) == 0
+    assert out.loc[5, "title"] == "from bytes"
