@@ -414,6 +414,51 @@ def bench_gopher():
     return n1 + n2
 
 
+def bench_web_prep():
+    """The composed FILTER → DEDUP → SCORE web-prep chain over the
+    pages corpus: Gopher repetition gate + dirty-word density gate
+    (ids-only joins), segment dedup over survivors, surprisal scored
+    on the deduped corpus with text riding carry_cols."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    docs = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    gated = text_mod.gopher_repetition(
+        docs, id_col="pid", carry_cols=("text",)
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["repetition_ok"].combine_chunks(), 1)
+        ).select(["pid", "text"]),
+        batch_format="pyarrow",
+    )
+    surv = text_mod.word_blocklist_filter(
+        gated, ("vikaripu", "kafade", "zaraze"), max_hits=3, id_col="pid"
+    )
+    seg = text_mod.segment_dedup(
+        surv.materialize(), seg_words=10, id_col="pid"
+    ).materialize()
+    return text_mod.surprisal_score(
+        seg, id_col="pid", text_col="text_clean", carry_cols=("n_kept",)
+    ).count()
+
+
 def bench_bigram_surprisal():
     """Order-2 conditional surprisal over the pages corpus: one
     model-bounded pair shuffle + broadcast scoring pass (the unigram
@@ -660,6 +705,7 @@ BENCHES = {
     "gopher_filters": bench_gopher,
     "outlinks": bench_outlinks,
     "bigram_surprisal": bench_bigram_surprisal,
+    "web_prep": bench_web_prep,
     "dsir": bench_dsir,
     "text_index": bench_text_index,
     "dup_span": bench_dup_span,

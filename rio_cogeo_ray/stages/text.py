@@ -2916,6 +2916,7 @@ def gopher_repetition(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple = (),
 ):
     """Gopher repetition-rule battery (Rae et al. 2021 appendix A1.1)
     as per-document integer flags — the within-document companion of
@@ -3082,6 +3083,11 @@ def gopher_repetition(
         for k, v in flags.items():
             cols[k] = pa.array(v.astype(np.int64), pa.int64())
         cols["repetition_ok"] = pa.array(ok.astype(np.int64), pa.int64())
+        # carry_cols: forward input columns 1:1 so a downstream filter
+        # can gate the corpus MAP-SIDE instead of re-joining by id
+        # (gate joins measured 60 s vs ~7 s map gating, 600k pages)
+        for c in carry_cols:
+            cols[c] = batch[c].combine_chunks()
         return pa.table(cols)
 
     return ds.map_batches(_rules, batch_format="pyarrow")
@@ -3515,3 +3521,36 @@ def page_meta(
         )
 
     return ds.map_batches(_meta, batch_format="pyarrow")
+
+
+def word_blocklist_filter(
+    ds,
+    words,
+    max_hits: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Map-side corpus gate on dirty-word DENSITY: keep rows with
+    FEWER than ``max_hits`` blocklist tokens (C4's any-hit rule is
+    ``max_hits=1``; larger values express a density threshold). Same
+    kernel as :func:`word_blocklist_counts` but applied as an inline
+    predicate — the corpus streams through with ALL its columns and
+    ZERO shuffle, instead of paying an id re-join against the flagged
+    set."""
+    words = sorted({w.lower() for w in words})
+    word_set = pa.array(words, pa.string())
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
+        n = batch.num_rows
+        if len(row) == 0:
+            return batch
+        hit = pc.is_in(pc.utf8_lower(toks), value_set=word_set).to_numpy(
+            zero_copy_only=False
+        )
+        cnt = np.bincount(row[hit], minlength=n).astype(np.int64)
+        return batch.filter(pa.array(cnt < max_hits))
+
+    return ds.map_batches(_gate, batch_format="pyarrow")

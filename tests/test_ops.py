@@ -5373,3 +5373,30 @@ def test_page_meta_kernel(ray_session):
     assert out.loc[4, "title"] == ""
     assert int(out.loc[4, "has_noindex"]) == 0
     assert out.loc[5, "title"] == "from bytes"
+
+
+def test_web_prep_chain_consistency(ray_session):
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    out = Q.q_web_prep("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # every output doc passed BOTH gates
+    rep = (
+        text.gopher_repetition(Q._docs("/root/testdata/sf0.001", ["doc_id", "text"]))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    bad = (
+        text.word_blocklist_counts(
+            Q._docs("/root/testdata/sf0.001", ["doc_id", "text"]), Q._BADWORDS
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for did in out["doc_id"]:
+        assert int(rep.loc[did, "repetition_ok"]) == 1
+        assert did not in bad.index or int(bad.loc[did, "n_blocked"]) < Q.WEB_PREP_BAD_DENSITY
+    # carried stats agree with the carried text
+    toks = out["text_clean"].str.split().str.len()
+    assert (toks == out["n_tokens"]).all()
+    assert (out["n_kept"] >= 1).all()
