@@ -6309,6 +6309,37 @@ FROM m
 """
 
 
+def q_host_rank(sf_dir: str):
+    """The full Common-Crawl web-graph story composed from production
+    kernels: html (synthesized as in outlink_graph) → extract_outlinks
+    → host_link_edges → graph.pagerank over the host graph (5
+    iterations, int64 micro-units, rank state fully distributed).
+    Rows-only: the iterative fixpoint is not one SQL statement; the
+    component kernels are each SQL-pinned (`outlink_graph`) or
+    float-oracle-pinned (pagerank pytest)."""
+    from rio_cogeo_ray.stages import graph
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    edges = q_outlink_graph(sf_dir)
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        s = t["src_host"].combine_chunks()
+        d = t["dst_host"].combine_chunks()
+        keep = pc.and_(
+            pc.not_equal(s, d), pc.not_equal(d, pa.scalar(""))
+        ).to_numpy(zero_copy_only=False)
+        tt = t.filter(pa.array(keep))
+        a = _hash_col(tt["src_host"]).astype(np.int64)
+        b = _hash_col(tt["dst_host"]).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    return graph.pagerank(
+        edges.map_batches(_nodes, batch_format="pyarrow"), iters=5
+    )
+
+
 def q_neardup_ingest(sf_dir: str):
     """Incremental near-dup crawl ingest (stages/dedup.py:
     build_band_index + neardup_ingest): the even-doc_id half of the
@@ -6519,6 +6550,7 @@ def queries() -> Dict[str, Callable]:
         "token_cm": q_token_cm,
         "neardup_keepers": q_neardup_keepers,
         "neardup_ingest": q_neardup_ingest,
+        "host_rank": q_host_rank,
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,
