@@ -1877,12 +1877,18 @@ def _band_roots(index_dir: str) -> List[str]:
     return [r for r in roots if os.path.isdir(r)]
 
 
-def _band_shard_files(index_dir: str, shards) -> List[str]:
-    """Parquet leafs of the probed band shards across ALL generations."""
+def _band_shard_files(index_dir: str, shards, exclude_gen: str = None) -> List[str]:
+    """Parquet leafs of the probed band shards across ALL generations.
+    ``exclude_gen`` skips one generation — neardup_ingest excludes its
+    OWN fingerprint so a crash-retry of the same delta matches against
+    the identical index state (not its own prior append)."""
     import os
 
     files: List[str] = []
+    skip = None if exclude_gen is None else f"bands.gen-{exclude_gen}"
     for root in _band_roots(index_dir):
+        if skip is not None and os.path.basename(root) == skip:
+            continue
         for s in shards:
             sdir = os.path.join(root, f"shard={int(s)}")
             if os.path.isdir(sdir):
@@ -2037,7 +2043,7 @@ def neardup_ingest(
     )
     keys_ref = _ray.put(keys)
 
-    files = _band_shard_files(index_dir, probed)
+    files = _band_shard_files(index_dir, probed, exclude_gen=fingerprint)
     matches = None
     if files:
         old = rd.read_parquet(files, columns=[id_col, "band", "band_hash"])
@@ -2122,4 +2128,8 @@ def neardup_ingest(
                 json.dump(man, f)
             os.replace(mtmp, os.path.join(index_dir, BAND_INDEX_MANIFEST))
 
-    return matches if matches is not None else rd.from_arrow(empty)
+    # a 0-row materialized Dataset loses its schema in Ray — return the
+    # TYPED empty on every no-match path, not just the no-files one
+    if matches is None or matches.count() == 0:
+        return rd.from_arrow(empty)
+    return matches

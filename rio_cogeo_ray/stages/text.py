@@ -3388,11 +3388,13 @@ def bigram_surprisal(
     partials = ds.map_batches(
         _model_partial, batch_format="pyarrow", batch_size=65536
     ).materialize()
-    blocks = [b for b in _ray.get(partials.to_arrow_refs()) if b.num_rows]
-    if not blocks:
+    # decide the merge path from METADATA — fetching the blocks first
+    # would defeat the very driver-memory bound the fallback protects
+    total_partial = partials.count()
+    if total_partial == 0:
         return ds.map_batches(_empty_out, batch_format="pyarrow")
-    total_partial = sum(b.num_rows for b in blocks)
     if total_partial <= 32_000_000:
+        blocks = [b for b in _ray.get(partials.to_arrow_refs()) if b.num_rows]
         # the model is BOUNDED (it broadcasts afterwards anyway), so
         # merge the per-batch partials driver-side: one lexsort +
         # reduceat over ≤32M rows replaces the groupby sort exchange

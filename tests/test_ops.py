@@ -5242,9 +5242,9 @@ def test_band_index_incremental_ingest(ray_session, tmp_path):
     assert 10 in m.index and int(m.loc[10, "dup_of"]) == 1
     assert 12 not in m.index  # fresh doc: no collision
 
-    # append idempotence: same fingerprint never re-appends (no new
-    # generation dir); the match pass now ALSO self-matches doc 12
-    # against its own gen1 band rows (ids-disjoint contract)
+    # crash-retry idempotence: the same fingerprint neither re-appends
+    # (no new generation dir) NOR matches against its OWN generation —
+    # the retry returns the ORIGINAL result, not self-duplicates
     import os
     gens_before = sorted(d for d in os.listdir(idx) if d.startswith("bands.gen-"))
     m2 = (
@@ -5255,8 +5255,8 @@ def test_band_index_incremental_ingest(ray_session, tmp_path):
     )
     gens_after = sorted(d for d in os.listdir(idx) if d.startswith("bands.gen-"))
     assert gens_before == gens_after == ["bands.gen-gen1"]
-    assert list(m2.index) == [10, 11, 12]
-    assert int(m2.loc[12, "dup_of"]) == 12
+    assert list(m2.index) == list(m.index)
+    assert int(m2.loc[10, "dup_of"]) == 1 and int(m2.loc[11, "dup_of"]) == 2
 
     # second increment: a near-copy of the FIRST delta's fresh doc must
     # now match id 12 (appended as generation gen1)
