@@ -3033,15 +3033,31 @@ def gopher_repetition(
 
         top_mass = {k: np.zeros(n, np.int64) for k in _GOPHER_REP_TOP}
         dup_mass = {k: np.zeros(n, np.int64) for k in _GOPHER_REP_DUP}
+        # incremental gram-hash chains: C_k[i] = splitmix64(C_{k-1}[i]
+        # + h[i+k-1]) equals the old per-gn from-scratch loop value
+        # bit-for-bit (same recurrence, prefix-sliced), but the nine
+        # gram lengths share ONE chain build — 9 hash passes per seed
+        # instead of Σgn = 54
+        gram_lens = sorted({*_GOPHER_REP_TOP, *_GOPHER_REP_DUP})
+        chains1, chains2 = {}, {}
+        if m:
+            c1 = np.zeros(m, dtype=np.uint64)
+            c2 = np.zeros(m, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(1, gram_lens[-1] + 1):
+                    w = m - k + 1
+                    if w <= 0:
+                        break
+                    c1 = splitmix64(c1[:w] + h1[k - 1 :])
+                    c2 = splitmix64(c2[:w] + h2[k - 1 :])
+                    if k in gram_lens:
+                        chains1[k], chains2[k] = c1, c2
         for gn in (*_GOPHER_REP_TOP, *_GOPHER_REP_DUP):
             nw = m - gn + 1
-            if nw <= 0:
+            if nw <= 0 or gn not in chains1:
                 continue
-            g1 = np.zeros(nw, dtype=np.uint64)
-            g2 = np.zeros(nw, dtype=np.uint64)
-            for j in range(gn):
-                g1 = splitmix64(g1 + h1[j : j + nw])
-                g2 = splitmix64(g2 + h2[j : j + nw])
+            g1 = chains1[gn]
+            g2 = chains2[gn]
             valid = rep[:nw] == rep[gn - 1 :]
             if not valid.any():
                 continue
