@@ -6299,6 +6299,41 @@ FROM m
 """
 
 
+def q_media_resize(sf_dir: str):
+    """Payload→payload image resize (stages/multimodal.py: ImageResize
+    actor pool — the thumbnailing/normalization stage; PIL decode →
+    resize → PNG when present, deterministic byte-resample stub in
+    this container): synth media corpus → resized (id, image, width,
+    height) rows → per-type byte totals. Rows-only (binary codec);
+    byte-exact pytest pins both paths."""
+    from rio_cogeo_ray.stages import multimodal
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    t = multimodal.synth_media(2000)
+    ds = rd.from_arrow(t).repartition(8)
+    resized = multimodal.image_resize(ds, target_size=(32, 32),
+                                      concurrency=2, batch_size=128)
+
+    def _bytes(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "media_type": tb["media_type"].combine_chunks(),
+                "nbytes": _pc.binary_length(
+                    tb["image"].combine_chunks()
+                ).cast(pa.int64()),
+            }
+        )
+
+    return partial_group_agg(
+        resized.map_batches(_bytes, batch_format="pyarrow"),
+        keys=["media_type"],
+        sum_cols=["nbytes"],
+        count_as="n_items",
+    )
+
+
 def q_host_rank(sf_dir: str):
     """The full Common-Crawl web-graph story composed from production
     kernels: html (synthesized as in outlink_graph) → extract_outlinks
@@ -6550,6 +6585,7 @@ def queries() -> Dict[str, Callable]:
         "neardup_keepers": q_neardup_keepers,
         "neardup_ingest": q_neardup_ingest,
         "host_rank": q_host_rank,
+        "media_resize": q_media_resize,
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,

@@ -468,3 +468,85 @@ def image_phash_neardup(
     return connected_components(edges).map_batches(
         lambda t: t.rename_columns([id_col, "cluster"]), batch_format="pyarrow"
     )
+
+
+class ImageResize:
+    """Actor: payload → payload image RESIZE (the thumbnailing /
+    normalization stage of a multimodal training pipeline — distinct
+    from :class:`ImageFeatures`, which consumes images into vectors;
+    this stage PRESERVES the binary-image column for downstream
+    decode).
+
+    Real path (PIL, resolved once per actor): decode → RGB → resize to
+    ``target_size`` → re-encode PNG; per-row decode failures fall back
+    to the stub for that row. Stub path (no PIL in this container):
+    deterministic byte resample — the payload is stride-sampled (or
+    byte-repeated) to exactly ``target_bytes`` — keeping the actor
+    plumbing, batch shapes and (id, image, width, height) output
+    schema real. Output width/height are the target dims (stub rows
+    report them too: the schema contract is what downstream trusts)."""
+
+    def __init__(self, target_size: Tuple[int, int] = (64, 64)):
+        self.target = target_size
+        self.target_bytes = target_size[0] * target_size[1]
+        self.pil = _pil_module()
+
+    def _resize_real(self, payload: bytes) -> Optional[bytes]:
+        import io
+
+        try:
+            img = self.pil.open(io.BytesIO(payload)).convert("RGB")
+            img = img.resize(self.target)
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            return out.getvalue()
+        except Exception:
+            return None
+
+    def _resize_stub(self, payload: bytes) -> bytes:
+        n = self.target_bytes
+        if not payload:
+            return b"\x00" * n
+        if len(payload) >= n:
+            # stride-sample to exactly n bytes (deterministic)
+            idx = (np.arange(n, dtype=np.int64) * len(payload)) // n
+            return bytes(np.frombuffer(payload, dtype=np.uint8)[idx])
+        reps = -(-n // len(payload))
+        return (payload * reps)[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        out_payloads = []
+        for i in range(len(payloads)):
+            p = payloads[i].as_py() or b""
+            r = self._resize_real(p) if self.pil is not None else None
+            out_payloads.append(r if r is not None else self._resize_stub(p))
+        n = batch.num_rows
+        w, h = self.target
+        # the resize REPLACES payload and its typed size metadata
+        drop = [c for c in ("payload", "width", "height")
+                if c in batch.column_names]
+        out = batch.drop_columns(drop)
+        return (
+            out.append_column("image", pa.array(out_payloads, pa.binary()))
+            .append_column("width", pa.array(np.full(n, w, np.int64), pa.int64()))
+            .append_column("height", pa.array(np.full(n, h, np.int64), pa.int64()))
+        )
+
+
+def image_resize(
+    ds,
+    target_size: Tuple[int, int] = (64, 64),
+    concurrency: int = 4,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+):
+    """Actor-pool image resize over binary payloads — small batches by
+    contract (large binary payloads × concurrency must fit the worker
+    heap; the multimodal batch-size doctrine)."""
+    return ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

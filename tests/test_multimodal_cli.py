@@ -299,3 +299,64 @@ def test_video_frames_short_payload_no_bleed(ray_session):
     for _, r in got.iterrows():
         b = bytes(r["frame"])
         assert b == (b"A" if r["media_id"] == 0 else b"C") * 256
+
+
+def test_image_resize_stub_and_real_path(ray_session):
+    import numpy as np
+
+    from rio_cogeo_ray.stages import multimodal
+
+    # stub path: byte-exact stride-sample / repeat contract
+    rz = multimodal.ImageResize(target_size=(4, 4))
+    rz.pil = None
+    big = bytes(range(64))
+    idx = (np.arange(16, dtype=np.int64) * 64) // 16
+    assert rz._resize_stub(big) == bytes(np.frombuffer(big, np.uint8)[idx])
+    small = b"ab"
+    assert rz._resize_stub(small) == (b"ab" * 8)[:16]
+    assert rz._resize_stub(b"") == b"\x00" * 16
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media_type": pa.array(["image", "image"], pa.string()),
+            "payload": pa.array([big, small], pa.binary()),
+        }
+    )
+    out = rz(t)
+    assert out.column_names == ["media_id", "media_type", "image", "width", "height"]
+    assert out["width"].to_pylist() == [4, 4]
+    assert all(len(p) == 16 for p in out["image"].to_pylist())
+
+    # real path: a fake PIL module proves decode/resize/encode wiring;
+    # a row that fails decode falls back to the stub for THAT row
+    class _FakeImg:
+        def convert(self, mode):
+            return self
+
+        def resize(self, size):
+            self._size = size
+            return self
+
+        def save(self, buf, format=None):
+            buf.write(b"PNG" + bytes(self._size))
+
+    class _FakePIL:
+        @staticmethod
+        def open(b):
+            if b.getvalue().startswith(b"BAD"):
+                raise ValueError("corrupt")
+            return _FakeImg()
+
+    rz2 = multimodal.ImageResize(target_size=(4, 4))
+    rz2.pil = _FakePIL()
+    t2 = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media_type": pa.array(["image", "image"], pa.string()),
+            "payload": pa.array([big, b"BADxyz"], pa.binary()),
+        }
+    )
+    out2 = rz2(t2)
+    imgs = out2["image"].to_pylist()
+    assert imgs[0] == b"PNG\x04\x04"               # real path
+    assert imgs[1] == rz._resize_stub(b"BADxyz")  # per-row fallback
