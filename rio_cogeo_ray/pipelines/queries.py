@@ -6299,6 +6299,14 @@ FROM m
 """
 
 
+def q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (stages/text.py:
+    compression_ratio — the RedPajama-v2 repetitiveness heuristic,
+    integer ppm). Pure map, zero shuffle; rows-only (the oracle has no
+    codec) — pinned by a direct-zlib pytest."""
+    return text.compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_media_resize(sf_dir: str):
     """Payload→payload image resize (stages/multimodal.py: ImageResize
     actor pool — the thumbnailing/normalization stage; PIL decode →
@@ -6586,6 +6594,7 @@ def queries() -> Dict[str, Callable]:
         "neardup_ingest": q_neardup_ingest,
         "host_rank": q_host_rank,
         "media_resize": q_media_resize,
+        "compression_ratio": q_compression_ratio,
         "video_frames": q_video_frames,
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,

@@ -3572,3 +3572,50 @@ def word_blocklist_filter(
         return batch.filter(pa.array(cnt < max_hits))
 
     return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+def compression_ratio(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """Per-document zlib compression ratio in integer ppm — the
+    RedPajama-v2 / Gopher-family repetitiveness signal (highly
+    compressible text ⇒ boilerplate / template spam; ratio_ppm =
+    compressed_bytes · 10^6 // raw_bytes, so LOW values are the
+    suspicious ones). Deterministic for a fixed zlib level ⇒
+    parallelism/resume-invariant, but NOT SQL-expressible (no codec in
+    the oracle) — pinned by pytest against direct zlib calls.
+
+    Scale shape: pure map, ZERO shuffle; the per-row zlib call IS the
+    work (a codec, like the multimodal decode stages — not a
+    vectorizable kernel), runs at C speed on utf-8 bytes. Empty/null
+    docs report ratio_ppm = 0 with raw_bytes = 0."""
+    import zlib
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t.cast(pa.string()), "")
+        raw = pc.binary_length(t).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        comp = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, s in enumerate(t.to_pylist()):
+            if s:
+                comp[i] = len(zlib.compress(s.encode("utf-8"), level))
+        ratio = np.zeros(batch.num_rows, dtype=np.int64)
+        nz = raw > 0
+        ratio[nz] = (comp[nz] * 1_000_000) // raw[nz]
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                "raw_bytes": pa.array(raw, pa.int64()),
+                "compressed_bytes": pa.array(comp, pa.int64()),
+                "ratio_ppm": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_ratio, batch_format="pyarrow")

@@ -5400,3 +5400,31 @@ def test_web_prep_chain_consistency(ray_session):
     toks = out["text_clean"].str.split().str.len()
     assert (toks == out["n_tokens"]).all()
     assert (out["n_kept"] >= 1).all()
+
+
+def test_compression_ratio(ray_session):
+    import zlib
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["abc " * 500, "the quick brown fox", None, ""], pa.string()
+            ),
+        }
+    )
+    out = (
+        text.compression_ratio(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for did, s in [(1, "abc " * 500), (2, "the quick brown fox")]:
+        raw = len(s.encode())
+        comp = len(zlib.compress(s.encode(), 6))
+        assert int(out.loc[did, "raw_bytes"]) == raw
+        assert int(out.loc[did, "compressed_bytes"]) == comp
+        assert int(out.loc[did, "ratio_ppm"]) == (comp * 1_000_000) // raw
+    # repetitive text compresses far better than natural text
+    assert out.loc[1, "ratio_ppm"] < out.loc[2, "ratio_ppm"]
+    assert int(out.loc[3, "ratio_ppm"]) == 0 and int(out.loc[4, "raw_bytes"]) == 0
