@@ -6311,7 +6311,7 @@ def q_media_resize(sf_dir: str):
     """Payload→payload image resize (stages/multimodal.py: ImageResize
     actor pool — the thumbnailing/normalization stage; PIL decode →
     resize → PNG when present, deterministic byte-resample stub in
-    this container): synth media corpus → resized (id, image, width,
+    this container): synth media corpus → resized (id, payload, width,
     height) rows → per-type byte totals. Rows-only (binary codec);
     byte-exact pytest pins both paths."""
     from rio_cogeo_ray.stages import multimodal
@@ -6329,7 +6329,7 @@ def q_media_resize(sf_dir: str):
             {
                 "media_type": tb["media_type"].combine_chunks(),
                 "nbytes": _pc.binary_length(
-                    tb["image"].combine_chunks()
+                    tb["payload"].combine_chunks()
                 ).cast(pa.int64()),
             }
         )
@@ -6404,9 +6404,22 @@ def q_neardup_ingest(sf_dir: str):
     ).hexdigest()[:12]
     idx = f"/tmp/rcr_bandidx/{tag}"
     if not os.path.exists(os.path.join(idx, dedup_mod.BAND_INDEX_MANIFEST)):
+        # build ASIDE into a per-process dir and promote atomically —
+        # two concurrent builders must never interleave inside one
+        # fixed tmp path (the check-then-build race would poison the
+        # stat-keyed cache permanently); the race loser discards its
+        # own build
+        import shutil
+        import uuid
+
+        build = f"/tmp/rcr_bandidx/.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         dedup_mod.build_band_index(
-            ds.map_batches(_half(0), batch_format="pyarrow"), idx
+            ds.map_batches(_half(0), batch_format="pyarrow"), build
         )
+        try:
+            os.replace(build, idx)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
     return dedup_mod.neardup_ingest(
         ds.map_batches(_half(1), batch_format="pyarrow"),
         idx,

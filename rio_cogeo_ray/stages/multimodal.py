@@ -482,7 +482,7 @@ class ImageResize:
     to the stub for that row. Stub path (no PIL in this container):
     deterministic byte resample — the payload is stride-sampled (or
     byte-repeated) to exactly ``target_bytes`` — keeping the actor
-    plumbing, batch shapes and (id, image, width, height) output
+    plumbing, batch shapes and (id, payload, width, height) output
     schema real. Output width/height are the target dims (stub rows
     report them too: the schema contract is what downstream trusts)."""
 
@@ -523,14 +523,17 @@ class ImageResize:
             out_payloads.append(r if r is not None else self._resize_stub(p))
         n = batch.num_rows
         w, h = self.target
-        # the resize REPLACES payload and its typed size metadata
+        # the resize REPLACES payload (same column name — downstream
+        # decode stages read batch["payload"], so the stage composes
+        # with ImageFeatures / image_phash) and its typed size
+        # metadata (int32, the MEDIA_SCHEMA contract)
         drop = [c for c in ("payload", "width", "height")
                 if c in batch.column_names]
         out = batch.drop_columns(drop)
         return (
-            out.append_column("image", pa.array(out_payloads, pa.binary()))
-            .append_column("width", pa.array(np.full(n, w, np.int64), pa.int64()))
-            .append_column("height", pa.array(np.full(n, h, np.int64), pa.int64()))
+            out.append_column("payload", pa.array(out_payloads, pa.binary()))
+            .append_column("width", pa.array(np.full(n, w, np.int32), pa.int32()))
+            .append_column("height", pa.array(np.full(n, h, np.int32), pa.int32()))
         )
 
 

@@ -3039,28 +3039,12 @@ def gopher_repetition(
         # gram lengths share ONE chain build — 9 hash passes per seed
         # instead of Σgn = 54
         gram_lens = sorted({*_GOPHER_REP_TOP, *_GOPHER_REP_DUP})
-        chains1, chains2 = {}, {}
-        if m:
-            c1 = np.zeros(m, dtype=np.uint64)
-            c2 = np.zeros(m, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for k in range(1, gram_lens[-1] + 1):
-                    w = m - k + 1
-                    if w <= 0:
-                        break
-                    c1 = splitmix64(c1[:w] + h1[k - 1 :])
-                    c2 = splitmix64(c2[:w] + h2[k - 1 :])
-                    if k in gram_lens:
-                        chains1[k], chains2[k] = c1, c2
-        for gn in (*_GOPHER_REP_TOP, *_GOPHER_REP_DUP):
+
+        def _consume(gn: int, g1: np.ndarray, g2: np.ndarray) -> None:
             nw = m - gn + 1
-            if nw <= 0 or gn not in chains1:
-                continue
-            g1 = chains1[gn]
-            g2 = chains2[gn]
             valid = rep[:nw] == rep[gn - 1 :]
             if not valid.any():
-                continue
+                return
             doc = rep[:nw][valid]
             glen = (cs[gn:] - cs[:-gn])[valid] + (gn - 1)
             a, b = g1[valid], g2[valid]
@@ -3081,6 +3065,21 @@ def gopher_repetition(
                 dup_mass[gn] += np.bincount(
                     docs_[dup], weights=mass[dup], minlength=n
                 ).astype(np.int64)
+
+        # each gram length is consumed AT its chain step, so only the
+        # current c1/c2 stay live (~32 B/token peak, not 9 chains' worth)
+        if m:
+            c1 = np.zeros(m, dtype=np.uint64)
+            c2 = np.zeros(m, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(1, gram_lens[-1] + 1):
+                    w = m - k + 1
+                    if w <= 0:
+                        break
+                    c1 = splitmix64(c1[:w] + h1[k - 1 :])
+                    c2 = splitmix64(c2[:w] + h2[k - 1 :])
+                    if k in gram_lens:
+                        _consume(k, c1, c2)
 
         flags = {
             "r_dline": 10 * lu[1] <= 3 * lu[0],
@@ -3603,9 +3602,12 @@ def compression_ratio(
             zero_copy_only=False
         )
         comp = np.zeros(batch.num_rows, dtype=np.int64)
-        for i, s in enumerate(t.to_pylist()):
-            if s:
-                comp[i] = len(zlib.compress(s.encode("utf-8"), level))
+        # the Arrow string buffer already IS the utf-8 bytes zlib
+        # wants: a zero-copy binary view avoids the str decode +
+        # re-encode round-trip per row
+        for i, b in enumerate(t.cast(pa.binary()).to_pylist()):
+            if b:
+                comp[i] = len(zlib.compress(b, level))
         ratio = np.zeros(batch.num_rows, dtype=np.int64)
         nz = raw > 0
         ratio[nz] = (comp[nz] * 1_000_000) // raw[nz]

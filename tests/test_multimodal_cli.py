@@ -323,9 +323,14 @@ def test_image_resize_stub_and_real_path(ray_session):
         }
     )
     out = rz(t)
-    assert out.column_names == ["media_id", "media_type", "image", "width", "height"]
+    assert out.column_names == ["media_id", "media_type", "payload", "width", "height"]
     assert out["width"].to_pylist() == [4, 4]
-    assert all(len(p) == 16 for p in out["image"].to_pylist())
+    assert out.schema.field("width").type == pa.int32()  # MEDIA_SCHEMA contract
+    assert all(len(p) == 16 for p in out["payload"].to_pylist())
+    # composability: the resized output feeds ImageFeatures directly
+    feats = multimodal.ImageFeatures(feature_dim=4)
+    feats.pil = None
+    assert "features" in feats(out).column_names
 
     # real path: a fake PIL module proves decode/resize/encode wiring;
     # a row that fails decode falls back to the stub for THAT row
@@ -357,6 +362,6 @@ def test_image_resize_stub_and_real_path(ray_session):
         }
     )
     out2 = rz2(t2)
-    imgs = out2["image"].to_pylist()
+    imgs = out2["payload"].to_pylist()
     assert imgs[0] == b"PNG\x04\x04"               # real path
     assert imgs[1] == rz._resize_stub(b"BADxyz")  # per-row fallback
