@@ -5914,6 +5914,94 @@ FROM g
 SQL_SCRIPT_MIX = _sql_script_mix()
 
 
+#: claimed language → the Unicode script its text should dominate in.
+#: Shared constant between the engine map and the generated SQL CASE.
+LANG_EXPECTED_SCRIPT = {
+    "en": "Latin", "de": "Latin", "es": "Latin", "fr": "Latin",
+    "pt": "Latin", "ru": "Cyrillic", "zh": "Han", "ar": "Arabic",
+    "el": "Greek", "ko": "Hangul",
+}
+
+
+def q_script_lang_mismatch(sf_dir: str):
+    """Wrong-language-metadata audit (the CCNet-family data-quality
+    gate: a page CLAIMING lang=zh whose text is dominantly Latin is
+    mislabeled or spam): script_profile's dominant script compared
+    against the claimed lang's expected script — one row per
+    mismatching doc with both sides. Pure map chain, zero shuffle;
+    langs with no expectation ('' mapping) never flag."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def _audit(t: pa.Table) -> pa.Table:
+        # the script_profile counting kernel inline, with lang riding
+        # the same batch — no id re-join (the web_prep gate doctrine)
+        from rio_cogeo_ray.stages.text import SCRIPT_CLASSES
+
+        texts = t["text"].combine_chunks().cast(pa.string())
+        n = t.num_rows
+        counts = np.zeros((len(SCRIPT_CLASSES), n), dtype=np.int64)
+        for i, sname in enumerate(SCRIPT_CLASSES):
+            c = pc.count_substring_regex(texts, r"\p{%s}" % sname)
+            counts[i] = np.nan_to_num(
+                c.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+        top = counts.max(axis=0)
+        dom_idx = counts.argmax(axis=0)
+        dom = np.where(
+            top > 0, np.array(SCRIPT_CLASSES, dtype=object)[dom_idx], ""
+        )
+        lang = t["lang"].combine_chunks().to_pylist()
+        exp = np.array(
+            [LANG_EXPECTED_SCRIPT.get(v or "", "") for v in lang], dtype=object
+        )
+        bad = (exp != "") & (dom != "") & (exp != dom)
+        sel = pa.array(bad)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()).filter(sel),
+                "lang": t["lang"].combine_chunks().cast(pa.string()).filter(sel),
+                "expected_script": pa.array(exp[bad].tolist(), pa.string()),
+                "dominant_script": pa.array(dom[bad].tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_audit, batch_format="pyarrow")
+
+
+def _sql_script_lang_mismatch() -> str:
+    from rio_cogeo_ray.stages.text import SCRIPT_CLASSES
+
+    cnt = ", ".join(
+        rf"CAST(len(regexp_extract_all(COALESCE(text, ''), '\p{{{s}}}')) AS BIGINT)"
+        rf" AS n_{s.lower()}"
+        for s in SCRIPT_CLASSES
+    )
+    cols = [f"n_{s.lower()}" for s in SCRIPT_CLASSES]
+    greatest = "GREATEST(" + ", ".join(cols) + ")"
+    dom = " ".join(
+        f"WHEN {c} = top_c THEN '{s}'" for s, c in zip(SCRIPT_CLASSES, cols)
+    )
+    exp = " ".join(
+        f"WHEN lang = '{l}' THEN '{s}'"
+        for l, s in LANG_EXPECTED_SCRIPT.items()
+    )
+    return f"""
+WITH s AS (SELECT doc_id, lang, {cnt} FROM documents),
+g AS (SELECT doc_id, lang, {greatest} AS top_c, * EXCLUDE (doc_id, lang) FROM s),
+d AS (SELECT doc_id, lang,
+        CASE WHEN top_c = 0 THEN '' {dom} END AS dominant_script,
+        CASE {exp} ELSE '' END AS expected_script
+      FROM g)
+SELECT doc_id, lang, expected_script, dominant_script
+FROM d
+WHERE expected_script <> '' AND dominant_script <> ''
+  AND expected_script <> dominant_script
+"""
+
+
+SQL_SCRIPT_LANG_MISMATCH = _sql_script_lang_mismatch()
+
+
 def q_outlink_graph(sf_dir: str):
     """Host-level web-graph construction from raw page HTML
     (stages/text.py: extract_outlinks + host_link_edges — the
@@ -6444,6 +6532,7 @@ def queries() -> Dict[str, Callable]:
         "kwic": q_kwic,
         "anchor_text": q_anchor_text,
         "page_meta": q_page_meta,
+        "script_lang_mismatch": q_script_lang_mismatch,
         "web_prep": q_web_prep,
         "seg_dedup": q_seg_dedup,
         "host_cap": q_host_cap,
@@ -6630,6 +6719,7 @@ def oracle_sql() -> Dict[str, str]:
         "kwic": SQL_KWIC,
         "anchor_text": SQL_ANCHOR_TEXT,
         "page_meta": SQL_PAGE_META,
+        "script_lang_mismatch": SQL_SCRIPT_LANG_MISMATCH,
         "web_prep": SQL_WEB_PREP,
         "tile_assign": SQL_TILE_ASSIGN,
         "tile_assign_lonlat": SQL_TILE_ASSIGN_LONLAT,

@@ -5428,3 +5428,37 @@ def test_compression_ratio(ray_session):
     # repetitive text compresses far better than natural text
     assert out.loc[1, "ratio_ppm"] < out.loc[2, "ratio_ppm"]
     assert int(out.loc[3, "ratio_ppm"]) == 0 and int(out.loc[4, "raw_bytes"]) == 0
+
+
+def test_script_lang_mismatch_hand_computed(ray_session):
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    # build a tiny sf-dir-shaped documents table
+    tdir = "/tmp/rcr_test_slm"
+    import os
+    os.makedirs(tdir, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "hello world plain latin",   # en + Latin -> ok
+                    "hello world",               # zh claimed, Latin text -> MISMATCH
+                    "мир и труд",                # ru + Cyrillic -> ok
+                    "12345 !!!",                 # en, no scripted chars -> never flags
+                    "hello",                     # unknown lang -> never flags
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "zh", "ru", "en", "xx"], pa.string()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            "n_chars": pa.array([1] * 5, pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tdir, "documents.parquet"))
+    out = Q.q_script_lang_mismatch(tdir).to_pandas()
+    assert list(out["doc_id"]) == [2]
+    assert out.loc[0, "expected_script"] == "Han"
+    assert out.loc[0, "dominant_script"] == "Latin"
