@@ -208,3 +208,64 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
         TotalPages=m.total_pages,
         InvalidPages=m.invalid_pages,
     )
+
+
+def stage_report(ds) -> "pa.Table":
+    """Structured per-operator execution report from ``ds.stats()`` —
+    the measure-don't-guess feedback loop as a queryable table:
+    (stage, tasks, blocks, wall_s_ppm, rows_out, bytes_out) one row
+    per operator of an EXECUTED Dataset (call after ``materialize()``
+    or a consuming action; a never-executed plan reports zero rows).
+
+    Parsing targets the stable Ray 2.x stats lines
+    (``Operator N <name>: T tasks executed, B blocks produced in Ss``
+    and the ``Output num rows/size bytes per block`` totals); wall
+    time is integer microseconds (ppm of a second) so downstream
+    comparisons stay in the engine's integer doctrine."""
+    import re
+
+    import pyarrow as pa
+
+    txt = ds.stats() or ""
+    rows = []
+    current = None
+    for line in txt.splitlines():
+        m = re.match(
+            r"Operator \d+ (.+?): (\d+) tasks executed, "
+            r"(\d+) blocks produced in ([\d.]+)s",
+            line.strip(),
+        )
+        if m:
+            current = {
+                "stage": m.group(1),
+                "tasks": int(m.group(2)),
+                "blocks": int(m.group(3)),
+                "wall_us": int(round(float(m.group(4)) * 1_000_000)),
+                "rows_out": 0,
+                "bytes_out": 0,
+            }
+            rows.append(current)
+            continue
+        if current is None:
+            continue
+        m = re.match(
+            r"\* Output num rows per block: .* ([\d]+) total", line.strip()
+        )
+        if m:
+            current["rows_out"] = int(m.group(1))
+            continue
+        m = re.match(
+            r"\* Output size bytes per block: .* ([\d]+) total", line.strip()
+        )
+        if m:
+            current["bytes_out"] = int(m.group(1))
+    return pa.table(
+        {
+            "stage": pa.array([r["stage"] for r in rows], pa.string()),
+            "tasks": pa.array([r["tasks"] for r in rows], pa.int64()),
+            "blocks": pa.array([r["blocks"] for r in rows], pa.int64()),
+            "wall_us": pa.array([r["wall_us"] for r in rows], pa.int64()),
+            "rows_out": pa.array([r["rows_out"] for r in rows], pa.int64()),
+            "bytes_out": pa.array([r["bytes_out"] for r in rows], pa.int64()),
+        }
+    )

@@ -299,3 +299,22 @@ def test_export_cog_streaming_branch(ray_session, tmp_path, monkeypatch):
         assert a.num_rows == b.num_rows == lv.tiles
         for c in b.column_names:
             assert a[c].combine_chunks().equals(b[c].combine_chunks()), (lv.z, c)
+
+
+def test_stage_report(ray_session):
+    import ray.data as rd
+
+    from rio_cogeo_ray.pipelines.info import stage_report
+
+    ds = rd.range(2000).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+    rep = stage_report(ds)
+    assert rep.num_rows >= 1
+    assert rep.column_names == [
+        "stage", "tasks", "blocks", "wall_us", "rows_out", "bytes_out"
+    ]
+    total_rows = sum(rep["rows_out"].to_pylist())
+    assert total_rows >= 2000          # the executed op reports its output
+    assert all(w >= 0 for w in rep["wall_us"].to_pylist())
+    assert any("MapBatches" in s for s in rep["stage"].to_pylist())
