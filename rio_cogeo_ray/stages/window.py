@@ -1043,14 +1043,16 @@ def scd2_intervals(
     ds,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    attr_col: str = "event_type",
+    attr_col="event_type",
     id_col: str = "event_id",
     n_buckets: int = 64,
 ):
     """SCD Type-2 dimension build (the lakehouse change-history op):
     compress a change log into validity intervals — per key, runs of
-    CONSECUTIVE rows with the same ``attr_col`` value collapse into
-    one (key, value, valid_from_us, valid_to_us, n_events) row;
+    CONSECUTIVE rows with the same ``attr_col`` value(s) collapse into
+    one (key, values…, valid_from_us, valid_to_us, n_events) row
+    (``attr_col`` may be a list: a change in ANY tracked column starts
+    a new version — the standard multi-attribute dimension contract);
     ``valid_to_us`` is the next differing change's timestamp and NULL
     for the current (open) version. Ordering is (ts, id) with the
     unique ``id_col`` tiebreak, so intervals are permutation-exact at
@@ -1066,32 +1068,32 @@ def scd2_intervals(
     SCD2 statement."""
     from rio_cogeo_ray.functions.hashing import splitmix64
 
+    attr_cols = [attr_col] if isinstance(attr_col, str) else list(attr_col)
+
     def _cast(t: pa.Table) -> pa.Table:
         k = t[key_col].combine_chunks().cast(pa.int64())
         b = (
             splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
             % np.uint64(n_buckets)
         ).astype(np.int64)
-        return pa.table(
-            {
-                key_col: k,
-                "__ts": t[ts_col].combine_chunks().cast(pa.int64()),
-                "__id": t[id_col].combine_chunks().cast(pa.int64()),
-                "__val": t[attr_col].combine_chunks().cast(pa.string()),
-                "__bucket": pa.array(b, pa.int64()),
-            }
-        )
+        cols = {
+            key_col: k,
+            "__ts": t[ts_col].combine_chunks().cast(pa.int64()),
+            "__id": t[id_col].combine_chunks().cast(pa.int64()),
+            "__bucket": pa.array(b, pa.int64()),
+        }
+        for i, c in enumerate(attr_cols):
+            cols[f"__val{i}"] = t[c].combine_chunks().cast(pa.string())
+        return pa.table(cols)
 
     def _islands(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                key_col: pa.array([], pa.int64()),
-                attr_col: pa.array([], pa.string()),
-                "valid_from_us": pa.array([], pa.int64()),
-                "valid_to_us": pa.array([], pa.int64()),
-                "n_events": pa.array([], pa.int64()),
-            }
-        )
+        empty_cols = {key_col: pa.array([], pa.int64())}
+        for c in attr_cols:
+            empty_cols[c] = pa.array([], pa.string())
+        empty_cols["valid_from_us"] = pa.array([], pa.int64())
+        empty_cols["valid_to_us"] = pa.array([], pa.int64())
+        empty_cols["n_events"] = pa.array([], pa.int64())
+        empty = pa.table(empty_cols)
         if not g.num_rows:
             return empty
         g = g.sort_by(
@@ -1099,18 +1101,20 @@ def scd2_intervals(
         )
         k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
         t = g["__ts"].combine_chunks().to_numpy(zero_copy_only=False)
-        v = g["__val"].combine_chunks()
+        vals = [g[f"__val{i}"].combine_chunks() for i in range(len(attr_cols))]
         new_key = np.r_[True, k[1:] != k[:-1]]
-        # value break: compare each row's value to the previous row's
-        # null attr values: treat NULL == NULL as same (SQL mirror uses
-        # IS NOT DISTINCT FROM)
-        same_val = pc.fill_null(
-            pc.equal(v.slice(1), v.slice(0, len(v) - 1)), False
-        ).to_numpy(zero_copy_only=False)
-        both_null = pc.and_(
-            pc.is_null(v.slice(1)), pc.is_null(v.slice(0, len(v) - 1))
-        ).to_numpy(zero_copy_only=False)
-        same_val = same_val | both_null
+        # value break: ANY tracked column differing from the previous
+        # row starts a new version; NULL == NULL is same (SQL mirror
+        # uses IS NOT DISTINCT FROM)
+        same_val = np.ones(max(len(k) - 1, 0), dtype=bool)
+        for v in vals:
+            eq = pc.fill_null(
+                pc.equal(v.slice(1), v.slice(0, len(v) - 1)), False
+            ).to_numpy(zero_copy_only=False)
+            both_null = pc.and_(
+                pc.is_null(v.slice(1)), pc.is_null(v.slice(0, len(v) - 1))
+            ).to_numpy(zero_copy_only=False)
+            same_val &= eq | both_null
         brk = new_key | np.r_[False, ~same_val]
         starts = np.flatnonzero(brk)
         counts = np.diff(np.r_[starts, len(k)])
@@ -1125,15 +1129,14 @@ def scd2_intervals(
             pa.array(nxt_vf, pa.int64()),
             pa.scalar(None, pa.int64()),
         )
-        return pa.table(
-            {
-                key_col: pa.array(key_out, pa.int64()),
-                attr_col: v.take(pa.array(starts, pa.int64())),
-                "valid_from_us": pa.array(vf, pa.int64()),
-                "valid_to_us": vt,
-                "n_events": pa.array(counts, pa.int64()),
-            }
-        )
+        take = pa.array(starts, pa.int64())
+        cols = {key_col: pa.array(key_out, pa.int64())}
+        for c, v in zip(attr_cols, vals):
+            cols[c] = v.take(take)
+        cols["valid_from_us"] = pa.array(vf, pa.int64())
+        cols["valid_to_us"] = vt
+        cols["n_events"] = pa.array(counts, pa.int64())
+        return pa.table(cols)
 
     slim = ds.map_batches(_cast, batch_format="pyarrow")
     return slim.groupby("__bucket").map_groups(

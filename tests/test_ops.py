@@ -5462,3 +5462,36 @@ def test_script_lang_mismatch_hand_computed(ray_session):
     assert list(out["doc_id"]) == [2]
     assert out.loc[0, "expected_script"] == "Han"
     assert out.loc[0, "dominant_script"] == "Latin"
+
+
+def test_scd2_multi_attribute(ray_session):
+    from rio_cogeo_ray.stages import window as window_mod
+
+    # a change in EITHER tracked column starts a new version
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "ts": pa.array([10, 20, 30, 40], pa.int64()),
+            "plan": pa.array(["free", "free", "pro", "pro"], pa.string()),
+            "region": pa.array(["eu", "us", "us", "us"], pa.string()),
+        }
+    )
+    out = (
+        window_mod.scd2_intervals(
+            rd.from_arrow(t), attr_col=["plan", "region"]
+        )
+        .to_pandas()
+        .sort_values("valid_from_us")
+        .reset_index(drop=True)
+    )
+    rows = [
+        (r.plan, r.region, int(r.valid_from_us),
+         None if pd.isna(r.valid_to_us) else int(r.valid_to_us))
+        for r in out.itertuples()
+    ]
+    assert rows == [
+        ("free", "eu", 10, 20),   # region change breaks
+        ("free", "us", 20, 30),   # plan change breaks
+        ("pro", "us", 30, None),  # both stable -> one open version
+    ]
