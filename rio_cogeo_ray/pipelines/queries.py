@@ -6520,11 +6520,68 @@ def queries() -> Dict[str, Callable]:
     """Ordering contract: the grading driver oracle-checks only the FIRST
     50 dict entries, so every SQL-exact query sits before every rows-only
     (``no_oracle``) query, and the queries least recently covered by a
-    driver CORRECTNESS run come first. The 12 approximate/iterative
-    rows-only queries are pinned at the tail — they can only ever score
-    ``no_oracle`` and must not burn driver slots."""
+    driver CORRECTNESS run come first. Round-4 rotation: new round-4
+    queries first, then the 54 SQL-exact entries never graded in any of
+    CORRECTNESS_r01-r03, then the already-graded SQL-exact veterans. The
+    approximate/iterative rows-only queries are pinned at the tail — they
+    can only ever score ``no_oracle`` and must not burn driver slots."""
     return {
-        # -- SQL-exact, never driver-checked before round 3 ----------------
+        # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
+        "union_evolved": q_union_evolved,
+        "dup_span_scrub": q_dup_span_scrub,
+        "lang_temperature": q_lang_temperature,
+        "zone_join": q_zone_join,
+        "jaccard_pairs": q_jaccard_pairs,
+        "pareto_customers": q_pareto_customers,
+        "event_gaps": q_event_gaps,
+        "lang_spearman": q_lang_spearman,
+        "rolling_value": q_rolling_value,
+        "key_skew": q_key_skew,
+        "ccnet_buckets": q_ccnet_buckets,
+        "domain_rollup": q_domain_rollup,
+        "badword_filter": q_badword_filter,
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "quadkey": q_quadkey,
+        "intradoc_dedup": q_intradoc_dedup,
+        "cdc_merge": q_cdc_merge,
+        "zonemap_scan": q_zonemap_scan,
+        "surprisal": q_surprisal,
+        "dsir": q_dsir,
+        "pctl_rank": q_pctl_rank,
+        "text_search": q_text_search,
+        "lang_moments": q_lang_moments,
+        "mad_filter": q_mad_filter,
+        "char_entropy": q_char_entropy,
+        "lang_stats_jsonl": q_lang_stats_jsonl,
+        "dedup_incremental": q_dedup_incremental,
+        "dup_ngrams": q_dup_ngrams,
+        "pip_sample": q_pip_sample,
+        "join_sample_weighted": q_join_sample_weighted,
+        "url_dedup": q_url_dedup,
+        "value_histogram": q_value_histogram,
+        "bigram_lift": q_bigram_lift,
+        "blocklist": q_blocklist,
+        "footer_stats": q_footer_stats,
+        "zorder_scan": q_zorder_scan,
+        "lineitem_cube": q_lineitem_cube,
+        "corpus_checksum": q_corpus_checksum,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "lang_balance": q_lang_balance,
+        "phrase_search": q_phrase_search,
+        "props_stats": q_props_stats,
+        "incr_agg": q_incr_agg,
+        "copurchase": q_copurchase,
+        "time_band_join": q_time_band_join,
+        "radius_pairs": q_radius_pairs,
+        "time_rollup": q_time_rollup,
+        "salted_join": q_salted_join,
+        "substring_search": q_substring_search,
+        "corpus_card": q_corpus_card,
+        "tile_assign_tms": q_tile_assign_tms,
+        # -- SQL-exact, driver-green in CORRECTNESS_r01-r03 -----------------
         "script_mix": q_script_mix,
         "outlink_graph": q_outlink_graph,
         "scd2": q_scd2,
@@ -6575,24 +6632,6 @@ def queries() -> Dict[str, Callable]:
         "user_paths": q_user_paths,
         "custkey_setops": q_custkey_setops,
         "bloom_lookup": q_bloom_lookup,
-        "union_evolved": q_union_evolved,
-        "dup_span_scrub": q_dup_span_scrub,
-        "lang_temperature": q_lang_temperature,
-        "zone_join": q_zone_join,
-        "jaccard_pairs": q_jaccard_pairs,
-        "pareto_customers": q_pareto_customers,
-        "event_gaps": q_event_gaps,
-        "lang_spearman": q_lang_spearman,
-        "rolling_value": q_rolling_value,
-        "key_skew": q_key_skew,
-        "ccnet_buckets": q_ccnet_buckets,
-        "domain_rollup": q_domain_rollup,
-        "badword_filter": q_badword_filter,
-        "c4_clean": q_c4_clean,
-        "gopher_quality": q_gopher_quality,
-        "gopher_repetition": q_gopher_repetition,
-        "quadkey": q_quadkey,
-        # -- SQL-exact, driver-green in CORRECTNESS_r02 ---------------------
         "tile_assign": q_tile_assign,
         "tile_assign_lonlat": q_tile_assign_lonlat,
         "tile_assign_crs84": q_tile_assign_crs84,
@@ -6605,21 +6644,10 @@ def queries() -> Dict[str, Callable]:
         "knn_bin": q_knn_bin,
         "knn_tile": q_knn_tile,
         "raster_cells": q_raster_cells,
-        "intradoc_dedup": q_intradoc_dedup,
-        "cdc_merge": q_cdc_merge,
-        "zonemap_scan": q_zonemap_scan,
-        "surprisal": q_surprisal,
-        "dsir": q_dsir,
-        "pctl_rank": q_pctl_rank,
-        "text_search": q_text_search,
-        "lang_moments": q_lang_moments,
-        "mad_filter": q_mad_filter,
-        "char_entropy": q_char_entropy,
         "cell_assign": q_cell_assign,
         "dedup_keepers": q_dedup_keepers,
         "dedup_stats": q_dedup_stats,
         "lang_stats": q_lang_stats,
-        "lang_stats_jsonl": q_lang_stats_jsonl,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "events_hourly": q_events_hourly,
@@ -6644,32 +6672,6 @@ def queries() -> Dict[str, Callable]:
         "events_watermark": q_events_watermark,
         "distinct_langs": q_distinct_langs,
         "price_bands": q_price_bands,
-        "dedup_incremental": q_dedup_incremental,
-        "dup_ngrams": q_dup_ngrams,
-        "pip_sample": q_pip_sample,
-        "join_sample_weighted": q_join_sample_weighted,
-        "url_dedup": q_url_dedup,
-        "value_histogram": q_value_histogram,
-        "bigram_lift": q_bigram_lift,
-        "blocklist": q_blocklist,
-        "footer_stats": q_footer_stats,
-        "zorder_scan": q_zorder_scan,
-        "lineitem_cube": q_lineitem_cube,
-        "corpus_checksum": q_corpus_checksum,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "lang_balance": q_lang_balance,
-        "phrase_search": q_phrase_search,
-        "props_stats": q_props_stats,
-        "incr_agg": q_incr_agg,
-        "copurchase": q_copurchase,
-        "time_band_join": q_time_band_join,
-        "radius_pairs": q_radius_pairs,
-        "time_rollup": q_time_rollup,
-        "salted_join": q_salted_join,
-        "substring_search": q_substring_search,
-        "corpus_card": q_corpus_card,
-        "tile_assign_tms": q_tile_assign_tms,
         # -- rows-only (approximate / iterative / custom-hash): keep LAST --
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
