@@ -30,6 +30,44 @@ def _parse_threads(value: str) -> int:
     return n
 
 
+def _parse_bidx(value: str):
+    """'1,2,3' → band indexes (BdxParamType analog, cli.py:27-43): a
+    comma-separated list of integers > 0. Band 1 is the page-count
+    channel; bands 2..k+1 are the entries of the --weight-col list."""
+    try:
+        bands = [int(x) for x in value.split(",")]
+        assert all(b > 0 for b in bands)
+        return bands
+    except (ValueError, AttributeError, AssertionError):
+        raise argparse.ArgumentTypeError(
+            "bidx must be a string of comma-separated integers (> 0), "
+            "representing the band indexes."
+        )
+
+
+def _parse_invalid_policy(value: str) -> str:
+    """NodataParamType analog (cli.py:46-63) over the engine's
+    invalid-page policies: 'mask'/'drop' direct; the reference's nodata
+    tokens map onto them — 'nan' (an explicit invalid marker: invalid
+    pages are masked and counted in the manifest) → 'mask';
+    'nil'/'none'/'nada' (no nodata tracking) → 'drop'; a float nodata
+    value (a concrete invalid marker) → 'mask'."""
+    v = value.lower()
+    if v in ("mask", "drop"):
+        return v
+    if v == "nan":
+        return "mask"
+    if v in ("nil", "none", "nada"):
+        return "drop"
+    try:
+        float(v)
+        return "mask"
+    except (TypeError, ValueError):
+        raise argparse.ArgumentTypeError(
+            f"{value} is not a valid nodata value."
+        )
+
+
 def _parse_boxes(value: str):
     """'w,s,e,n[,weight];...' → GeoSpec boxes (BdxParamType-style comma
     list parsing, cli.py:27-43)."""
@@ -96,15 +134,49 @@ def cmd_create(args) -> int:
     codec = profile["codec"] if profile["codec"] != "none" else None
     tile_px = args.blocksize or profile["tile_px"]
     geocode = GeoSpec(boxes=_parse_boxes(args.geocode_boxes)) if args.geocode_boxes else GLOBAL_UNIFORM
+    if args.geocode_invalid:
+        from dataclasses import replace as _dc_replace
+
+        geocode = _dc_replace(geocode, invalid_per_65536=args.geocode_invalid)
+    zoom = args.zoom
+    if zoom is None and args.resolution is None:
+        zoom = 7  # historical CLI default when neither knob is given
     spec = plan(
-        zoom=args.zoom,
+        zoom=zoom,
+        resolution=args.resolution,
+        zoom_level_strategy=args.zoom_level_strategy,
         aligned_levels=args.aligned_levels,
         overview_levels=args.overview_level,
         tile_px=tile_px,
         decimation_base=args.decimation_base,
         resampling=args.overview_resampling,
         geocode=geocode,
+        invalid_policy=args.invalid_policy,
     )
+    # channel selection (--bidx, BdxParamType analog): band 1 is the
+    # page-count channel, bands 2..k+1 the --weight-col entries.
+    weight_cols = [c for c in (args.weight_col or "").split(",") if c]
+    channels = [None] + weight_cols  # None = count channel
+    if args.bidx:
+        bad = [b for b in args.bidx if b > len(channels)]
+        if bad:
+            print(
+                f"ERROR: bidx {bad} out of range: {len(channels)} channel(s) "
+                f"available (1=count{''.join(f', {i+2}={c}' for i, c in enumerate(weight_cols))})",
+                file=sys.stderr,
+            )
+            return 2
+        selected = [channels[b - 1] for b in args.bidx]
+    elif len(weight_cols) > 1:
+        print(
+            "ERROR: multiple --weight-col channels need --bidx to select "
+            "which to build",
+            file=sys.stderr,
+        )
+        return 2
+    else:
+        # legacy default: the weight channel when one is given, else count
+        selected = [weight_cols[0]] if weight_cols else [None]
     _ray_init(args.threads)
     tags = dict(kv.split("=", 1) for kv in args.tag)
     band_tags = {}
@@ -113,29 +185,38 @@ def cmd_create(args) -> int:
         k, v = kv.split("=", 1)
         band_tags.setdefault(band, {})[k] = v
     colormap = json.loads(args.colormap) if args.colormap else None
-    m = create_mod.create(
-        args.src,
-        args.dst,
-        spec,
-        source=args.source,
-        weight_col=args.weight_col,
-        extract=args.extract,
-        resume=not args.no_resume,
-        codec=codec,
-        tags=tags,
-        band_tags=band_tags,
-        colormap=colormap,
-    )
-    print(
-        json.dumps(
-            {
-                "out": args.dst,
-                "levels": [(lv.z, lv.tiles, lv.pages) for lv in m.levels],
-                "total_pages": m.total_pages,
-                "invalid_pages": m.invalid_pages,
-            }
+
+    def _one(dst: str, wcol) -> dict:
+        m = create_mod.create(
+            args.src,
+            dst,
+            spec,
+            source=args.source,
+            weight_col=wcol,
+            extract=args.extract,
+            resume=not args.no_resume,
+            codec=codec,
+            tags=tags,
+            band_tags=band_tags,
+            colormap=colormap,
         )
-    )
+        return {
+            "out": dst,
+            "band": wcol or "count",
+            "levels": [(lv.z, lv.tiles, lv.pages) for lv in m.levels],
+            "total_pages": m.total_pages,
+            "invalid_pages": m.invalid_pages,
+        }
+
+    if len(selected) == 1:
+        print(json.dumps(_one(args.dst, selected[0])))
+    else:
+        # one independently valid/info-able pyramid per selected channel
+        outs = [
+            _one(os.path.join(args.dst, f"band_{i}"), wcol)
+            for i, wcol in zip(args.bidx, selected)
+        ]
+        print(json.dumps({"out": args.dst, "bands": outs}))
     import ray
 
     ray.shutdown()
@@ -226,7 +307,26 @@ def main(argv=None) -> int:
     c = sub.add_parser("create", help="build a tile pyramid from a pages/documents corpus")
     c.add_argument("src", help="input parquet file/dir")
     c.add_argument("dst", help="output pyramid dir")
-    c.add_argument("--zoom", type=int, default=7)
+    c.add_argument("--zoom", type=int, default=None,
+                   help="max-zoom level; when given, --zoom-level-strategy "
+                        "is ignored (reference --zoom-level semantics)")
+    c.add_argument("--resolution", type=float, default=None,
+                   help="target base resolution (mercator m/px); max zoom "
+                        "is derived via --zoom-level-strategy")
+    c.add_argument("--zoom-level-strategy", type=str.lower, default="auto",
+                   choices=["auto", "lower", "upper"],
+                   help="zoom rounding when derived from --resolution "
+                        "(reference cli.py:149-158; case-insensitive)")
+    c.add_argument("--invalid-policy", type=_parse_invalid_policy,
+                   default="mask",
+                   help="geocode-invalid page policy: mask|drop, or the "
+                        "reference's nodata tokens — nan/<float> → mask, "
+                        "nil/none/nada → drop (NodataParamType analog)")
+    c.add_argument("--bidx", "-b", type=_parse_bidx, default=None,
+                   help="channels to build, '1,2,...': 1=count, "
+                        "2..=--weight-col entries (BdxParamType analog); "
+                        "multiple indexes build one pyramid per channel "
+                        "under DST/band_<i>")
     c.add_argument("--source", choices=["pages", "documents", "lonlat"], default="pages",
                    help="lonlat = pre-georeferenced input (GCP analog)")
     c.add_argument("-p", "--cog-profile", dest="profile", default="deflate",
@@ -241,10 +341,14 @@ def main(argv=None) -> int:
     c.add_argument("--aligned-levels", type=int, default=0)
     c.add_argument("--geocode-boxes", default=None,
                    help="'w,s,e,n[,weight];...' spatial distribution")
+    c.add_argument("--geocode-invalid", type=int, default=0,
+                   help="geocode-invalid pages per 65536 (nodata-fraction "
+                        "analog; interacts with --invalid-policy)")
     c.add_argument("--extract", action="store_true", help="run html→text extraction")
     c.add_argument("--no-resume", action="store_true")
     c.add_argument("--weight-col", default=None,
-                   help="integer/float column accumulated into the grids")
+                   help="integer/float column(s) accumulated into the "
+                        "grids; comma list allowed with --bidx selection")
     c.add_argument("--tag", action="append", default=[], metavar="K=V",
                    help="dataset tag (repeatable; tag-forwarding analog)")
     c.add_argument("--band-tag", action="append", default=[], metavar="BAND:K=V",

@@ -404,8 +404,14 @@ def create(
         band_scales=dict(band_scales or {}),
         band_offsets=dict(band_offsets or {}),
         colormap={str(k): str(v) for k, v in (colormap or {}).items()},
-        total_pages=int(total_rows),
-        invalid_pages=int(total_rows) - base_pages,
+        # 'mask' counts geocode-invalid pages in the manifest; 'drop'
+        # silently discards them — they leave no manifest trace, the
+        # no-nodata-tracking analog (reference NodataParamType
+        # nil/none tokens, scripts/cli.py:46-63)
+        total_pages=int(total_rows) if spec.invalid_policy == "mask" else base_pages,
+        invalid_pages=(int(total_rows) - base_pages)
+        if spec.invalid_policy == "mask"
+        else 0,
     )
     mani.write_manifest(out_dir, m)
     _write_tile_index(out_dir, m)
@@ -744,6 +750,7 @@ def append(
         levels_done[z] = entry
 
     base_pages = levels_done[base_z].pages
+    policy = m.spec.get("invalid_policy", "mask")
     total = int(m.total_pages) + int(new_rows)
     m2 = mani.Manifest(
         spec=m.spec,
@@ -753,8 +760,8 @@ def append(
         band_scales=m.band_scales,
         band_offsets=m.band_offsets,
         colormap=m.colormap,
-        total_pages=total,
-        invalid_pages=total - base_pages,
+        total_pages=total if policy == "mask" else base_pages,
+        invalid_pages=(total - base_pages) if policy == "mask" else 0,
     )
     mani.write_manifest(out_dir, m2)
     _write_tile_index(out_dir, m2)

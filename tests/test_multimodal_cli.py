@@ -365,3 +365,114 @@ def test_image_resize_stub_and_real_path(ray_session):
     imgs = out2["payload"].to_pylist()
     assert imgs[0] == b"PNG\x04\x04"               # real path
     assert imgs[1] == rz._resize_stub(b"BADxyz")  # per-row fallback
+
+
+def test_cli_param_parsers_round4():
+    """--bidx / --invalid-policy parser parity (reference
+    scripts/cli.py:27-43 BdxParamType, 46-63 NodataParamType)."""
+    from rio_cogeo_ray.cli import _parse_bidx, _parse_invalid_policy
+
+    assert _parse_bidx("1,2,3") == [1, 2, 3]
+    assert _parse_bidx("2") == [2]
+    for bad in ("0", "a", "1,-2", ""):
+        with pytest.raises(Exception):
+            _parse_bidx(bad)
+
+    assert _parse_invalid_policy("mask") == "mask"
+    assert _parse_invalid_policy("DROP") == "drop"
+    assert _parse_invalid_policy("NaN") == "mask"      # nan nodata → masked
+    assert _parse_invalid_policy("nil") == "drop"      # no nodata tracking
+    assert _parse_invalid_policy("None") == "drop"
+    assert _parse_invalid_policy("nada") == "drop"
+    assert _parse_invalid_policy("-3.5") == "mask"     # float nodata value
+    with pytest.raises(Exception):
+        _parse_invalid_policy("bogus")
+
+
+@pytest.mark.slow
+def test_cli_zoom_strategy_and_invalid_policy(tmp_path):
+    """--resolution + --zoom-level-strategy picks the bracketing zoom
+    (reference tests/test_cli.py:560-595 analog: 6000 m/px sits between
+    z4≈9784 and z5≈4892) and --invalid-policy drop leaves no manifest
+    trace of geocode-invalid pages — exercised end-to-end
+    create → validate → info."""
+    from rio_cogeo_ray import fixtures
+
+    src = fixtures.scenario_path("pages_nodata")  # ~15% geocode-invalid
+    out_lo = str(tmp_path / "lower")
+    r = _run_cli(
+        "create", src, out_lo, "--resolution", "6000",
+        "--zoom-level-strategy", "LOWER", "--invalid-policy", "nil",
+        "--geocode-boxes", "0,40,11.25,48", "--geocode-invalid", "9830",
+        "--overview-level", "2", "--threads", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    created = json.loads(r.stdout.strip().splitlines()[-1])
+    # drop (via the 'nil' token): invalid pages leave no manifest trace
+    assert created["invalid_pages"] == 0
+    assert 0 < created["total_pages"] < 4000
+
+    r = _run_cli("validate", out_lo, "--strict")
+    assert r.returncode == 0, r.stderr
+    r = _run_cli("info", out_lo, "--json")
+    assert r.returncode == 0
+    info = json.loads(r.stdout)
+    assert info["GEO"]["MaxZoom"] == 4           # lower → coarser bracket
+    assert info["Profile"]["InvalidPolicy"] == "drop"
+
+    out_hi = str(tmp_path / "upper")
+    r = _run_cli(
+        "create", src, out_hi, "--resolution", "6000",
+        "--zoom-level-strategy", "upper",
+        "--geocode-boxes", "0,40,11.25,48", "--geocode-invalid", "9830",
+        "--overview-level", "2", "--threads", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    created = json.loads(r.stdout.strip().splitlines()[-1])
+    # default mask policy: the ~15% invalid pages are counted
+    assert created["total_pages"] == 4000
+    assert created["invalid_pages"] > 400
+    r = _run_cli("info", out_hi, "--json")
+    assert json.loads(r.stdout)["GEO"]["MaxZoom"] == 5   # upper → finer
+
+
+@pytest.mark.slow
+def test_cli_bidx_channel_selection(tmp_path):
+    """--bidx selects which derived channels to build: band 1 = count,
+    bands 2.. = --weight-col entries; multiple indexes build one
+    independently valid pyramid per channel under DST/band_<i>."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray import fixtures
+
+    t = fixtures.gen_pages(0, 1500)
+    wa = pa.array([(i % 7) + 1 for i in range(1500)], pa.int64())
+    wb = pa.array([(i % 3) + 1 for i in range(1500)], pa.int64())
+    t = t.append_column("wa", wa).append_column("wb", wb)
+    src = str(tmp_path / "pages_w.parquet")
+    pq.write_table(t, src)
+
+    # selecting a weight band without declaring the column → usage error
+    r = _run_cli("create", src, str(tmp_path / "x"), "--bidx", "2",
+                 "--zoom", "4", "--threads", "4")
+    assert r.returncode == 2
+    assert "out of range" in r.stderr
+
+    out = str(tmp_path / "multi")
+    r = _run_cli(
+        "create", src, out, "--zoom", "4", "--overview-level", "1",
+        "--weight-col", "wa,wb", "--bidx", "1,3", "--threads", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    created = json.loads(r.stdout.strip().splitlines()[-1])
+    assert [b["band"] for b in created["bands"]] == ["count", "wb"]
+    for b in created["bands"]:
+        rv = _run_cli("validate", b["out"], "--strict")
+        assert rv.returncode == 0, rv.stderr
+    # count band sums pages, wb band sums the weight column: the wb
+    # pyramid's base-level grid mass must be sum(wb of valid pages) —
+    # strictly more than its page count (weights are 1..3)
+    info_count = json.loads(_run_cli("info", created["bands"][0]["out"], "--json").stdout)
+    info_wb = json.loads(_run_cli("info", created["bands"][1]["out"], "--json").stdout)
+    assert info_count["GEO"]["MaxZoom"] == info_wb["GEO"]["MaxZoom"] == 4
