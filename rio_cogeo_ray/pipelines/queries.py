@@ -6157,6 +6157,40 @@ GROUP BY pr.doc_id
 """
 
 
+def q_bigram_pruned(sf_dir: str):
+    """Bounded bigram surprisal (stages/text.py: bigram_surprisal with
+    ``min_count=2`` — the web-scale broadcast bound): pairs seen once
+    are pruned from the broadcast model and fall back to unigram bits
+    floor(log2(T // cu(w2))) — the order-0 backoff. Kept pairs still
+    score with the FULL prefix totals. Count-threshold (not top-N)
+    keeps the cut deterministic and string-mirrorable in SQL."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.bigram_surprisal(ds, min_count=2)
+
+
+SQL_BIGRAM_PRUNED = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+             FROM documents),
+pr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY w1, w2),
+cp AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS p FROM cb GROUP BY w1),
+cu AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS u FROM cb GROUP BY w2),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cb)
+SELECT pr.doc_id,
+       CAST(SUM(CASE WHEN cb.c >= 2 THEN LENGTH(bin(cp.p // cb.c)) - 1
+                     ELSE LENGTH(bin(tt.t // cu.u)) - 1 END) AS BIGINT)
+         AS bigram_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr
+JOIN cb ON pr.w1 = cb.w1 AND pr.w2 = cb.w2
+JOIN cp ON pr.w1 = cp.w1
+JOIN cu ON pr.w2 = cu.w2
+CROSS JOIN tt
+GROUP BY pr.doc_id
+"""
+
+
 def q_anchor_text(sf_dir: str):
     """Anchor-text aggregation per target host (the classic web-search
     relevance signal: anchor text describes the TARGET page): outlinks
@@ -6526,6 +6560,8 @@ def queries() -> Dict[str, Callable]:
     approximate/iterative rows-only queries are pinned at the tail — they
     can only ever score ``no_oracle`` and must not burn driver slots."""
     return {
+        # -- SQL-exact, NEW in round 4 --------------------------------------
+        "bigram_pruned": q_bigram_pruned,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
         "union_evolved": q_union_evolved,
         "dup_span_scrub": q_dup_span_scrub,
@@ -6718,6 +6754,7 @@ def oracle_sql() -> Dict[str, str]:
         "outlink_graph": SQL_OUTLINK_GRAPH,
         "scd2": SQL_SCD2,
         "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
+        "bigram_pruned": SQL_BIGRAM_PRUNED,
         "kwic": SQL_KWIC,
         "anchor_text": SQL_ANCHOR_TEXT,
         "page_meta": SQL_PAGE_META,

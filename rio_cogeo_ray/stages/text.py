@@ -3311,6 +3311,7 @@ def bigram_surprisal(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: Optional[int] = None,
 ):
     """Bigram CONDITIONAL surprisal per document — the order-2
     extension of ``surprisal_score`` (KenLM-without-backoff over the
@@ -3336,10 +3337,21 @@ def bigram_surprisal(
     (pair-hash → bits) table broadcasts once via ``ray.put`` and
     scoring is a stateless task map with ZERO doc-token shuffle.
     Memory contract: the bigram model fits one object (~16 B/pair;
-    10^8 distinct pairs ≈ 1.6 GB). Web-scale corpora must bound the
-    model upstream (min_count prune / top-K via the MG sketch) — the
-    same contract as surprisal_score's broadcast path, one order
-    higher."""
+    10^8 distinct pairs ≈ 1.6 GB). ``min_count`` is the web-scale
+    bound: pairs with corpus count < min_count are PRUNED from the
+    broadcast model and their occurrences fall back to unigram bits
+    ``floor(log2(T // cu(w2)))`` (T = total pairs, cu = count of w2
+    as a pair second element — the order-0 backoff of p(w2|w1) =
+    p(w2)). The fallback table is vocab-bounded (≪ pairs), so the
+    broadcast shrinks from O(distinct pairs) to O(kept pairs +
+    vocab). Count-threshold pruning (not top-N) keeps the result
+    deterministic and SQL-mirrorable — a top-N cut would need a
+    tie-break on the opaque 64-bit pair hash, which no string-keyed
+    oracle can reproduce. Kept-pair bits still use the FULL prefix
+    totals cp(w1) (pruning changes which pairs carry conditional
+    bits, never the probabilities of the ones that do).
+    min_count<=1 keeps every observed pair — bit-identical to the
+    unpruned path (pinned by pytest at the boundary)."""
     import polars as pl
 
     import ray as _ray
@@ -3359,14 +3371,14 @@ def bigram_surprisal(
         toks, row, _ = _tokenize_with_positions(batch, id_col, text_col)
         if len(row) < 2:
             z = np.zeros(0, dtype=np.uint64)
-            return z, z, np.zeros(0, dtype=np.int64)
+            return z, z, z, np.zeros(0, dtype=np.int64)
         h = _th(toks)
         adj = row[1:] == row[:-1]
         u1 = h[:-1][adj]
         u2 = h[1:][adj]
         prow = row[:-1][adj]
         ph = splitmix64(u1 * np.uint64(0x9E3779B97F4A7C15) + u2)
-        return ph, u1, prow
+        return ph, u1, u2, prow
 
     def _empty_out(batch=None) -> pa.Table:
         return pa.table(
@@ -3377,24 +3389,30 @@ def bigram_surprisal(
             }
         )
 
+    prune = min_count is not None
+
     def _model_partial(batch: pa.Table) -> pa.Table:
-        ph, u1, _ = _pairs(batch)
+        ph, u1, u2, _ = _pairs(batch)
         if len(ph) == 0:
-            return pa.table(
-                {
-                    "ph": pa.array([], pa.int64()),
-                    "h1": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        uniq, first_idx, cnt = np.unique(ph, return_index=True, return_counts=True)
-        return pa.table(
-            {
-                "ph": pa.array(uniq.view(np.int64), pa.int64()),
-                "h1": pa.array(u1[first_idx].view(np.int64), pa.int64()),
-                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            cols = {
+                "ph": pa.array([], pa.int64()),
+                "h1": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
             }
-        )
+            if prune:
+                cols["h2"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        uniq, first_idx, cnt = np.unique(ph, return_index=True, return_counts=True)
+        cols = {
+            "ph": pa.array(uniq.view(np.int64), pa.int64()),
+            "h1": pa.array(u1[first_idx].view(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+        if prune:
+            # h2 rides the partials only when the unigram fallback
+            # table is needed (h2 is functionally dependent on ph)
+            cols["h2"] = pa.array(u2[first_idx].view(np.int64), pa.int64())
+        return pa.table(cols)
 
     # big batches are what make the map-side collapse real: pair rows
     # ∝ tokens, distinct pairs ∝ vocab² ∩ corpus — at 65536 docs/batch
@@ -3427,10 +3445,12 @@ def bigram_surprisal(
         ph_v = ph_s[idx]
         h1_v = h1_s[idx]
         cb_v = np.add.reduceat(n_s, idx)
+        if prune:
+            h2_v = mt["h2"].to_numpy(zero_copy_only=False).view(np.uint64)[o][idx]
     else:
         model = partial_group_agg(
             partials,
-            keys=["ph", "h1"],
+            keys=["ph", "h1"] + (["h2"] if prune else []),
             sum_cols=["n"],
             count_as=None,
             coalesce=16,
@@ -3443,6 +3463,8 @@ def bigram_surprisal(
         ph_v = mt["ph"].to_numpy(zero_copy_only=False).view(np.uint64)
         h1_v = mt["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
         cb_v = mt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if prune:
+            h2_v = mt["h2"].to_numpy(zero_copy_only=False).view(np.uint64)
     # prefix totals: cp(w1) = Σ cb over pairs sharing h1 (one lexsort)
     o1 = np.argsort(h1_v, kind="stable")
     h1_s, cb_s = h1_v[o1], cb_v[o1]
@@ -3453,15 +3475,40 @@ def bigram_surprisal(
     cp_back[o1] = cp_per_seg[seg]
     ratio = cp_back // cb_v
     bits = (np.frexp(ratio.astype(np.float64))[1] - 1).astype(np.int64)
+    if prune:
+        # web-scale bound: broadcast only pairs with cb >= min_count;
+        # pruned occurrences fall back to unigram bits over the
+        # vocab-bounded (h2 -> cu) table (order-0 backoff of p(w2|w1))
+        T = int(cb_v.sum())
+        o2 = np.argsort(h2_v, kind="stable")
+        h2_s2, cb_s2 = h2_v[o2], cb_v[o2]
+        starts2 = np.r_[True, h2_s2[1:] != h2_s2[:-1]]
+        h2_u = h2_s2[starts2]
+        cu_u = np.add.reduceat(cb_s2, np.flatnonzero(starts2))
+        fb_bits = (np.frexp((T // cu_u).astype(np.float64))[1] - 1).astype(np.int64)
+        keep = cb_v >= int(min_count)
+        ph_v, bits = ph_v[keep], bits[keep]
+    else:
+        h2_u = fb_bits = None
     order = np.argsort(ph_v)
-    state = _ray.put((ph_v[order], bits[order]))
+    state = _ray.put((ph_v[order], bits[order], h2_u, fb_bits))
 
     def _score(batch: pa.Table) -> pa.Table:
-        ph_s, bits_s = _ray.get(state)
-        ph, _, prow = _pairs(batch)
+        ph_s, bits_s, h2_s, fb_s = _ray.get(state)
+        ph, _, u2, prow = _pairs(batch)
         if len(ph) == 0:
             return _empty_out(batch)
-        b = bits_s[np.searchsorted(ph_s, ph)]
+        if h2_s is None:
+            b = bits_s[np.searchsorted(ph_s, ph)]
+        else:
+            pos = np.searchsorted(ph_s, ph)
+            pos_c = np.minimum(pos, max(len(ph_s) - 1, 0))
+            hit = (ph_s[pos_c] == ph) if len(ph_s) else np.zeros(len(ph), bool)
+            b = np.where(
+                hit,
+                bits_s[pos_c] if len(ph_s) else 0,
+                fb_s[np.searchsorted(h2_s, u2)],
+            )
         n = batch.num_rows
         sums = np.bincount(prow, weights=b.astype(np.float64), minlength=n)
         cnts = np.bincount(prow, minlength=n)

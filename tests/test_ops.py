@@ -5199,6 +5199,53 @@ def test_bigram_surprisal_hand_computed(ray_session):
         assert int(out.loc[2, "n_pairs"]) == 2
 
 
+def test_bigram_surprisal_min_count_paths_agree(ray_session):
+    """The bounded-model path (min_count pruning + unigram fallback)
+    agrees with the unpruned path at the threshold boundary and with a
+    hand oracle past it (the web-scale broadcast-bound contract)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "a b c", "c a"], pa.string()),
+        }
+    )
+    base = (
+        text.bigram_surprisal(rd.from_arrow(t).repartition(2))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # boundary: every observed pair has cb >= 1, so min_count=1 keeps
+    # the whole model — bit-identical to the unpruned path
+    kept = (
+        text.bigram_surprisal(rd.from_arrow(t).repartition(2), min_count=1)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert kept.equals(base)
+    # past the boundary: cb(a,b)=3 survives min_count=2; (b,a),(b,c),
+    # (c,a) are pruned and fall back to floor(log2(T // cu(w2))).
+    # T=6; cu(a)=1+1=2, cu(b)=3, cu(c)=1 →
+    # fb(a)=floor(log2(3))=1, fb(b)=1, fb(c)=floor(log2(6))=2
+    pruned = (
+        text.bigram_surprisal(rd.from_arrow(t).repartition(2), min_count=2)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc1 pairs: (a,b)=0 kept, (b,a)→fb(a)=1, (a,b)=0 kept → 1
+    assert int(pruned.loc[1, "bigram_bits"]) == 1
+    # doc2: (a,b)=0 kept, (b,c)→fb(c)=2 → 2
+    assert int(pruned.loc[2, "bigram_bits"]) == 2
+    # doc3: (c,a)→fb(a)=1 → 1
+    assert int(pruned.loc[3, "bigram_bits"]) == 1
+    assert pruned["n_pairs"].tolist() == base["n_pairs"].reindex(pruned.index).tolist()
+    # min_count beyond every count: the model broadcasts EMPTY and all
+    # pairs score through the vocab-bounded fallback
+    allfb = (
+        text.bigram_surprisal(rd.from_arrow(t).repartition(2), min_count=99)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert int(allfb.loc[1, "bigram_bits"]) == 1 + 1 + 1  # fb(b)+fb(a)+fb(b)
+    assert int(allfb.loc[2, "bigram_bits"]) == 1 + 2      # fb(b)+fb(c)
+    assert int(allfb.loc[3, "bigram_bits"]) == 1          # fb(a)
+
+
 def test_band_index_incremental_ingest(ray_session, tmp_path):
     from rio_cogeo_ray.stages import dedup as dedup_mod
 
