@@ -3,11 +3,13 @@
 Image/audio/video payloads are ``binary`` columns + metadata columns
 (media_type, width/height or sample_rate). The Ray-side plumbing —
 schemas, small-batch actor pools, output layout — is real and tested.
-The image path uses PIL when importable (decode → resize → bucket-mean
-features, resolved once per actor) and falls back to a deterministic
-byte-fold stub per undecodable payload or when the library is absent
-(this container ships no PIL/cv2/soundfile), so pipelines run
-end-to-end in both worlds.
+The image path uses PIL when importable, else the dependency-free mini
+codec (functions/imagecodec.py: real PNG/PPM/PGM decode with stdlib
+zlib) — resolved ONCE per actor — so the real decode executes even in
+this PIL-less container; payloads neither codec can decode fall back
+per row to a deterministic byte-fold stub, so a mixed corpus runs
+end-to-end in every world (audio/video decode remains stubbed: no
+soundfile/av here).
 
 Batch-size discipline: payloads are wide — callers should use small
 ``batch_size`` (the default 256 here vs 8192 for text stages) so
@@ -71,12 +73,19 @@ def synth_media(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
 
 
 def _pil_module():
+    """Codec resolution, once per actor: PIL when importable, else the
+    dependency-free mini codec (functions/imagecodec.py — real PNG/PPM/
+    PGM decode via stdlib zlib), so the REAL decode path executes even
+    in containers without PIL. Payloads neither can decode fall back
+    per row to the byte-fold stub as before."""
     try:
         from PIL import Image  # type: ignore
 
         return Image
-    except ImportError:  # this container ships no PIL
-        return None
+    except ImportError:  # no PIL here: the mini codec IS the real path
+        from rio_cogeo_ray.functions import imagecodec
+
+        return imagecodec
 
 
 class ImageFeatures:

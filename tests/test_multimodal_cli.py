@@ -476,3 +476,182 @@ def test_cli_bidx_channel_selection(tmp_path):
     info_count = json.loads(_run_cli("info", created["bands"][0]["out"], "--json").stdout)
     info_wb = json.loads(_run_cli("info", created["bands"][1]["out"], "--json").stdout)
     assert info_count["GEO"]["MaxZoom"] == info_wb["GEO"]["MaxZoom"] == 4
+
+
+# ---------------------------------------------------------------------------
+# round 4: REAL in-sandbox decode (functions/imagecodec.py) — no fake-PIL
+# monkeypatch anywhere below; this container has no PIL, so these tests
+# prove the mini codec IS the executing real path.
+# ---------------------------------------------------------------------------
+
+
+def test_imagecodec_png_roundtrip_and_filters():
+    from rio_cogeo_ray.functions import imagecodec as ic
+
+    rng = np.random.RandomState(11)
+    for shape in ((9, 13), (9, 13, 3), (5, 4, 4)):
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        dec = ic.png_decode(ic.png_encode(arr))
+        np.testing.assert_array_equal(dec, arr)
+    # netpbm round-trip (P5 + P6)
+    for shape in ((7, 5), (7, 5, 3)):
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(ic._pnm_decode(ic.pnm_encode(arr)), arr)
+
+    # all five scanline filters decode: forward-filter a known raster
+    # with an independent per-spec reference, then assemble a PNG
+    import struct
+    import zlib
+
+    arr = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int64)
+    lines = []
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        filt = np.zeros(stride, np.int64)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                p = 0
+            elif ft == 1:
+                p = a
+            elif ft == 2:
+                p = b
+            elif ft == 3:
+                p = (a + b) >> 1
+            else:
+                pa_, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                p = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - p) & 0xFF
+        lines.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        ic.PNG_MAGIC
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + ic._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(ic.png_decode(png), arr)
+
+    # luma + nearest-resize contracts
+    rgb = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    img = ic.MiniImage(rgb).convert("L")
+    exp = (
+        (299 * rgb[..., 0].astype(np.uint32)
+         + 587 * rgb[..., 1].astype(np.uint32)
+         + 114 * rgb[..., 2].astype(np.uint32)) // 1000
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(img), exp)
+    rs = ic.MiniImage(rgb).resize((3, 5))
+    yi = (np.arange(5) * 8) // 5
+    xi = (np.arange(3) * 8) // 3
+    np.testing.assert_array_equal(np.asarray(rs), rgb[yi][:, xi])
+
+    with pytest.raises(ValueError):
+        ic.open(io_bytes(b"GIF89a notsupported"))
+
+
+def io_bytes(b):
+    import io
+
+    return io.BytesIO(b)
+
+
+def test_image_features_real_decode_no_monkeypatch(ray_session):
+    """Default-constructed ImageFeatures decodes REAL PNG/PPM payloads
+    in this PIL-less container (the mini codec path), stubbing only the
+    garbage rows — end-to-end through the Ray actor pool."""
+    from rio_cogeo_ray.functions import imagecodec as ic
+    from rio_cogeo_ray.stages import multimodal as mm
+
+    imf = mm.ImageFeatures(feature_dim=16)
+    assert imf.pil is not None  # the mini codec resolved as the real path
+
+    flat7 = np.full((32, 32), 7, np.uint8)          # uniform gray PNG
+    ppm = ic.pnm_encode(np.full((16, 16, 3), 200, np.uint8))
+    garbage = b"\xff\x00" * 100
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "media_type": pa.array(["image/png", "image/ppm", "image/png"]),
+            "payload": pa.array([ic.png_encode(flat7), ppm, garbage], pa.binary()),
+        }
+    )
+    out = (
+        mm.image_features(rd.from_arrow(t), concurrency=1, batch_size=2)
+        .to_pandas().sort_values("media_id")
+    )
+    feats = np.stack(out["features"].to_numpy())
+    np.testing.assert_allclose(feats[0], np.full(16, 7.0), rtol=0)   # decoded
+    # PPM: all-200 RGB → luma (299+587+114)*200//1000 = 200 everywhere
+    np.testing.assert_allclose(feats[1], np.full(16, 200.0), rtol=0)
+    # garbage fell back to the byte-fold stub for that row only (the
+    # stub folds the BATCH buffer, so the oracle uses the same batch
+    # composition: batch_size=2 puts row 2 alone in the second batch)
+    stub = mm.ImageFeatures(feature_dim=16)
+    stub.pil = None
+    exp2 = np.stack(stub(t.slice(2))["features"].to_pandas())[0]
+    np.testing.assert_array_equal(feats[2], exp2)
+
+
+def test_image_resize_real_decode_no_monkeypatch():
+    """ImageResize re-encodes a REAL decodable PNG at target dims whose
+    raster is the documented nearest-neighbor resample."""
+    from rio_cogeo_ray.functions import imagecodec as ic
+    from rio_cogeo_ray.stages import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    rz = mm.ImageResize(target_size=(4, 6))
+    assert rz.pil is not None
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["image/png"]),
+            "payload": pa.array([ic.png_encode(src)], pa.binary()),
+        }
+    )
+    out = rz(t)
+    got = ic.png_decode(out["payload"][0].as_py())
+    yi = (np.arange(6) * 10) // 6
+    xi = (np.arange(4) * 12) // 4
+    np.testing.assert_array_equal(got, src[yi][:, xi])
+    assert out["width"].to_pylist() == [4] and out["height"].to_pylist() == [6]
+
+
+def test_synth_real_images_pipeline(ray_session):
+    """synth_real_images payloads all decode through the real path and
+    compose resize → features in one pipeline."""
+    from rio_cogeo_ray.functions import imagecodec as ic
+    from rio_cogeo_ray.stages import multimodal as mm
+
+    payloads = ic.synth_real_images(30)
+    assert payloads == ic.synth_real_images(30)  # deterministic
+    t = pa.table(
+        {
+            "media_id": pa.array(np.arange(30), pa.int64()),
+            "media_type": pa.array(["image"] * 30),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    chained = mm.image_features(
+        mm.image_resize(rd.from_arrow(t), target_size=(8, 8), concurrency=1),
+        concurrency=1,
+    ).to_pandas().sort_values("media_id")
+    feats = np.stack(chained["features"].to_numpy())
+    assert feats.shape == (30, 16)
+    # oracle for row 0 (gray PNG): decode → resize(8,8) → L → 32x32 →
+    # bucket means, all with the documented mini-codec contracts
+    r0 = ic.png_decode(payloads[0])
+    r0 = ic.MiniImage(r0).resize((8, 8))
+    r0 = ic.png_decode(ic.png_encode(np.asarray(r0)))  # resize stage re-encodes
+    px = np.asarray(
+        ic.MiniImage(r0).convert("L").resize((32, 32)), np.float32
+    ).reshape(-1)
+    exp = px.reshape(16, -1).mean(axis=1)
+    np.testing.assert_allclose(feats[0], exp, rtol=0)
