@@ -1,0 +1,101 @@
+"""Resumable web-corpus preparation — the flagship FILTER → DEDUP →
+SCORE chain (q_web_prep's production form) with checkpointed stage
+boundaries.
+
+The query-surface version (pipelines/queries.py: q_web_prep) already
+materializes its two multi-pass boundaries to the object store; a
+killed run restarts from scratch. This pipeline persists those SAME
+boundaries as parquet checkpoints (state/checkpoint.py), so a
+restarted job resumes from the last completed boundary with
+bit-identical output — the ``create()`` level-marker contract
+(pipelines/create.py:233-244) extended to the LLM-data chain the
+north rule calls checkpoint-resumable.
+
+Stage layout under ``work_dir``:
+
+- ``stage=survivors``: Gopher-repetition gate + dirty-word density
+  gate, both pure-map (never an id re-join — the 60 s-vs-7 s lesson).
+- ``stage=deduped``:   corpus-wide segment dedup of the survivors.
+- scoring (unigram surprisal over the deduped corpus's own counts)
+  streams from the last boundary; it is cheap relative to dedup and
+  its model derives from the boundary bytes, so re-running it on
+  restart is already deterministic.
+
+At 100 TB each boundary is partitioned parquet (one file per block),
+so resume skips exactly the finished stages; fingerprints chain from
+the source identity + per-stage config and any upstream change
+invalidates every downstream boundary (no silent relabeling).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from rio_cogeo_ray.stages import text
+from rio_cogeo_ray.state import checkpoint as ckpt
+
+DEFAULT_BADWORDS = ("spark", "dup", "slow")
+DEFAULT_BAD_DENSITY = 5
+DEFAULT_SEG_WORDS = 10
+
+
+def web_prep(
+    src: Union[str, Sequence[str]],
+    work_dir: str,
+    badwords: Sequence[str] = DEFAULT_BADWORDS,
+    bad_density: int = DEFAULT_BAD_DENSITY,
+    seg_words: int = DEFAULT_SEG_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    resume: bool = True,
+) -> rd.Dataset:
+    """FILTER → DEDUP → SCORE with checkpoint-resume. Returns the
+    scored Dataset (id, text_clean, n_kept, surprisal_bits, n_tokens).
+
+    Kill/restart contract: a rerun with the same ``src`` + config
+    reuses every boundary whose marker verifies and recomputes only
+    what follows — output is bit-identical to an uninterrupted run
+    (pinned by pytest)."""
+    fp0 = ckpt.src_fingerprint(src)
+    fp_surv = ckpt.chain_fingerprint(
+        fp0,
+        "survivors",
+        {
+            "badwords": list(badwords),
+            "bad_density": bad_density,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+    )
+    fp_dedup = ckpt.chain_fingerprint(fp_surv, "deduped", {"seg_words": seg_words})
+
+    def _survivors() -> rd.Dataset:
+        docs = rd.read_parquet(src, columns=[id_col, text_col])
+        gated = text.gopher_repetition(
+            docs, id_col=id_col, text_col=text_col, carry_cols=(text_col,)
+        ).map_batches(
+            lambda t: t.filter(
+                pc.equal(t["repetition_ok"].combine_chunks(), 1)
+            ).select([id_col, text_col]),
+            batch_format="pyarrow",
+        )
+        return text.word_blocklist_filter(
+            gated, tuple(badwords), max_hits=bad_density,
+            id_col=id_col, text_col=text_col,
+        )
+
+    surv = ckpt.stage_boundary(_survivors, work_dir, "survivors", fp_surv, resume)
+
+    def _deduped() -> rd.Dataset:
+        return text.segment_dedup(surv, seg_words=seg_words, id_col=id_col,
+                                  text_col=text_col)
+
+    seg = ckpt.stage_boundary(_deduped, work_dir, "deduped", fp_dedup, resume)
+    return text.surprisal_score(
+        seg, id_col=id_col, text_col="text_clean",
+        carry_cols=("text_clean", "n_kept"),
+    )

@@ -544,3 +544,69 @@ def test_resume_after_simulated_mid_write_crash(ray_session, tmp_path):
     assert got.sort_by([(k, "ascending") for k in key]).equals(
         want.sort_by([(k, "ascending") for k in key])
     )
+
+
+def test_web_prep_checkpoint_resume(ray_session, tmp_path):
+    """Kill/restart the flagship FILTER→DEDUP→SCORE chain: a run killed
+    after the survivors boundary resumes from it (gates never
+    recompute), a completed run resumes from the dedup boundary, and
+    output is bit-identical to an uninterrupted run. Config changes
+    invalidate downstream boundaries (no silent relabeling)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from rio_cogeo_ray.pipelines import prep
+    from rio_cogeo_ray.stages import text as text_mod
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def _norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            [["doc_id", "text_clean", "n_kept", "surprisal_bits", "n_tokens"]]
+        )
+
+    ref = _norm(prep.web_prep(src, str(tmp_path / "clean")))
+    assert len(ref) > 0
+
+    def boom(*a, **k):
+        raise RuntimeError("killed")
+
+    # run killed BETWEEN stages: survivors boundary persists, dedup dies
+    w = str(tmp_path / "resumed")
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "segment_dedup", boom)
+        with _pytest.raises(RuntimeError):
+            prep.web_prep(src, w).count()
+    import os
+
+    assert os.path.exists(os.path.join(w, "survivors.marker.json"))
+    assert not os.path.exists(os.path.join(w, "deduped.marker.json"))
+
+    # restart: the gate stage must NOT recompute (poisoned) — resume
+    # reads the survivors boundary, runs dedup, output bit-identical
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "gopher_repetition", boom)
+        out = _norm(prep.web_prep(src, w))
+    pd.testing.assert_frame_equal(out, ref)
+
+    # restart after completion: NEITHER stage recomputes
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "gopher_repetition", boom)
+        mp.setattr(text_mod, "segment_dedup", boom)
+        out2 = _norm(prep.web_prep(src, w))
+    pd.testing.assert_frame_equal(out2, ref)
+
+    # config change invalidates the dedup boundary but not survivors:
+    # the (poisoned) dedup stage is reached again
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "gopher_repetition", boom)
+        mp.setattr(text_mod, "segment_dedup", boom)
+        with _pytest.raises(RuntimeError):
+            prep.web_prep(src, w, seg_words=11).count()
+
+    # resume=False always rebuilds end to end, same bits
+    out3 = _norm(prep.web_prep(src, w, resume=False))
+    pd.testing.assert_frame_equal(out3, ref)
