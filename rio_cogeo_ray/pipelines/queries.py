@@ -1213,6 +1213,47 @@ SQL_SESSIONS = (
 )
 
 
+SESSIONS_LATE_GAP_US = 30 * 60 * 1_000_000
+SESSIONS_LATE_LATENESS_US = 24 * 3_600_000_000
+
+
+def q_sessions_late(sf_dir: str):
+    """Event-time session WINDOWS with allowed lateness (stages/
+    window.py: session_windows — the streaming-depth shape beyond
+    per-user sessionize summaries): per-session rows finalized only
+    once the lateness-lagged watermark (max event time − 24 h) passes
+    session_end + gap; later sessions stay open (is_final = 0) because
+    a late event within the allowance could still extend them.
+    Deterministic in the data, never in arrival order (the
+    watermark_filter doctrine); SQL mirror = LAG-gap islands + a
+    scalar-subquery watermark."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts"])
+    return window.session_windows(
+        ds, gap_us=SESSIONS_LATE_GAP_US,
+        allowed_lateness_us=SESSIONS_LATE_LATENESS_US,
+    )
+
+
+SQL_SESSIONS_LATE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                    > {SESSIONS_LATE_GAP_US}
+                  OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS brk FROM e),
+i AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+g AS (SELECT user_id, MIN(t) AS session_start_us, MAX(t) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM i GROUP BY user_id, sid)
+SELECT user_id, session_start_us, session_end_us, n_events,
+       CAST(CASE WHEN session_end_us + {SESSIONS_LATE_GAP_US}
+                      <= (SELECT MAX(t) - {SESSIONS_LATE_LATENESS_US} FROM e)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_final
+FROM g
+"""
+
+
 def q_lineitem_stats(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
     ds = _read(
@@ -6562,6 +6603,7 @@ def queries() -> Dict[str, Callable]:
     return {
         # -- SQL-exact, NEW in round 4 --------------------------------------
         "bigram_pruned": q_bigram_pruned,
+        "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
         "union_evolved": q_union_evolved,
         "dup_span_scrub": q_dup_span_scrub,
@@ -6755,6 +6797,7 @@ def oracle_sql() -> Dict[str, str]:
         "scd2": SQL_SCD2,
         "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
         "bigram_pruned": SQL_BIGRAM_PRUNED,
+        "sessions_late": SQL_SESSIONS_LATE,
         "kwic": SQL_KWIC,
         "anchor_text": SQL_ANCHOR_TEXT,
         "page_meta": SQL_PAGE_META,

@@ -126,6 +126,100 @@ def sessionize(ds, ts_col: str = "ts", gap_us: int = 30 * 60 * 1_000_000, n_buck
     )
 
 
+def session_windows(
+    ds,
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    allowed_lateness_us: int = US_PER_HOUR,
+    n_buckets: int = 64,
+):
+    """Event-time session windows with ALLOWED LATENESS — per-session
+    rows (user_id, session_start_us, session_end_us, n_events,
+    is_final), the streaming-depth shape beyond :func:`sessionize`'s
+    per-user summaries.
+
+    Semantics (the batch analog of a lateness-lagged watermark,
+    deterministic in the data, never in arrival order — the
+    :func:`watermark_filter` doctrine): the watermark is
+    ``max(event time) − allowed_lateness``; a session window FINALIZES
+    (``is_final = 1``) once the watermark passes its close, i.e.
+    ``session_end + gap ≤ watermark`` — until then a late event within
+    the allowed lateness could still extend it, so it is emitted as an
+    open window (``is_final = 0``). Session assignment itself is the
+    LAG-gap rule over event time (ties collapse: equal timestamps give
+    zero gaps, so tie order never moves a boundary).
+
+    Scale shape: a tiny Max aggregate (one int per block) feeds the
+    watermark; events then shuffle once into hash(user) buckets (the
+    sessionize partitioning contract) and each bucket emits all its
+    sessions in one vectorized pass — O(n_buckets) Python, output rows
+    ∝ sessions. SQL mirror: LAG-gap islands + GROUP BY + a scalar
+    subquery watermark."""
+    import pyarrow.compute as pc  # noqa: F401 (parity with sibling ops)
+
+    from ray.data.aggregate import Max
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _cast(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().cast(pa.int64())
+        b = (splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_cast, batch_format="pyarrow").materialize()
+    mx = slim.aggregate(Max(ts_col))[f"max({ts_col})"]
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("session_start_us", pa.int64()),
+         ("session_end_us", pa.int64()), ("n_events", pa.int64()),
+         ("is_final", pa.int64())]
+    )
+    if mx is None:  # empty stream
+        return slim.map_batches(
+            lambda t: schema.empty_table(), batch_format="pyarrow"
+        )
+    wm = int(mx) - allowed_lateness_us
+
+    def _bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return schema.empty_table()
+        group = group.sort_by(
+            [("user_id", "ascending"), (ts_col, "ascending")]
+        )
+        uid = group["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        sess_start = new_user | np.concatenate(
+            ([True], (ts[1:] - ts[:-1]) > gap_us)
+        )
+        s_starts = np.flatnonzero(sess_start)
+        s_ends = np.append(s_starts[1:], len(uid)) - 1
+        n = np.diff(np.append(s_starts, len(uid)))
+        end_ts = ts[s_ends]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[s_starts], pa.int64()),
+                "session_start_us": pa.array(ts[s_starts], pa.int64()),
+                "session_end_us": pa.array(end_ts, pa.int64()),
+                "n_events": pa.array(n.astype(np.int64), pa.int64()),
+                "is_final": pa.array(
+                    (end_ts + gap_us <= wm).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return slim.groupby("__bucket").map_groups(
+        lambda g: _bucket(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )
+
+
 def add_sliding_windows(
     batch: pa.Table,
     ts_col: str = "ts",

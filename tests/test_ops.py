@@ -5542,3 +5542,43 @@ def test_scd2_multi_attribute(ray_session):
         ("free", "us", 20, 30),   # plan change breaks
         ("pro", "us", 30, None),  # both stable -> one open version
     ]
+
+
+def test_session_windows_allowed_lateness(ray_session):
+    """Watermark finalization semantics: wm = max(ts) - lateness; a
+    session finalizes iff end + gap <= wm; boundary equality counts as
+    final; gap rule unchanged by lateness."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    GAP, LATE = 100, 50
+    # max ts = 1000 → wm = 950; session finalizes iff end <= 850
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            # user1: [100,150] end 150 final; [500] end 500 final
+            # user2: [750] end 750+100=850 <= 950 → final (boundary)
+            #        [900] end 900 → open
+            # user3: [1000] end 1000 → open (the watermark source)
+            "ts": pa.array([100, 150, 500, 750, 900, 1000], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            window_mod.session_windows(
+                rd.from_arrow(t).repartition(parts),
+                gap_us=GAP, allowed_lateness_us=LATE,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 1, 2, 2, 3]
+        assert out["session_start_us"].tolist() == [100, 500, 750, 900, 1000]
+        assert out["session_end_us"].tolist() == [150, 500, 750, 900, 1000]
+        assert out["n_events"].tolist() == [2, 1, 1, 1, 1]
+        assert out["is_final"].tolist() == [1, 1, 1, 0, 0]
+    # empty stream: no watermark, no rows, schema intact
+    empty = window_mod.session_windows(
+        rd.from_arrow(t.slice(0, 0)), gap_us=GAP, allowed_lateness_us=LATE
+    ).to_pandas()
+    assert len(empty) == 0
