@@ -261,6 +261,54 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Checkpoint-resumable web-prep chain (pipelines/prep.py): FILTER →
+    DEDUP → SCORE with persisted stage boundaries. A killed run rerun
+    with the same src+config resumes from the last completed boundary
+    (the create() level-marker contract on the LLM chain); the scored
+    corpus lands under WORK_DIR/stage=scored."""
+    from rio_cogeo_ray.pipelines import prep
+    from rio_cogeo_ray.state import checkpoint as ckpt
+
+    _ray_init(args.threads)
+    badwords = tuple(w for w in args.badwords.split(",") if w)
+    scored = prep.web_prep(
+        args.src,
+        args.work_dir,
+        badwords=badwords,
+        bad_density=args.bad_density,
+        seg_words=args.seg_words,
+        resume=not args.no_resume,
+    )
+    # the scored output is itself a checkpointed boundary so a rerun of
+    # a COMPLETED job is pure marker verification (zero recompute)
+    fp = ckpt.chain_fingerprint(
+        ckpt.src_fingerprint(args.src),
+        "scored",
+        {
+            "badwords": list(badwords),
+            "bad_density": args.bad_density,
+            "seg_words": args.seg_words,
+        },
+    )
+    out = ckpt.stage_boundary(
+        lambda: scored, args.work_dir, "scored", fp, resume=not args.no_resume
+    )
+    print(
+        json.dumps(
+            {
+                "work_dir": args.work_dir,
+                "out": ckpt.stage_dir(args.work_dir, "scored"),
+                "rows": out.count(),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Thin verdict wrapper (cli.py:334-357 analog). A FILE path
     validates as a single-file export; a directory as a pyramid."""
@@ -371,6 +419,21 @@ def main(argv=None) -> int:
     e.add_argument("--row-group-tiles", type=int, default=4096)
     e.add_argument("--threads", type=_parse_threads, default="all_cpus")
     e.set_defaults(fn=cmd_export)
+
+    pr = sub.add_parser(
+        "prep",
+        help="checkpoint-resumable web-prep chain (FILTER -> DEDUP -> SCORE)",
+    )
+    pr.add_argument("src", help="documents parquet file/dir (doc_id, text)")
+    pr.add_argument("work_dir", help="checkpoint + output directory")
+    pr.add_argument("--badwords", default="spark,dup,slow",
+                    help="comma blocklist (prep.DEFAULT_BADWORDS)")
+    pr.add_argument("--bad-density", type=int, default=5)
+    pr.add_argument("--seg-words", type=int, default=10)
+    pr.add_argument("--no-resume", action="store_true",
+                    help="ignore existing stage markers and rebuild")
+    pr.add_argument("--threads", type=_parse_threads, default="all_cpus")
+    pr.set_defaults(fn=cmd_prep)
 
     v = sub.add_parser("validate", help="validate a pyramid output")
     v.add_argument("src")

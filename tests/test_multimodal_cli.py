@@ -655,3 +655,34 @@ def test_synth_real_images_pipeline(ray_session):
     ).reshape(-1)
     exp = px.reshape(16, -1).mean(axis=1)
     np.testing.assert_allclose(feats[0], exp, rtol=0)
+
+
+@pytest.mark.slow
+def test_cli_prep_resumable(tmp_path):
+    """CLI prep runs the checkpoint-resumable chain end-to-end; a rerun
+    of the completed job is pure marker verification with identical
+    output bytes."""
+    import os
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    w = str(tmp_path / "prep")
+    r = _run_cli("prep", src, w, "--threads", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    first = json.loads(r.stdout.strip().splitlines()[-1])
+    assert first["rows"] > 0
+    out_dir = first["out"]
+    sig = sorted((f, os.path.getsize(os.path.join(out_dir, f)))
+                 for f in os.listdir(out_dir))
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f))
+              for f, _ in sig}
+
+    r2 = _run_cli("prep", src, w, "--threads", "4")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    again = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert again == first
+    # resume read the boundary: files untouched (same mtimes, sizes)
+    sig2 = sorted((f, os.path.getsize(os.path.join(out_dir, f)))
+                  for f in os.listdir(out_dir))
+    assert sig2 == sig
+    for f, _ in sig2:
+        assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
