@@ -4650,6 +4650,98 @@ FROM documents GROUP BY lang
 """
 
 
+def q_lang_pearson(sf_dir: str):
+    """Per-language Pearson correlation between doc length (n_chars)
+    and whitespace token count — exact-integer bivariate statistics
+    completing the moments/Spearman family (reference analog: the
+    per-band statistics surface of cog_info, rio_cogeo/models.py).
+
+    Sqrt-free exactness device: instead of r (whose sqrt denominator is
+    irrational), report the SIGNED SQUARED correlation in ppm,
+    ``corr2s_ppm = sign(num) * (1e6 * num²) // (dx * dy)`` with
+    num = n·Σxy − Σx·Σy, dx = n·Σx² − (Σx)², dy = n·Σy² − (Σy)² — every
+    operand an exact integer, mirrored in DuckDB HUGEINT (overflow
+    bound: 1e6·num² < 1.7e38 holds to ~1e5 rows/group of 1e4-char docs;
+    beyond that, per-group mean-centering in a first pass shrinks num).
+    Constant columns (dx·dy = 0) yield NULL, like SQL. The six moment
+    partials ship as associative int64 sums (partial_group_agg), so the
+    corpus never shuffles raw rows and the finalize touches only one
+    bounded row per language."""
+    ds = _docs(sf_dir, ["lang", "n_chars", "text"])
+
+    def _mo(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].combine_chunks().cast(pa.int64())
+        y = text.token_count(t["text"].combine_chunks())
+        return pa.table(
+            {
+                "lang": t["lang"].combine_chunks(),
+                "x": x,
+                "y": y,
+                "xy": pc.multiply_checked(x, y),
+                "x2": pc.multiply_checked(x, x),
+                "y2": pc.multiply_checked(y, y),
+            }
+        )
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    agged = partial_group_agg(
+        ds.map_batches(_mo, batch_format="pyarrow"),
+        keys=["lang"],
+        sum_cols=["x", "y", "xy", "x2", "y2"],
+        count_as="n_docs",
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        out_lang, out_n, out_c = [], [], []
+        for r in t.to_pylist():  # bounded: one row per language
+            n = r["n_docs"]
+            sx, sy, sxy, sx2, sy2 = (
+                r["sum_x"], r["sum_y"], r["sum_xy"], r["sum_x2"], r["sum_y2"]
+            )
+            out_lang.append(r["lang"])
+            out_n.append(n)
+            if None in (sx, sy, sxy, sx2, sy2):
+                out_c.append(None)
+                continue
+            num = n * sxy - sx * sy
+            dx = n * sx2 - sx * sx
+            dy = n * sy2 - sy * sy
+            if dx == 0 or dy == 0:
+                out_c.append(None)
+            else:
+                q = (1_000_000 * num * num) // (dx * dy)
+                out_c.append(q if num >= 0 else -q)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "corr2s_ppm": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return agged.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_LANG_PEARSON = r"""
+WITH t AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS HUGEINT) AS y
+           FROM documents),
+m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM t GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(CASE WHEN (n * sx2 - sx * sx) = 0 OR (n * sy2 - sy * sy) = 0
+                 THEN NULL
+            ELSE (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                 * ((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                    // ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
+            END AS BIGINT) AS corr2s_ppm
+FROM m
+"""
+
+
 SEARCH_TERMS = ("dup", "vector")
 
 
@@ -6602,6 +6694,7 @@ def queries() -> Dict[str, Callable]:
     can only ever score ``no_oracle`` and must not burn driver slots."""
     return {
         # -- SQL-exact, NEW in round 4 --------------------------------------
+        "lang_pearson": q_lang_pearson,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -6843,6 +6936,7 @@ def oracle_sql() -> Dict[str, str]:
         "pctl_rank": SQL_PCTL_RANK,
         "text_search": SQL_TEXT_SEARCH,
         "lang_moments": SQL_LANG_MOMENTS,
+        "lang_pearson": SQL_LANG_PEARSON,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -5582,3 +5582,57 @@ def test_session_windows_allowed_lateness(ray_session):
         rd.from_arrow(t.slice(0, 0)), gap_us=GAP, allowed_lateness_us=LATE
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_lang_pearson_hand_computed(ray_session):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    tdir = "/tmp/rcr_test_pearson"
+    os.makedirs(tdir, exist_ok=True)
+    # lang 'up': y strictly increasing with x -> corr = +1 exactly
+    # lang 'dn': y strictly decreasing with x -> corr = -1 exactly
+    # lang 'cc': x constant -> dx = 0 -> NULL
+    # lang 'nl': all-null text -> NULL moments -> NULL
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "text": pa.array(
+                ["a", "a b", "a b c", "a b c d"]          # up: 1..4 tokens
+                + ["a b c d", "a b c", "a b", "a"]        # dn: 4..1 tokens
+                + ["a", "a b"]                            # cc
+                + [None, None],                           # nl
+                pa.string(),
+            ),
+            "lang": pa.array(
+                ["up"] * 4 + ["dn"] * 4 + ["cc"] * 2 + ["nl"] * 2, pa.string()
+            ),
+            "source": pa.array(["s"] * 12, pa.string()),
+            "n_chars": pa.array(
+                [10, 20, 30, 40, 10, 20, 30, 40, 5, 5, 7, 9], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(tdir, "documents.parquet"))
+    out = (
+        Q.q_lang_pearson(tdir)
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert int(out.loc["up", "corr2s_ppm"]) == 1_000_000
+    assert int(out.loc["dn", "corr2s_ppm"]) == -1_000_000
+    assert pd.isna(out.loc["cc", "corr2s_ppm"])  # constant x: dx = 0
+    assert pd.isna(out.loc["nl", "corr2s_ppm"])  # all-null token side
+    assert out["n_docs"].tolist() == [2, 4, 2, 4]
+    # cross-check an intermediate group against numpy on float64
+    import numpy as np2
+
+    x = np.array([10, 20, 30, 40], dtype=np.float64)
+    y = np.array([4, 3, 2, 1], dtype=np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+    got = int(out.loc["dn", "corr2s_ppm"])
+    assert abs(got - np.sign(r) * int(1e6 * r * r)) <= 1
