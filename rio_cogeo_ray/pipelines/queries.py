@@ -4784,6 +4784,29 @@ FROM documents
 """
 
 
+NTILE_N = 4
+
+
+def q_ntile_assign(sf_dir: str):
+    """Per-language NTILE(4) quartile labels over doc length
+    (stages/sketch.py: grouped_ntile) — the "keep the top quality
+    quartile per language" binning primitive. Permutation-exact via the
+    (value, doc_id) unique tiebreak; one hash(lang) exchange, one
+    vectorized lexsort per bucket, zero driver state."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    from rio_cogeo_ray.stages import sketch as sketch_mod
+
+    return sketch_mod.grouped_ntile(ds, "lang", "n_chars", "doc_id", NTILE_N)
+
+
+SQL_NTILE_ASSIGN = f"""
+SELECT doc_id, lang, n_chars,
+       CAST(NTILE({NTILE_N}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+            AS BIGINT) AS tile
+FROM documents
+"""
+
+
 def q_surprisal(sf_dir: str):
     """Unigram surprisal quality scoring (stages/text.py:
     surprisal_score — the CCNet perplexity-filter analog): each token
@@ -6695,6 +6718,7 @@ def queries() -> Dict[str, Callable]:
     return {
         # -- SQL-exact, NEW in round 4 --------------------------------------
         "lang_pearson": q_lang_pearson,
+        "ntile_assign": q_ntile_assign,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -6937,6 +6961,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_search": SQL_TEXT_SEARCH,
         "lang_moments": SQL_LANG_MOMENTS,
         "lang_pearson": SQL_LANG_PEARSON,
+        "ntile_assign": SQL_NTILE_ASSIGN,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

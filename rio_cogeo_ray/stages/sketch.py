@@ -1067,3 +1067,89 @@ def grouped_spearman(
         .groupby("__b")
         .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
     )
+
+
+def grouped_ntile(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_tiles: int,
+    n_buckets: int = 64,
+):
+    """Per-group NTILE(n) equal-frequency binning — the normalization
+    primitive behind "train on quality quartiles" corpus splits (and the
+    windowed companion to percentile_rank, which emits ppm ranks
+    instead of bin labels).
+
+    Semantics are exactly SQL ``NTILE(n) OVER (PARTITION BY group ORDER
+    BY value, id)``: with c rows and q = c // n, rem = c % n, the first
+    rem tiles take q+1 rows and the rest take q (larger tiles first).
+    The unique-id tiebreak makes the assignment permutation-exact and
+    therefore SQL-mirrorable (the grouped_spearman rank doctrine).
+
+    Partitioning contract: one hash(group) exchange co-locates each
+    group; inside a bucket the rank pass is ONE lexsort over all the
+    bucket's groups at once and the tile formula is a vectorized
+    two-branch select — no per-group Python. Output rows = input rows
+    (id, group, value, tile); driver state is zero."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, [group_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                group_col: pa.array([], pa.string()),
+                value_col: pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        grp = g[group_col].combine_chunks()
+        enc = grp.dictionary_encode()
+        gcode = (
+            enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        order = np.lexsort((i, v, gcode))
+        gs = gcode[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, n))
+        seg = np.repeat(np.arange(len(starts)), cnt)
+        rank1 = np.arange(n, dtype=np.int64) - starts[seg] + 1  # 1-based in group
+        c = cnt[seg].astype(np.int64)
+        q, rem = c // n_tiles, c % n_tiles
+        thresh = rem * (q + 1)
+        big = rank1 <= thresh
+        tile_sorted = np.where(
+            big,
+            (rank1 - 1) // np.maximum(q + 1, 1) + 1,
+            rem + (rank1 - 1 - thresh) // np.maximum(q, 1) + 1,
+        )
+        tile = np.empty(n, dtype=np.int64)
+        tile[order] = tile_sorted
+        return pa.table(
+            {
+                id_col: g[id_col].combine_chunks(),
+                group_col: grp,
+                value_col: g[value_col].combine_chunks(),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
+    )

@@ -5636,3 +5636,52 @@ def test_lang_pearson_hand_computed(ray_session):
     r = np.corrcoef(x, y)[0, 1]
     got = int(out.loc["dn", "corr2s_ppm"])
     assert abs(got - np.sign(r) * int(1e6 * r * r)) <= 1
+
+
+def test_grouped_ntile_bruteforce(ray_session):
+    """grouped_ntile == the standard SQL NTILE formula (big tiles
+    first), incl. groups smaller than n_tiles and layout invariance."""
+    from rio_cogeo_ray.stages import sketch
+
+    rng = np.random.RandomState(5)
+    n = 230
+    grp = np.array(["g%d" % (i % 5) for i in range(n)], dtype=object)
+    v = rng.randint(0, 30, n).astype(np.int64)  # heavy value ties
+    ids = rng.permutation(n).astype(np.int64)
+    grp[:2] = "tiny"  # a 2-row group under n_tiles=4 -> tiles 1, 2
+
+    def brute(ntiles):
+        out = {}
+        for gname in np.unique(grp):
+            m = grp == gname
+            vv, iv = v[m], ids[m]
+            c = int(m.sum())
+            order = np.lexsort((iv, vv))
+            q, rem = divmod(c, ntiles)
+            for r0, j in enumerate(order):
+                r = r0 + 1
+                if q == 0 or r <= rem * (q + 1):
+                    t_ = (r - 1) // (q + 1) + 1
+                else:
+                    t_ = rem + (r - 1 - rem * (q + 1)) // q + 1
+                out[int(iv[j])] = t_
+        return out
+
+    t = pa.table({"g": grp.tolist(), "v": pa.array(v), "i": pa.array(ids)})
+    for ntiles in (1, 4, 7):
+        expect = brute(ntiles)
+        for parts in (1, 5):
+            ds = rd.from_arrow(t).repartition(parts)
+            got = {
+                int(r["i"]): int(r["tile"])
+                for r in sketch.grouped_ntile(ds, "g", "v", "i", ntiles).take_all()
+            }
+            assert got == expect, (ntiles, parts)
+    # tiny group: 2 rows over 4 tiles -> exactly tiles {1, 2}
+    expect4 = brute(4)
+    tiny_ids = ids[grp == "tiny"]
+    assert sorted(expect4[int(x)] for x in tiny_ids) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketch.grouped_ntile(rd.from_arrow(t), "g", "v", "i", 0)
