@@ -5217,6 +5217,47 @@ WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+CONTAM_REPORT_N = 4
+
+
+def q_contam_report(sf_dir: str):
+    """Contamination COVERAGE report (stages/dedup.py:
+    contamination_report — the GPT-3 appendix-C analysis companion to
+    decontam_ngram's removal): for each eval doc (source = 'src0'),
+    the fraction of its distinct word 4-grams that appear anywhere in
+    the training split (source <> 'src0'), in exact integer ppm.
+    Training side streams through a broadcast membership probe with
+    ZERO shuffle; driver state is O(eval grams)."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    train = rd.read_parquet(
+        path, columns=["doc_id", "text"], filter=pads.field("source") != "src0"
+    )
+    ev = rd.read_parquet(
+        path, columns=["doc_id", "text"], filter=pads.field("source") == "src0"
+    )
+    return dedup.contamination_report(train, ev, n=CONTAM_REPORT_N)
+
+
+SQL_CONTAM_REPORT = rf"""
+WITH ew AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+            FROM documents WHERE source = 'src0'),
+ee AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {CONTAM_REPORT_N - 2})) AS i FROM ew),
+eg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + {CONTAM_REPORT_N - 1}), ' ') AS gram FROM ee),
+tw AS (SELECT regexp_extract_all(text, '\S+') AS toks
+       FROM documents WHERE source <> 'src0'),
+te AS (SELECT toks, unnest(range(1, len(toks) - {CONTAM_REPORT_N - 2})) AS i FROM tw),
+tg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + {CONTAM_REPORT_N - 1}), ' ') AS gram FROM te)
+SELECT eg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(t.gram) AS BIGINT) AS n_hit,
+       CAST(COUNT(t.gram) * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+FROM eg LEFT JOIN tg t USING (gram)
+GROUP BY eg.doc_id
+"""
+
+
 LM_MIN_COUNT = 4
 
 
@@ -6719,6 +6760,7 @@ def queries() -> Dict[str, Callable]:
         # -- SQL-exact, NEW in round 4 --------------------------------------
         "lang_pearson": q_lang_pearson,
         "ntile_assign": q_ntile_assign,
+        "contam_report": q_contam_report,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -6962,6 +7004,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_moments": SQL_LANG_MOMENTS,
         "lang_pearson": SQL_LANG_PEARSON,
         "ntile_assign": SQL_NTILE_ASSIGN,
+        "contam_report": SQL_CONTAM_REPORT,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -1647,6 +1647,117 @@ def decontaminate_ngrams(
     )
 
 
+class _MatchedGramKeys:
+    """Actor stage: per training batch, emit the DISTINCT gram keys that
+    are also in the broadcast eval key set — output rows are bounded by
+    the eval gram count, never by the batch (searchsorted membership,
+    same probe as NgramDecontamFilter)."""
+
+    def __init__(self, keys_ref, n: int, id_col: str, text_col: str):
+        import ray as _ray
+
+        keys = _ray.get(keys_ref) if isinstance(keys_ref, _ray.ObjectRef) else keys_ref
+        self.keys = np.sort(np.asarray(keys, dtype=np.int64))
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"__key": pa.array([], pa.int64())})
+        if not len(batch) or not len(self.keys):
+            return empty
+        g = _doc_gram64_keys(batch, self.n, self.id_col, self.text_col)
+        if not g.num_rows:
+            return empty
+        k = g["__key"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(self.keys, k), len(self.keys) - 1)
+        hit = np.unique(k[self.keys[pos] == k])
+        return pa.table({"__key": pa.array(hit, pa.int64())})
+
+
+def contamination_report(
+    train_ds,
+    eval_ds,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 2,
+):
+    """Per-eval-doc n-gram overlap coverage against a training corpus —
+    the REPORT half of decontamination (GPT-3 appendix C / PaLM
+    contamination analysis: "X% of eval doc Y's n-grams appear in
+    training"), where :func:`decontaminate_ngrams` is the removal half.
+
+    Output one row per eval doc that carries at least one n-gram:
+    (id, n_grams, n_hit, coverage_ppm = 1e6 * n_hit // n_grams). Docs
+    shorter than ``n`` tokens have no grams and are omitted (the same
+    convention as the filter).
+
+    Scale contract: the eval side is benchmark-sized by definition, so
+    its distinct (doc, gram-key) pairs collect bounded; the gram-key
+    SET broadcasts once (ray.put) and the training corpus streams
+    through a ZERO-shuffle membership probe whose emitted rows are
+    bounded by |eval grams| per batch, tree-reduced to one distinct
+    matched set. The training side never shuffles and never leaves the
+    cluster; driver state is O(eval grams). 64-bit folded gram keys:
+    a collision adds one phantom hit (≈ n_train · n_eval / 2^64 —
+    negligible; errs toward reporting MORE contamination, the safe
+    side, same argument as _doc_gram64_keys)."""
+    import ray as _ray
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        return _doc_gram64_keys(t, n, id_col, text_col)
+
+    # eval side: bounded distinct (id, key) pairs to the driver
+    mat = eval_ds.map_batches(_pairs, batch_format="pyarrow").materialize()
+    blocks = [b for b in _ray.get(mat.to_arrow_refs()) if b.num_rows]
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_hit": pa.array([], pa.int64()),
+            "coverage_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    pairs = pa.concat_tables(blocks)
+    eids = pairs[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ekeys = pairs["__key"].combine_chunks().to_numpy(zero_copy_only=False)
+    keys = np.unique(ekeys)
+    keys_ref = _ray.put(keys.astype(np.int64))
+
+    matched_ds = train_ds.map_batches(
+        _MatchedGramKeys,
+        fn_constructor_args=(keys_ref, n, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    matched = collect_eval_keys(matched_ds)  # distinct-reduced, bounded
+    m = np.sort(matched.to_numpy(zero_copy_only=False).astype(np.int64))
+
+    # finalize per eval doc (bounded rows): hits = grams present in m
+    if len(m):
+        pos = np.minimum(np.searchsorted(m, ekeys), len(m) - 1)
+        is_hit = (m[pos] == ekeys).astype(np.int64)
+    else:
+        is_hit = np.zeros(len(ekeys), dtype=np.int64)
+    order = np.argsort(eids, kind="stable")
+    es, hs = eids[order], is_hit[order]
+    new = np.ones(len(es), dtype=bool)
+    new[1:] = es[1:] != es[:-1]
+    starts = np.flatnonzero(new)
+    n_grams = np.diff(np.append(starts, len(es)))
+    n_hit = np.add.reduceat(hs, starts)
+    cov = 1_000_000 * n_hit // n_grams
+    return pa.table(
+        {
+            id_col: pa.array(es[starts], pa.int64()),
+            "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
+            "n_hit": pa.array(n_hit.astype(np.int64), pa.int64()),
+            "coverage_ppm": pa.array(cov.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def decontaminate(train_ds, eval_ds, key_fn, eval_key_fn=None, concurrency: int = 2):
     """Benchmark decontamination: remove training rows whose key
     (e.g. a normalized text prefix or fingerprint) collides with any

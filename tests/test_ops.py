@@ -5685,3 +5685,56 @@ def test_grouped_ntile_bruteforce(ray_session):
 
     with _pytest.raises(ValueError):
         sketch.grouped_ntile(rd.from_arrow(t), "g", "v", "i", 0)
+
+
+def test_contamination_report_hand_computed(ray_session):
+    """contamination_report == hand-computed per-eval-doc coverage:
+    planted full copy (100%), partial overlap, clean doc (0%), and a
+    short doc (< n tokens) omitted."""
+    from rio_cogeo_ray.stages import dedup as dedup_mod
+
+    N = 3
+    ev = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",        # grams: abc, bcd -> both in train (copy)
+                    "a b c x y z",    # grams: abc bcx cxy xyz -> only abc hits
+                    "p q r s",        # clean: no gram in train
+                    "u v",            # < 3 tokens: no grams, omitted
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    tr = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(
+                ["a b c d e", "k l m n"],
+                pa.string(),
+            ),
+        }
+    )
+    for parts in (1, 3):
+        out = dedup_mod.contamination_report(
+            rd.from_arrow(tr).repartition(parts),
+            rd.from_arrow(ev).repartition(parts),
+            n=N,
+        )
+        df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert df["doc_id"].tolist() == [1, 2, 3]
+        assert df["n_grams"].tolist() == [2, 4, 2]
+        assert df["n_hit"].tolist() == [2, 1, 0]
+        assert df["coverage_ppm"].tolist() == [1_000_000, 250_000, 0]
+    # empty eval -> typed empty report
+    empty = dedup_mod.contamination_report(
+        rd.from_arrow(tr), rd.from_arrow(ev.slice(0, 0)), n=N
+    )
+    assert empty.num_rows == 0 and "coverage_ppm" in empty.schema.names
+    # empty train -> all-zero coverage, every gram-carrying eval doc present
+    z = dedup_mod.contamination_report(
+        rd.from_arrow(tr.slice(0, 0)), rd.from_arrow(ev), n=N
+    ).to_pandas()
+    assert sorted(z["doc_id"]) == [1, 2, 3] and z["n_hit"].sum() == 0
