@@ -5217,6 +5217,40 @@ WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_editdist_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy label self-join (stages/fuzzy.py:
+    editdist1_self_join — exact deletion-neighborhood blocking, the
+    FastSS/SymSpell device distributed): all pairs of distinct
+    lang-source labels one typo apart, with each side's doc count.
+    Zero false negatives (the blocking is exact for k=1), so the
+    DuckDB levenshtein(a,b)=1 brute-force self-join mirrors it
+    hash-exact. Labels distinct-collapse first — every stage after the
+    first exchange is vocabulary-bounded."""
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def _label(t: pa.Table) -> pa.Table:
+        lab = pc.binary_join_element_wise(
+            t["lang"].combine_chunks().cast(pa.string()),
+            t["source"].combine_chunks().cast(pa.string()),
+            "-",
+        )
+        return pa.table({"k": lab})
+
+    from rio_cogeo_ray.stages import fuzzy
+
+    return fuzzy.editdist1_self_join(
+        ds.map_batches(_label, batch_format="pyarrow"), "k"
+    )
+
+
+SQL_EDITDIST_PAIRS = """
+WITH lbl AS (SELECT lang || '-' || source AS k, CAST(COUNT(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1)
+SELECT x.k AS a, y.k AS b, x.n AS n_a, y.n AS n_b
+FROM lbl x JOIN lbl y ON x.k < y.k AND levenshtein(x.k, y.k) = 1
+"""
+
+
 CONTAM_REPORT_N = 4
 
 
@@ -6761,6 +6795,7 @@ def queries() -> Dict[str, Callable]:
         "lang_pearson": q_lang_pearson,
         "ntile_assign": q_ntile_assign,
         "contam_report": q_contam_report,
+        "editdist_pairs": q_editdist_pairs,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7005,6 +7040,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_pearson": SQL_LANG_PEARSON,
         "ntile_assign": SQL_NTILE_ASSIGN,
         "contam_report": SQL_CONTAM_REPORT,
+        "editdist_pairs": SQL_EDITDIST_PAIRS,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

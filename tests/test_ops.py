@@ -5738,3 +5738,95 @@ def test_contamination_report_hand_computed(ray_session):
         rd.from_arrow(tr.slice(0, 0)), rd.from_arrow(ev), n=N
     ).to_pandas()
     assert sorted(z["doc_id"]) == [1, 2, 3] and z["n_hit"].sum() == 0
+
+
+def _ed(a: str, b: str) -> int:
+    # classic DP reference (bounded test strings only)
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def test_editdist1_self_join_bruteforce(ray_session):
+    """editdist1_self_join == brute-force DP over every distinct pair
+    (zero false negatives from the deletion blocking, zero false
+    positives from the prefix+suffix verify), with counts and layout
+    invariance; degenerate single-char vocabularies raise."""
+    from rio_cogeo_ray.stages import fuzzy
+
+    rng = np.random.RandomState(11)
+    # clustered random strings: lots of ed-1 and ed-2 near-pairs
+    base = ["alpha", "beta", "gamma", "del", "x"]
+    vals = []
+    for i in range(400):
+        s = base[i % len(base)]
+        r = rng.randint(0, 4)
+        pos = rng.randint(0, len(s))
+        if r == 1:
+            s = s[:pos] + chr(97 + rng.randint(0, 4)) + s[pos + 1 :]  # subst
+        elif r == 2:
+            s = s[:pos] + chr(97 + rng.randint(0, 4)) + s[pos:]  # insert
+        elif r == 3 and len(s) > 1:
+            s = s[:pos] + s[pos + 1 :]  # delete
+        vals.append(s)
+    t = pa.table({"k": pa.array(vals, pa.string())})
+
+    from collections import Counter
+
+    cn = Counter(vals)
+    uniq = sorted(cn)
+    expect = set()
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            if _ed(uniq[i], uniq[j]) == 1:
+                expect.add((uniq[i], uniq[j], cn[uniq[i]], cn[uniq[j]]))
+    assert len(expect) > 10  # non-trivial fixture
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {
+            (r["a"], r["b"], int(r["n_a"]), int(r["n_b"]))
+            for r in fuzzy.editdist1_self_join(ds, "k").take_all()
+        }
+        assert got == expect, parts
+
+    # ed1_mask unit sweep incl. multibyte + boundary shapes
+    cases = [
+        ("abc", "abd", True), ("abc", "abcd", True), ("abc", "abcde", False),
+        ("ab", "ba", False), ("aaa", "aa", True), ("aba", "aab", False),
+        ("abcd", "acbd", False), ("a", "b", True), ("a", "ab", True),
+        ("héllo", "hallo", True), ("héllo", "hxyllo", False),
+        ("日本語", "日本", True), ("日本語", "日語本", False),
+    ]
+    m = fuzzy.ed1_mask(
+        np.array([c[0] for c in cases], dtype=object),
+        np.array([c[1] for c in cases], dtype=object),
+    )
+    for (a, b, want), got_m in zip(cases, m):
+        assert bool(got_m) == want, (a, b)
+        assert (_ed(a, b) <= 1) == want, (a, b)  # the fixture itself
+
+    # degenerate vocabulary: hundreds of length-1 keys share the ""
+    # deletion variant -> loud guard, not a quadratic hang
+    import pytest as _pytest
+
+    deg = pa.table({"k": pa.array([chr(97 + i % 26) for i in range(300)])})
+    with _pytest.raises(Exception, match="max_run|degenerate"):
+        fuzzy.editdist1_self_join(rd.from_arrow(deg), "k", max_run=20).take_all()
+
+    # nulls never pair
+    tn = pa.table({"k": pa.array(["aa", "ab", None, None], pa.string())})
+    got_n = {
+        (r["a"], r["b"])
+        for r in fuzzy.editdist1_self_join(rd.from_arrow(tn), "k").take_all()
+    }
+    assert got_n == {("aa", "ab")}
