@@ -5217,6 +5217,34 @@ WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_kmv_vocab_overlap(sf_dir: str):
+    """Cross-corpus vocabulary overlap via KMV/theta sketches
+    (stages/sketch.py: kmv_overlap): estimated distinct-token counts
+    of the en and de slices plus their estimated COMMON vocabulary and
+    Jaccard — the set-intersection estimate HLL cannot produce. Two
+    zero-shuffle sketch passes; driver state O(k)."""
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def _toks(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.ascii_split_whitespace(t["text"].combine_chunks().cast(pa.string()))
+        )
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return pa.table({"tok": flat})
+
+    from rio_cogeo_ray.stages import sketch as sketch_mod
+
+    a = rd.read_parquet(
+        path, columns=["text"], filter=pads.field("lang") == "en"
+    ).map_batches(_toks, batch_format="pyarrow")
+    b = rd.read_parquet(
+        path, columns=["text"], filter=pads.field("lang") == "de"
+    ).map_batches(_toks, batch_format="pyarrow")
+    return sketch_mod.kmv_overlap(a, b, "tok", k=1024)
+
+
 def q_editdist_pairs(sf_dir: str):
     """Edit-distance-1 fuzzy label self-join (stages/fuzzy.py:
     editdist1_self_join — exact deletion-neighborhood blocking, the
@@ -6966,6 +6994,7 @@ def queries() -> Dict[str, Callable]:
         "bpe_pack": q_bpe_pack,
         "quantile_sketch": q_quantile_sketch,
         "token_cm": q_token_cm,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "neardup_keepers": q_neardup_keepers,
         "neardup_ingest": q_neardup_ingest,
         "host_rank": q_host_rank,

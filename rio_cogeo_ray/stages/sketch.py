@@ -1069,6 +1069,99 @@ def grouped_spearman(
     )
 
 
+def _kmv_blob_row(mins: np.ndarray) -> pa.Table:
+    return pa.table({"mins": pa.array([np.sort(mins).astype(np.uint64).tobytes()], pa.binary())})
+
+
+def kmv_partial_rows(batch: pa.Table, col: str, k: int) -> pa.Table:
+    """One (mins) blob row per batch: the k smallest 64-bit hashes of
+    the batch's DISTINCT values (duplicate mass collapses map-side,
+    like every mergeable-sketch partial here)."""
+    if not len(batch):
+        return _kmv_blob_row(np.empty(0, dtype=np.uint64))
+    h = np.unique(_hash_col(batch[col]))
+    return _kmv_blob_row(h[:k])
+
+
+def merge_kmv_rows(batch: pa.Table, k: int) -> pa.Table:
+    """Merge = union of the blobs' hash sets, truncated back to the k
+    smallest — the KMV merge is associative and idempotent, so any
+    fan-in tree yields the same sketch."""
+    blobs = batch["mins"].combine_chunks()
+    if not len(blobs):
+        return _kmv_blob_row(np.empty(0, dtype=np.uint64))
+    allv = np.concatenate(
+        [np.frombuffer(blobs[i].as_buffer(), dtype=np.uint64) for i in range(len(blobs))]
+    )
+    return _kmv_blob_row(np.unique(allv)[:k])
+
+
+def kmv_sketch(ds, col: str, k: int = 1024) -> np.ndarray:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002 /
+    theta-sketch family): the sorted k smallest 64-bit value hashes.
+    Unlike HLL it supports SET INTERSECTION estimates (kmv_overlap) —
+    the sketch IS a uniform sample of the distinct-value hash space.
+    Per-batch partials (one ≤8k-byte blob per batch) → two bounded
+    fan-in merge levels → one driver merge; driver state is O(k)."""
+    rows = ds.map_batches(
+        lambda t: kmv_partial_rows(t, col, k), batch_format="pyarrow", batch_size=65536
+    )
+    for _ in range(2):
+        rows = rows.map_batches(
+            lambda t: merge_kmv_rows(t, k), batch_format="pyarrow", batch_size=1024
+        )
+    mins = np.empty(0, dtype=np.uint64)
+    for row in rows.take_all():
+        mins = np.unique(
+            np.concatenate([mins, np.frombuffer(row["mins"], dtype=np.uint64)])
+        )[:k]
+    return mins
+
+
+_KMV_SPACE = float(2**64)
+
+
+def kmv_estimate(mins: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: exact when the sketch isn't full, else
+    the classic (k-1) / theta with theta = kth-min / 2^64."""
+    if len(mins) < k:
+        return float(len(mins))
+    return (k - 1) * _KMV_SPACE / float(mins[k - 1])
+
+
+def kmv_overlap(ds_a, ds_b, col: str, k: int = 1024) -> pa.Table:
+    """Distinct-set OVERLAP estimates between two datasets' value sets
+    from two KMV sketches (the theta-sketch intersection): one row
+    (distinct_a, distinct_b, distinct_common, jaccard_ppm).
+
+    theta = min of the two sketches' thresholds; below theta both
+    sketches hold EVERY hash, so the truncated sets are exact uniform
+    samples and |Sa ∩ Sb| / theta_frac estimates the true overlap;
+    jaccard = |Sa ∩ Sb| / |Sa ∪ Sb| over the same window. Standard
+    error ~1/sqrt(k). Estimates round to int64 (rows-only surface —
+    the pytest oracle pins the ±5 sigma band against exact counts)."""
+    ka = kmv_sketch(ds_a, col, k)
+    kb = kmv_sketch(ds_b, col, k)
+    na, nb = kmv_estimate(ka, k), kmv_estimate(kb, k)
+    th_a = float(ka[k - 1]) if len(ka) >= k else _KMV_SPACE
+    th_b = float(kb[k - 1]) if len(kb) >= k else _KMV_SPACE
+    theta = min(th_a, th_b)
+    sa = ka[ka.astype(np.float64) < theta]
+    sb = kb[kb.astype(np.float64) < theta]
+    inter = len(np.intersect1d(sa, sb))
+    union = len(np.union1d(sa, sb))
+    n_common = inter * _KMV_SPACE / theta if theta > 0 else 0.0
+    jac_ppm = (1_000_000 * inter) // union if union else 0
+    return pa.table(
+        {
+            "distinct_a": pa.array([int(round(na))], pa.int64()),
+            "distinct_b": pa.array([int(round(nb))], pa.int64()),
+            "distinct_common": pa.array([int(round(n_common))], pa.int64()),
+            "jaccard_ppm": pa.array([int(jac_ppm)], pa.int64()),
+        }
+    )
+
+
 def grouped_ntile(
     ds,
     group_col: str,

@@ -5830,3 +5830,56 @@ def test_editdist1_self_join_bruteforce(ray_session):
         for r in fuzzy.editdist1_self_join(rd.from_arrow(tn), "k").take_all()
     }
     assert got_n == {("aa", "ab")}
+
+
+def test_kmv_overlap_exact_and_bounded(ray_session):
+    """KMV sketch: EXACT when sets are smaller than k (the sketch holds
+    every hash); within ±5 sigma of truth when saturated; merge is
+    layout-invariant."""
+    from rio_cogeo_ray.stages import sketch
+
+    # --- exact regime: |A|=300, |B|=250, |A∩B|=100, k=1024 ------------
+    a_vals = [f"tok{i}" for i in range(300)]
+    b_vals = [f"tok{i}" for i in range(200, 450)]
+    ta = pa.table({"tok": pa.array(a_vals * 3)})  # duplicates collapse
+    tb = pa.table({"tok": pa.array(b_vals)})
+    for parts in (1, 4):
+        out = sketch.kmv_overlap(
+            rd.from_arrow(ta).repartition(parts),
+            rd.from_arrow(tb).repartition(parts),
+            "tok",
+            k=1024,
+        ).to_pandas()
+        assert int(out.loc[0, "distinct_a"]) == 300
+        assert int(out.loc[0, "distinct_b"]) == 250
+        assert int(out.loc[0, "distinct_common"]) == 100
+        assert int(out.loc[0, "jaccard_ppm"]) == 1_000_000 * 100 // 450
+
+    # --- saturated regime: 20k vs 15k with 5k shared, k=1024 ----------
+    k = 1024
+    A = [f"a{i}" for i in range(15_000)] + [f"s{i}" for i in range(5_000)]
+    B = [f"b{i}" for i in range(10_000)] + [f"s{i}" for i in range(5_000)]
+    out = sketch.kmv_overlap(
+        rd.from_arrow(pa.table({"tok": pa.array(A)})),
+        rd.from_arrow(pa.table({"tok": pa.array(B)})),
+        "tok",
+        k=k,
+    ).to_pandas()
+    import math
+
+    sd = 1.0 / math.sqrt(k)
+    assert abs(int(out.loc[0, "distinct_a"]) - 20_000) <= 5 * sd * 20_000
+    assert abs(int(out.loc[0, "distinct_b"]) - 15_000) <= 5 * sd * 15_000
+    assert abs(int(out.loc[0, "distinct_common"]) - 5_000) <= 5 * sd * 30_000
+    true_j = 5_000 / 30_000
+    assert abs(int(out.loc[0, "jaccard_ppm"]) / 1e6 - true_j) <= 5 * sd
+
+    # empty side: zero everywhere, no crash
+    z = sketch.kmv_overlap(
+        rd.from_arrow(pa.table({"tok": pa.array([], pa.string())})),
+        rd.from_arrow(tb),
+        "tok",
+        k=64,
+    ).to_pandas()
+    assert int(z.loc[0, "distinct_a"]) == 0
+    assert int(z.loc[0, "distinct_common"]) == 0
