@@ -781,3 +781,109 @@ def salted_hash_join(
         return t.drop_columns([c for c in ("__salt",) if c in t.column_names])
 
     return joined.map_batches(_drop, batch_format="pyarrow")
+
+
+def plan_join(
+    left,
+    right,
+    on: str,
+    how: str = "inner",
+    broadcast_max_rows: int = 2_000_000,
+    hot_threshold: int = 100_000,
+) -> dict:
+    """Cost-based join strategy decision — the planning half of
+    :func:`auto_join`, reusable standalone for EXPLAIN-style output.
+
+    Two bounded probe aggregates (the key_skew diagnostic run on each
+    side's key column — output rows = distinct multiplicities, never
+    corpus-sized):
+
+    - right side: total rows + whether keys are unique (the broadcast
+      dimension-table contract BroadcastLookup enforces);
+    - left side: maximum key multiplicity (the salting trigger).
+
+    Decision: BROADCAST when the right side fits the threshold, has
+    unique keys, and the mode is lookup-shaped (inner/semi/anti);
+    else SALTED when some left key exceeds hot_threshold rows; else
+    the plain BUCKETED hash join. Returns the decision plus the probe
+    stats so callers can log the why."""
+    from rio_cogeo_ray.stages.profile import key_skew
+
+    r_rows = key_skew(right, on).take_all()
+    n_right = sum(r["total_rows"] for r in r_rows)
+    right_unique = all(r["multiplicity"] == 1 for r in r_rows)
+    l_rows = key_skew(left, on).take_all()
+    left_max_mult = max((r["multiplicity"] for r in l_rows), default=0)
+
+    if how in ("inner", "semi", "anti") and right_unique and n_right <= broadcast_max_rows:
+        strategy = "broadcast"
+    elif left_max_mult > hot_threshold and how in ("inner", "left", "semi", "anti"):
+        strategy = "salted"
+    else:
+        strategy = "bucketed"
+    return {
+        "strategy": strategy,
+        "n_right": int(n_right),
+        "right_unique": bool(right_unique),
+        "left_max_multiplicity": int(left_max_mult),
+    }
+
+
+def auto_join(
+    left,
+    right,
+    on: str,
+    how: str = "inner",
+    salt_source_col: str = None,
+    broadcast_max_rows: int = 2_000_000,
+    hot_threshold: int = 100_000,
+    n_buckets: int = 64,
+    suffix: str = "_r",
+):
+    """Join with an automatically chosen physical strategy — broadcast
+    (small unique right side: zero shuffle), salted (hot left keys:
+    the flooding key splits across salt buckets), or plain bucketed.
+    All three produce identical rows (pytest-pinned), so the choice is
+    purely physical; returns ``(dataset, plan)`` with the plan dict
+    from :func:`plan_join` so pipelines can record the decision in
+    their manifests.
+
+    Planning costs two bounded aggregate passes over the key columns
+    (the key_skew diagnostic); at 100 TB those are column-pruned scans
+    — pay them when the join itself is expensive enough to care, or
+    call the specific join directly when the shape is known. The
+    salted path needs ``salt_source_col`` (a deterministic per-row
+    value, e.g. the row id) — without one, a hot-key left side falls
+    back to bucketed (documented in the returned plan)."""
+    plan = plan_join(
+        left, right, on, how,
+        broadcast_max_rows=broadcast_max_rows, hot_threshold=hot_threshold,
+    )
+    if plan["strategy"] == "salted" and salt_source_col is None:
+        plan = {**plan, "strategy": "bucketed", "note": "no salt_source_col"}
+    if plan["strategy"] == "broadcast":
+        mat = right.materialize()
+        blocks = [b for b in ray.get(mat.to_arrow_refs()) if b.num_rows]
+        if blocks:
+            r_tab = pa.concat_tables(blocks).combine_chunks()
+        else:
+            sch = mat.schema()
+            r_tab = pa.table(
+                {f.name: pa.array([], f.type) for f in sch.base_schema}
+            ) if sch is not None else pa.table({on: pa.array([], pa.int64())})
+        # leave headroom for upstream tasks: a pool sized to ALL cpus
+        # starves the producing stage (observed deadlock at 4 cpus)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        out = broadcast_join(
+            left, r_tab, on=on, mode=how, concurrency=max(2, min(4, cpus - 2))
+        )
+    elif plan["strategy"] == "salted":
+        out = salted_hash_join(
+            left, right, on=on, salt_source_col=salt_source_col, how=how,
+            hot_threshold=hot_threshold, n_buckets=n_buckets, suffix=suffix,
+        )
+    else:
+        out = bucketed_hash_join(
+            left, right, on=on, how=how, n_buckets=n_buckets, suffix=suffix
+        )
+    return out, plan

@@ -398,3 +398,83 @@ def test_set_op_intersect_except(ray_session):
 
     with pytest.raises(ValueError):
         setops.set_op(l, r, on="k", op="union")
+
+
+def test_auto_join_planner(ray_session):
+    """auto_join picks broadcast / salted / bucketed from the key-skew
+    probes, and every chosen path returns exactly the bucketed join's
+    rows (the choice is physical, never semantic)."""
+    from rio_cogeo_ray.stages import join as join_mod
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    # skewed left: key 7 carries ~60% of rows
+    keys = np.where(rng.rand(n) < 0.6, 7, rng.randint(0, 40, n)).astype(np.int64)
+    left = pa.table(
+        {
+            "k": pa.array(keys),
+            "lid": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    dim = pa.table(
+        {
+            "k": pa.array(np.arange(40, dtype=np.int64)),
+            "name": pa.array([f"d{i}" for i in range(40)]),
+        }
+    )
+    # fan-out right side (duplicate keys) -> never broadcast
+    fan = pa.table(
+        {
+            "k": pa.array(np.repeat(np.arange(40, dtype=np.int64), 3)),
+            "tag": pa.array([f"t{i}" for i in range(120)]),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(4)
+
+    def rows(ds):
+        return sorted(
+            tuple(sorted(r.items())) for r in ds.take_all()
+        )
+
+    # 1. small unique right side -> broadcast
+    out, plan = join_mod.auto_join(lds, rd.from_arrow(dim), on="k")
+    assert plan["strategy"] == "broadcast" and plan["right_unique"]
+    expect = rows(
+        join_mod.bucketed_hash_join(lds, rd.from_arrow(dim), on="k", how="inner")
+    )
+    assert rows(out) == expect
+
+    # 2. duplicate-keyed right + hot left key -> salted (salt col given)
+    out2, plan2 = join_mod.auto_join(
+        lds, rd.from_arrow(fan), on="k", salt_source_col="lid",
+        broadcast_max_rows=10, hot_threshold=1000,
+    )
+    assert plan2["strategy"] == "salted"
+    assert plan2["left_max_multiplicity"] > 1000
+    expect2 = rows(
+        join_mod.bucketed_hash_join(lds, rd.from_arrow(fan), on="k", how="inner")
+    )
+    assert rows(out2) == expect2
+
+    # 3. same but WITHOUT a salt column -> documented bucketed fallback
+    out3, plan3 = join_mod.auto_join(
+        lds, rd.from_arrow(fan), on="k",
+        broadcast_max_rows=10, hot_threshold=1000,
+    )
+    assert plan3["strategy"] == "bucketed" and plan3.get("note") == "no salt_source_col"
+    assert rows(out3) == expect2
+
+    # 4. no hot keys, big-ish unique right over the broadcast cap -> bucketed
+    out4, plan4 = join_mod.auto_join(
+        lds, rd.from_arrow(dim), on="k",
+        broadcast_max_rows=10, hot_threshold=10_000_000,
+    )
+    assert plan4["strategy"] == "bucketed"
+    assert rows(out4) == expect
+
+    # 5. semi mode through the planner (broadcast-eligible)
+    out5, plan5 = join_mod.auto_join(lds, rd.from_arrow(dim), on="k", how="semi")
+    assert plan5["strategy"] == "broadcast"
+    assert rows(out5) == rows(
+        join_mod.bucketed_hash_join(lds, rd.from_arrow(dim), on="k", how="semi")
+    )
