@@ -4723,6 +4723,92 @@ def q_lang_pearson(sf_dir: str):
     return agged.map_batches(_fin, batch_format="pyarrow")
 
 
+def q_lang_regression(sf_dir: str):
+    """Per-language OLS regression of token count on doc length —
+    slope and intercept in exact integer ppm from the same six int64
+    moment partials as lang_pearson (one associative exchange, no raw
+    rows): slope_ppm = 1e6·num // dx, intercept_ppm =
+    (1e6·(Σy·Σx² − Σx·Σxy)) // dx — both truncating toward zero,
+    DuckDB's // semantics. The grouped-model primitive
+    behind per-stratum calibration curves; degenerate groups (dx = 0)
+    yield NULL like SQL."""
+    ds = _docs(sf_dir, ["lang", "n_chars", "text"])
+
+    def _mo(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].combine_chunks().cast(pa.int64())
+        y = text.token_count(t["text"].combine_chunks())
+        return pa.table(
+            {
+                "lang": t["lang"].combine_chunks(),
+                "x": x,
+                "y": y,
+                "xy": pc.multiply_checked(x, y),
+                "x2": pc.multiply_checked(x, x),
+            }
+        )
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    agged = partial_group_agg(
+        ds.map_batches(_mo, batch_format="pyarrow"),
+        keys=["lang"],
+        sum_cols=["x", "y", "xy", "x2"],
+        count_as="n_docs",
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        out_lang, out_n, out_s, out_i = [], [], [], []
+        for r in t.to_pylist():  # bounded: one row per language
+            n = r["n_docs"]
+            sx, sy, sxy, sx2 = r["sum_x"], r["sum_y"], r["sum_xy"], r["sum_x2"]
+            out_lang.append(r["lang"])
+            out_n.append(n)
+            if None in (sx, sy, sxy, sx2) or n * sx2 - sx * sx == 0:
+                out_s.append(None)
+                out_i.append(None)
+                continue
+            dx = n * sx2 - sx * sx
+            num = n * sxy - sx * sy
+            inum = sy * sx2 - sx * sxy
+
+            def _trunc_div(a: int, b: int) -> int:
+                # DuckDB // truncates toward zero; Python // floors —
+                # mirror DuckDB exactly (b > 0 here)
+                q = abs(a) // b
+                return -q if a < 0 else q
+
+            out_s.append(_trunc_div(1_000_000 * num, dx))
+            out_i.append(_trunc_div(1_000_000 * inum, dx))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "slope_ppm": pa.array(out_s, pa.int64()),
+                "intercept_ppm": pa.array(out_i, pa.int64()),
+            }
+        )
+
+    return agged.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_LANG_REGRESSION = r"""
+WITH t AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS HUGEINT) AS y
+           FROM documents),
+m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sx2
+      FROM t GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+            ELSE (1000000 * (n * sxy - sx * sy)) // (n * sx2 - sx * sx)
+            END AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+            ELSE (1000000 * (sy * sx2 - sx * sxy)) // (n * sx2 - sx * sx)
+            END AS BIGINT) AS intercept_ppm
+FROM m
+"""
+
+
 SQL_LANG_PEARSON = r"""
 WITH t AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x,
                   CAST(len(regexp_extract_all(text, '\S+')) AS HUGEINT) AS y
@@ -6821,6 +6907,7 @@ def queries() -> Dict[str, Callable]:
     return {
         # -- SQL-exact, NEW in round 4 --------------------------------------
         "lang_pearson": q_lang_pearson,
+        "lang_regression": q_lang_regression,
         "ntile_assign": q_ntile_assign,
         "contam_report": q_contam_report,
         "editdist_pairs": q_editdist_pairs,
@@ -7067,6 +7154,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_search": SQL_TEXT_SEARCH,
         "lang_moments": SQL_LANG_MOMENTS,
         "lang_pearson": SQL_LANG_PEARSON,
+        "lang_regression": SQL_LANG_REGRESSION,
         "ntile_assign": SQL_NTILE_ASSIGN,
         "contam_report": SQL_CONTAM_REPORT,
         "editdist_pairs": SQL_EDITDIST_PAIRS,

@@ -5883,3 +5883,43 @@ def test_kmv_overlap_exact_and_bounded(ray_session):
     ).to_pandas()
     assert int(z.loc[0, "distinct_a"]) == 0
     assert int(z.loc[0, "distinct_common"]) == 0
+
+
+def test_lang_regression_hand_computed(ray_session):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    tdir = "/tmp/rcr_test_regression"
+    os.makedirs(tdir, exist_ok=True)
+    # 'ln': y = 2x/10 exactly (x=10,20,30 -> y=2,4,6): slope 0.2, icept 0
+    # 'ng': y decreasing -> negative slope (pins trunc-toward-zero)
+    # 'cc': constant x -> NULL
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(
+                ["a b", "a b c d", "a b c d e f",     # ln: 2, 4, 6 tokens
+                 "a b c d e", "a b c", "a",           # ng: 5, 3, 1
+                 "a", "a b"],                          # cc
+                pa.string(),
+            ),
+            "lang": pa.array(["ln"] * 3 + ["ng"] * 3 + ["cc"] * 2, pa.string()),
+            "source": pa.array(["s"] * 8, pa.string()),
+            "n_chars": pa.array([10, 20, 30, 10, 20, 30, 5, 5], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tdir, "documents.parquet"))
+    out = Q.q_lang_regression(tdir).to_pandas().set_index("lang")
+    assert int(out.loc["ln", "slope_ppm"]) == 200_000
+    assert int(out.loc["ln", "intercept_ppm"]) == 0
+    # ng: slope = -0.2 -> -200000 exactly; intercept = 7.0 -> 7e6
+    assert int(out.loc["ng", "slope_ppm"]) == -200_000
+    assert int(out.loc["ng", "intercept_ppm"]) == 7_000_000
+    assert pd.isna(out.loc["cc", "slope_ppm"])
+    # float64 cross-check on the 'ng' group
+    s, i = np.polyfit([10, 20, 30], [5, 3, 1], 1)
+    assert abs(int(out.loc["ng", "slope_ppm"]) - int(round(s * 1e6))) <= 1
+    assert abs(int(out.loc["ng", "intercept_ppm"]) - int(round(i * 1e6))) <= 1
