@@ -5303,6 +5303,39 @@ WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_polite_order(sf_dir: str):
+    """Crawl-politeness interleave (stages/shard.py: polite_interleave):
+    a deterministic global fetch order where round r emits each host's
+    r-th doc — same-host requests maximally spread (the Mercator-style
+    frontier discipline). Two rank exchanges + one bounded per-round
+    count broadcast; mirrors two SQL window ranks exactly."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def _host(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "host": t["source"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    from rio_cogeo_ray.stages import shard as shard_mod
+
+    return shard_mod.polite_interleave(
+        ds.map_batches(_host, batch_format="pyarrow"), "host", "doc_id"
+    )
+
+
+SQL_POLITE_ORDER = """
+WITH r AS (SELECT doc_id, source AS host,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rr
+           FROM documents)
+SELECT doc_id, host, CAST(rr AS BIGINT) AS rr,
+       CAST(ROW_NUMBER() OVER (ORDER BY rr, host, doc_id) AS BIGINT) AS pos
+FROM r
+"""
+
+
 def q_kmv_vocab_overlap(sf_dir: str):
     """Cross-corpus vocabulary overlap via KMV/theta sketches
     (stages/sketch.py: kmv_overlap): estimated distinct-token counts
@@ -6911,6 +6944,7 @@ def queries() -> Dict[str, Callable]:
         "ntile_assign": q_ntile_assign,
         "contam_report": q_contam_report,
         "editdist_pairs": q_editdist_pairs,
+        "polite_order": q_polite_order,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7158,6 +7192,7 @@ def oracle_sql() -> Dict[str, str]:
         "ntile_assign": SQL_NTILE_ASSIGN,
         "contam_report": SQL_CONTAM_REPORT,
         "editdist_pairs": SQL_EDITDIST_PAIRS,
+        "polite_order": SQL_POLITE_ORDER,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

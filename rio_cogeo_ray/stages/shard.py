@@ -594,3 +594,144 @@ def mix_temperature(
         return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
 
     return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def polite_interleave(ds, host_col: str, id_col: str, n_buckets: int = 64):
+    """Crawl-politeness interleave ordering: a deterministic global
+    position for every row such that same-host rows are maximally
+    spread — round r of the output emits each host's r-th document
+    (hosts ordered lexically within a round), the classic crawl-frontier
+    / fetch-scheduler discipline (Mercator-style per-host queues,
+    public design). The scheduling companion to shard_shuffle's seeded
+    randomization: politeness wants ANTI-clustering, not uniformity.
+
+    Semantics are exactly two SQL window ranks, so the operator is
+    hash-exact vs DuckDB: rr = ROW_NUMBER() OVER (PARTITION BY host
+    ORDER BY id), pos = ROW_NUMBER() OVER (ORDER BY rr, host, id).
+
+    Plan: exchange 1 hashes on host (one lexsort per bucket ranks all
+    its hosts at once → rr); a bounded per-round count aggregate gives
+    the driver one int64 per round (rounds = max docs per host — the
+    skyline of the host histogram, not the corpus), whose exclusive
+    cumsum broadcasts as round offsets; exchange 2 hashes on rr and
+    ranks (host, id) within each round, adding the offset. Raw text
+    should NOT ride through this (project to ids first, re-join by id
+    — the dedup carry doctrine)."""
+    import ray as _ray
+
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _route_host(t: pa.Table) -> pa.Table:
+        b = (hash_columns(t, [host_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def _rank_in_host(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if not g.num_rows:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    host_col: pa.array([], pa.string()),
+                    "rr": pa.array([], pa.int64()),
+                }
+            )
+        host = g[host_col].combine_chunks()
+        enc = host.dictionary_encode()
+        hcode = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(g)
+        order = np.lexsort((ids, hcode))
+        hs = hcode[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rr = np.empty(n, dtype=np.int64)
+        rr[order] = np.arange(n, dtype=np.int64) - starts[seg] + 1
+        return pa.table(
+            {
+                id_col: g[id_col].combine_chunks(),
+                host_col: host.cast(pa.string()),
+                "rr": pa.array(rr, pa.int64()),
+            }
+        )
+
+    ranked = (
+        ds.map_batches(_route_host, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_rank_in_host, batch_format="pyarrow")
+        .materialize()  # consumed twice: round counts + final ranking
+    )
+
+    counts = partial_group_agg(
+        ranked.map_batches(lambda t: t.select(["rr"]), batch_format="pyarrow"),
+        keys=["rr"],
+        count_as="c",
+    ).take_all()  # bounded: one row per round (max docs per host)
+    rr_sorted = np.array(sorted(r["rr"] for r in counts), dtype=np.int64)
+    by_rr = {r["rr"]: r["c"] for r in counts}
+    csum = np.concatenate(
+        ([0], np.cumsum([by_rr[r] for r in rr_sorted], dtype=np.int64)[:-1])
+    ) if len(rr_sorted) else np.empty(0, dtype=np.int64)
+    off_ref = _ray.put((rr_sorted, csum))
+
+    def _route_rr(t: pa.Table) -> pa.Table:
+        b = (
+            t["rr"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__b", pa.array(b, pa.int64()))
+
+    def _rank_in_round(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if not g.num_rows:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    host_col: pa.array([], pa.string()),
+                    "rr": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        rrs, offs = _ray.get(off_ref)
+        rr = g["rr"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        host = g[host_col].combine_chunks()
+        hcode = host.dictionary_encode().indices.fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # dictionary codes are batch-local: rank by (rr, host VALUE, id)
+        # via a code remap in lexical value order
+        dic = host.dictionary_encode().dictionary
+        val_order = pa.compute.sort_indices(dic).to_numpy(zero_copy_only=False)
+        rankmap = np.empty(len(val_order), dtype=np.int64)
+        rankmap[val_order] = np.arange(len(val_order))
+        # NULL hosts sort LAST (DuckDB ORDER BY default: NULLS LAST)
+        hlex = np.where(hcode >= 0, rankmap[np.maximum(hcode, 0)], len(val_order))
+        n = len(g)
+        order = np.lexsort((ids, hlex, rr))
+        rs = rr[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = rs[1:] != rs[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        within = np.arange(n, dtype=np.int64) - starts[seg]
+        base = offs[np.searchsorted(rrs, rs)]
+        pos_sorted = base + within + 1
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = pos_sorted
+        return pa.table(
+            {
+                id_col: g[id_col].combine_chunks(),
+                host_col: host.cast(pa.string()),
+                "rr": g["rr"].combine_chunks(),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(_route_rr, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_rank_in_round, batch_format="pyarrow")
+    )

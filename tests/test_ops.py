@@ -5923,3 +5923,42 @@ def test_lang_regression_hand_computed(ray_session):
     s, i = np.polyfit([10, 20, 30], [5, 3, 1], 1)
     assert abs(int(out.loc["ng", "slope_ppm"]) - int(round(s * 1e6))) <= 1
     assert abs(int(out.loc["ng", "intercept_ppm"]) - int(round(i * 1e6))) <= 1
+
+
+def test_polite_interleave_properties(ray_session):
+    """polite_interleave == the two-window-rank oracle, positions are a
+    permutation of 1..n, rounds are contiguous, same-host spacing
+    beats naive host-sorted order, layout-invariant."""
+    from rio_cogeo_ray.stages import shard as shard_mod
+
+    rng = np.random.RandomState(17)
+    n = 400
+    hosts = np.array([f"h{rng.randint(0, 12):02d}" for _ in range(n)], dtype=object)
+    hosts[:150] = "h00"  # one dominant host (the politeness stress)
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    t = pa.table({"host": pa.array(list(hosts), pa.string()),
+                  "doc_id": pa.array(ids)})
+
+    # oracle: pandas double window rank
+    df = t.to_pandas()
+    df["rr"] = df.sort_values("doc_id").groupby("host").cumcount() + 1
+    df = df.sort_values(["rr", "host", "doc_id"]).reset_index(drop=True)
+    df["pos"] = np.arange(1, n + 1)
+    expect = {
+        int(r.doc_id): (int(r.rr), int(r.pos)) for r in df.itertuples()
+    }
+
+    for parts in (1, 6):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = shard_mod.polite_interleave(ds, "host", "doc_id").take_all()
+        got = {int(r["doc_id"]): (int(r["rr"]), int(r["pos"])) for r in out}
+        assert got == expect, parts
+
+    # politeness property: minimum same-host gap in interleaved order
+    # is the number of live hosts while all 12 are active
+    by_pos = df.sort_values("pos")
+    gaps = by_pos.groupby("host")["pos"].diff().dropna()
+    head = by_pos.head(12 * 10)  # first 10 full rounds
+    head_gaps = head.groupby("host")["pos"].diff().dropna()
+    assert head_gaps.min() >= 12  # every host waits a full round early on
+    assert gaps.max() >= 1  # tail rounds degrade gracefully (dominant host)
