@@ -5303,6 +5303,34 @@ WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+SKIPGRAM_W, SKIPGRAM_K, SKIPGRAM_MIN_N = 3, 30, 2
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """Top-k windowed co-occurrence counts (stages/text.py:
+    skipgram_topk — the word2vec/PMI skip-gram input, window=3):
+    per-batch Zipf-collapsed pair partials → one bucketed exact merge
+    → associative local top-k → bounded driver sort. Deterministic
+    (n desc, w1, w2) order, exact integer counts."""
+    ds = _docs(sf_dir, ["text"])
+    return text.skipgram_topk(
+        ds, window=SKIPGRAM_W, k=SKIPGRAM_K, min_n=SKIPGRAM_MIN_N
+    )
+
+
+SQL_SKIPGRAM_PAIRS = rf"""
+WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+e AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tk),
+p AS (SELECT toks, i,
+             unnest(range(i + 1, LEAST(i + {SKIPGRAM_W}, len(toks)) + 1)) AS j
+      FROM e)
+SELECT toks[i] AS w1, toks[j] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+HAVING COUNT(*) >= {SKIPGRAM_MIN_N}
+ORDER BY n DESC, w1, w2 LIMIT {SKIPGRAM_K}
+"""
+
+
 def q_polite_order(sf_dir: str):
     """Crawl-politeness interleave (stages/shard.py: polite_interleave):
     a deterministic global fetch order where round r emits each host's
@@ -6945,6 +6973,7 @@ def queries() -> Dict[str, Callable]:
         "contam_report": q_contam_report,
         "editdist_pairs": q_editdist_pairs,
         "polite_order": q_polite_order,
+        "skipgram_pairs": q_skipgram_pairs,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7193,6 +7222,7 @@ def oracle_sql() -> Dict[str, str]:
         "contam_report": SQL_CONTAM_REPORT,
         "editdist_pairs": SQL_EDITDIST_PAIRS,
         "polite_order": SQL_POLITE_ORDER,
+        "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -488,6 +488,102 @@ def bigram_value_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return aggd.rename_columns(["w1", "w2", "n"]).cast(_EMPTY_BIGRAMS.schema)
 
 
+def skipgram_value_counts(
+    batch: pa.Table, text_col: str = "text", window: int = 3
+) -> pa.Table:
+    """Per-batch (w1, w2, n) partial counts of ORDERED token pairs
+    within ``window`` positions inside one document — the word2vec /
+    PMI co-occurrence input that :func:`bigram_value_counts` is the
+    window=1 special case of. One vectorized shifted-slice pass per
+    offset d (pairs = token stream vs itself shifted by d, masked to
+    same-document rows), then one Arrow group_by collapses the batch's
+    pair mass before the exchange (the Zipf-collapse contract)."""
+    lists = pc.ascii_split_whitespace(
+        batch[text_col].combine_chunks().cast(pa.string())
+    )
+    lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    toks = lists.flatten()
+    keep = pc.not_equal(toks, "")
+    toks = toks.filter(keep)
+    rep = rep[keep.to_numpy(zero_copy_only=False)]
+    if len(rep) < 2:
+        return _EMPTY_BIGRAMS
+    parts = []
+    for d in range(1, window + 1):
+        if len(rep) <= d:
+            break
+        adj = pa.array(rep[d:] == rep[:-d])
+        w1 = toks.slice(0, len(toks) - d).filter(adj)
+        if not len(w1):
+            continue
+        parts.append(pa.table({"w1": w1, "w2": toks.slice(d).filter(adj)}))
+    if not parts:
+        return _EMPTY_BIGRAMS
+    pair = pa.concat_tables(parts)
+    aggd = pair.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+    return aggd.rename_columns(["w1", "w2", "n"]).cast(_EMPTY_BIGRAMS.schema)
+
+
+def skipgram_topk(
+    ds,
+    text_col: str = "text",
+    window: int = 3,
+    k: int = 30,
+    min_n: int = 2,
+    batch_size: int = 32768,
+):
+    """Top-k windowed co-occurrence pairs by exact count — the bounded
+    consumable view of the skip-gram table (full pair tables approach
+    vocab² and belong in a shuffle only when a model build needs them;
+    the bigram_lift candidate doctrine). Plan: per-batch collapsed
+    partials → ONE bucketed exact merge → associative local top-k per
+    merged block (each global top-k row lives in exactly one block) →
+    driver sorts the ≤ blocks·k survivors. Returns a pyarrow Table
+    (w1, w2, n) ordered (n desc, w1, w2)."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    out_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
+    )
+    sg = partial_group_agg(
+        ds.map_batches(
+            lambda t: skipgram_value_counts(t, text_col, window),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ),
+        keys=["w1", "w2"],
+        sum_cols=["n"],
+        count_as=None,
+    ).map_batches(
+        lambda t: t.rename_columns(["w1", "w2", "n"]), batch_format="pyarrow"
+    )
+
+    def _local_top(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(min_n, pa.int64())))
+        if t.num_rows > k:
+            t = t.sort_by(
+                [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+            ).slice(0, k)
+        return t
+
+    blocks = [
+        b
+        for b in _ray.get(
+            sg.map_batches(_local_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows and {"w1", "w2", "n"} <= set(b.column_names)
+    ]
+    if not blocks:
+        return out_schema.empty_table()
+    top = pa.concat_tables(blocks).combine_chunks()
+    return top.sort_by(
+        [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+    ).slice(0, k)
+
+
 def bigram_lift(
     ds,
     text_col: str = "text",

@@ -3183,6 +3183,68 @@ def test_bigram_lift_empty_and_single_token(ray_session):
     assert out.schema.names == ["w1", "w2", "n", "lift_ppm"]
 
 
+def test_skipgram_topk_vs_brute_force(ray_session):
+    """skipgram_topk: ordered pairs within `window` positions never
+    cross doc boundaries; counts, the min_n cut, and the (n desc, w1,
+    w2) order all match an in-process Counter oracle; the layout
+    (repartition) does not change the answer."""
+    from collections import Counter
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 11))))
+        for _ in range(400)
+    ] + ["solo", "", None]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+
+    want_c: Counter = Counter()
+    for s in texts:
+        toks = (s or "").split()
+        for i, w1 in enumerate(toks):
+            for d in range(1, 4):
+                if i + d < len(toks):
+                    want_c[(w1, toks[i + d])] += 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in want_c.items() if n >= 2),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:12]
+
+    for parts in (1, 7):
+        got = text.skipgram_topk(
+            rd.from_arrow(t).repartition(parts), window=3, k=12, min_n=2
+        ).to_pydict()
+        assert list(zip(got["w1"], got["w2"], got["n"])) == want
+
+
+def test_skipgram_topk_window1_equals_bigram_counts(ray_session):
+    """window=1 skip-grams are exactly adjacent bigrams."""
+    from collections import Counter
+
+    texts = ["a b a b c", "b c b", "a", ""]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = text.skipgram_topk(
+        rd.from_arrow(t), window=1, k=100, min_n=1
+    ).to_pydict()
+    bi: Counter = Counter()
+    for s in texts:
+        toks = s.split()
+        bi.update(zip(toks, toks[1:]))
+    want = sorted(
+        ((a, b, n) for (a, b), n in bi.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )
+    assert list(zip(got["w1"], got["w2"], got["n"])) == want
+    out = text.skipgram_topk(
+        rd.from_arrow(pa.table({"text": pa.array(["solo", None], pa.string())})),
+        window=3,
+        k=5,
+        min_n=1,
+    )
+    assert out.num_rows == 0
+    assert out.schema.names == ["w1", "w2", "n"]
+
+
 def test_host_blocklist_wildcard_semantics(ray_session):
     """HostBlocklist: a domain entry blocks itself and every subdomain
     (label-boundary suffix match, never substring); TLD-wide entries
