@@ -1254,6 +1254,50 @@ FROM g
 """
 
 
+def q_interval_cover(sf_dir: str):
+    """Per-user interval-union coverage (stages/window.py:
+    interval_flatten): each event spans [ts, ts + ~value×1000 s];
+    overlapping-or-touching spans of one user merge into covering
+    islands — the crawl-coverage / span-union half of gaps-and-islands
+    (scd2 compresses change runs, sessionize cuts point gaps; this
+    merges true intervals via a segmented running-max). ONE hash(user)
+    exchange, output rows ∝ islands."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts", "value"])
+
+    def _spans(t: pa.Table) -> pa.Table:
+        s = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        dur = np.floor(v * 1000.0).astype(np.int64) * 1_000_000
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "start_us": pa.array(s, pa.int64()),
+                "end_us": pa.array(s + dur, pa.int64()),
+            }
+        )
+
+    return window.interval_flatten(
+        ds.map_batches(_spans, batch_format="pyarrow")
+    )
+
+
+SQL_INTERVAL_COVER = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(floor(value * 1000) AS BIGINT) * 1000000 AS e
+            FROM events),
+w AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+b AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM w),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS isl FROM b)
+SELECT user_id, MIN(s) AS cover_start_us, MAX(e) AS cover_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM g GROUP BY user_id, isl
+"""
+
+
 def q_lineitem_stats(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
     ds = _read(
@@ -6974,6 +7018,7 @@ def queries() -> Dict[str, Callable]:
         "editdist_pairs": q_editdist_pairs,
         "polite_order": q_polite_order,
         "skipgram_pairs": q_skipgram_pairs,
+        "interval_cover": q_interval_cover,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7223,6 +7268,7 @@ def oracle_sql() -> Dict[str, str]:
         "editdist_pairs": SQL_EDITDIST_PAIRS,
         "polite_order": SQL_POLITE_ORDER,
         "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
+        "interval_cover": SQL_INTERVAL_COVER,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -1237,3 +1237,107 @@ def scd2_intervals(
         lambda g: _islands(g.drop_columns(["__bucket"])),
         batch_format="pyarrow",
     )
+
+
+def interval_flatten(
+    ds,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    n_buckets: int = 64,
+):
+    """Flatten per-key intervals into their covering islands (the
+    interval-union half of gaps-and-islands that :func:`scd2_intervals`'
+    change-run compression and sessionize's point-gap cut both skirt):
+    overlapping-OR-TOUCHING ``[start, end]`` intervals of one key merge
+    into one (key, cover_start_us, cover_end_us, n_intervals) row — the
+    crawl-coverage / span-union primitive (e.g. merging dup spans or
+    fetch windows before measuring covered time).
+
+    Island rule: after sorting a key's intervals by (start, end), a new
+    island starts where ``start > max(end of all earlier intervals)``;
+    ties in start can never open an island (the running max is already
+    ≥ that start), so the cut is deterministic in the DATA at any
+    parallelism and needs no id tiebreak.
+
+    Partitioning contract: keys hash into ``n_buckets``; ONE exchange;
+    per bucket one lexsort + one segmented running-max pass builds every
+    key's islands together. The segmented cummax is the offset trick
+    (disjoint per-key value ranges under np.maximum.accumulate); when
+    ``n_keys × value_range`` would overflow int64 it falls back to a
+    per-key slice loop bounded by distinct keys in the bucket. Output
+    rows ∝ islands, never corpus size.
+
+    SQL mirror: MAX(end) OVER (PARTITION BY key ORDER BY start, end
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) < start breaks + windowed
+    SUM island ids + GROUP BY — the standard interval-merge statement.
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("cover_start_us", pa.int64()),
+            ("cover_end_us", pa.int64()),
+            ("n_intervals", pa.int64()),
+        ]
+    )
+
+    def _cast(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: k,
+                "__s": t[start_col].combine_chunks().cast(pa.int64()),
+                "__e": t[end_col].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _cover(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return out_schema.empty_table()
+        g = g.sort_by(
+            [(key_col, "ascending"), ("__s", "ascending"), ("__e", "ascending")]
+        )
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["__s"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = g["__e"].combine_chunks().to_numpy(zero_copy_only=False)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        seg = np.cumsum(new_key) - 1  # 0-based key-segment id
+        lo = min(int(s.min()), int(e.min()))
+        rng = max(int(s.max()), int(e.max())) - lo + 1
+        n_seg = int(seg[-1]) + 1
+        if n_seg * rng < 2**62:  # offset trick stays in int64
+            run_max = np.maximum.accumulate(e - lo + seg * rng) - seg * rng + lo
+        else:  # per-key fallback, loop bounded by distinct keys in bucket
+            run_max = np.empty_like(e)
+            for a, b_ in zip(
+                np.flatnonzero(new_key), np.r_[np.flatnonzero(new_key)[1:], len(k)]
+            ):
+                run_max[a:b_] = np.maximum.accumulate(e[a:b_])
+        # island opens at a key change or where start clears every
+        # earlier end of the same key (prev running max)
+        brk = new_key.copy()
+        brk[1:] |= (~new_key[1:]) & (s[1:] > run_max[:-1])
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, len(k)])
+        cover_end = np.maximum.reduceat(e, starts)
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                "cover_start_us": pa.array(s[starts], pa.int64()),
+                "cover_end_us": pa.array(cover_end, pa.int64()),
+                "n_intervals": pa.array(counts, pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_cast, batch_format="pyarrow")
+    return slim.groupby("__bucket").map_groups(
+        lambda g: _cover(g.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )

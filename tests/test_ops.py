@@ -5606,6 +5606,116 @@ def test_scd2_multi_attribute(ray_session):
     ]
 
 
+def _brute_interval_cover(rows):
+    """In-process interval-union oracle: per key, sort by (s, e), merge
+    overlapping-or-touching, return {(key, start, end, n)} set."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in rows:
+        by_key[k].append((s, e))
+    out = set()
+    for k, iv in by_key.items():
+        iv.sort()
+        cs, ce, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s > ce:
+                out.add((k, cs, ce, n))
+                cs, ce, n = s, e, 1
+            else:
+                ce, n = max(ce, e), n + 1
+        out.add((k, cs, ce, n))
+    return out
+
+
+def test_interval_flatten_vs_brute_force(ray_session):
+    """interval_flatten: merged islands (cover bounds + member counts)
+    match an in-process oracle on random overlapping spans; the layout
+    (repartition) never changes the answer."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    rng = np.random.default_rng(31)
+    n = 800
+    rows = [
+        (int(k), int(s), int(s) + int(d))
+        for k, s, d in zip(
+            rng.integers(0, 20, n),
+            rng.integers(0, 5000, n),
+            rng.integers(0, 400, n),
+        )
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "start_us": pa.array([r[1] for r in rows], pa.int64()),
+            "end_us": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    want = _brute_interval_cover(rows)
+    for parts in (1, 9):
+        out = window_mod.interval_flatten(
+            rd.from_arrow(t).repartition(parts)
+        ).to_pandas()
+        got = set(
+            zip(
+                out.user_id, out.cover_start_us, out.cover_end_us, out.n_intervals
+            )
+        )
+        assert got == want
+
+
+def test_interval_flatten_edges_and_overflow_fallback(ray_session):
+    """Touching intervals merge (start == prev end); strictly-later
+    starts cut; duplicate intervals count; the per-key fallback path
+    (offset trick would overflow) agrees with the vectorized path."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    rows = [
+        (1, 0, 10),
+        (1, 10, 20),   # touching -> merges
+        (1, 21, 30),   # gap of 1 -> new island
+        (1, 21, 30),   # duplicate counts
+        (2, 5, 8),     # contained interval
+        (2, 0, 100),
+        (3, 7, 7),     # zero-length
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "start_us": pa.array([r[1] for r in rows], pa.int64()),
+            "end_us": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    want = {
+        (1, 0, 20, 2),
+        (1, 21, 30, 2),
+        (2, 0, 100, 2),
+        (3, 7, 7, 1),
+    }
+    out = window_mod.interval_flatten(rd.from_arrow(t)).to_pandas()
+    got = set(
+        zip(out.user_id, out.cover_start_us, out.cover_end_us, out.n_intervals)
+    )
+    assert got == want
+
+    # overflow fallback: huge value range forces the per-key slice loop
+    big = 2**61
+    rows2 = [(k, s, s + 5) for k in range(3) for s in (0, 3, big)]
+    t2 = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows2], pa.int64()),
+            "start_us": pa.array([r[1] for r in rows2], pa.int64()),
+            "end_us": pa.array([r[2] for r in rows2], pa.int64()),
+        }
+    )
+    # n_buckets=1 co-locates every key so n_keys x range overflows int64
+    out2 = window_mod.interval_flatten(rd.from_arrow(t2), n_buckets=1).to_pandas()
+    got2 = set(
+        zip(out2.user_id, out2.cover_start_us, out2.cover_end_us, out2.n_intervals)
+    )
+    assert got2 == _brute_interval_cover(rows2)
+
+
 def test_session_windows_allowed_lateness(ray_session):
     """Watermark finalization semantics: wm = max(ts) - lateness; a
     session finalizes iff end + gap <= wm; boundary equality counts as
