@@ -1298,6 +1298,71 @@ FROM g GROUP BY user_id, isl
 """
 
 
+GROWTH_HOUR_US = 3_600_000_000
+
+
+def q_user_growth(sf_dir: str):
+    """Cumulative-distinct growth curve (the DAU/adoption analytic):
+    per hour, how many users appeared for the FIRST time and the
+    running total of distinct users ever seen. Distinct-over-time is
+    windowed COUNT(DISTINCT) — inexpressible as one aggregate — but
+    first-touch reduction makes it two bounded exchanges: min(ts) per
+    user (user-bounded rows) → count per hour (calendar-bounded rows)
+    → one driver cumsum over ≤ calendar-hours rows. Never shuffles the
+    raw stream twice, never holds more than bucket-count rows on the
+    driver."""
+    import ray as _ray
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    firsts = agg.partial_group_agg(
+        ds.map_batches(_us, batch_format="pyarrow"),
+        keys=["user_id"],
+        min_cols=["ts_us"],
+    )
+
+    def _hour(t: pa.Table) -> pa.Table:
+        ts = t["min_ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"hour": pa.array(ts // GROWTH_HOUR_US, pa.int64())})
+
+    hourly = agg.partial_group_agg(
+        firsts.map_batches(_hour, batch_format="pyarrow"),
+        keys=["hour"],
+        count_as="new_users",
+    )
+    blocks = [
+        b
+        for b in _ray.get(hourly.to_arrow_refs())
+        if b.num_rows and {"hour", "new_users"} <= set(b.column_names)
+    ]
+    if not blocks:
+        return pa.schema(
+            [("hour", pa.int64()), ("new_users", pa.int64()), ("cum_users", pa.int64())]
+        ).empty_table()
+    t = pa.concat_tables(blocks).combine_chunks().sort_by([("hour", "ascending")])
+    cum = np.cumsum(t["new_users"].to_numpy(zero_copy_only=False))
+    return t.append_column("cum_users", pa.array(cum, pa.int64()))
+
+
+SQL_USER_GROWTH = f"""
+WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS first_ts FROM events GROUP BY user_id),
+d AS (SELECT first_ts // {GROWTH_HOUR_US} AS hour, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1)
+SELECT hour, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d
+"""
+
+
 def q_lineitem_stats(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
     ds = _read(
@@ -7019,6 +7084,7 @@ def queries() -> Dict[str, Callable]:
         "polite_order": q_polite_order,
         "skipgram_pairs": q_skipgram_pairs,
         "interval_cover": q_interval_cover,
+        "user_growth": q_user_growth,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7269,6 +7335,7 @@ def oracle_sql() -> Dict[str, str]:
         "polite_order": SQL_POLITE_ORDER,
         "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
         "interval_cover": SQL_INTERVAL_COVER,
+        "user_growth": SQL_USER_GROWTH,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

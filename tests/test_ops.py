@@ -5716,6 +5716,24 @@ def test_interval_flatten_edges_and_overflow_fallback(ray_session):
     assert got2 == _brute_interval_cover(rows2)
 
 
+def test_user_growth_curve_invariants(ray_session):
+    """user_growth: cum_users is the prefix sum of new_users, strictly
+    increasing, and its last value equals the exact distinct-user count
+    (every user first-touches exactly once)."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines.queries import q_user_growth
+
+    out = q_user_growth("/root/testdata/sf0.001")
+    hours = out["hour"].to_numpy(zero_copy_only=False)
+    new = out["new_users"].to_numpy(zero_copy_only=False)
+    cum = out["cum_users"].to_numpy(zero_copy_only=False)
+    assert (np.diff(hours) > 0).all()
+    assert (np.cumsum(new) == cum).all()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["user_id"])
+    assert cum[-1] == len(set(ev["user_id"].to_pylist()))
+
+
 def test_session_windows_allowed_lateness(ray_session):
     """Watermark finalization semantics: wm = max(ts) - lateness; a
     session finalizes iff end + gap <= wm; boundary equality counts as
