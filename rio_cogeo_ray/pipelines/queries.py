@@ -5440,6 +5440,39 @@ ORDER BY n DESC, w1, w2 LIMIT {SKIPGRAM_K}
 """
 
 
+KEYNESS_K, KEYNESS_SMOOTH = 15, 1
+
+
+def q_lang_keyness(sf_dir: str):
+    """Per-language distinctive terms (stages/text.py: lang_keyness):
+    integer keyness ratio — token rate in the language vs rate in the
+    REST of the corpus, smoothed, in ppm — top-15 per lang. One corpus
+    pass builds the (lang, w) table; totals reduce from that bounded
+    table and broadcast; the cut is the associative per-lang top-k."""
+    ds = _docs(sf_dir, ["text", "lang"])
+    return text.lang_keyness(ds, k=KEYNESS_K, smoothing=KEYNESS_SMOOTH)
+
+
+SQL_LANG_KEYNESS = rf"""
+WITH tok AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+lt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+l AS (SELECT lang, SUM(n) AS tl FROM lt GROUP BY 1),
+tt AS (SELECT w, SUM(n) AS nt FROM lt GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM lt),
+s AS (SELECT lt.lang, lt.w, lt.n,
+        CAST((CAST(lt.n AS HUGEINT) * (tot.t - l.tl) * 1000000)
+             // (CAST(tt.nt - lt.n + {KEYNESS_SMOOTH} AS HUGEINT) * l.tl)
+             AS BIGINT) AS keyness_ppm
+      FROM lt CROSS JOIN tot
+      JOIN l ON lt.lang IS NOT DISTINCT FROM l.lang
+      JOIN tt USING (w)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY keyness_ppm DESC, w) AS rk FROM s)
+SELECT lang, w, n, keyness_ppm FROM r WHERE rk <= {KEYNESS_K}
+"""
+
+
 def q_polite_order(sf_dir: str):
     """Crawl-politeness interleave (stages/shard.py: polite_interleave):
     a deterministic global fetch order where round r emits each host's
@@ -7085,6 +7118,7 @@ def queries() -> Dict[str, Callable]:
         "skipgram_pairs": q_skipgram_pairs,
         "interval_cover": q_interval_cover,
         "user_growth": q_user_growth,
+        "lang_keyness": q_lang_keyness,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7336,6 +7370,7 @@ def oracle_sql() -> Dict[str, str]:
         "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
         "interval_cover": SQL_INTERVAL_COVER,
         "user_growth": SQL_USER_GROWTH,
+        "lang_keyness": SQL_LANG_KEYNESS,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

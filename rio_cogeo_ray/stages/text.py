@@ -3774,3 +3774,157 @@ def compression_ratio(
         )
 
     return ds.map_batches(_ratio, batch_format="pyarrow")
+
+
+def _keyness_scores(
+    n: np.ndarray, nt: np.ndarray, tl: np.ndarray, grand: int, smoothing: int
+) -> np.ndarray:
+    """keyness_ppm = (n·(grand−tl)·10^6) // ((nt−n+s)·tl), exact: the
+    int64 fast path hands off to Python bignums when the numerator
+    could overflow (web-scale token totals) — the SQL mirror computes
+    in HUGEINT, so both paths are the same exact integers."""
+    if not len(n):
+        return np.array([], dtype=np.int64)
+    rest = grand - tl
+    num_max = int(n.max()) * int(rest.max() if len(rest) else 0) * 10**6
+    den_max = int((nt - n).max() + smoothing) * int(tl.max() if len(tl) else 0)
+    if 0 <= num_max < 2**63 and 0 <= den_max < 2**63:
+        return (n * rest * 10**6) // ((nt - n + smoothing) * tl)
+    return np.array(
+        [
+            (int(a) * (grand - int(c)) * 10**6)
+            // ((int(b) - int(a) + smoothing) * int(c))
+            for a, b, c in zip(n, nt, tl)
+        ],
+        dtype=np.int64,
+    )
+
+
+def lang_keyness(
+    ds,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = 20,
+    smoothing: int = 1,
+    batch_size: int = 32768,
+    n_buckets: int = 64,
+):
+    """Per-group distinctive terms by integer keyness ratio — the
+    corpus-linguistics "keywords of group G vs the rest" signal (the
+    group-level complement of per-doc tf·idf): for token w in lang L,
+
+        keyness_ppm = (n_Lw · (T − T_L) · 10^6) // ((n_w − n_Lw + s) · T_L)
+
+    i.e. rate-in-L vs rate-in-REST with additive smoothing ``s`` on the
+    rest count — every operand an exact integer (HUGEINT-mirrored in
+    SQL), so ties and order are engine-independent.
+
+    Scale shape: ONE corpus pass builds the (lang, w) count table
+    (per-batch Zipf-collapsed partials → bucketed exact merge); token
+    and lang totals REDUCE from that vocab-bounded table, never from
+    the corpus; totals broadcast once via ray.put (tf·idf's df-map
+    doctrine — sorted token array + counts, np.searchsorted per batch);
+    scoring is a stateless map over the vocab-bounded table; the final
+    cut is top_rows_by's associative per-lang top-k. Driver holds
+    vocab-bounded arrays, never documents. Python-int scoring kicks in
+    per batch only when int64 could overflow (web-scale totals), still
+    over vocab-bounded rows.
+
+    Returns (lang, w, n, keyness_ppm), top ``k`` per lang by
+    (keyness_ppm desc, w asc).
+    """
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg, top_rows_by
+
+    def _counts(t: pa.Table) -> pa.Table:
+        lists = pc.ascii_split_whitespace(
+            t[text_col].combine_chunks().cast(pa.string())
+        )
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        lang = t[lang_col].combine_chunks().cast(pa.string())
+        rep = pa.array(
+            np.repeat(np.arange(len(t), dtype=np.int64), lens), pa.int64()
+        )
+        toks = lists.flatten()
+        keep = pc.not_equal(toks, "")
+        pair = pa.table(
+            {"lang": lang.take(rep.filter(keep)), "w": toks.filter(keep)}
+        )
+        aggd = pair.group_by(["lang", "w"]).aggregate([([], "count_all")])
+        return aggd.rename_columns(["lang", "w", "n"])
+
+    lt = partial_group_agg(
+        ds.map_batches(_counts, batch_format="pyarrow", batch_size=batch_size),
+        keys=["lang", "w"],
+        sum_cols=["n"],
+        count_as=None,
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda t: t.rename_columns(["lang", "w", "n"]), batch_format="pyarrow"
+    )
+    # Reuse the merged (lang, w) table for BOTH total reductions and the
+    # scoring pass - multi-consumer, so materialize the vocab-bounded stage.
+    lt = lt.materialize()
+
+    tt_blocks = [
+        b
+        for b in _ray.get(
+            partial_group_agg(
+                lt, keys=["w"], sum_cols=["n"], count_as=None, n_buckets=n_buckets
+            ).to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not tt_blocks:
+        return pa.schema(
+            [
+                ("lang", pa.string()),
+                ("w", pa.string()),
+                ("n", pa.int64()),
+                ("keyness_ppm", pa.int64()),
+            ]
+        ).empty_table()
+    tt = (
+        pa.concat_tables(tt_blocks).combine_chunks().sort_by([("w", "ascending")])
+    )
+    tok_sorted = tt["w"].combine_chunks().to_numpy(zero_copy_only=False)
+    tok_counts = tt["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lang_tot: dict = {}
+    for b in _ray.get(
+        partial_group_agg(
+            lt, keys=["lang"], sum_cols=["n"], count_as=None, n_buckets=8
+        ).to_arrow_refs()
+    ):
+        for la, n in zip(b["lang"].to_pylist(), b["sum_n"].to_pylist()):
+            lang_tot[la] = lang_tot.get(la, 0) + int(n)
+    grand = sum(lang_tot.values())
+    tok_ref = _ray.put((tok_sorted, tok_counts))
+
+    def _score(t: pa.Table) -> pa.Table:
+        toks_b, counts_b = _ray.get(tok_ref)
+        w = t["w"].combine_chunks()
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        # vocab-bounded binary search against the broadcast total table
+        idx = np.searchsorted(toks_b, w.to_numpy(zero_copy_only=False).astype(object))
+        nt = counts_b[idx]
+        langs = t["lang"].to_pylist()
+        tl = np.array([lang_tot[la] for la in langs], dtype=np.int64)
+        score = _keyness_scores(n, nt, tl, grand, smoothing)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "w": w,
+                "n": pa.array(n, pa.int64()),
+                "keyness_ppm": pa.array(score, pa.int64()),
+            }
+        )
+
+    scored = lt.map_batches(_score, batch_format="pyarrow")
+    return top_rows_by(
+        scored,
+        keys=["lang"],
+        order_by=[("keyness_ppm", "descending"), ("w", "ascending")],
+        k=k,
+        n_buckets=8,
+    )

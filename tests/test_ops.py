@@ -5716,6 +5716,95 @@ def test_interval_flatten_edges_and_overflow_fallback(ray_session):
     assert got2 == _brute_interval_cover(rows2)
 
 
+def test_lang_keyness_vs_brute_force(ray_session):
+    """lang_keyness: scores, counts, the smoothing, and the per-lang
+    (score desc, w asc) top-k cut all match an in-process oracle; the
+    layout never changes the answer."""
+    from collections import Counter
+
+    docs = {
+        "en": ["the cat sat on the mat", "the dog ate the cat food"],
+        "de": ["der hund und die katze", "die katze sass auf der matte"],
+        "fr": ["le chat et le chien", "le chat dort"],
+    }
+    rows = [(la, s) for la, ss in docs.items() for s in ss]
+    t = pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+    lt: Counter = Counter()
+    for la, s in rows:
+        for w in s.split():
+            lt[(la, w)] += 1
+    tl = Counter()
+    nt = Counter()
+    for (la, w), n in lt.items():
+        tl[la] += n
+        nt[w] += n
+    grand = sum(tl.values())
+    want = set()
+    for la in docs:
+        scored = sorted(
+            (
+                (
+                    (lt[(la, w)] * (grand - tl[la]) * 10**6)
+                    // ((nt[w] - lt[(la, w)] + 1) * tl[la]),
+                    w,
+                )
+                for (l2, w) in lt
+                if l2 == la
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:4]
+        for sc, w in scored:
+            want.add((la, w, lt[(la, w)], sc))
+
+    for parts in (1, 5):
+        out = text.lang_keyness(
+            rd.from_arrow(t).repartition(parts), k=4, smoothing=1
+        ).to_pandas()
+        got = set(zip(out.lang, out.w, out.n, out.keyness_ppm))
+        assert got == want
+
+
+def test_keyness_scores_bignum_path_agrees():
+    """_keyness_scores: the Python-bignum fallback and the int64 fast
+    path compute the same integers; web-scale totals that would
+    overflow int64 take the fallback and stay exact."""
+    from rio_cogeo_ray.stages.text import _keyness_scores
+
+    n = np.array([5, 80, 1], dtype=np.int64)
+    nt = np.array([9, 100, 7], dtype=np.int64)
+    tl = np.array([200, 300, 200], dtype=np.int64)
+    fast = _keyness_scores(n, nt, tl, grand=1000, smoothing=1)
+    slow = [
+        (int(a) * (1000 - int(c)) * 10**6) // ((int(b) - int(a) + 1) * int(c))
+        for a, b, c in zip(n, nt, tl)
+    ]
+    assert fast.tolist() == slow
+
+    # totals big enough that n*rest*1e6 blows past int64 -> bignum path
+    big_grand = 6 * 10**12
+    n2 = np.array([4 * 10**6], dtype=np.int64)
+    nt2 = np.array([5 * 10**6], dtype=np.int64)
+    tl2 = np.array([10**12], dtype=np.int64)
+    got = _keyness_scores(n2, nt2, tl2, grand=big_grand, smoothing=1)
+    want = (4 * 10**6 * (big_grand - 10**12) * 10**6) // (
+        (10**6 + 1) * 10**12
+    )
+    assert got.tolist() == [want]
+    assert _keyness_scores(
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        grand=0,
+        smoothing=1,
+    ).tolist() == []
+
+
 def test_user_growth_curve_invariants(ray_session):
     """user_growth: cum_users is the prefix sum of new_users, strictly
     increasing, and its last value equals the exact distinct-user count
