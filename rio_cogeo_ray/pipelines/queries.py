@@ -5473,6 +5473,32 @@ SELECT lang, w, n, keyness_ppm FROM r WHERE rk <= {KEYNESS_K}
 """
 
 
+def q_vocab_overlap_exact(sf_dir: str):
+    """EXACT pairwise vocabulary Jaccard between languages (stages/
+    text.py: vocab_jaccard — the exact small-group counterpart of
+    kmv_vocab_overlap's sketch): one distinct-(lang, token) pass, one
+    int64 bitmask per token, and a ≤2^langs mask histogram as the only
+    driver state. Pairs are (group_a < group_b); empty intersections
+    omitted."""
+    ds = _docs(sf_dir, ["text", "lang"])
+    return text.vocab_jaccard(ds)
+
+
+SQL_VOCAB_OVERLAP_EXACT = r"""
+WITH tok AS (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+d AS (SELECT DISTINCT lang, w FROM tok WHERE lang IS NOT NULL AND w <> ''),
+c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY 1),
+i AS (SELECT a.lang AS group_a, b.lang AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM d a JOIN d b USING (w) WHERE a.lang < b.lang GROUP BY 1, 2)
+SELECT group_a, group_b, inter,
+       CAST((inter * 1000000) // (ca.nv + cb.nv - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM i JOIN c ca ON ca.lang = i.group_a JOIN c cb ON cb.lang = i.group_b
+"""
+
+
 def q_polite_order(sf_dir: str):
     """Crawl-politeness interleave (stages/shard.py: polite_interleave):
     a deterministic global fetch order where round r emits each host's
@@ -7119,6 +7145,7 @@ def queries() -> Dict[str, Callable]:
         "interval_cover": q_interval_cover,
         "user_growth": q_user_growth,
         "lang_keyness": q_lang_keyness,
+        "vocab_overlap_exact": q_vocab_overlap_exact,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7371,6 +7398,7 @@ def oracle_sql() -> Dict[str, str]:
         "interval_cover": SQL_INTERVAL_COVER,
         "user_growth": SQL_USER_GROWTH,
         "lang_keyness": SQL_LANG_KEYNESS,
+        "vocab_overlap_exact": SQL_VOCAB_OVERLAP_EXACT,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

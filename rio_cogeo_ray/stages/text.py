@@ -3928,3 +3928,131 @@ def lang_keyness(
         k=k,
         n_buckets=8,
     )
+
+
+def vocab_jaccard(
+    ds,
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_groups: int = 16,
+    n_buckets: int = 64,
+):
+    """EXACT pairwise vocabulary Jaccard between groups — the exact
+    small-group counterpart of the KMV/theta sketch (sketch.py:
+    kmv_overlap estimates the same numbers when groups outgrow this
+    op's bitmask): for groups A, B over their distinct token sets,
+    ``jaccard_ppm = 10^6·|A∩B| // (|A|+|B|−|A∩B|)``.
+
+    Scale shape: ONE corpus pass builds the distinct (group, w) table
+    (per-batch distinct collapse → bucketed exact merge); each token
+    then reduces to ONE int64 bitmask row (each distinct (group, w)
+    appears exactly once post-merge, so SUM of per-group bits == OR);
+    the mask HISTOGRAM (≤ 2^groups rows, hence ``max_groups``) is the
+    only thing the driver sees — pair algebra over it is O(4^groups)
+    worst case, corpus-independent. Groups beyond ``max_groups`` must
+    use kmv_overlap; this op raises rather than degrade.
+
+    Null group values never pair (mirrors SQL ``a.g < b.g``); pairs
+    with an empty intersection are omitted (inner-join mirror).
+    Returns (group_a, group_b, inter, jaccard_ppm), group_a < group_b.
+    """
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    out_schema = pa.schema(
+        [
+            ("group_a", pa.string()),
+            ("group_b", pa.string()),
+            ("inter", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        lists = pc.ascii_split_whitespace(
+            t[text_col].combine_chunks().cast(pa.string())
+        )
+        lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        g = t[group_col].combine_chunks().cast(pa.string())
+        rep = pa.array(
+            np.repeat(np.arange(len(t), dtype=np.int64), lens), pa.int64()
+        )
+        toks = lists.flatten()
+        keep = pc.not_equal(toks, "")
+        pair = pa.table({"g": g.take(rep.filter(keep)), "w": toks.filter(keep)})
+        pair = pair.filter(pc.is_valid(pair["g"]))
+        return pair.group_by(["g", "w"]).aggregate([])
+
+    dist = partial_group_agg(
+        ds.map_batches(_distinct, batch_format="pyarrow"),
+        keys=["g", "w"],
+        count_as=None,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    groups: set = set()
+    for b in _ray.get(
+        partial_group_agg(dist, keys=["g"], count_as=None, n_buckets=4).to_arrow_refs()
+    ):
+        groups.update(x for x in b["g"].to_pylist() if x is not None)
+    groups = sorted(groups)
+    if not groups:
+        return out_schema.empty_table()
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"vocab_jaccard: {len(groups)} groups > max_groups={max_groups}; "
+            "the mask histogram would not stay driver-bounded - use "
+            "sketch.kmv_overlap for wide group domains"
+        )
+    bit_of = {g: 1 << i for i, g in enumerate(groups)}
+
+    def _bits(t: pa.Table) -> pa.Table:
+        bits = np.array([bit_of[g] for g in t["g"].to_pylist()], dtype=np.int64)
+        return pa.table({"w": t["w"], "bit": pa.array(bits, pa.int64())})
+
+    masks = partial_group_agg(
+        dist.map_batches(_bits, batch_format="pyarrow"),
+        keys=["w"],
+        sum_cols=["bit"],
+        count_as=None,
+        n_buckets=n_buckets,
+    )
+    hist: dict = {}
+    for b in _ray.get(
+        partial_group_agg(
+            masks.map_batches(
+                lambda t: pa.table({"mask": t["sum_bit"]}), batch_format="pyarrow"
+            ),
+            keys=["mask"],
+            count_as="cnt",
+            n_buckets=4,
+        ).to_arrow_refs()
+    ):
+        for m, c in zip(b["mask"].to_pylist(), b["cnt"].to_pylist()):
+            hist[int(m)] = hist.get(int(m), 0) + int(c)
+
+    mk = np.array(list(hist.keys()), dtype=np.int64)
+    ct = np.array(list(hist.values()), dtype=np.int64)
+    has = [((mk >> i) & 1).astype(bool) for i in range(len(groups))]
+    size = [int(ct[h].sum()) for h in has]
+    rows = {"group_a": [], "group_b": [], "inter": [], "jaccard_ppm": []}
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            inter = int(ct[has[i] & has[j]].sum())
+            if not inter:
+                continue
+            rows["group_a"].append(groups[i])
+            rows["group_b"].append(groups[j])
+            rows["inter"].append(inter)
+            rows["jaccard_ppm"].append(
+                (inter * 10**6) // (size[i] + size[j] - inter)
+            )
+    return pa.table(
+        {
+            "group_a": pa.array(rows["group_a"], pa.string()),
+            "group_b": pa.array(rows["group_b"], pa.string()),
+            "inter": pa.array(rows["inter"], pa.int64()),
+            "jaccard_ppm": pa.array(rows["jaccard_ppm"], pa.int64()),
+        }
+    )

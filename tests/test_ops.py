@@ -5805,6 +5805,50 @@ def test_keyness_scores_bignum_path_agrees():
     ).tolist() == []
 
 
+def test_vocab_jaccard_vs_brute_force(ray_session):
+    """vocab_jaccard: exact pair intersections/unions match a set
+    oracle; null groups never pair; empty intersections are omitted;
+    layout-invariant; >max_groups raises toward kmv_overlap."""
+    docs = [
+        ("en", "the cat sat"),
+        ("en", "the dog"),
+        ("de", "der hund the"),
+        ("fr", "chat unique_fr"),
+        ("zz", "disjoint tokens only"),
+        (None, "the der chat"),  # null group: contributes nothing
+    ]
+    t = pa.table(
+        {
+            "lang": pa.array([d[0] for d in docs], pa.string()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    vocab = {}
+    for la, s in docs:
+        if la is not None:
+            vocab.setdefault(la, set()).update(s.split())
+    want = set()
+    langs = sorted(vocab)
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                want.add(
+                    (a, b, inter, (inter * 10**6) // len(vocab[a] | vocab[b]))
+                )
+    for parts in (1, 4):
+        out = text.vocab_jaccard(rd.from_arrow(t).repartition(parts)).to_pydict()
+        got = set(
+            zip(out["group_a"], out["group_b"], out["inter"], out["jaccard_ppm"])
+        )
+        assert got == want
+    # zz shares no token with anyone -> no pair row mentions it
+    assert all("zz" not in (a, b) for a, b, *_ in want)
+
+    with pytest.raises(ValueError, match="kmv_overlap"):
+        text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
+
+
 def test_user_growth_curve_invariants(ray_session):
     """user_growth: cum_users is the prefix sum of new_users, strictly
     increasing, and its last value equals the exact distinct-user count
