@@ -4759,6 +4759,35 @@ FROM documents GROUP BY lang
 """
 
 
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-squared lang × source contingency audit (stages/sketch.py:
+    contingency_chi2): the independence test behind "does the crawl
+    source predict the language mix?" — exact integer micro-chi² per
+    cell over the FULL domain grid, zero-observed cells included. One
+    bounded count exchange; driver state = cells, Python-bignum exact."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["lang", "source"])
+    return sketch.contingency_chi2(ds, "lang", "source")
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, SUM(o) AS rl FROM c GROUP BY 1),
+s AS (SELECT source, SUM(o) AS cs FROM c GROUP BY 1),
+n AS (SELECT SUM(o) AS nn FROM c),
+grid AS (SELECT r.lang, s.source, COALESCE(c.o, 0) AS o, r.rl, s.cs, n.nn
+         FROM r CROSS JOIN s CROSS JOIN n
+         LEFT JOIN c ON c.lang = r.lang AND c.source = s.source)
+SELECT lang, source, CAST(o AS BIGINT) AS o,
+       CAST(((CAST(o AS HUGEINT) * nn - rl * cs)
+             * (CAST(o AS HUGEINT) * nn - rl * cs) * 1000000)
+            // (nn * rl * cs) AS BIGINT) AS chi2_micro
+FROM grid
+"""
+
+
 def q_lang_pearson(sf_dir: str):
     """Per-language Pearson correlation between doc length (n_chars)
     and whitespace token count — exact-integer bivariate statistics
@@ -7146,6 +7175,7 @@ def queries() -> Dict[str, Callable]:
         "user_growth": q_user_growth,
         "lang_keyness": q_lang_keyness,
         "vocab_overlap_exact": q_vocab_overlap_exact,
+        "chi2_lang_source": q_chi2_lang_source,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7399,6 +7429,7 @@ def oracle_sql() -> Dict[str, str]:
         "user_growth": SQL_USER_GROWTH,
         "lang_keyness": SQL_LANG_KEYNESS,
         "vocab_overlap_exact": SQL_VOCAB_OVERLAP_EXACT,
+        "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

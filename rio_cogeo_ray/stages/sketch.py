@@ -1246,3 +1246,81 @@ def grouped_ntile(
         .groupby("__b")
         .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
     )
+
+
+def contingency_chi2(ds, row_col: str, col_col: str, n_buckets: int = 16):
+    """Chi-squared contingency table over two CATEGORICAL columns — the
+    independence test behind "does source predict language?" corpus
+    audits: per cell, the exact integer micro-chi² contribution
+
+        chi2_micro = ((O·N − R·C)² · 10^6) // (N·R·C)
+
+    (O observed, R row total, C column total, N grand total — the
+    identity (O−E)²/E with E = R·C/N cleared of fractions). Every cell
+    of the FULL row-domain × col-domain grid is emitted, zero-observed
+    cells included (they contribute E): both engines build the same
+    grid, so the table is hash-exact.
+
+    Scale shape: ONE partial→final count exchange over the (row, col)
+    pairs; the driver sees only the cell table — bounded by the product
+    of the two categorical domains, never by corpus size (this op is
+    for enum-like columns; don't point it at open domains like url).
+    Driver arithmetic is Python bignums, so web-scale N never overflows
+    (the SQL mirror computes in HUGEINT, exact to 2^127).
+
+    Returns (row_col, col_col, o, chi2_micro) with int64 columns.
+    """
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    cells: dict = {}
+    for b in _ray.get(
+        partial_group_agg(
+            ds.map_batches(
+                lambda t: t.select([row_col, col_col]), batch_format="pyarrow"
+            ),
+            keys=[row_col, col_col],
+            count_as="o",
+            n_buckets=n_buckets,
+        ).to_arrow_refs()
+    ):
+        for r, c, o in zip(
+            b[row_col].to_pylist(), b[col_col].to_pylist(), b["o"].to_pylist()
+        ):
+            cells[(r, c)] = cells.get((r, c), 0) + int(o)
+    out_schema = pa.schema(
+        [
+            (row_col, pa.string()),
+            (col_col, pa.string()),
+            ("o", pa.int64()),
+            ("chi2_micro", pa.int64()),
+        ]
+    )
+    if not cells:
+        return out_schema.empty_table()
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for (r, c), o in cells.items():
+        row_tot[r] = row_tot.get(r, 0) + o
+        col_tot[c] = col_tot.get(c, 0) + o
+    grand = sum(row_tot.values())
+    rows = {row_col: [], col_col: [], "o": [], "chi2_micro": []}
+    for r in sorted(row_tot, key=str):
+        for c in sorted(col_tot, key=str):
+            o = cells.get((r, c), 0)
+            d = o * grand - row_tot[r] * col_tot[c]
+            rows[row_col].append(r)
+            rows[col_col].append(c)
+            rows["o"].append(o)
+            rows["chi2_micro"].append(
+                (d * d * 10**6) // (grand * row_tot[r] * col_tot[c])
+            )
+    return pa.table(
+        {
+            row_col: pa.array(rows[row_col], pa.string()),
+            col_col: pa.array(rows[col_col], pa.string()),
+            "o": pa.array(rows["o"], pa.int64()),
+            "chi2_micro": pa.array(rows["chi2_micro"], pa.int64()),
+        }
+    )

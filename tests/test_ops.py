@@ -5849,6 +5849,55 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_contingency_chi2_vs_float_oracle(ray_session):
+    """contingency_chi2: per-cell micro contributions floor-match the
+    float (O-E)^2/E formula, zero-observed grid cells are emitted, and
+    the summed statistic matches the float chi2 within flooring error."""
+    from rio_cogeo_ray.stages.sketch import contingency_chi2
+
+    rows = (
+        [("en", "web")] * 30
+        + [("en", "books")] * 10
+        + [("de", "web")] * 5
+        + [("de", "books")] * 25
+        + [("fr", "web")] * 12
+        # fr x books never observed -> zero cell must still appear
+    )
+    t = pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = contingency_chi2(rd.from_arrow(t).repartition(4), "lang", "source")
+    got = {
+        (la, s): (o, chi)
+        for la, s, o, chi in zip(
+            out["lang"].to_pylist(),
+            out["source"].to_pylist(),
+            out["o"].to_pylist(),
+            out["chi2_micro"].to_pylist(),
+        )
+    }
+    assert set(got) == {(la, s) for la in ("de", "en", "fr") for s in ("books", "web")}
+    assert got[("fr", "books")][0] == 0
+
+    from collections import Counter
+
+    obs = Counter(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    n = len(rows)
+    total_float = 0.0
+    for cell, (o, chi) in got.items():
+        assert o == obs[cell]
+        e = rt[cell[0]] * ct[cell[1]] / n
+        term = (o - e) ** 2 / e
+        total_float += term
+        assert chi == int(term * 10**6) or abs(chi - term * 10**6) < 1.0
+    assert abs(sum(c for _, c in got.values()) / 10**6 - total_float) < 1e-4
+
+
 def test_user_growth_curve_invariants(ray_session):
     """user_growth: cum_users is the prefix sum of new_users, strictly
     increasing, and its last value equals the exact distinct-user count
