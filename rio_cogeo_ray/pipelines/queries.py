@@ -5502,6 +5502,40 @@ SELECT lang, w, n, keyness_ppm FROM r WHERE rk <= {KEYNESS_K}
 """
 
 
+NOVELTY_N = 3
+
+
+def q_doc_novelty(sf_dir: str):
+    """First-occurrence novelty audit (stages/text.py: doc_novelty):
+    per doc, the ppm fraction of its distinct word 3-grams whose first
+    owner (min doc_id corpus-wide) is the doc itself — syndicated /
+    boilerplate-heavy pages score low. Two linear shuffles (gram-hash
+    buckets emit novel+total partials in ONE pass, then a doc-keyed
+    sum); text never shuffles."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text.doc_novelty(ds, n=NOVELTY_N)
+
+
+SQL_DOC_NOVELTY = rf"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+            FROM documents),
+e AS (SELECT doc_id, toks,
+             unnest(range(1, len(toks) - {NOVELTY_N} + 2)) AS i
+      FROM tk WHERE len(toks) >= {NOVELTY_N}),
+g AS (SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+      FROM e),
+own AS (SELECT gram, MIN(doc_id) AS doc_id FROM g GROUP BY 1),
+novel AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS novel
+          FROM own GROUP BY 1),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1)
+SELECT t.doc_id, COALESCE(v.novel, 0) AS novel, t.n_grams,
+       CAST(COALESCE(v.novel, 0) * 1000000 // t.n_grams AS BIGINT)
+         AS novelty_ppm
+FROM tot t LEFT JOIN novel v ON v.doc_id = t.doc_id
+"""
+
+
 def q_vocab_overlap_exact(sf_dir: str):
     """EXACT pairwise vocabulary Jaccard between languages (stages/
     text.py: vocab_jaccard — the exact small-group counterpart of
@@ -7176,6 +7210,7 @@ def queries() -> Dict[str, Callable]:
         "lang_keyness": q_lang_keyness,
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chi2_lang_source": q_chi2_lang_source,
+        "doc_novelty": q_doc_novelty,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7430,6 +7465,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_keyness": SQL_LANG_KEYNESS,
         "vocab_overlap_exact": SQL_VOCAB_OVERLAP_EXACT,
         "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+        "doc_novelty": SQL_DOC_NOVELTY,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -4056,3 +4056,120 @@ def vocab_jaccard(
             "jaccard_ppm": pa.array(rows["jaccard_ppm"], pa.int64()),
         }
     )
+
+
+def doc_novelty(
+    ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """First-occurrence novelty score — the dataset-curation audit
+    "how much NEW text does each document add?": per doc, the fraction
+    of its distinct word ``n``-grams whose FIRST owner (min doc id over
+    the whole corpus) is the doc itself, in exact integer ppm. Crawl
+    snapshots full of syndicated/boilerplate text score low; original
+    content scores high (the additive complement of cross_doc_ngrams'
+    shared-span count).
+
+    Scale shape — two LINEAR shuffles, cross_doc_ngrams' doctrine:
+
+    1. map: per-doc DISTINCT gram hashes (128-bit rolling token-hash
+       combinations, text never leaves the map stage).
+    2. bucket by hash(g1): all postings of a gram land in one bucket,
+       so the bucket-local ``min(doc)`` per gram IS the global owner.
+       ONE pass emits BOTH per-doc partials: novel (grams this doc
+       owns) and total (distinct grams seen) — rows ∝ docs per bucket.
+    3. one partial→final sum per doc finalizes ``novelty_ppm =
+       novel·10^6 // n_grams``.
+
+    Docs with fewer than ``n`` tokens have no grams and no output row
+    (the SQL mirror's inner gram derivation drops them identically).
+    Same 2×64-bit collision contract as decontam/dup-span grams.
+    Returns (id, novel, n_grams, novelty_ppm).
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    rows = ds.map_batches(
+        lambda t: _doc_ngram_hashes(t, n, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        b = (
+            splitmix64(
+                t["g1"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "novel_partial": pa.array([], pa.int64()),
+            "total_partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        g1 = g["g1"].combine_chunks().to_numpy(zero_copy_only=False)
+        g2 = g["g2"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # sort doc WITHIN gram runs so each run's first row is its owner
+        order = np.lexsort((doc, g2, g1))
+        g1s, g2s, docs_ = g1[order], g2[order], doc[order]
+        start = np.r_[True, (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1])]
+        owners = docs_[start]
+        nov_doc, nov_cnt = np.unique(owners, return_counts=True)
+        tot_doc, tot_cnt = np.unique(docs_, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(np.r_[nov_doc, tot_doc], pa.int64()),
+                "novel_partial": pa.array(
+                    np.r_[nov_cnt, np.zeros(len(tot_doc), dtype=np.int64)].astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "total_partial": pa.array(
+                    np.r_[np.zeros(len(nov_doc), dtype=np.int64), tot_cnt].astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    partials = (
+        rows.map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _bucket(g.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )
+    summed = partial_group_agg(
+        partials,
+        keys=[id_col],
+        sum_cols=["novel_partial", "total_partial"],
+        count_as=None,
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        novel = t["sum_novel_partial"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = t["sum_total_partial"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks(),
+                "novel": pa.array(novel, pa.int64()),
+                "n_grams": pa.array(tot, pa.int64()),
+                "novelty_ppm": pa.array(novel * 1_000_000 // tot, pa.int64()),
+            }
+        )
+
+    return summed.map_batches(_final, batch_format="pyarrow")

@@ -5849,6 +5849,51 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_doc_novelty_vs_brute_force(ray_session):
+    """doc_novelty: per-doc novel/total gram counts and the ppm ratio
+    match a set oracle with planted syndication (doc 3 copies doc 0);
+    sub-n docs have no row; layout-invariant."""
+    texts = {
+        0: "a b c d e f",           # all novel (first doc)
+        1: "x y z w",               # disjoint -> all novel
+        2: "a b c d q r s",         # shares 'a b c'/'b c d' with doc 0
+        3: "a b c d e f",           # full copy of doc 0 -> zero novel
+        4: "q r",                   # < 3 tokens -> no row
+        5: "",                      # empty -> no row
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+
+    def grams(s):
+        tk = s.split()
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    owner = {}
+    for d in sorted(texts):
+        for g in grams(texts[d]):
+            owner.setdefault(g, d)
+    want = {}
+    for d, s in texts.items():
+        gs = grams(s)
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if owner[g] == d)
+        want[d] = (novel, len(gs), novel * 10**6 // len(gs))
+
+    for parts in (1, 4):
+        out = text.doc_novelty(rd.from_arrow(t).repartition(parts)).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.novel), int(r.n_grams), int(r.novelty_ppm))
+            for r in out.itertuples()
+        }
+        assert got == want
+    assert want[3][0] == 0 and want[0][0] == 4 and 4 not in want and 5 not in want
+
+
 def test_contingency_chi2_vs_float_oracle(ray_session):
     """contingency_chi2: per-cell micro contributions floor-match the
     float (O-E)^2/E formula, zero-observed grid cells are emitted, and
