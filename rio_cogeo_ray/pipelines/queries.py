@@ -6727,6 +6727,98 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_mutual_hosts(sf_dir: str):
+    """Reciprocal-link audit (stages/graph.py: mutual_edges) over a
+    synthesized host web graph with genuine reciprocity: host k links
+    its ring neighbours (k+1)%23 and (k+22)%23 — mutual by construction
+    — and every third doc adds a mostly one-way (2k)%23 link (the
+    outlink-graph 7×/13× multiplier maps admit NO mutual pairs, so this
+    query uses its own deterministic synthesis, mirrored in SQL). The
+    production chain downstream — extract_outlinks → host_link_edges →
+    mutual_edges — is unchanged kernels."""
+    from rio_cogeo_ray.stages import graph as graph_mod
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _html(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        k = d % 23
+
+        def _s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        third = pc.if_else(
+            pa.array(d % 3 == 0),
+            pc.binary_join_element_wise(
+                pa.scalar('<a href="https://h'),
+                _s((2 * k) % 23),
+                pa.scalar('.example.com/t">z</a>'),
+                "",
+            ),
+            pa.scalar(""),
+        )
+        html = pc.binary_join_element_wise(
+            pa.scalar('<html><body><a href="https://h'),
+            _s((k + 1) % 23),
+            pa.scalar('.example.com/a">x</a><a href="https://h'),
+            _s((k + 22) % 23),
+            pa.scalar('.example.com/b">y</a>'),
+            third,
+            pa.scalar("</body></html>"),
+            "",
+        )
+        return pa.table({"doc_id": pa.array(d, pa.int64()), "html": html})
+
+    pages = ds.map_batches(_html, batch_format="pyarrow")
+    links = text.extract_outlinks(pages, id_col="doc_id", html_col="html")
+
+    def _src(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        src = pc.binary_join_element_wise(
+            pa.scalar("h"),
+            pc.cast(pa.array(d % 23, pa.int64()), pa.string()),
+            pa.scalar(".example.com"),
+            "",
+        )
+        return t.append_column("src_host", src)
+
+    edges = text.host_link_edges(links.map_batches(_src, batch_format="pyarrow"))
+    return graph_mod.mutual_edges(edges)
+
+
+def _sql_mutual_hosts() -> str:
+    return r"""
+WITH h AS (SELECT doc_id,
+  '<html><body><a href="https://h' || (doc_id % 23 + 1) % 23
+    || '.example.com/a">x</a><a href="https://h' || (doc_id % 23 + 22) % 23
+    || '.example.com/b">y</a>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<a href="https://h' || (2 * (doc_id % 23)) % 23
+                 || '.example.com/t">z</a>'
+            ELSE '' END
+    || '</body></html>' AS html
+  FROM documents),
+p AS (SELECT doc_id, unnest(str_split(html, 'href="')[2:]) AS piece FROM h),
+l AS (SELECT doc_id, str_split(piece, '"')[1] AS outlink
+      FROM p WHERE contains(piece, '"')),
+edges AS (SELECT 'h' || doc_id % 23 || '.example.com' AS src_host,
+       COALESCE(regexp_extract(outlink, '^https?://([^/]+)', 1), '') AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+      FROM l GROUP BY 1, 2),
+c AS (SELECT CASE WHEN src_host < dst_host THEN src_host ELSE dst_host END AS host_a,
+             CASE WHEN src_host < dst_host THEN dst_host ELSE src_host END AS host_b,
+             SUM(CASE WHEN src_host < dst_host THEN n_links ELSE 0 END) AS ab,
+             SUM(CASE WHEN src_host > dst_host THEN n_links ELSE 0 END) AS ba
+      FROM edges WHERE src_host <> dst_host GROUP BY 1, 2)
+SELECT host_a, host_b, CAST(ab AS BIGINT) AS n_ab, CAST(ba AS BIGINT) AS n_ba
+FROM c WHERE ab > 0 AND ba > 0
+"""
+
+
 def q_scd2(sf_dir: str):
     """SCD Type-2 dimension build (stages/window.py: scd2_intervals):
     compress the event change log into per-user validity intervals of
@@ -7211,6 +7303,7 @@ def queries() -> Dict[str, Callable]:
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chi2_lang_source": q_chi2_lang_source,
         "doc_novelty": q_doc_novelty,
+        "mutual_hosts": q_mutual_hosts,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7466,6 +7559,7 @@ def oracle_sql() -> Dict[str, str]:
         "vocab_overlap_exact": SQL_VOCAB_OVERLAP_EXACT,
         "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
         "doc_novelty": SQL_DOC_NOVELTY,
+        "mutual_hosts": _sql_mutual_hosts(),
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

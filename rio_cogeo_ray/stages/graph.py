@@ -318,3 +318,68 @@ def k_core(edges, k: int, max_rounds: int = 64, n_buckets: int = 64):
             {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
         )
     return _edge_degrees(cur, n_buckets)
+
+
+def mutual_edges(
+    ds,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+    n_buckets: int = 32,
+):
+    """Reciprocal-link detection over a weighted directed edge table —
+    the link-exchange / mutual-citation audit of the host web graph
+    (rings of sites that all link each other are a classic spam
+    signal): emit (host_a, host_b, n_ab, n_ba) for every unordered pair
+    linked in BOTH directions, host_a < host_b. Self-loops never pair
+    (SQL mirror: ``src <> dst``); one-way links are dropped.
+
+    Scale shape: a pure map canonicalizes each edge to its unordered
+    pair with the weight routed into the matching direction column;
+    ONE partial→final sum per (host_a, host_b) then a zero-free filter
+    — rows ∝ mutually-linked pairs, never edges².
+    """
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().cast(pa.string())
+        d = t[dst_col].combine_chunks().cast(pa.string())
+        w = t[weight_col].combine_chunks().cast(pa.int64())
+        fwd = pc.less(s, d)
+        keep = pc.or_(fwd, pc.greater(s, d))  # drops self-loops and null cmp
+        s, d, w, fwd = (a.filter(keep) for a in (s, d, w, fwd))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "host_a": pc.if_else(fwd, s, d),
+                "host_b": pc.if_else(fwd, d, s),
+                "n_ab": pc.if_else(fwd, w, zero),
+                "n_ba": pc.if_else(fwd, zero, w),
+            }
+        )
+
+    summed = partial_group_agg(
+        ds.map_batches(_canon, batch_format="pyarrow"),
+        keys=["host_a", "host_b"],
+        sum_cols=["n_ab", "n_ba"],
+        count_as=None,
+        n_buckets=n_buckets,
+    )
+
+    def _mutual(t: pa.Table) -> pa.Table:
+        ab = t["sum_n_ab"].combine_chunks()
+        ba = t["sum_n_ba"].combine_chunks()
+        out = pa.table(
+            {
+                "host_a": t["host_a"].combine_chunks(),
+                "host_b": t["host_b"].combine_chunks(),
+                "n_ab": ab,
+                "n_ba": ba,
+            }
+        )
+        zero = pa.scalar(0, pa.int64())
+        return out.filter(
+            pc.and_(pc.greater(ab, zero), pc.greater(ba, zero))
+        )
+
+    return summed.map_batches(_mutual, batch_format="pyarrow")

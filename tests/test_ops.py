@@ -5849,6 +5849,35 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_mutual_edges_hand_computed(ray_session):
+    """mutual_edges: only both-direction pairs survive, weights land in
+    the right direction columns, self-loops and one-way links drop,
+    duplicate edge rows sum; layout-invariant."""
+    from rio_cogeo_ray.stages import graph as graph_mod
+
+    edges = [
+        ("a", "b", 3),
+        ("b", "a", 2),     # mutual with above
+        ("a", "c", 5),     # one-way -> dropped
+        ("d", "d", 9),     # self-loop -> dropped
+        ("c", "e", 1),
+        ("e", "c", 4),
+        ("e", "c", 6),     # duplicate edge row: sums to 10
+    ]
+    t = pa.table(
+        {
+            "src_host": pa.array([e[0] for e in edges], pa.string()),
+            "dst_host": pa.array([e[1] for e in edges], pa.string()),
+            "n_links": pa.array([e[2] for e in edges], pa.int64()),
+        }
+    )
+    want = {("a", "b", 3, 2), ("c", "e", 1, 10)}
+    for parts in (1, 4):
+        out = graph_mod.mutual_edges(rd.from_arrow(t).repartition(parts)).to_pandas()
+        got = set(zip(out.host_a, out.host_b, out.n_ab, out.n_ba))
+        assert got == want
+
+
 def test_doc_novelty_vs_brute_force(ray_session):
     """doc_novelty: per-doc novel/total gram counts and the ppm ratio
     match a set oracle with planted syndication (doc 3 copies doc 0);
