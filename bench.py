@@ -680,6 +680,45 @@ def bench_dup_span():
     return text_mod.dup_span_scrub(ds, n=5, min_docs=2, id_col="pid").count()
 
 
+def bench_novelty():
+    """First-occurrence novelty audit over the pages corpus: per-doc
+    distinct 5-gram hashes -> ONE gram-hash bucket exchange emitting
+    min-owner novel + total partials together -> one doc-keyed sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+    from rio_cogeo_ray.stages.sketch import _hash_col
+
+    def _pid(t: pa.Table) -> pa.Table:
+        h = _hash_col(t["url"]).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(h, pa.int64()),
+                "text": t["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "text"]).map_batches(
+        _pid, batch_format="pyarrow"
+    )
+    return text_mod.doc_novelty(ds, n=5, id_col="pid").count()
+
+
+def bench_skipgram():
+    """Windowed skip-gram co-occurrence top-k over the pages corpus:
+    per-batch shifted-slice pair partials (window=3) -> one bucketed
+    exact merge -> associative local top-k -> bounded driver sort."""
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import text as text_mod
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["text"])
+    return text_mod.skipgram_topk(ds, window=3, k=50, min_n=2).num_rows
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -709,6 +748,8 @@ BENCHES = {
     "dsir": bench_dsir,
     "text_index": bench_text_index,
     "dup_span": bench_dup_span,
+    "novelty": bench_novelty,
+    "skipgram": bench_skipgram,
 }
 
 
