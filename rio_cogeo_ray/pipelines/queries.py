@@ -3868,6 +3868,34 @@ SQL_DEDUP_KEEP_BEST = (
 SPLITS = (("train", 90), ("val", 5), ("test", 5))
 
 
+EXACT_SPLIT_PCT = 5
+
+
+def q_exact_split(sf_dir: str):
+    """Per-language EXACT-proportion eval split (stages/sketch.py:
+    exact_group_split): exactly floor(n_lang·5%) docs per language go
+    to eval, selected by knuth-hash rank — the per-group quota
+    guarantee split_assign's pure-map threshold can't give. One slim
+    hash(lang) exchange; payloads never move."""
+    from rio_cogeo_ray.stages import sketch
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return sketch.exact_group_split(ds, "lang", "doc_id", pct_eval=EXACT_SPLIT_PCT)
+
+
+SQL_EXACT_SPLIT = f"""
+WITH r AS (SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+            COUNT(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rk <= cnt * {EXACT_SPLIT_PCT} // 100
+            THEN 'eval' ELSE 'train' END AS split
+FROM r
+"""
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split (90/5/5 by id hash) — pure
     map-side, zero shuffle; no example ever migrates between splits
@@ -7304,6 +7332,7 @@ def queries() -> Dict[str, Callable]:
         "chi2_lang_source": q_chi2_lang_source,
         "doc_novelty": q_doc_novelty,
         "mutual_hosts": q_mutual_hosts,
+        "exact_split": q_exact_split,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7560,6 +7589,7 @@ def oracle_sql() -> Dict[str, str]:
         "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
         "doc_novelty": SQL_DOC_NOVELTY,
         "mutual_hosts": _sql_mutual_hosts(),
+        "exact_split": SQL_EXACT_SPLIT,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

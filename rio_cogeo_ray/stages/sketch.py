@@ -1324,3 +1324,86 @@ def contingency_chi2(ds, row_col: str, col_col: str, n_buckets: int = 16):
             "chi2_micro": pa.array(rows["chi2_micro"], pa.int64()),
         }
     )
+
+
+def exact_group_split(
+    ds,
+    group_col: str,
+    id_col: str,
+    pct_eval: int = 5,
+    eval_name: str = "eval",
+    train_name: str = "train",
+    salt: int = 0,
+    n_buckets: int = 64,
+):
+    """Per-group EXACT-proportion split: exactly ``floor(n_g·pct/100)``
+    rows of every group land in the eval split, chosen by hash order —
+    the guarantee :func:`split_assign`'s pure-map hash threshold cannot
+    give (its per-group share only CONVERGES to pct; a small language
+    can end up with zero eval docs). Selection is by
+    ``(knuth32(id, salt), id)`` rank inside the group, so it is
+    deterministic, resume-stable, and SQL-mirrorable as
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY hash, id) <=
+    n_g·pct//100``.
+
+    Scale shape: one hash(group) exchange of SLIM (group, id, hash)
+    rows — each group co-locates in one bucket, so group counts AND
+    ranks fall out of ONE per-bucket lexsort (no count pre-pass, no
+    broadcast); payload columns never move (re-join by id downstream,
+    the carry-nothing doctrine). Hot groups bound a bucket at the
+    group's row count — the irreducible cost of an exact per-group
+    quota.
+
+    Returns (id_col, group_col, split) rows for every input row.
+    """
+    from rio_cogeo_ray.functions.hashing import hash_columns
+
+    def _slim(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        g = t[group_col].combine_chunks().cast(pa.string())
+        h = knuth32(
+            ids.to_numpy(zero_copy_only=False), salt
+        ).astype(np.int64)
+        slim = pa.table({id_col: ids, group_col: g, "__h": pa.array(h, pa.int64())})
+        b = (hash_columns(slim, [group_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return slim.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                (id_col, pa.int64()),
+                (group_col, pa.string()),
+                ("split", pa.string()),
+            ]
+        ).empty_table()
+        if not t.num_rows:
+            return empty
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = t["__h"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, g))
+        gs, ids_s, _ = g[order], ids[order], h[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        idx = np.arange(len(gs), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank1 = idx - run_start + 1  # 1-based rank within group
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(gs)])
+        quota = counts * pct_eval // 100
+        is_eval = rank1 <= np.repeat(quota, counts)
+        split = np.where(is_eval, eval_name, train_name).astype(object)
+        return pa.table(
+            {
+                id_col: pa.array(ids_s, pa.int64()),
+                group_col: pa.array(gs, pa.string()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_slim, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: _rank(t.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )

@@ -5849,6 +5849,51 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_exact_group_split_quota_and_determinism(ray_session):
+    """exact_group_split: every group gets exactly floor(n*pct/100)
+    eval rows (tiny groups round to zero), selection is by
+    (knuth32(id), id) rank, and the assignment is layout-invariant."""
+    from rio_cogeo_ray.stages.sketch import exact_group_split, knuth32
+
+    rng = np.random.default_rng(7)
+    groups = ["en"] * 200 + ["de"] * 57 + ["xx"] * 19  # 19 -> quota 0
+    ids = rng.permutation(len(groups)).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(groups, pa.string()),
+        }
+    )
+    outs = []
+    for parts in (1, 6):
+        out = exact_group_split(
+            rd.from_arrow(t).repartition(parts), "lang", "doc_id", pct_eval=5
+        ).to_pandas()
+        outs.append(
+            {(int(r.doc_id)): (r.lang, r.split) for r in out.itertuples()}
+        )
+        ev = out[out.split == "eval"].groupby("lang").size().to_dict()
+        assert ev.get("en", 0) == 10 and ev.get("de", 0) == 2
+        assert "xx" not in ev
+        assert len(out) == len(groups)
+    assert outs[0] == outs[1]
+
+    # the eval members are the hash-rank minima of their group
+    byg = {}
+    for i, g in zip(ids, groups):
+        byg.setdefault(g, []).append(int(i))
+    picked = {g: set() for g in byg}
+    for d, (g, s) in outs[0].items():
+        if s == "eval":
+            picked[g].add(d)
+    for g, members in byg.items():
+        q = len(members) * 5 // 100
+        want = set(
+            sorted(members, key=lambda d: (int(knuth32(np.array([d]))[0]), d))[:q]
+        )
+        assert picked[g] == want
+
+
 def test_mutual_edges_hand_computed(ray_session):
     """mutual_edges: only both-direction pairs survive, weights land in
     the right direction columns, self-loops and one-way links drop,
