@@ -6847,6 +6847,39 @@ FROM c WHERE ab > 0 AND ba > 0
 """
 
 
+def q_host_assortativity(sf_dir: str):
+    """Degree assortativity of the synthesized host web graph
+    (stages/graph.py: degree_assortativity): edge-level Pearson of
+    outdeg(src) vs indeg(dst), sqrt-free signed-squared ppm — do
+    prolific linkers point at popular targets? Two bounded degree
+    aggregates + two bucketed joins over slim edges; driver sees six
+    integers."""
+    from rio_cogeo_ray.stages import graph as graph_mod
+
+    return graph_mod.degree_assortativity(q_outlink_graph(sf_dir))
+
+
+def _sql_host_assortativity() -> str:
+    return f"""
+WITH edges AS ({SQL_OUTLINK_GRAPH}),
+od AS (SELECT src_host, CAST(COUNT(*) AS BIGINT) AS outd FROM edges GROUP BY 1),
+idg AS (SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS ind FROM edges GROUP BY 1),
+p AS (SELECT CAST(od.outd AS HUGEINT) AS x, CAST(idg.ind AS HUGEINT) AS y
+      FROM edges e JOIN od USING (src_host) JOIN idg USING (dst_host)),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM p)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n = 0 OR (n * sx2 - sx * sx) = 0
+                      OR (n * sy2 - sy * sy) = 0 THEN NULL
+            ELSE (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                 * ((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                    // ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)))
+            END AS BIGINT) AS assort2s_ppm
+FROM m
+"""
+
+
 def q_scd2(sf_dir: str):
     """SCD Type-2 dimension build (stages/window.py: scd2_intervals):
     compress the event change log into per-user validity intervals of
@@ -7333,6 +7366,7 @@ def queries() -> Dict[str, Callable]:
         "doc_novelty": q_doc_novelty,
         "mutual_hosts": q_mutual_hosts,
         "exact_split": q_exact_split,
+        "host_assortativity": q_host_assortativity,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7590,6 +7624,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_novelty": SQL_DOC_NOVELTY,
         "mutual_hosts": _sql_mutual_hosts(),
         "exact_split": SQL_EXACT_SPLIT,
+        "host_assortativity": _sql_host_assortativity(),
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

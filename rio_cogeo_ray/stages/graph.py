@@ -383,3 +383,93 @@ def mutual_edges(
         )
 
     return summed.map_batches(_mutual, batch_format="pyarrow")
+
+
+def degree_assortativity(edges, src_col: str = "src_host", dst_col: str = "dst_host",
+                         n_buckets: int = 32):
+    """Out-in degree assortativity of a directed edge table — the
+    graph-level "do prolific linkers point at popular targets?"
+    statistic (Newman 2002): the Pearson correlation, over EDGES, of
+    x = outdeg(src) with y = indeg(dst), reported sqrt-free as the
+    SIGNED SQUARED correlation in ppm (the lang_pearson exactness
+    device: every operand an exact integer, SQL mirror in HUGEINT;
+    driver finalize uses Python bignums so web-scale sums never
+    overflow). Returns one row (n_edges, assort2s_ppm); a degenerate
+    graph (constant degrees) yields NULL like SQL.
+
+    Scale shape: two bounded degree aggregates (rows ∝ distinct
+    hosts), two bucketed hash joins attaching degrees to SLIM
+    (src, dst) edge rows, then associative per-batch moment partials —
+    the driver sees one 6-integer row per block, never edges.
+    """
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    slim = edges.map_batches(
+        lambda t: t.select([src_col, dst_col]), batch_format="pyarrow"
+    )
+    outd = partial_group_agg(
+        slim.map_batches(lambda t: t.select([src_col]), batch_format="pyarrow"),
+        keys=[src_col],
+        count_as="outd",
+        n_buckets=n_buckets,
+    )
+    ind = partial_group_agg(
+        slim.map_batches(lambda t: t.select([dst_col]), batch_format="pyarrow"),
+        keys=[dst_col],
+        count_as="ind",
+        n_buckets=n_buckets,
+    )
+    both = bucketed_hash_join(
+        bucketed_hash_join(slim, outd, on=src_col, n_buckets=n_buckets),
+        ind,
+        on=dst_col,
+        n_buckets=n_buckets,
+    )
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t["outd"].combine_chunks().cast(pa.int64())
+        y = t["ind"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+                "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
+                "sxy": pa.array(
+                    [pc.sum(pc.multiply_checked(x, y)).as_py() or 0], pa.int64()
+                ),
+                "sx2": pa.array(
+                    [pc.sum(pc.multiply_checked(x, x)).as_py() or 0], pa.int64()
+                ),
+                "sy2": pa.array(
+                    [pc.sum(pc.multiply_checked(y, y)).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    n = sx = sy = sxy = sx2 = sy2 = 0
+    for b in _ray.get(
+        both.map_batches(_moments, batch_format="pyarrow").to_arrow_refs()
+    ):
+        for r in b.to_pylist():
+            n += r["n"]; sx += r["sx"]; sy += r["sy"]
+            sxy += r["sxy"]; sx2 += r["sx2"]; sy2 += r["sy2"]
+    if n == 0:
+        a = None
+    else:
+        num = n * sxy - sx * sy
+        dx = n * sx2 - sx * sx
+        dy = n * sy2 - sy * sy
+        if dx == 0 or dy == 0:
+            a = None
+        else:
+            q = (1_000_000 * num * num) // (dx * dy)
+            a = q if num >= 0 else -q
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "assort2s_ppm": pa.array([a], pa.int64()),
+        }
+    )

@@ -5849,6 +5849,46 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_degree_assortativity_vs_numpy(ray_session):
+    """degree_assortativity: the signed-squared ppm statistic matches a
+    numpy float Pearson over (outdeg(src), indeg(dst)) edge pairs; a
+    constant-degree ring yields NULL."""
+    from rio_cogeo_ray.stages import graph as graph_mod
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("c", "d"), ("d", "b"), ("e", "b"),
+    ]
+    t = pa.table(
+        {
+            "src_host": pa.array([e[0] for e in edges], pa.string()),
+            "dst_host": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    out = graph_mod.degree_assortativity(rd.from_arrow(t).repartition(3))
+    assert out["n_edges"].to_pylist() == [len(edges)]
+    got = out["assort2s_ppm"].to_pylist()[0]
+
+    from collections import Counter
+
+    od = Counter(s for s, _ in edges)
+    idg = Counter(d for _, d in edges)
+    x = np.array([od[s] for s, _ in edges], dtype=np.float64)
+    y = np.array([idg[d] for _, d in edges], dtype=np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+    want = np.sign(r) * r * r * 1e6
+    assert abs(got - want) < 2.0  # integer flooring of an exact ratio
+
+    ring = pa.table(
+        {
+            "src_host": pa.array(["a", "b", "c"], pa.string()),
+            "dst_host": pa.array(["b", "c", "a"], pa.string()),
+        }
+    )
+    out2 = graph_mod.degree_assortativity(rd.from_arrow(ring))
+    assert out2["assort2s_ppm"].to_pylist() == [None]
+
+
 def test_exact_group_split_quota_and_determinism(ray_session):
     """exact_group_split: every group gets exactly floor(n*pct/100)
     eval rows (tiny groups round to zero), selection is by
