@@ -3896,6 +3896,66 @@ FROM r
 """
 
 
+LPM_RULES = [
+    "https://h1",                 # broad: matches h1 AND h10..h19 hosts
+    "https://h12.example.com/",   # shadows the broad rule for h12
+    "https://h2",
+    "https://h2.example.com/p3",  # path-specific beats host-broad
+    "https://h7.example.com/",
+    "https://h19.example.com/p1",
+]
+
+
+def q_lpm_rules(sf_dir: str):
+    """Longest-prefix-match rule routing (stages/join.py:
+    broadcast_lpm_join — robots.txt / URL-routing semantics: the most
+    SPECIFIC matching rule wins): urls synthesized from doc_id match a
+    6-rule table where broad host rules are shadowed by longer
+    host/path rules; unmatched urls keep NULL. Pure map, zero shuffle,
+    one is_in probe per distinct rule length."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _urls(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+        def _s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://h"),
+            _s(d % 23),
+            pa.scalar(".example.com/p"),
+            _s(d % 11),
+            "",
+        )
+        return pa.table({"doc_id": pa.array(d, pa.int64()), "url": url})
+
+    rules = pa.table({"prefix": pa.array(LPM_RULES, pa.string())})
+    return join_mod.broadcast_lpm_join(
+        ds.map_batches(_urls, batch_format="pyarrow"), rules
+    )
+
+
+def _sql_lpm_rules() -> str:
+    values = ", ".join(f"('{r}')" for r in LPM_RULES)
+    return f"""
+WITH u AS (SELECT doc_id,
+                  'https://h' || doc_id % 23 || '.example.com/p' || doc_id % 11
+                    AS url
+           FROM documents),
+r(prefix) AS (VALUES {values}),
+j AS (SELECT u.doc_id, u.url, r.prefix
+      FROM u LEFT JOIN r ON starts_with(u.url, r.prefix)),
+b AS (SELECT doc_id, url, prefix,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY length(prefix) DESC) AS rk
+      FROM j)
+SELECT doc_id, url, prefix AS rule FROM b WHERE rk = 1
+"""
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split (90/5/5 by id hash) — pure
     map-side, zero shuffle; no example ever migrates between splits
@@ -7367,6 +7427,7 @@ def queries() -> Dict[str, Callable]:
         "mutual_hosts": q_mutual_hosts,
         "exact_split": q_exact_split,
         "host_assortativity": q_host_assortativity,
+        "lpm_rules": q_lpm_rules,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7625,6 +7686,7 @@ def oracle_sql() -> Dict[str, str]:
         "mutual_hosts": _sql_mutual_hosts(),
         "exact_split": SQL_EXACT_SPLIT,
         "host_assortativity": _sql_host_assortativity(),
+        "lpm_rules": _sql_lpm_rules(),
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -887,3 +887,68 @@ def auto_join(
             left, right, on=on, how=how, n_buckets=n_buckets, suffix=suffix
         )
     return out, plan
+
+
+def broadcast_lpm_join(
+    ds,
+    rules: "pa.Table",
+    key_col: str = "url",
+    rule_col: str = "prefix",
+    out_col: str = "rule",
+    max_rules: int = 1_000_000,
+):
+    """Longest-prefix-match join — the robots.txt / URL-routing rule
+    semantics (the most SPECIFIC matching rule wins): each row's
+    ``key_col`` string matches the longest entry of ``rules`` that is
+    its prefix; non-matching rows keep a NULL ``out_col``. LPM is
+    unique by construction (two equal-length prefixes of one string are
+    identical), so the result is deterministic with no tiebreak.
+
+    Scale shape: rules are SMALL by contract (a routing table, not a
+    corpus — ``max_rules`` guards); they ride the task closure grouped
+    by length, and matching is one vectorized utf8-slice + is_in hash
+    probe per DISTINCT rule length, longest first, already-matched rows
+    masked out — a pure map, zero shuffle, passes ∝ distinct rule
+    lengths (not rules).
+
+    SQL mirror: ``LEFT JOIN rules ON starts_with(key, prefix)`` +
+    ``ROW_NUMBER() OVER (PARTITION BY row ORDER BY length(prefix)
+    DESC) = 1``.
+    """
+    import pyarrow.compute as pc
+
+    vals = rules[rule_col].combine_chunks().cast(pa.string())
+    if len(vals) > max_rules:
+        raise ValueError(
+            f"broadcast_lpm_join: {len(vals)} rules > max_rules={max_rules}; "
+            "a corpus-sized rule table needs a bucketed join, not a broadcast"
+        )
+    by_len: dict = {}
+    for v in vals.to_pylist():
+        if v is None or v == "":
+            continue
+        by_len.setdefault(len(v), set()).add(v)
+    lengths = sorted(by_len, reverse=True)
+
+    def _match(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.string())
+        out = np.full(len(k), None, dtype=object)
+        unmatched = np.ones(len(k), dtype=bool)
+        # codepoint slice mirrors SQL starts_with on codepoints; rules
+        # and urls here are single-byte-safe either way because the
+        # probe compares full strings of exactly the rule's length
+        for L in lengths:
+            if not unmatched.any():
+                break
+            pref = pc.utf8_slice_codeunits(k, 0, L)
+            hit = pc.is_in(
+                pref, value_set=pa.array(sorted(by_len[L]), pa.string())
+            ).to_numpy(zero_copy_only=False)
+            hit = hit & unmatched
+            if hit.any():
+                pv = pref.to_numpy(zero_copy_only=False)
+                out[hit] = pv[hit]
+                unmatched &= ~hit
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(_match, batch_format="pyarrow")
