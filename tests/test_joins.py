@@ -478,3 +478,46 @@ def test_auto_join_planner(ray_session):
     assert rows(out5) == rows(
         join_mod.bucketed_hash_join(lds, rd.from_arrow(dim), on="k", how="semi")
     )
+
+
+def test_broadcast_lpm_join_semantics(ray_session):
+    """broadcast_lpm_join: the LONGEST matching prefix wins (a broad
+    rule is shadowed by a more specific one), non-matches stay NULL,
+    multibyte keys slice on codepoints, and the rule-count guard
+    raises; layout-invariant."""
+    from rio_cogeo_ray.stages import join as join_mod
+
+    rules = pa.table(
+        {
+            "prefix": pa.array(
+                ["https://a", "https://a.example/p", "https://b", "ü-rule"],
+                pa.string(),
+            )
+        }
+    )
+    keys = [
+        "https://a.example/p/1",   # both 'https://a' rules match -> longest
+        "https://a.other/x",       # only the broad rule
+        "https://b",               # exact == prefix
+        "https://c/none",          # no match -> NULL
+        "ü-rule-suffix",           # multibyte prefix
+        "",                        # empty key -> NULL
+    ]
+    t = pa.table({"url": pa.array(keys, pa.string())})
+    want = [
+        "https://a.example/p",
+        "https://a",
+        "https://b",
+        None,
+        "ü-rule",
+        None,
+    ]
+    for parts in (1, 3):
+        out = join_mod.broadcast_lpm_join(
+            rd.from_arrow(t).repartition(parts), rules
+        ).to_pandas()
+        got = dict(zip(out.url, out.rule.where(out.rule.notna(), None)))
+        assert got == dict(zip(keys, want))
+
+    with pytest.raises(ValueError, match="max_rules"):
+        join_mod.broadcast_lpm_join(rd.from_arrow(t), rules, max_rules=2)
