@@ -1254,6 +1254,102 @@ FROM g
 """
 
 
+TREND_HOUR_US = 3_600_000_000
+
+
+def q_type_trend(sf_dir: str):
+    """Hour-over-hour trend ratio per event type — the "trending"
+    analytic (burst detection's ratio core) expressed WITHOUT a window
+    engine via the shift-union trick: the hourly count table emits
+    itself twice map-side, once at (hour, n_cur=n) and once shifted to
+    (hour+1, n_prev=n); ONE more bounded grouped sum re-aligns current
+    and previous, and consecutive-hour pairs finalize
+    ``trend_ppm = n_cur·10^6 // n_prev``. Both exchanges move only the
+    (hours × types)-bounded count table, never events. SQL mirror: LAG
+    over hours restricted to adjacent hours."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["ts", "event_type"])
+
+    def _hour(t: pa.Table) -> pa.Table:
+        h = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hour": pa.array(h // TREND_HOUR_US, pa.int64()),
+                "event_type": t["event_type"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    counts = agg.partial_group_agg(
+        ds.map_batches(_hour, batch_format="pyarrow"),
+        keys=["hour", "event_type"],
+        count_as="n",
+        n_buckets=16,
+    )
+
+    def _shift_union(t: pa.Table) -> pa.Table:
+        h = t["hour"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks()
+        zero = np.zeros(len(h), dtype=np.int64)
+        cur = pa.table(
+            {
+                "hour": pa.array(h, pa.int64()),
+                "event_type": et,
+                "n_cur": pa.array(n, pa.int64()),
+                "n_prev": pa.array(zero, pa.int64()),
+            }
+        )
+        prv = pa.table(
+            {
+                "hour": pa.array(h + 1, pa.int64()),
+                "event_type": et,
+                "n_cur": pa.array(zero, pa.int64()),
+                "n_prev": pa.array(n, pa.int64()),
+            }
+        )
+        return pa.concat_tables([cur, prv])
+
+    aligned = agg.partial_group_agg(
+        counts.map_batches(_shift_union, batch_format="pyarrow"),
+        keys=["hour", "event_type"],
+        sum_cols=["n_cur", "n_prev"],
+        count_as=None,
+        n_buckets=16,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        cur = t["sum_n_cur"].combine_chunks().to_numpy(zero_copy_only=False)
+        prv = t["sum_n_prev"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (cur > 0) & (prv > 0)
+        out = pa.table(
+            {
+                "hour": t["hour"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "n_cur": pa.array(cur, pa.int64()),
+                "n_prev": pa.array(prv, pa.int64()),
+                "trend_ppm": pa.array(
+                    cur * 1_000_000 // np.maximum(prv, 1), pa.int64()
+                ),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return aligned.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_TYPE_TREND = f"""
+WITH c AS (SELECT epoch_us(ts) // {TREND_HOUR_US} AS hour, event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+p AS (SELECT hour, event_type, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY hour) AS pn,
+             LAG(hour) OVER (PARTITION BY event_type ORDER BY hour) AS ph
+      FROM c)
+SELECT hour, event_type, n AS n_cur, pn AS n_prev,
+       CAST(n * 1000000 // pn AS BIGINT) AS trend_ppm
+FROM p WHERE ph = hour - 1
+"""
+
+
 def q_interval_cover(sf_dir: str):
     """Per-user interval-union coverage (stages/window.py:
     interval_flatten): each event spans [ts, ts + ~value×1000 s];
@@ -5624,6 +5720,28 @@ FROM tot t LEFT JOIN novel v ON v.doc_id = t.doc_id
 """
 
 
+def q_ttr(sf_dir: str):
+    """Per-doc type-token ratio (stages/text.py: type_token_ratio —
+    lexical diversity in exact ppm; template spam scores low). Pure
+    map, zero shuffle; token distinctness under the repo's 2×64-bit
+    hash contract."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(text.type_token_ratio, batch_format="pyarrow")
+
+
+SQL_TTR = r"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS toks
+            FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST(CASE WHEN len(toks) = 0 THEN NULL
+            ELSE len(list_distinct(toks)) * 1000000 // len(toks)
+            END AS BIGINT) AS ttr_ppm
+FROM tk
+"""
+
+
 def q_vocab_overlap_exact(sf_dir: str):
     """EXACT pairwise vocabulary Jaccard between languages (stages/
     text.py: vocab_jaccard — the exact small-group counterpart of
@@ -7428,6 +7546,8 @@ def queries() -> Dict[str, Callable]:
         "exact_split": q_exact_split,
         "host_assortativity": q_host_assortativity,
         "lpm_rules": q_lpm_rules,
+        "ttr": q_ttr,
+        "type_trend": q_type_trend,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7687,6 +7807,8 @@ def oracle_sql() -> Dict[str, str]:
         "exact_split": SQL_EXACT_SPLIT,
         "host_assortativity": _sql_host_assortativity(),
         "lpm_rules": _sql_lpm_rules(),
+        "ttr": SQL_TTR,
+        "type_trend": SQL_TYPE_TREND,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

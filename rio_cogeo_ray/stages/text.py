@@ -4173,3 +4173,53 @@ def doc_novelty(
         )
 
     return summed.map_batches(_final, batch_format="pyarrow")
+
+
+def type_token_ratio(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc lexical diversity: distinct whitespace tokens over total
+    tokens in exact integer ppm (the type-token ratio — template spam
+    and keyword-stuffed pages score LOW; the per-doc complement of the
+    corpus-level vocab ops). Pure map, zero shuffle: one tokenize +
+    one lexsort-by-(doc, h1, h2) first-occurrence count per batch;
+    token identity is the repo's 2×64-bit hash contract (same as the
+    gram kernels). Zero-token docs emit NULL ttr (SQL division mirror).
+    Returns (id, n_tokens, n_types, ttr_ppm)."""
+    import polars as pl
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    ids = batch[id_col].combine_chunks().cast(pa.int64())
+    t = pc.fill_null(batch[text_col].combine_chunks().cast(pa.string()), "")
+    lists = pc.ascii_split_whitespace(t)
+    lens = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+    flat = lists.flatten()
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(keep))
+    rep = rep[keep]
+    n_tok = np.bincount(rep, minlength=len(batch)).astype(np.int64)
+    if len(rep):
+        h1 = pl.from_arrow(toks.cast(pa.large_string())).hash(seed=101).to_numpy().astype(np.uint64)
+        h2 = splitmix64(h1 ^ np.uint64(0xD1B54A32D192ED03))
+        order = np.lexsort((h2, h1, rep))
+        rs, h1s, h2s = rep[order], h1[order], h2[order]
+        first = np.r_[
+            True,
+            (rs[1:] != rs[:-1]) | (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]),
+        ]
+        n_typ = np.bincount(rs[first], minlength=len(batch)).astype(np.int64)
+    else:
+        n_typ = np.zeros(len(batch), dtype=np.int64)
+    ttr = pa.array(
+        np.where(n_tok > 0, n_typ * 1_000_000 // np.maximum(n_tok, 1), 0),
+        pa.int64(),
+    )
+    ttr = pc.if_else(pa.array(n_tok > 0), ttr, pa.scalar(None, pa.int64()))
+    return pa.table(
+        {
+            id_col: ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_types": pa.array(n_typ, pa.int64()),
+            "ttr_ppm": ttr,
+        }
+    )

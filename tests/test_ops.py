@@ -5849,6 +5849,58 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_type_token_ratio_hand_computed(ray_session):
+    """type_token_ratio: distinct/total in floored ppm; repeated tokens
+    lower it; empty/null docs emit NULL ttr with zero counts."""
+    texts = ["a b a b a", "x y z", "solo", "", None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = text.type_token_ratio(t).to_pydict()
+    rows = dict(
+        zip(
+            out["doc_id"],
+            zip(out["n_tokens"], out["n_types"], out["ttr_ppm"]),
+        )
+    )
+    assert rows[0] == (5, 2, 2 * 10**6 // 5)
+    assert rows[1] == (3, 3, 10**6)
+    assert rows[2] == (1, 1, 10**6)
+    assert rows[3] == (0, 0, None)
+    assert rows[4] == (0, 0, None)
+
+
+def test_type_trend_shift_union_vs_pandas(ray_session):
+    """q_type_trend: the shift-union realignment equals a pandas
+    LAG-by-consecutive-hour oracle on the real sf0.001 events."""
+    import pyarrow.parquet as pq
+
+    from rio_cogeo_ray.pipelines.queries import TREND_HOUR_US, q_type_trend
+
+    out = q_type_trend("/root/testdata/sf0.001").to_pandas()
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["hour"] = ev.ts.astype("int64") // TREND_HOUR_US
+    c = ev.groupby(["event_type", "hour"]).size().reset_index(name="n")
+    c = c.sort_values(["event_type", "hour"])
+    c["pn"] = c.groupby("event_type").n.shift(1)
+    c["ph"] = c.groupby("event_type").hour.shift(1)
+    c = c[(c.ph == c.hour - 1)]
+    want = {
+        (r.event_type, int(r.hour)): (int(r.n), int(r.pn), int(r.n) * 10**6 // int(r.pn))
+        for r in c.itertuples()
+    }
+    got = {
+        (r.event_type, int(r.hour)): (int(r.n_cur), int(r.n_prev), int(r.trend_ppm))
+        for r in out.itertuples()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_degree_assortativity_vs_numpy(ray_session):
     """degree_assortativity: the signed-squared ppm statistic matches a
     numpy float Pearson over (outdeg(src), indeg(dst)) edge pairs; a
