@@ -1254,6 +1254,101 @@ FROM g
 """
 
 
+K_ANON_K, K_ANON_BIN = 5, 500
+
+
+def q_k_anon_risk(sf_dir: str):
+    """k-anonymity audit (the privacy complement of pii_scrub): every
+    quasi-identifier combination (lang, source, length bin) carried by
+    FEWER than k=5 docs — rows whose attribute combo could re-identify
+    them. One partial→final count over the bounded combo domain, then
+    a map-side threshold filter; raw docs never shuffle."""
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+
+    def _combo(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "lang": t["lang"].combine_chunks().cast(pa.string()),
+                "source": t["source"].combine_chunks().cast(pa.string()),
+                "len_bin": pa.array(nc // K_ANON_BIN, pa.int64()),
+            }
+        )
+
+    counts = agg.partial_group_agg(
+        ds.map_batches(_combo, batch_format="pyarrow"),
+        keys=["lang", "source", "len_bin"],
+        count_as="n",
+        n_buckets=16,
+    )
+    return counts.map_batches(
+        lambda t: t.filter(
+            pc.less(t["n"].combine_chunks(), pa.scalar(K_ANON_K, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_K_ANON_RISK = f"""
+SELECT lang, source, n_chars // {K_ANON_BIN} AS len_bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2, 3 HAVING COUNT(*) < {K_ANON_K}
+"""
+
+
+def q_locf_fill(sf_dir: str):
+    """LOCF forward-fill imputation (stages/window.py: forward_fill):
+    error events carry a NULL reading (synthesized: cents are NULL when
+    event_type = 'error'); each NULL takes the user's latest non-null
+    reading at or before it in (ts, event_id) order; rows before a
+    user's first reading stay NULL. One hash(user) exchange, one
+    segmented-cummax pass per bucket."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = pa.array(
+            np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+        )
+        is_err = pc.equal(
+            t["event_type"].combine_chunks().cast(pa.string()), "error"
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+                "event_id": t["event_id"].combine_chunks().cast(pa.int64()),
+                "cents": pc.if_else(is_err, pa.scalar(None, pa.int64()), cents),
+            }
+        )
+
+    return window.forward_fill(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        key_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        val_col="cents",
+    )
+
+
+SQL_LOCF_FILL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+           FROM events)
+SELECT user_id, ts_us, event_id, cents,
+       last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled
+FROM e
+"""
+
+
 TREND_HOUR_US = 3_600_000_000
 
 
@@ -7548,6 +7643,8 @@ def queries() -> Dict[str, Callable]:
         "lpm_rules": q_lpm_rules,
         "ttr": q_ttr,
         "type_trend": q_type_trend,
+        "locf_fill": q_locf_fill,
+        "k_anon_risk": q_k_anon_risk,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7809,6 +7906,8 @@ def oracle_sql() -> Dict[str, str]:
         "lpm_rules": _sql_lpm_rules(),
         "ttr": SQL_TTR,
         "type_trend": SQL_TYPE_TREND,
+        "locf_fill": SQL_LOCF_FILL,
+        "k_anon_risk": SQL_K_ANON_RISK,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

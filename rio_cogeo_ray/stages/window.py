@@ -1341,3 +1341,89 @@ def interval_flatten(
         lambda g: _cover(g.drop_columns(["__bucket"])),
         batch_format="pyarrow",
     )
+
+
+def forward_fill(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "__ts",
+    id_col: str = "__id",
+    val_col: str = "v",
+    n_buckets: int = 64,
+):
+    """Last-observation-carried-forward (LOCF) imputation — the
+    data-cleaning staple for sparse sensor/attribute streams: per key,
+    each NULL ``val_col`` takes the latest non-null value at or before
+    it in (ts, id) order; rows before a key's first observation stay
+    NULL. Deterministic at any parallelism via the unique ``id_col``
+    tiebreak (the rolling_sum doctrine).
+
+    Partitioning contract: ONE hash(key) exchange; per bucket one
+    lexsort + one segmented cummax over OBSERVATION POSITIONS (the
+    interval_flatten offset trick with an n+2 multiplier so the "no
+    observation yet" −1 marker can never collide with a previous key's
+    positions — cross-key leaks are structurally impossible). Values
+    themselves are never compared, so any column type rides along.
+
+    Input columns must be (key, ts, id, val) int64 (cast upstream);
+    returns (key, ts, id, val, val_filled).
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(k.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _fill(g: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                (key_col, pa.int64()),
+                (ts_col, pa.int64()),
+                (id_col, pa.int64()),
+                (val_col, pa.int64()),
+                (f"{val_col}_filled", pa.int64()),
+            ]
+        ).empty_table()
+        if not g.num_rows:
+            return empty
+        g = g.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g[val_col].combine_chunks()
+        n = len(k)
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        if n > 2**31:  # seg*mult ~ n^2 must stay inside int64
+            raise ValueError(
+                "forward_fill bucket exceeds 2^31 rows; raise n_buckets"
+            )
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        pos = np.arange(n, dtype=np.int64)
+        src = np.where(valid, pos, np.int64(-1))
+        mult = np.int64(n + 2)
+        carried = np.maximum.accumulate(src + seg * mult) - seg * mult
+        take = pa.array(
+            np.where(carried >= 0, carried, 0), pa.int64()
+        )
+        filled = pc.if_else(
+            pa.array(carried >= 0), v.take(take), pa.scalar(None, v.type)
+        )
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                ts_col: g[ts_col].combine_chunks(),
+                id_col: g[id_col].combine_chunks(),
+                val_col: v,
+                f"{val_col}_filled": filled,
+            }
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: _fill(g.drop_columns(["__bucket"])), batch_format="pyarrow")
+    )

@@ -5849,6 +5849,48 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_forward_fill_locf_semantics(ray_session):
+    """forward_fill: each NULL takes the latest non-null AT OR BEFORE
+    it per key; leading NULLs stay NULL; no cross-key leak (a key whose
+    values are all NULL never inherits a neighbour's); (ts, id)
+    tiebreak deterministic; layout-invariant."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    rows = [
+        # key, ts, id, val
+        (1, 10, 1, None),   # leading null -> stays null
+        (1, 20, 2, 100),
+        (1, 30, 3, None),   # -> 100
+        (1, 40, 4, 200),
+        (1, 50, 5, None),   # -> 200
+        (2, 5, 6, None),    # all-null key -> all null (no leak from 1)
+        (2, 60, 7, None),
+        (3, 1, 8, 7),
+        (3, 1, 9, None),    # same ts, id tiebreak -> 7
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    want = {1: None, 2: 100, 3: 100, 4: 200, 5: 200, 6: None, 7: None, 8: 7, 9: 7}
+    for parts in (1, 4):
+        out = window_mod.forward_fill(
+            rd.from_arrow(t).repartition(parts),
+            key_col="user_id", ts_col="ts_us", id_col="event_id",
+            val_col="cents",
+        ).to_pandas()
+        got = {
+            int(r.event_id): (None if pd.isna(r.cents_filled) else int(r.cents_filled))
+            for r in out.itertuples()
+        }
+        assert got == want
+        assert len(out) == len(rows)
+
+
 def test_type_token_ratio_hand_computed(ray_session):
     """type_token_ratio: distinct/total in floored ppm; repeated tokens
     lower it; empty/null docs emit NULL ttr with zero counts."""
