@@ -5815,6 +5815,79 @@ FROM tot t LEFT JOIN novel v ON v.doc_id = t.doc_id
 """
 
 
+BITEXT_MAX_DF, BITEXT_MIN_SHARED = 4, 2
+
+
+def q_bitext_candidates(sf_dir: str):
+    """Bitext / comparable-corpus candidate mining (stages/simjoin.py:
+    bitext_candidates): cross-language doc pairs sharing ≥ 2 rare
+    tokens (df ≤ 4) — the Resnik & Smith web-as-parallel-corpus first
+    stage. The fixture corpus has a tiny all-common vocabulary (every
+    token's df ≫ max_df), so named entities are PLANTED
+    deterministically from doc_id in both engines (the outlink-graph
+    synthesis doctrine): docs congruent mod 331 share both entities and
+    become candidates. Rare-token postings co-locate by token hash;
+    bounded triangular pairs; one pair-keyed count."""
+    from rio_cogeo_ray.stages import simjoin
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def _entities(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+        def _s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"].combine_chunks().cast(pa.string()), ""),
+            pa.scalar(" ent"),
+            _s((d * 3) % 331),
+            pa.scalar(" ent"),
+            _s((d * 7) % 331),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "lang": t["lang"].combine_chunks().cast(pa.string()),
+                "text": txt,
+            }
+        )
+
+    return simjoin.bitext_candidates(
+        ds.map_batches(_entities, batch_format="pyarrow"),
+        max_df=BITEXT_MAX_DF,
+        min_shared=BITEXT_MIN_SHARED,
+    )
+
+
+SQL_BITEXT_CANDIDATES = rf"""
+WITH d2 AS (SELECT doc_id, lang,
+                   COALESCE(text, '') || ' ent' || (doc_id * 3) % 331
+                     || ' ent' || (doc_id * 7) % 331 AS text
+            FROM documents),
+tok AS (SELECT DISTINCT doc_id, lang,
+                    unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM d2),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+p AS (SELECT t.doc_id, t.lang, t.w FROM tok t JOIN df USING (w)
+      WHERE df.df BETWEEN 2 AND {BITEXT_MAX_DF}),
+pairs AS (SELECT CASE WHEN a.lang < b.lang
+                   THEN a.doc_id ELSE b.doc_id END AS doc_a,
+                 CASE WHEN a.lang < b.lang THEN b.doc_id ELSE a.doc_id END AS doc_b,
+                 CASE WHEN a.lang < b.lang THEN a.lang ELSE b.lang END AS lang_a,
+                 CASE WHEN a.lang < b.lang THEN b.lang ELSE a.lang END AS lang_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM p a JOIN p b
+            ON a.w = b.w AND a.lang <> b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, lang_a, lang_b, shared
+FROM pairs WHERE shared >= {BITEXT_MIN_SHARED}
+"""
+
+
 def q_ttr(sf_dir: str):
     """Per-doc type-token ratio (stages/text.py: type_token_ratio —
     lexical diversity in exact ppm; template spam scores low). Pure
@@ -7645,6 +7718,7 @@ def queries() -> Dict[str, Callable]:
         "type_trend": q_type_trend,
         "locf_fill": q_locf_fill,
         "k_anon_risk": q_k_anon_risk,
+        "bitext_candidates": q_bitext_candidates,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7908,6 +7982,7 @@ def oracle_sql() -> Dict[str, str]:
         "type_trend": SQL_TYPE_TREND,
         "locf_fill": SQL_LOCF_FILL,
         "k_anon_risk": SQL_K_ANON_RISK,
+        "bitext_candidates": SQL_BITEXT_CANDIDATES,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -313,3 +313,131 @@ def jaccard_self_join(
         return out.filter(pa.array(keep))
 
     return inter.map_batches(_finalize, batch_format="pyarrow")
+
+
+def bitext_candidates(
+    ds,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    max_df: int = 4,
+    min_shared: int = 2,
+    n_buckets: int = 64,
+):
+    """Comparable-corpus / bitext candidate mining (the first stage of
+    parallel-text harvesting, Resnik & Smith 2003 "The Web as a
+    Parallel Corpus"): CROSS-LANGUAGE doc pairs sharing at least
+    ``min_shared`` RARE tokens — names, numbers and cognates that
+    survive translation make rare-token co-occurrence a cheap
+    translation-pair signal.
+
+    Scale shape: one map pass emits distinct (id, lang, token) rows;
+    routing by hash(token) co-locates every posting of a token, so the
+    bucket-local run length IS the global document frequency — only
+    runs with ``2 ≤ df ≤ max_df`` explode into triangular pairs
+    (quadratic bounded by max_df², the radius_pairs doctrine), oriented
+    lang_a < lang_b (same-language pairs drop); ONE pair-keyed count
+    exchange then filters to ``shared ≥ min_shared``. Stopwords never
+    pair (their df exceeds max_df by definition) — the rare-token gate
+    IS the hot-key guard.
+
+    Returns (doc_a, doc_b, lang_a, lang_b, shared).
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _postings(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        lang = t[lang_col].combine_chunks().cast(pa.string())
+        lists = pc.ascii_split_whitespace(
+            t[text_col].combine_chunks().cast(pa.string())
+        )
+        lens = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        take = pa.array(rep[keep], pa.int64())
+        rows = pa.table(
+            {
+                "doc": ids.take(take),
+                "lang": lang.take(take),
+                "token": flat.filter(pa.array(keep)),
+            }
+        )
+        return rows.group_by(["doc", "lang", "token"]).aggregate([])
+
+    empty_pairs = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "lang_a": pa.array([], pa.string()),
+            "lang_b": pa.array([], pa.string()),
+        }
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        h = hash_columns(t, ["token"])
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty_pairs
+        g = g.sort_by(
+            [("token", "ascending"), ("lang", "ascending"), ("doc", "ascending")]
+        )
+        tok = g["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = g["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        lang = g["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = np.r_[True, tok[1:] != tok[:-1]]
+        run = np.cumsum(start) - 1
+        df = np.bincount(run)
+        ok = (df[run] >= 2) & (df[run] <= max_df)
+        if not ok.any():
+            return empty_pairs
+        doc, lang, run = doc[ok], lang[ok], run[ok]
+        seg_counts = np.bincount(np.unique(run, return_inverse=True)[1])
+        L, R = _pairs_within_segments(seg_counts)
+        if not len(L):
+            return empty_pairs
+        la, lb = lang[L], lang[R]
+        cross = la != lb
+        L, R, la, lb = L[cross], R[cross], la[cross], lb[cross]
+        swap = la > lb
+        doc_a = np.where(swap, doc[R], doc[L])
+        doc_b = np.where(swap, doc[L], doc[R])
+        lang_a = np.where(swap, lb, la)
+        lang_b = np.where(swap, la, lb)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "lang_a": pa.array(lang_a.astype(object), pa.string()),
+                "lang_b": pa.array(lang_b.astype(object), pa.string()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(_postings, batch_format="pyarrow")
+        .map_batches(_route, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: _pairs(g.drop_columns(["__bucket"])), batch_format="pyarrow")
+    )
+    counted = partial_group_agg(
+        pairs,
+        keys=["doc_a", "doc_b", "lang_a", "lang_b"],
+        count_as="shared",
+        n_buckets=n_buckets,
+    )
+    return counted.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                t["shared"].combine_chunks(), pa.scalar(min_shared, pa.int64())
+            )
+        ),
+        batch_format="pyarrow",
+    )

@@ -5849,6 +5849,42 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_bitext_candidates_planted_pairs(ray_session):
+    """bitext_candidates: cross-lang pairs sharing >= min_shared rare
+    tokens surface; same-lang pairs never do; common tokens (df >
+    max_df) never contribute; single-shared-token pairs are cut by
+    min_shared; orientation is lang_a < lang_b; layout-invariant."""
+    from rio_cogeo_ray.stages import simjoin
+
+    common = "the and of to in " * 3  # df=6 > max_df -> never pairs
+    docs = [
+        (0, "en", common + "zurich kepler"),
+        (1, "de", common + "zurich kepler extra"),   # pair with 0 (2 shared)
+        (2, "fr", common + "zurich"),                # only 1 shared with 0/1
+        (3, "en", common + "kepler"),                # same lang as 0 -> no pair w/ 0
+        (4, "de", common + "nothing here"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "lang": pa.array([d[1] for d in docs], pa.string()),
+            "text": pa.array([d[2] for d in docs], pa.string()),
+        }
+    )
+    # rare tokens: zurich (df=3), kepler (df=3), extra(1), nothing(1), here(1)
+    # cross-lang pairs sharing >=2: (0 en, 1 de) via zurich+kepler only
+    want = {(1, 0, "de", "en", 2)}
+    # note orientation lang_a<lang_b: 'de' < 'en' so doc_a=1 (de), doc_b=0 (en)
+    for parts in (1, 4):
+        out = simjoin.bitext_candidates(
+            rd.from_arrow(t).repartition(parts), max_df=4, min_shared=2
+        ).to_pandas()
+        got = set(
+            zip(out.doc_a, out.doc_b, out.lang_a, out.lang_b, out.shared)
+        )
+        assert got == want
+
+
 def test_forward_fill_locf_semantics(ray_session):
     """forward_fill: each NULL takes the latest non-null AT OR BEFORE
     it per key; leading NULLs stay NULL; no cross-key leak (a key whose
