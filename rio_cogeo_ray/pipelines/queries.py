@@ -5888,6 +5888,73 @@ FROM pairs WHERE shared >= {BITEXT_MIN_SHARED}
 """
 
 
+def q_source_text_overlap(sf_dir: str):
+    """Cross-source duplicate-content audit: the exact Jaccard matrix
+    of DISTINCT DOC TEXTS between crawl sources — which feeds are
+    re-syndicating the same pages (the dedup-planning view: a high
+    overlap pair means one source is nearly redundant). Reuses
+    vocab_jaccard's bitmask-histogram machinery by collapsing each doc
+    to ONE token — its 128-bit text hash rendered as a hex word (the
+    repo hash-identity contract; SQL compares raw texts directly). The
+    fixture corpus has no cross-source duplicates, so every 7th doc is
+    REWRITTEN to one of three boilerplate pages in both engines (the
+    planted-synthesis doctrine) — syndicated templates recurring across
+    feeds."""
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def _hash_tok(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from rio_cogeo_ray.functions.hashing import splitmix64
+
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+        boiler = pc.binary_join_element_wise(
+            pa.scalar("boilerplate page "),
+            pc.cast(pa.array(d % 3, pa.int64()), pa.string()),
+            "",
+        )
+        txt = pc.if_else(pa.array(d % 7 == 0), boiler, txt)
+        h1 = pl.from_arrow(txt.cast(pa.large_string())).hash(seed=101).to_numpy().astype(np.uint64)
+        h2 = splitmix64(h1 ^ np.uint64(0xD1B54A32D192ED03))
+        tok = pc.binary_join_element_wise(
+            pc.cast(pa.array(h1.astype(np.int64), pa.int64()), pa.string()),
+            pc.cast(pa.array(h2.astype(np.int64), pa.int64()), pa.string()),
+            "_",
+        )
+        return pa.table(
+            {
+                "lang": t["source"].combine_chunks().cast(pa.string()),
+                "text": tok,
+            }
+        )
+
+    out = text.vocab_jaccard(
+        ds.map_batches(_hash_tok, batch_format="pyarrow"), max_groups=32
+    )
+    return out.rename_columns(["source_a", "source_b", "inter", "jaccard_ppm"])
+
+
+SQL_SOURCE_TEXT_OVERLAP = """
+WITH d0 AS (SELECT source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'boilerplate page ' || doc_id % 3
+                        ELSE COALESCE(text, '') END AS text
+            FROM documents),
+d AS (SELECT DISTINCT source, text FROM d0 WHERE source IS NOT NULL),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM d GROUP BY 1),
+i AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM d a JOIN d b USING (text) WHERE a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b, inter,
+       CAST((inter * 1000000) // (ca.nv + cb.nv - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM i JOIN c ca ON ca.source = i.source_a JOIN c cb ON cb.source = i.source_b
+"""
+
+
 def q_ttr(sf_dir: str):
     """Per-doc type-token ratio (stages/text.py: type_token_ratio —
     lexical diversity in exact ppm; template spam scores low). Pure
@@ -7719,6 +7786,7 @@ def queries() -> Dict[str, Callable]:
         "locf_fill": q_locf_fill,
         "k_anon_risk": q_k_anon_risk,
         "bitext_candidates": q_bitext_candidates,
+        "source_text_overlap": q_source_text_overlap,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -7983,6 +8051,7 @@ def oracle_sql() -> Dict[str, str]:
         "locf_fill": SQL_LOCF_FILL,
         "k_anon_risk": SQL_K_ANON_RISK,
         "bitext_candidates": SQL_BITEXT_CANDIDATES,
+        "source_text_overlap": SQL_SOURCE_TEXT_OVERLAP,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
