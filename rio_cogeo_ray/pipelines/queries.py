@@ -4542,6 +4542,63 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM n GROUP BY node
 """
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient (Watts–Strogatz) per node of the
+    doc-similarity graph: cc_ppm = 2·triangles·10^6 // (deg·(deg−1)) —
+    how close each node's neighbourhood is to a clique (link-farm
+    rings score ~10^6). Composes triangle_counts (degree-oriented
+    wedges) with the bounded degree table via one bucketed join; nodes
+    outside any triangle are omitted (inner mirror)."""
+    from rio_cogeo_ray.stages import graph
+    from rio_cogeo_ray.stages.graph import _edge_degrees
+
+    edges = _simgraph_edges(sf_dir, TRI_T).map_batches(
+        lambda t: pa.table(
+            {"a": t["ua"].combine_chunks(), "b": t["ub"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    tri = graph.triangle_counts(edges)
+    deg = _edge_degrees(edges)
+    joined = join_mod.bucketed_hash_join(tri, deg, on="node")
+
+    def _cc(t: pa.Table) -> pa.Table:
+        tr = t["triangles"].combine_chunks().to_numpy(zero_copy_only=False)
+        dg = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = tr * 2_000_000 // np.maximum(dg * (dg - 1), 1)
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks(),
+                "triangles": pa.array(tr, pa.int64()),
+                "deg": pa.array(dg.astype(np.int64), pa.int64()),
+                "cc_ppm": pa.array(cc, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_cc, batch_format="pyarrow")
+
+
+SQL_CLUSTERING_COEFF = rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+rk AS (SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS r FROM cnt),
+top AS (SELECT doc_id, tok FROM rk WHERE r <= {RANKJOIN_K}),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM top a JOIN top b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {TRI_T}),
+t AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+tr AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM n GROUP BY node),
+d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+SELECT t.node, t.triangles, d.deg,
+       CAST(t.triangles * 2000000 // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+FROM tr t JOIN d USING (node)
+"""
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over the doc-similarity graph (stages/graph.py:
     pagerank — distributed-state iterative pattern: rank vector stays
@@ -7787,6 +7844,7 @@ def queries() -> Dict[str, Callable]:
         "k_anon_risk": q_k_anon_risk,
         "bitext_candidates": q_bitext_candidates,
         "source_text_overlap": q_source_text_overlap,
+        "clustering_coeff": q_clustering_coeff,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8052,6 +8110,7 @@ def oracle_sql() -> Dict[str, str]:
         "k_anon_risk": SQL_K_ANON_RISK,
         "bitext_candidates": SQL_BITEXT_CANDIDATES,
         "source_text_overlap": SQL_SOURCE_TEXT_OVERLAP,
+        "clustering_coeff": SQL_CLUSTERING_COEFF,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

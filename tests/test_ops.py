@@ -5849,6 +5849,30 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_clustering_coefficient_hand_computed(ray_session):
+    """cc_ppm = 2·tri·1e6 // (deg·(deg−1)) on K4 plus a pendant
+    triangle: clique nodes read 1e6, the bridge node reads 400000."""
+    from rio_cogeo_ray.stages.graph import _edge_degrees, triangle_counts
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (4, 6)]
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).materialize()
+    tri = triangle_counts(ds)
+    deg = _edge_degrees(ds)
+    out = bucketed_hash_join(tri, deg, on="node").to_pandas()
+    cc = {
+        int(r.node): int(r.triangles) * 2_000_000 // (int(r.deg) * (int(r.deg) - 1))
+        for r in out.itertuples()
+    }
+    assert cc == {1: 10**6, 2: 10**6, 3: 10**6, 4: 400_000, 5: 10**6, 6: 10**6}
+
+
 def test_bitext_candidates_planted_pairs(ray_session):
     """bitext_candidates: cross-lang pairs sharing >= min_shared rare
     tokens surface; same-lang pairs never do; common tokens (df >
