@@ -6012,6 +6012,33 @@ FROM i JOIN c ca ON ca.source = i.source_a JOIN c cb ON cb.source = i.source_b
 """
 
 
+def q_embed_dim_stats(sf_dir: str):
+    """Per-(label, dimension) embedding feature stats (stages/ann.py:
+    embedding_dim_stats): exact micro-unit n/sum/min/max per dim — the
+    feature-drift audit and the FIRST SQL-exact surface over the
+    embeddings table (the ann family is rows-only by nature). Map-side
+    64× collapse → one bounded merge."""
+    from rio_cogeo_ray.stages import ann
+
+    ds = _read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["label", "embedding"]
+    )
+    return ann.embedding_dim_stats(ds)
+
+
+SQL_EMBED_DIM_STATS = """
+WITH e AS (SELECT label, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS dim
+           FROM embeddings),
+u AS (SELECT CAST(label AS BIGINT) AS label, dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM e)
+SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q, MIN(q) AS min_q, MAX(q) AS max_q
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_ttr(sf_dir: str):
     """Per-doc type-token ratio (stages/text.py: type_token_ratio —
     lexical diversity in exact ppm; template spam scores low). Pure
@@ -7845,6 +7872,7 @@ def queries() -> Dict[str, Callable]:
         "bitext_candidates": q_bitext_candidates,
         "source_text_overlap": q_source_text_overlap,
         "clustering_coeff": q_clustering_coeff,
+        "embed_dim_stats": q_embed_dim_stats,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8111,6 +8139,7 @@ def oracle_sql() -> Dict[str, str]:
         "bitext_candidates": SQL_BITEXT_CANDIDATES,
         "source_text_overlap": SQL_SOURCE_TEXT_OVERLAP,
         "clustering_coeff": SQL_CLUSTERING_COEFF,
+        "embed_dim_stats": SQL_EMBED_DIM_STATS,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -848,3 +848,92 @@ def semantic_decontam(
         return kept
 
     return train.map_batches(_filter, batch_format="pyarrow", batch_size=batch_size)
+
+
+def embedding_dim_stats(ds, label_col: str = "label", emb_col: str = "embedding",
+                        n_buckets: int = 8):
+    """Per-(label, dimension) feature statistics over an embedding
+    column — the feature-drift / cluster-profile audit (which
+    dimensions separate the classes; has a source's feature
+    distribution shifted between crawls): n, sum, min, max of each
+    dimension quantized to exact integer micro-units (float32→float64
+    is exact and ``floor(v·10^6)`` is deterministic IEEE, so both
+    engines produce identical integers — the first SQL-exact surface
+    over the embeddings table).
+
+    Scale shape: per batch, ONE vectorized np.add.at/min.at/max.at
+    pass collapses the 64× dim explosion to (labels × dims) partial
+    rows BEFORE the exchange (the Zipf-collapse contract); one bounded
+    partial→final merge finishes. Driver never sees vectors.
+
+    Returns (label, dim, n, sum_q, min_q, max_q), dim 1-based (SQL
+    list-index mirror).
+    """
+    from rio_cogeo_ray.stages.agg import partial_group_agg
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lab = t[label_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        emb = t[emb_col].combine_chunks()
+        d = len(emb[0]) if len(emb) else 0
+        if not len(lab) or not d:
+            return pa.table(
+                {
+                    label_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                    "sum_part": pa.array([], pa.int64()),
+                    "min_part": pa.array([], pa.int64()),
+                    "max_part": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(lab), d)
+        )
+        q = np.floor(m * 1_000_000.0).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        L = len(uniq)
+        sums = np.zeros((L, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        mins = np.full((L, d), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, q)
+        maxs = np.full((L, d), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(maxs, inv, q)
+        cnt = np.bincount(inv, minlength=L).astype(np.int64)
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), L), pa.int64()),
+                "n_part": pa.array(np.repeat(cnt, d), pa.int64()),
+                "sum_part": pa.array(sums.ravel(), pa.int64()),
+                "min_part": pa.array(mins.ravel(), pa.int64()),
+                "max_part": pa.array(maxs.ravel(), pa.int64()),
+            }
+        )
+
+    merged = partial_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        keys=[label_col, "dim"],
+        sum_cols=["n_part", "sum_part"],
+        min_cols=["min_part"],
+        max_cols=["max_part"],
+        count_as=None,
+        n_buckets=n_buckets,
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {
+                label_col: t[label_col].combine_chunks(),
+                "dim": t["dim"].combine_chunks(),
+                "n": t["sum_n_part"].combine_chunks(),
+                "sum_q": t["sum_sum_part"].combine_chunks(),
+                "min_q": t["min_min_part"].combine_chunks(),
+                "max_q": t["max_max_part"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )

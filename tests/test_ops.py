@@ -5849,6 +5849,41 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_embedding_dim_stats_vs_numpy(ray_session):
+    """embedding_dim_stats: per-(label, dim) quantized n/sum/min/max
+    match a numpy oracle on float32 vectors; layout-invariant."""
+    rng = np.random.default_rng(3)
+    n, d = 120, 8
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    labs = rng.integers(0, 3, n).astype(np.int64)
+    t = pa.table(
+        {
+            "label": pa.array(labs, pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        }
+    )
+    q = np.floor(m.astype(np.float64) * 1_000_000.0).astype(np.int64)
+    want = {}
+    for la in np.unique(labs):
+        sel = q[labs == la]
+        for dim in range(d):
+            want[(int(la), dim + 1)] = (
+                sel.shape[0],
+                int(sel[:, dim].sum()),
+                int(sel[:, dim].min()),
+                int(sel[:, dim].max()),
+            )
+    for parts in (1, 5):
+        out = ann.embedding_dim_stats(
+            rd.from_arrow(t).repartition(parts)
+        ).to_pandas()
+        got = {
+            (int(r.label), int(r.dim)): (int(r.n), int(r.sum_q), int(r.min_q), int(r.max_q))
+            for r in out.itertuples()
+        }
+        assert got == want
+
+
 def test_clustering_coefficient_hand_computed(ray_session):
     """cc_ppm = 2·tri·1e6 // (deg·(deg−1)) on K4 plus a pendant
     triangle: clique nodes read 1e6, the bridge node reads 400000."""
