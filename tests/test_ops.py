@@ -4431,6 +4431,79 @@ from hypothesis import strategies as st
 _word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])  # tiny vocab => dup-rich
 _doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
 
+_iv = st.tuples(
+    st.integers(0, 5),        # key
+    st.integers(0, 200),      # start
+    st.integers(0, 50),       # duration
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_iv, min_size=1, max_size=60))
+def test_interval_flatten_property(ray_session, ivs):
+    """Random per-key interval sets: interval_flatten == the sort+merge
+    oracle exactly (bounds, member counts, island cuts)."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    rows = [(k, s, s + d) for k, s, d in ivs]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "start_us": pa.array([r[1] for r in rows], pa.int64()),
+            "end_us": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = window_mod.interval_flatten(rd.from_arrow(t)).to_pandas()
+    got = set(
+        zip(out.user_id, out.cover_start_us, out.cover_end_us, out.n_intervals)
+    )
+    assert got == _brute_interval_cover(rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 300), st.booleans()),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_forward_fill_property(ray_session, rows):
+    """Random sparse streams: forward_fill == the per-key scan oracle
+    (each null takes the latest prior non-null; leading nulls stay)."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    data = [
+        (k, ts, i, (ts * 7 + k) if has else None)
+        for i, (k, ts, has) in enumerate(rows)
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in data], pa.int64()),
+            "ts_us": pa.array([r[1] for r in data], pa.int64()),
+            "event_id": pa.array([r[2] for r in data], pa.int64()),
+            "cents": pa.array([r[3] for r in data], pa.int64()),
+        }
+    )
+    out = window_mod.forward_fill(
+        rd.from_arrow(t), key_col="user_id", ts_col="ts_us",
+        id_col="event_id", val_col="cents",
+    ).to_pandas()
+    want = {}
+    by_key = {}
+    for k, ts, i, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        if v is not None:
+            by_key[k] = v
+        want[i] = by_key.get(k)
+        if v is None and k not in by_key:
+            want[i] = None
+    got = {
+        int(r.event_id): (None if pd.isna(r.cents_filled) else int(r.cents_filled))
+        for r in out.itertuples()
+    }
+    assert got == want
+
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(_doc, min_size=1, max_size=8))
