@@ -6863,6 +6863,43 @@ SQL_ROLLING_VALUE = (
 )
 
 
+def q_rolling_peak(sf_dir: str):
+    """Per-user trailing-row MAX (stages/window.py: rolling_max — the
+    extreme-value sibling of rolling_sum; max doesn't telescope, so
+    the kernel is preceding+1 masked shifted-compare passes): peak
+    milli-value over the last 4 events ordered by (ts, event_id)."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "value"],
+    )
+
+    def _q(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "ts": t["ts"].combine_chunks(),
+                "event_id": t["event_id"].combine_chunks(),
+                "vq": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return window.rolling_max(
+        ds.map_batches(_q, batch_format="pyarrow"), preceding=3
+    )
+
+
+SQL_ROLLING_PEAK = (
+    "WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, "
+    "CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq FROM events) "
+    "SELECT user_id, event_id, t_us, "
+    "CAST(MAX(vq) OVER w AS BIGINT) AS roll_max_q, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS n_win FROM q "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+)
+
+
 def q_lang_spearman(sf_dir: str):
     """Per-language Spearman rank correlation between doc length and
     whitespace token count (stages/sketch.py:grouped_spearman).
@@ -7873,6 +7910,7 @@ def queries() -> Dict[str, Callable]:
         "source_text_overlap": q_source_text_overlap,
         "clustering_coeff": q_clustering_coeff,
         "embed_dim_stats": q_embed_dim_stats,
+        "rolling_peak": q_rolling_peak,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8140,6 +8178,7 @@ def oracle_sql() -> Dict[str, str]:
         "source_text_overlap": SQL_SOURCE_TEXT_OVERLAP,
         "clustering_coeff": SQL_CLUSTERING_COEFF,
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
+        "rolling_peak": SQL_ROLLING_PEAK,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -1427,3 +1427,90 @@ def forward_fill(
         .groupby("__bucket")
         .map_groups(lambda g: _fill(g.drop_columns(["__bucket"])), batch_format="pyarrow")
     )
+
+
+def rolling_max(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "vq",
+    preceding: int = 3,
+    n_buckets: int = 64,
+):
+    """Per-key trailing-row MAX: for every event, the max over ROWS
+    BETWEEN ``preceding`` PRECEDING AND CURRENT ROW ordered by
+    (ts, id) — the extreme-value sibling of :func:`rolling_sum`
+    (peak-rate / high-water-mark analytics). Max has no cumsum
+    telescoping, so the kernel takes ``preceding + 1`` vectorized
+    shifted-compare passes per bucket (the frame is a SMALL constant
+    by contract — a 10k-row frame wants a different algorithm);
+    key-boundary shifts mask out, so frames never cross keys.
+    ``value_col`` must be int64 (quantize first)."""
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _route(t: pa.Table) -> pa.Table:
+        u = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                value_col: t[value_col].combine_chunks().cast(pa.int64()),
+                "__b": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "t_us": pa.array([], pa.int64()),
+                    "roll_max_q": pa.array([], pa.int64()),
+                    "n_win": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        u = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        i = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg_start = np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), n))
+        )
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(seg_start, idx - preceding)
+        roll = v.copy()
+        for off in range(1, preceding + 1):
+            src = idx - off
+            ok = src >= lo
+            np.maximum(
+                roll, np.where(ok, v[np.maximum(src, 0)], np.iinfo(np.int64).min),
+                out=roll,
+            )
+        return pa.table(
+            {
+                key_col: pa.array(u, pa.int64()),
+                id_col: pa.array(i, pa.int64()),
+                "t_us": pa.array(t, pa.int64()),
+                "roll_max_q": pa.array(roll, pa.int64()),
+                "n_win": pa.array(idx - lo + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
+    )

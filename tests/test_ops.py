@@ -5922,6 +5922,37 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_rolling_max_vs_pandas(ray_session):
+    """rolling_max: trailing-row max equals pandas groupby rolling max
+    (frame never crosses keys, (ts, id) tiebreak, negatives fine)."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    rng = np.random.default_rng(17)
+    n = 300
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 50, n).astype(np.int64), pa.int64()),
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "vq": pa.array(
+                rng.integers(-1000, 1000, n).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+    out = window_mod.rolling_max(
+        rd.from_arrow(t).repartition(4), preceding=3, ts_col="ts"
+    ).to_pandas()
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["want"] = (
+        df.groupby("user_id").vq.rolling(4, min_periods=1).max().reset_index(
+            level=0, drop=True
+        )
+    ).astype(np.int64)
+    want = dict(zip(df.event_id, df.want))
+    got = dict(zip(out.event_id, out.roll_max_q))
+    assert got == want
+
+
 def test_embedding_dim_stats_vs_numpy(ray_session):
     """embedding_dim_stats: per-(label, dim) quantized n/sum/min/max
     match a numpy oracle on float32 vectors; layout-invariant."""
