@@ -5115,7 +5115,8 @@ s AS (SELECT source, SUM(o) AS cs FROM c GROUP BY 1),
 n AS (SELECT SUM(o) AS nn FROM c),
 grid AS (SELECT r.lang, s.source, COALESCE(c.o, 0) AS o, r.rl, s.cs, n.nn
          FROM r CROSS JOIN s CROSS JOIN n
-         LEFT JOIN c ON c.lang = r.lang AND c.source = s.source)
+         LEFT JOIN c ON c.lang IS NOT DISTINCT FROM r.lang
+                    AND c.source IS NOT DISTINCT FROM s.source)
 SELECT lang, source, CAST(o AS BIGINT) AS o,
        CAST(((CAST(o AS HUGEINT) * nn - rl * cs)
              * (CAST(o AS HUGEINT) * nn - rl * cs) * 1000000)

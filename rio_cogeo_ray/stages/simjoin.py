@@ -368,6 +368,9 @@ def bitext_candidates(
                 "token": flat.filter(pa.array(keep)),
             }
         )
+        # NULL-lang docs can never satisfy the SQL mirror's lang
+        # comparisons (NULL <> x is NULL) - drop their postings here
+        rows = rows.filter(pc.is_valid(rows["lang"]))
         return rows.group_by(["doc", "lang", "token"]).aggregate([])
 
     empty_pairs = pa.table(
@@ -385,7 +388,7 @@ def bitext_candidates(
         return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     def _pairs(g: pa.Table) -> pa.Table:
-        if not g.num_rows:
+        if not g.num_rows or "token" not in g.column_names:
             return empty_pairs
         g = g.sort_by(
             [("token", "ascending"), ("lang", "ascending"), ("doc", "ascending")]

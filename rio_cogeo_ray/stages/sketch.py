@@ -1285,6 +1285,8 @@ def contingency_chi2(ds, row_col: str, col_col: str, n_buckets: int = 16):
             n_buckets=n_buckets,
         ).to_arrow_refs()
     ):
+        if not b.num_rows or row_col not in b.column_names:
+            continue  # schema-less empty block (zero-row input)
         for r, c, o in zip(
             b[row_col].to_pylist(), b[col_col].to_pylist(), b["o"].to_pylist()
         ):
@@ -1376,14 +1378,22 @@ def exact_group_split(
                 ("split", pa.string()),
             ]
         ).empty_table()
-        if not t.num_rows:
+        if not t.num_rows or id_col not in t.column_names:
             return empty
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        garr = t[group_col].combine_chunks()
+        # dictionary codes sort NULL groups as their own partition
+        # (SQL PARTITION BY semantics) without object-vs-None compares
+        enc = pc.dictionary_encode(garr)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        if codes.dtype.kind == "f":  # nulls surface as NaN indices
+            codes = np.where(np.isnan(codes), -1.0, codes)
+        codes = codes.astype(np.int64)
+        g = garr.to_numpy(zero_copy_only=False)
         h = t["__h"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h, g))
-        gs, ids_s, _ = g[order], ids[order], h[order]
-        new = np.r_[True, gs[1:] != gs[:-1]]
+        order = np.lexsort((ids, h, codes))
+        gs, ids_s, cs = g[order], ids[order], codes[order]
+        new = np.r_[True, cs[1:] != cs[:-1]]
         idx = np.arange(len(gs), dtype=np.int64)
         run_start = np.maximum.accumulate(np.where(new, idx, 0))
         rank1 = idx - run_start + 1  # 1-based rank within group

@@ -3995,6 +3995,8 @@ def vocab_jaccard(
     for b in _ray.get(
         partial_group_agg(dist, keys=["g"], count_as=None, n_buckets=4).to_arrow_refs()
     ):
+        if not b.num_rows or "g" not in b.column_names:
+            continue  # schema-less empty block (zero-row input)
         groups.update(x for x in b["g"].to_pylist() if x is not None)
     groups = sorted(groups)
     if not groups:
@@ -4008,6 +4010,10 @@ def vocab_jaccard(
     bit_of = {g: 1 << i for i, g in enumerate(groups)}
 
     def _bits(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "g" not in t.column_names:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "bit": pa.array([], pa.int64())}
+            )
         bits = np.array([bit_of[g] for g in t["g"].to_pylist()], dtype=np.int64)
         return pa.table({"w": t["w"], "bit": pa.array(bits, pa.int64())})
 
@@ -4022,13 +4028,20 @@ def vocab_jaccard(
     for b in _ray.get(
         partial_group_agg(
             masks.map_batches(
-                lambda t: pa.table({"mask": t["sum_bit"]}), batch_format="pyarrow"
+                lambda t: pa.table(
+                    {"mask": t["sum_bit"]}
+                    if "sum_bit" in t.column_names
+                    else {"mask": pa.array([], pa.int64())}
+                ),
+                batch_format="pyarrow",
             ),
             keys=["mask"],
             count_as="cnt",
             n_buckets=4,
         ).to_arrow_refs()
     ):
+        if not b.num_rows or "mask" not in b.column_names:
+            continue
         for m, c in zip(b["mask"].to_pylist(), b["cnt"].to_pylist()):
             hist[int(m)] = hist.get(int(m), 0) + int(c)
 
