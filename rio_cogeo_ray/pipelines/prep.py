@@ -99,3 +99,118 @@ def web_prep(
         seg, id_col=id_col, text_col="text_clean",
         carry_cols=("text_clean", "n_kept"),
     )
+
+
+DEFAULT_SPLITS = (("train", 90), ("val", 5), ("test", 5))
+DEFAULT_CHUNK_W, DEFAULT_CHUNK_S = 120, 80
+
+
+def corpus_to_shards(
+    src: Union[str, Sequence[str]],
+    work_dir: str,
+    num_shards: int = 4,
+    window: int = DEFAULT_CHUNK_W,
+    stride: int = DEFAULT_CHUNK_S,
+    splits: Sequence = DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    resume: bool = True,
+) -> dict:
+    """Resumable corpus → training-shards chain (q_corpus_to_shards'
+    production form): quality filter → exact dedup → bloom semi join →
+    chunking land at ONE checkpointed boundary (``stage=chunks``); the
+    deterministic split + seeded shard shuffle then writes through
+    :func:`stages.shard.write_shards`, whose own manifest-fingerprint
+    resume makes the WRITE idempotent too — a killed run re-enters at
+    the last completed boundary on either side of the shuffle.
+
+    Fingerprints chain source → chunks → shards, so a changed corpus
+    or any upstream config change rewrites everything downstream and
+    nothing stale survives (the create() ResumeMismatch doctrine).
+    Returns the shard manifest dict.
+    """
+    import os
+
+    import pyarrow as pa
+
+    from rio_cogeo_ray.stages import dedup as dedup_mod
+    from rio_cogeo_ray.stages import shard as shard_mod
+    from rio_cogeo_ray.stages import sketch
+    from rio_cogeo_ray.stages.join import bloom_semi_join
+
+    fp0 = ckpt.src_fingerprint(src)
+    fp_chunks = ckpt.chain_fingerprint(
+        fp0,
+        "chunks",
+        {
+            "window": window,
+            "stride": stride,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+    )
+
+    def _chunks() -> rd.Dataset:
+        # pool sizing: TWO actor pools live in this chain (QualityScore
+        # + BloomProbe); each reserves a CPU, so size them to leave
+        # task headroom — a pool pair = cluster CPUs deadlocks at 4
+        # cpus (the plan_join broadcast-pool doctrine)
+        import ray as _ray
+
+        pool = max(1, int(_ray.cluster_resources().get("CPU", 8)) // 4)
+        docs = rd.read_parquet(src, columns=[id_col, text_col])
+        scored = docs.map_batches(
+            text.QualityScore, batch_format="pyarrow", concurrency=pool,
+            batch_size=4096,
+        )
+
+        def _keep(t):
+            return t.filter(t["quality_ok"].combine_chunks()).select(
+                [id_col, text_col]
+            )
+
+        q = scored.map_batches(_keep, batch_format="pyarrow")
+        keepers = dedup_mod.exact_dedup(q, key_col=text_col, id_col=id_col)
+        kept = bloom_semi_join(
+            q, keepers, on=id_col, m_bits=1 << 20, concurrency=pool
+        )
+        chunked = kept.map_batches(
+            lambda t: text.chunk_texts(t, window=window, stride=stride),
+            batch_format="pyarrow",
+        )
+
+        def _cid(t):
+            import numpy as np
+
+            d = t[id_col].combine_chunks().cast("int64").to_numpy(
+                zero_copy_only=False
+            )
+            c = t["chunk_id"].combine_chunks().cast("int64").to_numpy(
+                zero_copy_only=False
+            )
+            return t.append_column(
+                "cid", pa.array(d * 8192 + c, pa.int64())
+            )
+
+        return chunked.map_batches(_cid, batch_format="pyarrow")
+
+    chunks = ckpt.stage_boundary(_chunks, work_dir, "chunks", fp_chunks, resume)
+
+    fp_shards = ckpt.chain_fingerprint(
+        fp_chunks, "shards", {"num_shards": num_shards, "splits": list(splits)}
+    )
+    split = sketch.split_assign(chunks, "cid", list(splits))
+
+    def _train(t):
+        return t.filter(
+            pc.equal(t["split"].combine_chunks(), "train")
+        ).drop_columns(["split"])
+
+    train = split.map_batches(_train, batch_format="pyarrow")
+    return shard_mod.write_shards(
+        train,
+        os.path.join(work_dir, "shards"),
+        id_col="cid",
+        num_shards=num_shards,
+        src_fingerprint=fp_shards,
+    )

@@ -610,3 +610,76 @@ def test_web_prep_checkpoint_resume(ray_session, tmp_path):
     # resume=False always rebuilds end to end, same bits
     out3 = _norm(prep.web_prep(src, w, resume=False))
     pd.testing.assert_frame_equal(out3, ref)
+
+
+def test_corpus_to_shards_checkpoint_resume(ray_session, tmp_path):
+    """Kill/restart the corpus->shards chain: a run killed after the
+    chunks boundary resumes from it (prep never recomputes), the shard
+    write is idempotent via its manifest fingerprint, and shard bytes
+    are identical to an uninterrupted run. A chunking-config change
+    invalidates everything downstream."""
+    import glob
+    import hashlib
+    import os
+
+    import pytest as _pytest
+
+    from rio_cogeo_ray.pipelines import prep
+    from rio_cogeo_ray.stages import shard as shard_mod
+    from rio_cogeo_ray.stages import text as text_mod
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def shard_digest(wd):
+        out = {}
+        for d in sorted(glob.glob(os.path.join(wd, "shards", "shard=*"))):
+            h = hashlib.sha256()
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(f)
+                h.update(str(t.sort_by([("cid", "ascending")]).to_pydict()).encode())
+            out[os.path.basename(d)] = h.hexdigest()
+        return out
+
+    ref_wd = str(tmp_path / "clean")
+    m_ref = prep.corpus_to_shards(src, ref_wd, num_shards=3)
+    assert sum(m_ref["shard_rows"].values()) > 0
+    ref_digest = shard_digest(ref_wd)
+
+    def boom(*a, **k):
+        raise RuntimeError("killed")
+
+    # killed between boundary and shard write
+    w = str(tmp_path / "resumed")
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(shard_mod, "write_shards", boom)
+        with _pytest.raises(RuntimeError):
+            prep.corpus_to_shards(src, w, num_shards=3)
+    assert os.path.exists(os.path.join(w, "chunks.marker.json"))
+    assert not os.path.exists(os.path.join(w, "shards", "_manifest.json"))
+
+    # restart: prep must NOT recompute (poisoned QualityScore) — the
+    # chunks boundary reads back and only the shard write runs
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "QualityScore", boom)
+        m = prep.corpus_to_shards(src, w, num_shards=3)
+    assert m["shard_rows"] == m_ref["shard_rows"]
+    assert shard_digest(w) == ref_digest
+
+    # full restart after completion: the write is skipped too (the
+    # manifest fingerprint matches; rows unchanged)
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "QualityScore", boom)
+        m2 = prep.corpus_to_shards(src, w, num_shards=3)
+    assert m2["shard_rows"] == m_ref["shard_rows"]
+    assert shard_digest(w) == ref_digest
+
+    # chunk-config change invalidates the boundary AND the shard
+    # fingerprint: the (poisoned) prep stage is reached again — boom
+    # runs as a remote map UDF here, so the RuntimeError arrives
+    # wrapped in RayTaskError
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(text_mod, "QualityScore", boom)
+        with _pytest.raises(Exception, match="killed"):
+            prep.corpus_to_shards(src, w, num_shards=3, window=100)
