@@ -309,6 +309,40 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_shards(args) -> int:
+    """Checkpoint-resumable corpus -> training-shards chain
+    (pipelines/prep.py: corpus_to_shards): quality filter -> exact
+    dedup -> chunking at one persisted boundary, then deterministic
+    split + seeded shard write whose manifest fingerprint makes the
+    write idempotent. Rerun with the same src+config = pure marker
+    verification."""
+    from rio_cogeo_ray.pipelines import prep
+
+    _ray_init(args.threads)
+    manifest = prep.corpus_to_shards(
+        args.src,
+        args.work_dir,
+        num_shards=args.num_shards,
+        window=args.window,
+        stride=args.stride,
+        resume=not args.no_resume,
+    )
+    print(
+        json.dumps(
+            {
+                "work_dir": args.work_dir,
+                "num_shards": manifest.get("num_shards"),
+                "rows": manifest.get("rows"),
+                "shard_rows": manifest.get("shard_rows"),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Thin verdict wrapper (cli.py:334-357 analog). A FILE path
     validates as a single-file export; a directory as a pyramid."""
@@ -434,6 +468,20 @@ def main(argv=None) -> int:
                     help="ignore existing stage markers and rebuild")
     pr.add_argument("--threads", type=_parse_threads, default="all_cpus")
     pr.set_defaults(fn=cmd_prep)
+
+    sh = sub.add_parser(
+        "shards",
+        help="checkpoint-resumable corpus -> training shards (split + seeded shuffle)",
+    )
+    sh.add_argument("src", help="documents parquet file/dir (doc_id, text)")
+    sh.add_argument("work_dir", help="checkpoint + shard output directory")
+    sh.add_argument("--num-shards", type=int, default=4)
+    sh.add_argument("--window", type=int, default=120, help="chunk window chars")
+    sh.add_argument("--stride", type=int, default=80, help="chunk stride chars")
+    sh.add_argument("--no-resume", action="store_true",
+                    help="ignore existing stage markers and rebuild")
+    sh.add_argument("--threads", type=_parse_threads, default="all_cpus")
+    sh.set_defaults(fn=cmd_shards)
 
     v = sub.add_parser("validate", help="validate a pyramid output")
     v.add_argument("src")

@@ -686,3 +686,28 @@ def test_cli_prep_resumable(tmp_path):
     assert sig2 == sig
     for f, _ in sig2:
         assert os.path.getmtime(os.path.join(out_dir, f)) == mtimes[f]
+
+
+def test_cli_shards_resumable(tmp_path):
+    """CLI shards runs the resumable corpus->shards chain end-to-end; a
+    rerun of the completed job skips both the boundary and the shard
+    write (manifest fingerprint) leaving shard files untouched."""
+    import glob
+    import os
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    w = str(tmp_path / "sh")
+    r = _run_cli("shards", src, w, "--num-shards", "3", "--threads", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    first = json.loads(r.stdout.strip().splitlines()[-1])
+    assert first["rows"] > 0 and len(first["shard_rows"]) == 3
+    files = sorted(glob.glob(os.path.join(w, "shards", "shard=*", "*.parquet")))
+    assert files
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    r2 = _run_cli("shards", src, w, "--num-shards", "3", "--threads", "4")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    again = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert again == first
+    for f in files:
+        assert os.path.getmtime(f) == mtimes[f]
