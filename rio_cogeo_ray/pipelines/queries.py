@@ -6864,6 +6864,51 @@ SQL_ROLLING_VALUE = (
 )
 
 
+def q_lang_wmedian(sf_dir: str):
+    """Exact weighted median per language (stages/sketch.py:
+    grouped_weighted_median): the median TOKEN COUNT weighted by each
+    doc's character mass — "the length of the doc the average
+    CHARACTER lives in", the size-biased statistic an unweighted
+    median understates. One slim hash(lang) exchange, lexsort +
+    segmented cumsum, lower-median (value, doc_id) tiebreak."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+
+    def _vw(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"].combine_chunks().cast(pa.string()),
+                "v": text.token_count(t["text"].combine_chunks()),
+                "w": t["n_chars"].combine_chunks().cast(pa.int64()),
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    from rio_cogeo_ray.stages import sketch
+
+    return sketch.grouped_weighted_median(
+        ds.map_batches(_vw, batch_format="pyarrow"),
+        group_col="lang",
+        value_col="v",
+        weight_col="w",
+        id_col="doc_id",
+    )
+
+
+SQL_LANG_WMEDIAN = r"""
+WITH d AS (SELECT lang, doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+                  CAST(n_chars AS BIGINT) AS w
+           FROM documents),
+o AS (SELECT lang, v, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY v, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS tw
+      FROM d)
+SELECT lang, MIN(v) AS wmedian, CAST(MAX(tw) AS BIGINT) AS tot_w
+FROM o WHERE 2 * cw >= tw GROUP BY lang
+"""
+
+
 def q_rolling_peak(sf_dir: str):
     """Per-user trailing-row MAX (stages/window.py: rolling_max — the
     extreme-value sibling of rolling_sum; max doesn't telescope, so
@@ -7912,6 +7957,7 @@ def queries() -> Dict[str, Callable]:
         "clustering_coeff": q_clustering_coeff,
         "embed_dim_stats": q_embed_dim_stats,
         "rolling_peak": q_rolling_peak,
+        "lang_wmedian": q_lang_wmedian,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8180,6 +8226,7 @@ def oracle_sql() -> Dict[str, str]:
         "clustering_coeff": SQL_CLUSTERING_COEFF,
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
         "rolling_peak": SQL_ROLLING_PEAK,
+        "lang_wmedian": SQL_LANG_WMEDIAN,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -1417,3 +1417,106 @@ def exact_group_split(
             lambda t: _rank(t.drop_columns(["__bucket"])), batch_format="pyarrow"
         )
     )
+
+
+def grouped_weighted_median(
+    ds,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+):
+    """Exact LOWER weighted median per group — the weighted order
+    statistic :func:`grouped_quantile` (unweighted) can't express: the
+    smallest value whose cumulative weight reaches half the group's
+    total (e.g. the median document LENGTH weighted by how much text
+    each doc contributes — long docs pull harder). Deterministic via
+    the (value, id) unique tiebreak.
+
+    Partitioning contract: ONE hash(group) exchange of slim (group,
+    value, weight, id) rows; per bucket one lexsort + segmented
+    cumsum, then the first row per group with ``2·cumw ≥ totw`` —
+    all-groups-at-once vectorized, output one row per group.
+
+    SQL mirror: windowed SUM cumulative weight + windowed total +
+    ``MIN(value) WHERE 2·cw ≥ tw`` per group.
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    def _slim(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().cast(pa.string())
+        import polars as pl  # string-key bucket via the repo hash family
+
+        h = (
+            pl.from_arrow(g.cast(pa.large_string())).hash(seed=7)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        b = (splitmix64(h) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: g,
+                value_col: t[value_col].combine_chunks().cast(pa.int64()),
+                weight_col: t[weight_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("wmedian", pa.int64()),
+            ("tot_w", pa.int64()),
+        ]
+    )
+
+    def _median(t: pa.Table) -> pa.Table:
+        if not t.num_rows or value_col not in t.column_names:
+            return out_schema.empty_table()
+        t = t.sort_by(
+            [
+                (group_col, "ascending"),
+                (value_col, "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.r_[True, g[1:] != g[:-1]]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        cw = np.cumsum(w)
+        base = np.r_[0, cw[starts[1:] - 1]] if len(starts) > 1 else np.array([0])
+        cumw = cw - base[seg]
+        ends = np.r_[starts[1:], len(g)]
+        totw = cumw[ends - 1]
+        hit = 2 * cumw >= totw[seg]
+        # one row per group: the FIRST hit row of each segment (hits
+        # are suffix-contiguous per group since cumw is nondecreasing)
+        sel = np.zeros(len(starts), dtype=np.int64)
+        found = np.zeros(len(starts), dtype=bool)
+        hits = np.flatnonzero(hit)
+        if len(hits):
+            firsts = np.unique(seg[hits], return_index=True)[1]
+            sel_idx = hits[firsts]
+            sel[seg[sel_idx]] = sel_idx
+            found[seg[sel_idx]] = True
+        keep = np.flatnonzero(found)
+        return pa.table(
+            {
+                group_col: pa.array(g[starts][keep].astype(object), pa.string()),
+                "wmedian": pa.array(v[sel[keep]], pa.int64()),
+                "tot_w": pa.array(totw[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_slim, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda t: _median(t.drop_columns(["__bucket"])), batch_format="pyarrow"
+        )
+    )

@@ -5922,6 +5922,37 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_grouped_weighted_median_vs_brute(ray_session):
+    """grouped_weighted_median: lower weighted median per group matches
+    a sort+cumsum oracle; heavy single rows dominate; unit weights
+    reduce to the lower median; layout-invariant."""
+    from rio_cogeo_ray.stages.sketch import grouped_weighted_median
+
+    rows = [
+        # (group, value, weight, id)
+        ("a", 1, 1, 0), ("a", 2, 1, 1), ("a", 3, 1, 2),        # unit -> median 2
+        ("b", 5, 1, 3), ("b", 100, 10, 4),                      # heavy row wins
+        ("c", 7, 3, 5),                                         # singleton
+        ("d", 4, 0, 6), ("d", 9, 0, 7),                         # all-zero weights
+    ]
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "w": pa.array([r[2] for r in rows], pa.int64()),
+            "i": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    want = {("a", 2, 3), ("b", 100, 11), ("c", 7, 3), ("d", 4, 0)}
+    for parts in (1, 3):
+        out = grouped_weighted_median(
+            rd.from_arrow(t).repartition(parts),
+            group_col="g", value_col="v", weight_col="w", id_col="i",
+        ).to_pandas()
+        got = set(zip(out.g, out.wmedian, out.tot_w))
+        assert got == want
+
+
 def test_rolling_max_vs_pandas(ray_session):
     """rolling_max: trailing-row max equals pandas groupby rolling max
     (frame never crosses keys, (ts, id) tiebreak, negatives fine)."""
