@@ -1492,6 +1492,66 @@ FROM g GROUP BY user_id, isl
 GROWTH_HOUR_US = 3_600_000_000
 
 
+def q_coverage_gaps(sf_dir: str):
+    """Per-user coverage-gap audit — the complement of interval_cover:
+    from the merged islands (stages/window.py: interval_flatten), one
+    bounded per-user aggregate derives covered time, total span, and
+    the UNCOVERED time between islands (span − covered) — the
+    monitoring-blind-spot / crawl-gap metric. Islands are already ∝
+    merged rows, so the second aggregate is corpus-independent."""
+    islands = q_interval_cover(sf_dir)
+
+    def _len(t: pa.Table) -> pa.Table:
+        s = t["cover_start_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = t["cover_end_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "len_us": pa.array(e - s, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+            }
+        )
+
+    aggd = agg.partial_group_agg(
+        islands.map_batches(_len, batch_format="pyarrow"),
+        keys=["user_id"],
+        sum_cols=["len_us"],
+        min_cols=["s"],
+        max_cols=["e"],
+        count_as="n_islands",
+        n_buckets=8,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        cov = t["sum_len_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = t["min_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = t["max_e"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "n_islands": t["n_islands"].combine_chunks(),
+                "covered_us": pa.array(cov, pa.int64()),
+                "span_us": pa.array(hi - lo, pa.int64()),
+                "uncovered_us": pa.array(hi - lo - cov, pa.int64()),
+            }
+        )
+
+    return aggd.map_batches(_fin, batch_format="pyarrow")
+
+
+def _sql_coverage_gaps() -> str:
+    return f"""
+WITH islands AS ({SQL_INTERVAL_COVER})
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(cover_end_us - cover_start_us) AS BIGINT) AS covered_us,
+       CAST(MAX(cover_end_us) - MIN(cover_start_us) AS BIGINT) AS span_us,
+       CAST(MAX(cover_end_us) - MIN(cover_start_us)
+            - SUM(cover_end_us - cover_start_us) AS BIGINT) AS uncovered_us
+FROM islands GROUP BY user_id
+"""
+
+
 def q_user_growth(sf_dir: str):
     """Cumulative-distinct growth curve (the DAU/adoption analytic):
     per hour, how many users appeared for the FIRST time and the
@@ -7958,6 +8018,7 @@ def queries() -> Dict[str, Callable]:
         "embed_dim_stats": q_embed_dim_stats,
         "rolling_peak": q_rolling_peak,
         "lang_wmedian": q_lang_wmedian,
+        "coverage_gaps": q_coverage_gaps,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8227,6 +8288,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
         "rolling_peak": SQL_ROLLING_PEAK,
         "lang_wmedian": SQL_LANG_WMEDIAN,
+        "coverage_gaps": _sql_coverage_gaps(),
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
