@@ -1492,6 +1492,93 @@ FROM g GROUP BY user_id, isl
 GROWTH_HOUR_US = 3_600_000_000
 
 
+CONC_TOPK = 10
+
+
+def q_host_concentration(sf_dir: str):
+    """Corpus concentration curve — what share of all pages the top-k
+    hosts hold (the Gini-flavoured governance metric behind host_cap's
+    per-domain quota: a corpus where 10 hosts carry half the pages
+    needs capping): rank hosts by page count desc, cumulative share in
+    exact ppm at ranks 1..10. Host counts reduce distributed
+    (host-bounded rows); the top-k cut is top_rows_by's associative
+    selection; the driver cumsums k rows."""
+    import ray as _ray
+
+    from rio_cogeo_ray.stages.agg import top_rows_by
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _host(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        host = pc.binary_join_element_wise(
+            pa.scalar("h"),
+            pc.cast(pa.array(d % 23, pa.int64()), pa.string()),
+            pa.scalar(".example.com"),
+            "",
+        )
+        return pa.table({"host": host})
+
+    counts = agg.partial_group_agg(
+        ds.map_batches(_host, batch_format="pyarrow"),
+        keys=["host"],
+        count_as="n",
+        n_buckets=8,
+    ).map_batches(
+        lambda t: t.append_column("__one", pa.repeat(pa.scalar(1, pa.int64()), len(t))),
+        batch_format="pyarrow",
+    )
+    top = top_rows_by(
+        counts,
+        keys=["__one"],
+        order_by=[("n", "descending"), ("host", "ascending")],
+        k=CONC_TOPK,
+        n_buckets=2,
+    )
+    total = 0
+    rows = []
+    for b in _ray.get(counts.to_arrow_refs()):
+        if b.num_rows and "n" in b.column_names:
+            total += int(pc.sum(b["n"]).as_py() or 0)
+    for b in _ray.get(top.to_arrow_refs()):
+        if b.num_rows and "host" in b.column_names:
+            rows.extend(zip(b["host"].to_pylist(), b["n"].to_pylist()))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = {"rk": [], "host": [], "n": [], "cum_share_ppm": []}
+    cum = 0
+    for i, (h, n) in enumerate(rows[:CONC_TOPK], 1):
+        cum += int(n)
+        out["rk"].append(i)
+        out["host"].append(h)
+        out["n"].append(int(n))
+        out["cum_share_ppm"].append(cum * 1_000_000 // max(total, 1))
+    return pa.table(
+        {
+            "rk": pa.array(out["rk"], pa.int64()),
+            "host": pa.array(out["host"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "cum_share_ppm": pa.array(out["cum_share_ppm"], pa.int64()),
+        }
+    )
+
+
+SQL_HOST_CONCENTRATION = f"""
+WITH h AS (SELECT 'h' || doc_id % 23 || '.example.com' AS host FROM documents),
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+r AS (SELECT host, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, host) AS rk,
+             SUM(n) OVER () AS tot,
+             SUM(n) OVER (ORDER BY n DESC, host
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT CAST(rk AS BIGINT) AS rk, host, n,
+       CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm
+FROM r WHERE rk <= {CONC_TOPK}
+"""
+
+
 def q_coverage_gaps(sf_dir: str):
     """Per-user coverage-gap audit — the complement of interval_cover:
     from the merged islands (stages/window.py: interval_flatten), one
@@ -8019,6 +8106,7 @@ def queries() -> Dict[str, Callable]:
         "rolling_peak": q_rolling_peak,
         "lang_wmedian": q_lang_wmedian,
         "coverage_gaps": q_coverage_gaps,
+        "host_concentration": q_host_concentration,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8289,6 +8377,7 @@ def oracle_sql() -> Dict[str, str]:
         "rolling_peak": SQL_ROLLING_PEAK,
         "lang_wmedian": SQL_LANG_WMEDIAN,
         "coverage_gaps": _sql_coverage_gaps(),
+        "host_concentration": SQL_HOST_CONCENTRATION,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
