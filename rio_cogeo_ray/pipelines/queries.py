@@ -7021,10 +7021,11 @@ def q_lang_wmedian(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "lang", "text", "n_chars"])
 
     def _vw(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
         return pa.table(
             {
                 "lang": t["lang"].combine_chunks().cast(pa.string()),
-                "v": text.token_count(t["text"].combine_chunks()),
+                "v": text.token_count(txt),
                 "w": t["n_chars"].combine_chunks().cast(pa.int64()),
                 "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
             }
@@ -7043,7 +7044,8 @@ def q_lang_wmedian(sf_dir: str):
 
 SQL_LANG_WMEDIAN = r"""
 WITH d AS (SELECT lang, doc_id,
-                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+                  CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                       AS BIGINT) AS v,
                   CAST(n_chars AS BIGINT) AS w
            FROM documents),
 o AS (SELECT lang, v, w,
