@@ -103,6 +103,7 @@ def web_prep(
 
 DEFAULT_SPLITS = (("train", 90), ("val", 5), ("test", 5))
 DEFAULT_CHUNK_W, DEFAULT_CHUNK_S = 120, 80
+_CID_SHIFT = 8192  # max chunks per doc in the packed chunk id
 
 
 def corpus_to_shards(
@@ -188,8 +189,17 @@ def corpus_to_shards(
             c = t["chunk_id"].combine_chunks().cast("int64").to_numpy(
                 zero_copy_only=False
             )
+            # cid packs (doc, chunk) into one int64; a doc with >= CID
+            # chunks would collide with its neighbour's id space -
+            # refuse loudly rather than corrupt shard determinism
+            if len(c) and int(c.max()) >= _CID_SHIFT:
+                raise ValueError(
+                    f"corpus_to_shards: a document produced {int(c.max()) + 1} "
+                    f"chunks >= CID_SHIFT={_CID_SHIFT}; raise window/stride or "
+                    "widen _CID_SHIFT (cid = doc_id * shift + chunk_id)"
+                )
             return t.append_column(
-                "cid", pa.array(d * 8192 + c, pa.int64())
+                "cid", pa.array(d * _CID_SHIFT + c, pa.int64())
             )
 
         return chunked.map_batches(_cid, batch_format="pyarrow")
@@ -207,9 +217,16 @@ def corpus_to_shards(
         ).drop_columns(["split"])
 
     train = split.map_batches(_train, batch_format="pyarrow")
+    shards_dir = os.path.join(work_dir, "shards")
+    if not resume:
+        # --no-resume means REBUILD: write_shards' own fingerprint
+        # short-circuit must not preserve possibly-corrupt output
+        import shutil
+
+        shutil.rmtree(shards_dir, ignore_errors=True)
     return shard_mod.write_shards(
         train,
-        os.path.join(work_dir, "shards"),
+        shards_dir,
         id_col="cid",
         num_shards=num_shards,
         src_fingerprint=fp_shards,

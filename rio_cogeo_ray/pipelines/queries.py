@@ -1529,7 +1529,7 @@ def q_host_concentration(sf_dir: str):
     ).map_batches(
         lambda t: t.append_column("__one", pa.repeat(pa.scalar(1, pa.int64()), len(t))),
         batch_format="pyarrow",
-    )
+    ).materialize()  # two consumers (top-k + total) - don't re-run the count
     top = top_rows_by(
         counts,
         keys=["__one"],

@@ -429,23 +429,33 @@ def degree_assortativity(edges, src_col: str = "src_host", dst_col: str = "dst_h
         n_buckets=n_buckets,
     )
 
+    def _exact_sum(v: np.ndarray) -> int:
+        """Overflow-proof sum of an int64 array: slice so each partial
+        stays under 2^62, accumulate the slices in Python bignums."""
+        if not len(v):
+            return 0
+        m = int(np.abs(v).max())
+        if m == 0:
+            return 0
+        step = max(1, (2**62) // m)
+        return sum(int(v[i : i + step].sum()) for i in range(0, len(v), step))
+
     def _moments(t: pa.Table) -> pa.Table:
+        # per-element products are checked (loud on overflow); the
+        # ACCUMULATION is chunk-safe and ships as decimal strings so a
+        # hub-heavy batch can never silently wrap an int64 partial
         x = t["outd"].combine_chunks().cast(pa.int64())
         y = t["ind"].combine_chunks().cast(pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        yn = y.to_numpy(zero_copy_only=False)
+        xy = pc.multiply_checked(x, y).to_numpy(zero_copy_only=False)
+        x2 = pc.multiply_checked(x, x).to_numpy(zero_copy_only=False)
+        y2 = pc.multiply_checked(y, y).to_numpy(zero_copy_only=False)
+        vals = [len(t)] + [_exact_sum(a) for a in (xn, yn, xy, x2, y2)]
         return pa.table(
             {
-                "n": pa.array([len(t)], pa.int64()),
-                "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
-                "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
-                "sxy": pa.array(
-                    [pc.sum(pc.multiply_checked(x, y)).as_py() or 0], pa.int64()
-                ),
-                "sx2": pa.array(
-                    [pc.sum(pc.multiply_checked(x, x)).as_py() or 0], pa.int64()
-                ),
-                "sy2": pa.array(
-                    [pc.sum(pc.multiply_checked(y, y)).as_py() or 0], pa.int64()
-                ),
+                k: pa.array([str(v)], pa.string())
+                for k, v in zip(("n", "sx", "sy", "sxy", "sx2", "sy2"), vals)
             }
         )
 
@@ -453,9 +463,11 @@ def degree_assortativity(edges, src_col: str = "src_host", dst_col: str = "dst_h
     for b in _ray.get(
         both.map_batches(_moments, batch_format="pyarrow").to_arrow_refs()
     ):
+        if not b.num_rows or "n" not in b.column_names:
+            continue
         for r in b.to_pylist():
-            n += r["n"]; sx += r["sx"]; sy += r["sy"]
-            sxy += r["sxy"]; sx2 += r["sx2"]; sy2 += r["sy2"]
+            n += int(r["n"]); sx += int(r["sx"]); sy += int(r["sy"])
+            sxy += int(r["sxy"]); sx2 += int(r["sx2"]); sy2 += int(r["sy2"])
     if n == 0:
         a = None
     else:

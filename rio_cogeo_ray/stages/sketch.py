@@ -1441,28 +1441,30 @@ def grouped_weighted_median(
 
     SQL mirror: windowed SUM cumulative weight + windowed total +
     ``MIN(value) WHERE 2·cw ≥ tw`` per group.
+
+    Null contract (SQL-mirrored): NULL weights count 0 (SUM skips
+    them); NULL-value rows are dropped before ranking (mirror with
+    ``WHERE value IS NOT NULL`` + ``COALESCE(weight, 0)``) — a null
+    must never NaN-poison the bucket cumsum.
     """
-    from rio_cogeo_ray.functions.hashing import splitmix64
+    from rio_cogeo_ray.functions.hashing import hash_columns
 
     def _slim(t: pa.Table) -> pa.Table:
-        g = t[group_col].combine_chunks().cast(pa.string())
-        import polars as pl  # string-key bucket via the repo hash family
-
-        h = (
-            pl.from_arrow(g.cast(pa.large_string())).hash(seed=7)
-            .to_numpy()
-            .astype(np.uint64)
-        )
-        b = (splitmix64(h) % np.uint64(n_buckets)).astype(np.int64)
-        return pa.table(
+        slim = pa.table(
             {
-                group_col: g,
+                group_col: t[group_col].combine_chunks().cast(pa.string()),
                 value_col: t[value_col].combine_chunks().cast(pa.int64()),
-                weight_col: t[weight_col].combine_chunks().cast(pa.int64()),
+                weight_col: pc.fill_null(
+                    t[weight_col].combine_chunks().cast(pa.int64()), 0
+                ),
                 id_col: t[id_col].combine_chunks().cast(pa.int64()),
-                "__bucket": pa.array(b, pa.int64()),
             }
         )
+        slim = slim.filter(pc.is_valid(slim[value_col]))
+        b = (hash_columns(slim, [group_col]) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return slim.append_column("__bucket", pa.array(b, pa.int64()))
 
     out_schema = pa.schema(
         [

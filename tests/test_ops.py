@@ -5952,6 +5952,24 @@ def test_grouped_weighted_median_vs_brute(ray_session):
         got = set(zip(out.g, out.wmedian, out.tot_w))
         assert got == want
 
+    # null weight counts 0, null value drops - and neither may
+    # NaN-poison OTHER groups sharing the bucket (regression: a single
+    # null once emptied the whole bucket's output)
+    t2 = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", "c"], pa.string()),
+            "v": pa.array([1, None, 5, 6, 9], pa.int64()),
+            "w": pa.array([2, 7, None, 3, 1], pa.int64()),
+            "i": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out2 = grouped_weighted_median(
+        rd.from_arrow(t2), group_col="g", value_col="v", weight_col="w",
+        id_col="i", n_buckets=1,
+    ).to_pandas()
+    got2 = set(zip(out2.g, out2.wmedian, out2.tot_w))
+    assert got2 == {("a", 1, 2), ("b", 6, 3), ("c", 9, 1)}
+
 
 def test_rolling_max_vs_pandas(ray_session):
     """rolling_max: trailing-row max equals pandas groupby rolling max
