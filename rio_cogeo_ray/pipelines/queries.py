@@ -6187,6 +6187,119 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplicate-rate audit — WHERE is the redundancy coming
+    from (the dedup-planning drill-down beside source_text_overlap's
+    pair matrix): a doc is REDUNDANT iff its text occurs ≥2 times
+    corpus-wide and the doc is not the min-id owner; report each
+    source's doc count, redundant count, and exact ppm rate. Same
+    boilerplate planting as source_text_overlap (every 7th doc).
+
+    Scale shape: one hash(text)-keyed exchange of (hash128, doc,
+    source) slim rows — all copies of a text co-locate, so owner and
+    count are run-local — then one bounded per-source sum; text never
+    shuffles (the doc_novelty shape with gram = whole doc)."""
+    import polars as pl
+
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def _rows(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        txt = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+        boiler = pc.binary_join_element_wise(
+            pa.scalar("boilerplate page "),
+            pc.cast(pa.array(d % 3, pa.int64()), pa.string()),
+            "",
+        )
+        txt = pc.if_else(pa.array(d % 7 == 0), boiler, txt)
+        h1 = pl.from_arrow(txt.cast(pa.large_string())).hash(seed=101).to_numpy().astype(np.uint64)
+        h2 = splitmix64(h1 ^ np.uint64(0xD1B54A32D192ED03))
+        b = (splitmix64(h1) % np.uint64(16)).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(d, pa.int64()),
+                "source": t["source"].combine_chunks().cast(pa.string()),
+                "h1": pa.array(h1.astype(np.int64), pa.int64()),
+                "h2": pa.array(h2.astype(np.int64), pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _flags(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "red": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows or "h1" not in g.column_names:
+            return empty
+        g = g.sort_by(
+            [("h1", "ascending"), ("h2", "ascending"), ("doc", "ascending")]
+        )
+        h1 = g["h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = g["h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = g["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        run = np.cumsum(start) - 1
+        cnt = np.bincount(run)
+        owner = doc[np.flatnonzero(start)]
+        red = ((cnt[run] > 1) & (doc != owner[run])).astype(np.int64)
+        return pa.table(
+            {
+                "source": g["source"].combine_chunks(),
+                "red": pa.array(red, pa.int64()),
+            }
+        )
+
+    flags = (
+        ds.map_batches(_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: _flags(g.drop_columns(["__bucket"])), batch_format="pyarrow")
+    )
+    aggd = agg.partial_group_agg(
+        flags, keys=["source"], sum_cols=["red"], count_as="n_docs", n_buckets=8
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        red = t["sum_red"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n_docs"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"].combine_chunks(),
+                "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+                "n_redundant": pa.array(red.astype(np.int64), pa.int64()),
+                "dup_ppm": pa.array(
+                    red.astype(np.int64) * 1_000_000 // np.maximum(n, 1),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return aggd.map_batches(_fin, batch_format="pyarrow")
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH d0 AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'boilerplate page ' || doc_id % 3
+                        ELSE COALESCE(text, '') END AS text
+            FROM documents),
+o AS (SELECT text, MIN(doc_id) AS owner, COUNT(*) AS cnt FROM d0 GROUP BY 1),
+f AS (SELECT d0.source,
+             CASE WHEN o.cnt > 1 AND d0.doc_id <> o.owner THEN 1 ELSE 0 END AS red
+      FROM d0 JOIN o USING (text))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(red) AS BIGINT) AS n_redundant,
+       CAST(SUM(red) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+FROM f GROUP BY source
+"""
+
+
 def q_ttr(sf_dir: str):
     """Per-doc type-token ratio (stages/text.py: type_token_ratio —
     lexical diversity in exact ppm; template spam scores low). Pure
@@ -8109,6 +8222,7 @@ def queries() -> Dict[str, Callable]:
         "lang_wmedian": q_lang_wmedian,
         "coverage_gaps": q_coverage_gaps,
         "host_concentration": q_host_concentration,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8380,6 +8494,7 @@ def oracle_sql() -> Dict[str, str]:
         "lang_wmedian": SQL_LANG_WMEDIAN,
         "coverage_gaps": _sql_coverage_gaps(),
         "host_concentration": SQL_HOST_CONCENTRATION,
+        "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
