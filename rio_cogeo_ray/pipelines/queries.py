@@ -7251,6 +7251,20 @@ SQL_LANG_SPEARMAN = (
 )
 
 
+def q_bitext_align(sf_dir: str):
+    """Sentence alignment over the bitext CANDIDATE pairs (stages/
+    simjoin.py: align_candidate_pairs — the Gale-Church-core step
+    after q_bitext_candidates): per candidate doc pair, the monotone
+    1-1 sentence alignments by Needleman-Wunsch over raw sentence
+    lengths (insertions/deletions skip; see the raw-vs-ratio cost
+    note). Iterative DP ⇒ rows-only; semantics pinned in pytest."""
+    from rio_cogeo_ray.stages.simjoin import align_candidate_pairs
+
+    pairs = q_bitext_candidates(sf_dir)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return align_candidate_pairs(pairs, docs)
+
+
 def q_hybrid_search(sf_dir: str):
     """Hybrid lexical+semantic retrieval (stages/search.py:
     hybrid_search): BM25 over the shard-pruned inverted index fused
@@ -8409,6 +8423,7 @@ def queries() -> Dict[str, Callable]:
         "kcore": q_kcore,
         "quality_classifier": q_quality_classifier,
         "hybrid_search": q_hybrid_search,
+        "bitext_align": q_bitext_align,
     }
 
 

@@ -444,3 +444,188 @@ def bitext_candidates(
         ),
         batch_format="pyarrow",
     )
+
+
+def _align_pair(sents_a, sents_b):
+    """Monotone sentence alignment of ONE candidate doc pair — a
+    Needleman-Wunsch DP over sentence LENGTH vectors with 1-1 match
+    and 1-0 / 0-1 skip moves (Gale & Church 1993 reduced to its
+    length-ratio core; the 2-1/1-2 merge moves are deliberately
+    omitted — with corpus-ratio scaling an adversarial insertion
+    distorts the ratio and mismatched merges go artificially cheap, so
+    merged sentences surface as skips and simply don't contribute 1-1
+    training pairs). Each row update is vectorized numpy except the
+    ordered 0-1 sweep; cost is O(sa) row passes of O(sb) work.
+
+    Cost model (deterministic integers, no floats): matching costs
+    2·|la − lb| on RAW lengths; a skip costs the skipped length + PEN
+    (PEN = mean sentence length + 1). Raw lengths, NOT corpus-ratio
+    scaling: an inserted boilerplate sentence inflates the corpus
+    total, and ratio-scaled costs then make matching the insertion
+    look cheap (measured: a 30-char spam "matched" a 19-char sentence
+    at cost 84 vs 1140 for the true pair). The raw model assumes the
+    two sides are length-comparable — true for the candidate pairs
+    this feeds on; strongly length-skewed language pairs need a
+    caller-supplied ratio upstream.
+    Returns [(ai, bi)] 1-1 aligned index pairs, strictly monotone in
+    both coordinates.
+    """
+    la = np.array([len(s) for s in sents_a], dtype=np.int64)
+    lb = np.array([len(s) for s in sents_b], dtype=np.int64)
+    na, nb = len(la), len(lb)
+    if not na or not nb:
+        return []
+    PEN = (int(la.sum()) + int(lb.sum())) // (na + nb) + 1
+    BIG = np.int64(2**60)
+    prev = np.full(nb + 1, BIG, dtype=np.int64)
+    prev[0] = 0
+    for j in range(1, nb + 1):
+        prev[j] = prev[j - 1] + lb[j - 1] + PEN
+    back = np.zeros((na + 1, nb + 1), dtype=np.int8)  # move code per cell
+    back[0, 1:] = 2  # 0-1
+    for i in range(1, na + 1):
+        cur = np.full(nb + 1, BIG, dtype=np.int64)
+        cur[0] = prev[0] + la[i - 1] + PEN
+        bk = np.zeros(nb + 1, dtype=np.int8)
+        bk[0] = 1  # 1-0
+        c11 = prev[:-1] + 2 * np.abs(la[i - 1] - lb)
+        c10 = prev[1:] + la[i - 1] + PEN
+        best = np.minimum(c11, c10)
+        # tie preference: 1-1 beats 1-0 (deterministic)
+        code = np.where(best == c11, 3, 1)
+        cur[1:] = best
+        bk[1:] = code.astype(np.int8)
+        # 0-1 depends on cur[j-1]: one ordered left-to-right sweep
+        for jj in range(1, nb + 1):
+            c01 = cur[jj - 1] + lb[jj - 1] + PEN
+            if c01 < cur[jj]:
+                cur[jj] = c01
+                bk[jj] = 2
+        back[i] = bk
+        prev = cur
+    # traceback
+    out = []
+    i, j = na, nb
+    while i > 0 or j > 0:
+        mv = back[i, j]
+        if mv == 3:  # 1-1
+            out.append((i - 1, j - 1))
+            i, j = i - 1, j - 1
+        elif mv == 1:  # 1-0
+            i -= 1
+        elif mv == 2:  # 0-1
+            j -= 1
+        else:  # defensive: should not happen
+            break
+    out.reverse()
+    return out
+
+
+def align_candidate_pairs(
+    pairs_ds,
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_sents: int = 512,
+    n_buckets: int = 32,
+):
+    """Sentence-align bitext CANDIDATE pairs (the Gale-Church step
+    after :func:`bitext_candidates`): for each (doc_a, doc_b) pair,
+    split both texts into sentences ('.'-terminated runs, the
+    SQL-splittable convention) and emit the monotone 1-1 alignments
+    (doc_a, doc_b, sent_a, sent_b, len_a, len_b).
+
+    Scale shape: texts attach to the PAIR list (small by the
+    candidate contract) via two bucketed joins keyed on the doc ids —
+    the corpus streams, candidates never broadcast; each pair's DP is
+    numpy row-vectorized, quadratic ONLY in its own sentence counts
+    (``max_sents`` caps a pathological doc, truncating with a
+    documented bias toward the doc head). Iterative DP ⇒ rows-only
+    (pytest oracle), like BPE/k-means.
+    """
+    from rio_cogeo_ray.stages.join import bucketed_hash_join
+
+    texts = docs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                text_col: pc.fill_null(
+                    t[text_col].combine_chunks().cast(pa.string()), ""
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _ren(frm, to):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [to if c == frm else c for c in t.column_names]
+            )
+
+        return _f
+
+    pa_side = pairs_ds.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+    j1 = bucketed_hash_join(
+        pa_side,
+        texts.map_batches(_ren(id_col, "doc_a"), batch_format="pyarrow").map_batches(
+            _ren(text_col, "text_a"), batch_format="pyarrow"
+        ),
+        on="doc_a",
+        n_buckets=n_buckets,
+    )
+    j2 = bucketed_hash_join(
+        j1,
+        texts.map_batches(_ren(id_col, "doc_b"), batch_format="pyarrow").map_batches(
+            _ren(text_col, "text_b"), batch_format="pyarrow"
+        ),
+        on="doc_b",
+        n_buckets=n_buckets,
+    )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sent_a": pa.array([], pa.int64()),
+            "sent_b": pa.array([], pa.int64()),
+            "len_a": pa.array([], pa.int64()),
+            "len_b": pa.array([], pa.int64()),
+        }
+    )
+
+    def _split_sents(s: str):
+        return [x.strip() for x in s.split(".") if x.strip()][:max_sents]
+
+    def _align(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "text_a" not in t.column_names:
+            return empty
+        rows = {k: [] for k in empty.column_names}
+        for da, db, ta, tb in zip(
+            t["doc_a"].to_pylist(),
+            t["doc_b"].to_pylist(),
+            t["text_a"].to_pylist(),
+            t["text_b"].to_pylist(),
+        ):
+            sa, sb = _split_sents(ta or ""), _split_sents(tb or "")
+            for ai, bi in _align_pair(sa, sb):
+                rows["doc_a"].append(da)
+                rows["doc_b"].append(db)
+                rows["sent_a"].append(ai)
+                rows["sent_b"].append(bi)
+                rows["len_a"].append(len(sa[ai]))
+                rows["len_b"].append(len(sb[bi]))
+        return pa.table(
+            {
+                "doc_a": pa.array(rows["doc_a"], pa.int64()),
+                "doc_b": pa.array(rows["doc_b"], pa.int64()),
+                "sent_a": pa.array(rows["sent_a"], pa.int64()),
+                "sent_b": pa.array(rows["sent_b"], pa.int64()),
+                "len_a": pa.array(rows["len_a"], pa.int64()),
+                "len_b": pa.array(rows["len_b"], pa.int64()),
+            }
+        )
+
+    return j2.map_batches(_align, batch_format="pyarrow", batch_size=256)

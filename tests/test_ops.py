@@ -6835,3 +6835,58 @@ def test_polite_interleave_properties(ray_session):
     head_gaps = head.groupby("host")["pos"].diff().dropna()
     assert head_gaps.min() >= 12  # every host waits a full round early on
     assert gaps.max() >= 1  # tail rounds degrade gracefully (dominant host)
+
+
+def test_align_pair_semantics():
+    """_align_pair: identical sentence lists align on the diagonal; an
+    inserted sentence on one side is skipped (indexes shift past it);
+    output is strictly monotone in both coordinates; empty sides
+    yield nothing."""
+    from rio_cogeo_ray.stages.simjoin import _align_pair
+
+    a = ["the quick brown fox", "jumped over", "the lazy dog today"]
+    assert _align_pair(a, list(a)) == [(0, 0), (1, 1), (2, 2)]
+
+    b = [a[0], "INSERTED SPAM SENTENCE HERE xx", a[1], a[2]]
+    got = _align_pair(a, b)
+    assert (0, 0) in got and (1, 2) in got and (2, 3) in got
+    assert all(x < 4 for _, x in got)
+    ai = [p[0] for p in got]
+    bi = [p[1] for p in got]
+    assert ai == sorted(ai) and bi == sorted(bi)
+    assert len(set(ai)) == len(ai) and len(set(bi)) == len(bi)
+
+    assert _align_pair([], a) == [] and _align_pair(a, []) == []
+
+
+def test_align_candidate_pairs_e2e(ray_session):
+    """align_candidate_pairs: candidate doc pairs join their texts and
+    emit per-sentence 1-1 alignments; a translated-shape pair (similar
+    sentence lengths in order) aligns fully."""
+    from rio_cogeo_ray.stages.simjoin import align_candidate_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma. delta epsilon. zeta eta theta iota.",
+                    "alpho bete gammo. delto epsilono. zeto eta thete ioto.",
+                    "unrelated.",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1], pa.int64()),
+            "doc_b": pa.array([2], pa.int64()),
+        }
+    )
+    out = align_candidate_pairs(
+        rd.from_arrow(pairs), rd.from_arrow(docs)
+    ).to_pandas()
+    got = sorted(zip(out.sent_a, out.sent_b))
+    assert got == [(0, 0), (1, 1), (2, 2)]
+    assert set(out.doc_a) == {1} and set(out.doc_b) == {2}
