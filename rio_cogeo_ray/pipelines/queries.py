@@ -1701,6 +1701,43 @@ FROM d
 """
 
 
+def q_sessions_keyed_wm(sf_dir: str):
+    """Event-time sessions under PER-KEY watermarks (stages/window.py:
+    session_windows(per_key_watermark=True) — the Flink keyed-source
+    shape): each user's watermark is their OWN max event time −
+    lateness, derived bucket-locally with zero global aggregates; an
+    idle user's last session faithfully never finalizes. SQL mirror
+    swaps the scalar-subquery watermark for a windowed per-user MAX."""
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts"])
+    return window.session_windows(
+        ds,
+        gap_us=SESSIONS_LATE_GAP_US,
+        allowed_lateness_us=SESSIONS_LATE_LATENESS_US,
+        per_key_watermark=True,
+    )
+
+
+SQL_SESSIONS_KEYED_WM = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                    > {SESSIONS_LATE_GAP_US}
+                  OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS brk,
+             MAX(t) OVER (PARTITION BY user_id) AS umax FROM e),
+i AS (SELECT user_id, t, umax, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+g AS (SELECT user_id, MIN(t) AS session_start_us, MAX(t) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events, MAX(umax) AS umax
+      FROM i GROUP BY user_id, sid)
+SELECT user_id, session_start_us, session_end_us, n_events,
+       CAST(CASE WHEN session_end_us + {SESSIONS_LATE_GAP_US}
+                      <= umax - {SESSIONS_LATE_LATENESS_US}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_final
+FROM g
+"""
+
+
 def q_lineitem_stats(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
     ds = _read(
@@ -8237,6 +8274,7 @@ def queries() -> Dict[str, Callable]:
         "coverage_gaps": q_coverage_gaps,
         "host_concentration": q_host_concentration,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "sessions_keyed_wm": q_sessions_keyed_wm,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8510,6 +8548,7 @@ def oracle_sql() -> Dict[str, str]:
         "coverage_gaps": _sql_coverage_gaps(),
         "host_concentration": SQL_HOST_CONCENTRATION,
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+        "sessions_keyed_wm": SQL_SESSIONS_KEYED_WM,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -132,6 +132,7 @@ def session_windows(
     gap_us: int = 30 * 60 * 1_000_000,
     allowed_lateness_us: int = US_PER_HOUR,
     n_buckets: int = 64,
+    per_key_watermark: bool = False,
 ):
     """Event-time session windows with ALLOWED LATENESS — per-session
     rows (user_id, session_start_us, session_end_us, n_events,
@@ -154,7 +155,18 @@ def session_windows(
     sessionize partitioning contract) and each bucket emits all its
     sessions in one vectorized pass — O(n_buckets) Python, output rows
     ∝ sessions. SQL mirror: LAG-gap islands + GROUP BY + a scalar
-    subquery watermark."""
+    subquery watermark.
+
+    ``per_key_watermark=True`` switches to KEYED watermarks (the Flink
+    keyed-source shape): each user's watermark is that user's OWN
+    ``max(ts) − lateness``, computed bucket-locally (every event of a
+    user co-locates, so no global aggregate and no materialize at
+    all). Caveat, faithfully reproduced from the streaming world: an
+    idle key's watermark never advances, so each user's LAST session
+    can only finalize if the user kept emitting past it — with a
+    positive gap + lateness the final session of every user stays
+    open. SQL mirror: the windowed MAX(ts) OVER (PARTITION BY user)
+    replaces the scalar subquery."""
     import pyarrow.compute as pc  # noqa: F401 (parity with sibling ops)
 
     from ray.data.aggregate import Max
@@ -173,18 +185,22 @@ def session_windows(
             }
         )
 
-    slim = ds.map_batches(_cast, batch_format="pyarrow").materialize()
-    mx = slim.aggregate(Max(ts_col))[f"max({ts_col})"]
     schema = pa.schema(
         [("user_id", pa.int64()), ("session_start_us", pa.int64()),
          ("session_end_us", pa.int64()), ("n_events", pa.int64()),
          ("is_final", pa.int64())]
     )
-    if mx is None:  # empty stream
-        return slim.map_batches(
-            lambda t: schema.empty_table(), batch_format="pyarrow"
-        )
-    wm = int(mx) - allowed_lateness_us
+    if per_key_watermark:
+        slim = ds.map_batches(_cast, batch_format="pyarrow")
+        wm = None  # per-user, derived inside each bucket
+    else:
+        slim = ds.map_batches(_cast, batch_format="pyarrow").materialize()
+        mx = slim.aggregate(Max(ts_col))[f"max({ts_col})"]
+        if mx is None:  # empty stream
+            return slim.map_batches(
+                lambda t: schema.empty_table(), batch_format="pyarrow"
+            )
+        wm = int(mx) - allowed_lateness_us
 
     def _bucket(group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -202,6 +218,14 @@ def session_windows(
         s_ends = np.append(s_starts[1:], len(uid)) - 1
         n = np.diff(np.append(s_starts, len(uid)))
         end_ts = ts[s_ends]
+        if per_key_watermark:
+            # user's own max ts: sessions are sorted per user, so the
+            # LAST session's end of each user run is that user's max
+            run_of_sess = np.cumsum(new_user[s_starts]) - 1
+            user_max = np.maximum.reduceat(end_ts, np.flatnonzero(new_user[s_starts]))
+            wm_sess = user_max[run_of_sess] - allowed_lateness_us
+        else:
+            wm_sess = wm
         return pa.table(
             {
                 "user_id": pa.array(uid[s_starts], pa.int64()),
@@ -209,7 +233,7 @@ def session_windows(
                 "session_end_us": pa.array(end_ts, pa.int64()),
                 "n_events": pa.array(n.astype(np.int64), pa.int64()),
                 "is_final": pa.array(
-                    (end_ts + gap_us <= wm).astype(np.int64), pa.int64()
+                    (end_ts + gap_us <= wm_sess).astype(np.int64), pa.int64()
                 ),
             }
         )

@@ -6456,6 +6456,24 @@ def test_session_windows_allowed_lateness(ray_session):
     ).to_pandas()
     assert len(empty) == 0
 
+    # PER-KEY watermarks: each user's wm = own max - LATE; the last
+    # session of every user can never finalize (idle-key caveat), and
+    # user3's single event no longer finalizes anyone else's sessions
+    out2 = (
+        window_mod.session_windows(
+            rd.from_arrow(t), gap_us=GAP, allowed_lateness_us=LATE,
+            per_key_watermark=True,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    # user1: umax 500, wm 450 -> [100,150] end 150+100 <= 450 final;
+    #        [500] last -> open. user2: umax 900, wm 850 -> [750] end
+    #        850 <= 850 final (boundary); [900] open. user3: open.
+    assert out2["is_final"].tolist() == [1, 0, 1, 0, 0]
+    assert out2["session_start_us"].tolist() == [100, 500, 750, 900, 1000]
+
 
 def test_lang_pearson_hand_computed(ray_session):
     import os
