@@ -1738,6 +1738,67 @@ FROM g
 """
 
 
+RESAMPLE_GRID_US = 3_600_000_000
+
+
+def q_resample_hourly(sf_dir: str):
+    """Regular-grid resampling with exact linear interpolation
+    (stages/window.py: resample_interp — the time-series alignment op
+    that changes the time INDEX): per user, the milli-value at every
+    whole hour inside their observation span, interpolated between
+    neighbouring events with TRUNC integer division (the DuckDB `//`
+    mirror). One hash(user) exchange; prev/next are two global
+    searchsorted calls on a per-key remapped monotone axis."""
+    ds = _read(
+        os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "ts", "event_id", "value"],
+    )
+
+    def _q(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+                "vq": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return window.resample_interp(
+        ds.map_batches(_q, batch_format="pyarrow"), grid_us=RESAMPLE_GRID_US
+    )
+
+
+SQL_RESAMPLE_HOURLY = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events),
+b AS (SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM e GROUP BY 1),
+gr AS (SELECT user_id,
+              unnest(range(((mn + {RESAMPLE_GRID_US} - 1) // {RESAMPLE_GRID_US})
+                             * {RESAMPLE_GRID_US},
+                           mx + 1, {RESAMPLE_GRID_US})) AS gt
+       FROM b),
+u AS (SELECT user_id, t, event_id, v, 0 AS is_grid, NULL AS gt FROM e
+      UNION ALL
+      SELECT user_id, gt, NULL, NULL, 1, gt FROM gr),
+w AS (SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS vp,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS tp,
+        first_value(v IGNORE NULLS) OVER wf AS vn,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS tn
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, CAST(gt AS BIGINT) AS grid_us,
+       CAST(CASE WHEN tn > tp THEN vp + ((vn - vp) * (gt - tp)) // (tn - tp)
+                 ELSE vp END AS BIGINT) AS v_interp
+FROM w WHERE is_grid = 1
+"""
+
+
 def q_lineitem_stats(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (generic shuffle plumbing)."""
     ds = _read(
@@ -8275,6 +8336,7 @@ def queries() -> Dict[str, Callable]:
         "host_concentration": q_host_concentration,
         "dup_rate_by_source": q_dup_rate_by_source,
         "sessions_keyed_wm": q_sessions_keyed_wm,
+        "resample_hourly": q_resample_hourly,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8549,6 +8611,7 @@ def oracle_sql() -> Dict[str, str]:
         "host_concentration": SQL_HOST_CONCENTRATION,
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "sessions_keyed_wm": SQL_SESSIONS_KEYED_WM,
+        "resample_hourly": SQL_RESAMPLE_HOURLY,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,

@@ -1538,3 +1538,123 @@ def rolling_max(
         .groupby("__b")
         .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
     )
+
+
+def resample_interp(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    val_col: str = "vq",
+    grid_us: int = US_PER_HOUR,
+    n_buckets: int = 64,
+):
+    """Regular-grid RESAMPLING with linear interpolation — the
+    time-series alignment op completing the family (rolling windows,
+    sessions, LOCF; this one changes the time INDEX itself): per key,
+    emit one row per grid point ``g`` (multiples of ``grid_us`` inside
+    the key's [min ts, max ts]) with the value linearly interpolated
+    between the neighbouring observations,
+
+        v(g) = v_prev + (v_next − v_prev)·(g − t_prev) // (t_next − t_prev)
+
+    — exact integer floor interpolation, so both engines agree bit for
+    bit. A grid point ON an observation takes it exactly; ties on ts
+    resolve by (ts, id) order (prev = last, next = first).
+
+    Partitioning contract: ONE hash(key) exchange; per bucket every
+    key's events AND grid points live on one monotone remapped time
+    axis (per-key offset trick, the interval_flatten device), so prev
+    and next are TWO global searchsorted calls — no per-key Python.
+    Output rows ∝ grid points (span // grid per key).
+
+    SQL mirror: grid via range-unnest + two asof-shaped windowed
+    IGNORE-NULLS passes over the event∪grid union (LOCF in both
+    directions) + the same integer interpolation formula.
+    """
+    from rio_cogeo_ray.functions.hashing import splitmix64
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("grid_us", pa.int64()),
+            ("v_interp", pa.int64()),
+        ]
+    )
+
+    def _route(t: pa.Table) -> pa.Table:
+        u = t[key_col].combine_chunks().cast(pa.int64())
+        b = (
+            splitmix64(u.to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: u,
+                ts_col: t[ts_col].combine_chunks().cast(pa.int64()),
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                val_col: t[val_col].combine_chunks().cast(pa.int64()),
+                "__b": pa.array(b, pa.int64()),
+            }
+        )
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows or ts_col not in g.column_names:
+            return out_schema.empty_table()
+        g = g.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        u = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.r_[True, u[1:] != u[:-1]]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u)]
+        mn, mx = t[starts], t[ends - 1]
+        # per-key grid points: first multiple of grid_us >= mn .. <= mx
+        g0 = -(-mn // grid_us) * grid_us
+        cnt = np.maximum((mx - g0) // grid_us + 1, 0)
+        cnt = np.where(g0 > mx, 0, cnt)
+        total = int(cnt.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        rep = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        run_start = np.r_[0, np.cumsum(cnt)][:-1]
+        pos = np.arange(total, dtype=np.int64) - run_start[rep]
+        gp = g0[rep] + pos * grid_us
+        # monotone per-key remap: both axes offset by seg * SPAN
+        span = int(mx.max() - min(int(t.min()), int(gp.min()))) + 2
+        base = np.int64(span)
+        if (len(starts)) * span >= 2**62:
+            raise ValueError("resample_interp: key span × keys exceeds int64")
+        t_m = t - t.min() + seg * base
+        gp_m = gp - t.min() + rep * base
+        # prev: last event index with t <= g (side='right' - 1);
+        # next: first event index with t >= g (side='left')
+        ip = np.searchsorted(t_m, gp_m, side="right") - 1
+        inx = np.searchsorted(t_m, gp_m, side="left")
+        # both indexes stay inside the key's own run by construction
+        # (grid points lie within [mn, mx])
+        tp, vp = t[ip], v[ip]
+        tn, vn = t[np.minimum(inx, len(t) - 1)], v[np.minimum(inx, len(t) - 1)]
+        dt = tn - tp
+        num = (vn - vp) * (gp - tp)
+        # TRUNC-toward-zero division mirrors DuckDB `//` exactly
+        # (numpy // floors - the lang_regression negative-slope lesson)
+        d = np.maximum(dt, 1)
+        q = np.where(num >= 0, num // d, -((-num) // d))
+        interp = np.where(dt > 0, vp + q, vp)
+        return pa.table(
+            {
+                key_col: pa.array(u[starts][rep], pa.int64()),
+                "grid_us": pa.array(gp, pa.int64()),
+                "v_interp": pa.array(interp, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_route, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: _bucket(g.drop_columns(["__b"])), batch_format="pyarrow")
+    )

