@@ -1152,11 +1152,20 @@ def kmv_overlap(ds_a, ds_b, col: str, k: int = 1024) -> pa.Table:
     union = len(np.union1d(sa, sb))
     n_common = inter * _KMV_SPACE / theta if theta > 0 else 0.0
     jac_ppm = (1_000_000 * inter) // union if union else 0
+    # full set algebra from the same window (theta-sketch identities):
+    # union = a + b - common; one-sided differences clamp at zero so a
+    # noisy common estimate can never go negative
+    n_union = max(na + nb - n_common, 0.0)
+    only_a = max(na - n_common, 0.0)
+    only_b = max(nb - n_common, 0.0)
     return pa.table(
         {
             "distinct_a": pa.array([int(round(na))], pa.int64()),
             "distinct_b": pa.array([int(round(nb))], pa.int64()),
             "distinct_common": pa.array([int(round(n_common))], pa.int64()),
+            "distinct_union": pa.array([int(round(n_union))], pa.int64()),
+            "only_a": pa.array([int(round(only_a))], pa.int64()),
+            "only_b": pa.array([int(round(only_b))], pa.int64()),
             "jaccard_ppm": pa.array([int(jac_ppm)], pa.int64()),
         }
     )

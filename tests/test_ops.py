@@ -6795,6 +6795,10 @@ def test_kmv_overlap_exact_and_bounded(ray_session):
         assert int(out.loc[0, "distinct_b"]) == 250
         assert int(out.loc[0, "distinct_common"]) == 100
         assert int(out.loc[0, "jaccard_ppm"]) == 1_000_000 * 100 // 450
+        # exact regime: the full set algebra is exact too
+        assert int(out.loc[0, "distinct_union"]) == 450
+        assert int(out.loc[0, "only_a"]) == 200
+        assert int(out.loc[0, "only_b"]) == 150
 
     # --- saturated regime: 20k vs 15k with 5k shared, k=1024 ----------
     k = 1024
