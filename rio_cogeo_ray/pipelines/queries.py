@@ -1738,6 +1738,37 @@ FROM g
 """
 
 
+def q_user_mode_type(sf_dir: str):
+    """Per-group MODE with deterministic tie-break (the categorical
+    summary statistic): each user's most frequent event type, ties to
+    the lexically smaller type. One bounded (user, type) count
+    exchange, then top_rows_by's associative k=1 selection — the
+    shuffle never sees raw events twice."""
+    from rio_cogeo_ray.stages.agg import top_rows_by
+
+    ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "event_type"])
+    counts = agg.partial_group_agg(
+        ds, keys=["user_id", "event_type"], count_as="n", n_buckets=16
+    )
+    return top_rows_by(
+        counts,
+        keys=["user_id"],
+        order_by=[("n", "descending"), ("event_type", "ascending")],
+        k=1,
+        n_buckets=16,
+    )
+
+
+SQL_USER_MODE_TYPE = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c)
+SELECT user_id, event_type, n FROM r WHERE rk = 1
+"""
+
+
 RESAMPLE_GRID_US = 3_600_000_000
 
 
@@ -8337,6 +8368,7 @@ def queries() -> Dict[str, Callable]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "sessions_keyed_wm": q_sessions_keyed_wm,
         "resample_hourly": q_resample_hourly,
+        "user_mode_type": q_user_mode_type,
         "bigram_pruned": q_bigram_pruned,
         "sessions_late": q_sessions_late,
         # -- SQL-exact, never driver-checked in rounds 1-3 ------------------
@@ -8612,6 +8644,7 @@ def oracle_sql() -> Dict[str, str]:
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "sessions_keyed_wm": SQL_SESSIONS_KEYED_WM,
         "resample_hourly": SQL_RESAMPLE_HOURLY,
+        "user_mode_type": SQL_USER_MODE_TYPE,
         "mad_filter": SQL_MAD_FILTER,
         "char_entropy": SQL_CHAR_ENTROPY,
         "dedup_keepers": SQL_DEDUP_KEEPERS,
