@@ -198,6 +198,16 @@ def corpus_to_shards(
                     f"chunks >= CID_SHIFT={_CID_SHIFT}; raise window/stride or "
                     "widen _CID_SHIFT (cid = doc_id * shift + chunk_id)"
                 )
+            # the doc side of the pack must fit too: d * shift wraps
+            # int64 silently for |doc_id| >= 2^63/shift (hash-derived
+            # ids reach there) — same refuse-loudly doctrine as above
+            lim = (1 << 63) // _CID_SHIFT
+            if len(d) and (int(d.max()) >= lim or int(d.min()) <= -lim):
+                raise ValueError(
+                    f"corpus_to_shards: |{id_col}| >= 2^63/CID_SHIFT "
+                    f"({lim}) would overflow the packed cid; remap ids "
+                    "to a dense range or widen the cid packing"
+                )
             return t.append_column(
                 "cid", pa.array(d * _CID_SHIFT + c, pa.int64())
             )

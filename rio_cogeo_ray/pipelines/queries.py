@@ -7454,7 +7454,12 @@ def q_pareto_customers(sf_dir: str):
     ds = _read(os.path.join(sf_dir, "orders.parquet"), ["o_custkey", "o_totalprice"])
 
     def _cents(t: pa.Table) -> pa.Table:
-        v = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        # explicit float64 cast: robust to a source column stored as
+        # float32 or decimal (numpy would otherwise compute v*100 in
+        # the narrower type and quantize differently than the oracle)
+        v = (
+            t["o_totalprice"].combine_chunks().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        )
         return pa.table(
             {
                 "custkey": t["o_custkey"].combine_chunks(),
@@ -7474,7 +7479,10 @@ def q_pareto_customers(sf_dir: str):
 
 SQL_PARETO_CUSTOMERS = (
     "WITH c AS (SELECT o_custkey AS custkey, "
-    "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents, "
+    # outer CAST matters: DuckDB SUM(BIGINT) returns HUGEINT
+    # (decimal128), which the driver's value-hash treats differently
+    # from the engine's int64 — root cause of the r4 red row.
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents, "
     "MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents, "
     "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) "
     "SELECT custkey, sum_cents, max_cents, n_orders FROM c a "

@@ -528,11 +528,19 @@ def skyline(ds, dims: Sequence[str], maximize: Sequence[bool] | None = None):
         maximize = [True] * len(dims)
     signs = [1 if m else -1 for m in maximize]
 
+    def _final(t: pa.Table) -> pa.Table:
+        out = _skyline_table(t, dims, signs)
+        # deterministic output order regardless of the block-concat
+        # order repartition(1) happened to produce: sort by every
+        # column (dims first, then the rest by name)
+        rest = [c for c in out.column_names if c not in dims]
+        return out.sort_by([(c, "ascending") for c in list(dims) + sorted(rest)])
+
     local = ds.map_batches(
         lambda t: _skyline_table(t, dims, signs), batch_format="pyarrow"
     )
     return local.repartition(1).map_batches(
-        lambda t: _skyline_table(t, dims, signs),
+        _final,
         batch_format="pyarrow",
         batch_size=None,
     )

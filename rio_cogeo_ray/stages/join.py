@@ -925,8 +925,19 @@ def broadcast_lpm_join(
         )
     by_len: dict = {}
     for v in vals.to_pylist():
-        if v is None or v == "":
+        if v is None:
+            # NULL prefix matches nothing in SQL too
+            # (starts_with(key, NULL) is NULL) — safe to skip
             continue
+        if v == "":
+            # the SQL mirror (LEFT JOIN ON starts_with(key, prefix))
+            # would match EVERY row with an empty prefix; silently
+            # skipping it would be an undocumented divergence — refuse
+            raise ValueError(
+                "broadcast_lpm_join: empty-string prefix rule — it would "
+                "match every row under the starts_with mirror; drop it or "
+                "make the catch-all explicit in the rule table"
+            )
         by_len.setdefault(len(v), set()).add(v)
     lengths = sorted(by_len, reverse=True)
 

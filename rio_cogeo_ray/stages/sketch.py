@@ -1152,12 +1152,17 @@ def kmv_overlap(ds_a, ds_b, col: str, k: int = 1024) -> pa.Table:
     union = len(np.union1d(sa, sb))
     n_common = inter * _KMV_SPACE / theta if theta > 0 else 0.0
     jac_ppm = (1_000_000 * inter) // union if union else 0
-    # full set algebra from the same window (theta-sketch identities):
-    # union = a + b - common; one-sided differences clamp at zero so a
-    # noisy common estimate can never go negative
-    n_union = max(na + nb - n_common, 0.0)
-    only_a = max(na - n_common, 0.0)
-    only_b = max(nb - n_common, 0.0)
+    # union estimated DIRECTLY from the merged bottom-k window (the
+    # union theta-sketch: merge the two sketches, truncate to the k
+    # smallest, classic (k-1)/theta) — standard KMV variance, rather
+    # than inclusion-exclusion over three independently-estimated
+    # terms, which compounds variance in the saturated regime. The
+    # one-sided differences derive from the union (only_a = union − b),
+    # clamped at zero so noise can never push them negative.
+    merged = np.unique(np.concatenate([ka, kb]))[:k]
+    n_union = kmv_estimate(merged, k)
+    only_a = max(n_union - nb, 0.0)
+    only_b = max(n_union - na, 0.0)
     return pa.table(
         {
             "distinct_a": pa.array([int(round(na))], pa.int64()),

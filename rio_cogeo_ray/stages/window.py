@@ -1639,6 +1639,21 @@ def resample_interp(
         tp, vp = t[ip], v[ip]
         tn, vn = t[np.minimum(inx, len(t) - 1)], v[np.minimum(inx, len(t) - 1)]
         dt = tn - tp
+        # checked multiply: the interpolation product below is plain
+        # numpy int64 and would WRAP silently for a large value delta
+        # times a wide event gap, while the DuckDB mirror errors loudly
+        # on BIGINT overflow — fail together, never diverge silently
+        # (Python-int arithmetic so the bound check itself can't wrap;
+        # gp - tp <= dt by construction, so |dv|·dt bounds the product)
+        if len(dt):
+            dv_max = int(np.abs(vn - vp).max())
+            dt_max = int(dt.max())
+            if dv_max and dt_max and dv_max * dt_max >= 2**62:
+                raise ValueError(
+                    "resample_interp: value delta × event gap "
+                    f"({dv_max} × {dt_max}) exceeds int64 — rescale the "
+                    "value column or densify the series"
+                )
         num = (vn - vp) * (gp - tp)
         # TRUNC-toward-zero division mirrors DuckDB `//` exactly
         # (numpy // floors - the lang_regression negative-slope lesson)

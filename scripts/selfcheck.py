@@ -103,11 +103,30 @@ def main() -> int:
             print(f"{name:20s} rows-only rows={len(ray_df)} ({dt:.1f}s)")
             continue
         try:
-            sql_df = con.execute(oq[name]).df()
+            sql_arrow = con.execute(oq[name]).arrow()
+            sql_df = sql_arrow.to_pandas()
         except Exception as ex:  # noqa: BLE001
             print(f"{name:20s} SQL-ERROR {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        # Driver-hash hazard the pandas compare below forgives: DuckDB
+        # SUM(BIGINT) silently widens to HUGEINT (arrow decimal128),
+        # which the grading driver's value-hash does NOT equate with
+        # the engine's int64 (r4 pareto_customers red row). Fail loudly
+        # here so the oracle SQL gets an explicit outer CAST.
+        huge = [f.name for f in sql_arrow.schema if str(f.type) == "decimal128(38, 0)"]
+        small_dec = [
+            f.name
+            for f in sql_arrow.schema
+            if "decimal" in str(f.type) and str(f.type) != "decimal128(38, 0)"
+        ]
+        if huge:
+            print(f"{name:20s} FAIL oracle emits HUGEINT (add outer CAST AS BIGINT): {huge}")
+            failures += 1
+            continue
+        if small_dec:
+            # driver-green precedent exists (price_quantiles) but note it
+            print(f"{name:20s} NOTE small-decimal oracle columns: {small_dec}")
         verdict = compare(name, ray_df, sql_df)
         status = "ok" if verdict == "OK" else "FAIL"
         print(f"{name:20s} {status} rows={len(ray_df)} ({dt:.1f}s) {verdict if verdict != 'OK' else ''}")

@@ -521,3 +521,13 @@ def test_broadcast_lpm_join_semantics(ray_session):
 
     with pytest.raises(ValueError, match="max_rules"):
         join_mod.broadcast_lpm_join(rd.from_arrow(t), rules, max_rules=2)
+
+    # an empty-string rule would match EVERY row under the SQL
+    # starts_with mirror — the engine must refuse, not silently skip;
+    # a NULL rule matches nothing in SQL too and is skipped quietly
+    bad = pa.table({"prefix": pa.array(["https://a", ""], pa.string())})
+    with pytest.raises(ValueError, match="empty-string prefix"):
+        join_mod.broadcast_lpm_join(rd.from_arrow(t), bad)
+    with_null = pa.table({"prefix": pa.array(["https://a", None], pa.string())})
+    out = join_mod.broadcast_lpm_join(rd.from_arrow(t), with_null).to_pandas()
+    assert out.rule.notna().sum() == 2  # the two 'https://a' matches
