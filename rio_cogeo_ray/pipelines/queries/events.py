@@ -26,12 +26,28 @@ from rio_cogeo_ray.pipelines.queries._common import EVENT_GAP_US, EVENT_TIERS, G
 def q_user_activity(sf_dir: str):
     """Per-user exponentially time-decayed activity score at each
     user's last event (half-life 1 day) — the recency-weighted feature
-    pass. Float exp ⇒ rows-only; exact pandas-oracle + underflow-
-    robustness pinned in pytest (test_ops.py)."""
+    pass. SQL-exact since round 5: per-event contributions floor to
+    int64 ppm BEFORE the per-key sum (decayed_sum(quantize_ppm=True) —
+    integer summation is order-invariant, and glibc exp2/pow are
+    correctly rounded so numpy and DuckDB floor identical doubles).
+    Float variant + underflow-robustness stay pinned in pytest."""
     from rio_cogeo_ray.stages import window as window_mod
 
     ds = _read(os.path.join(sf_dir, "events.parquet"), ["user_id", "ts", "value"])
-    return window_mod.decayed_sum(ds, half_life=86_400e6)  # µs ticks
+    return window_mod.decayed_sum(ds, half_life=86_400e6, quantize_ppm=True)
+
+
+SQL_USER_ACTIVITY = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+           FROM events),
+l AS (SELECT user_id, MAX(t) AS last_ts FROM e GROUP BY 1)
+SELECT e.user_id, l.last_ts,
+       CAST(SUM(CAST(FLOOR(e.v
+            * POWER(2.0, (0.0 - CAST(l.last_ts - e.t AS DOUBLE))
+                          / 86400000000.0)
+            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS decayed_ppm
+FROM e JOIN l USING (user_id) GROUP BY 1, 2
+"""
 
 
 def q_time_rollup(sf_dir: str):

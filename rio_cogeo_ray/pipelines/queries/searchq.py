@@ -68,11 +68,47 @@ def q_bm25_rank(sf_dir: str):
     shard-pruned inverted index: idf from matched-posting df, doc
     lengths denormalized on postings (no doc join), per-posting scores
     quantized to int64 ppm BEFORE the exchange so ranking is
-    parallelism-invariant. Float idf ⇒ rows-only; exact brute-force
-    oracle pinned in pytest (test_bm25_vs_bruteforce)."""
+    parallelism-invariant. SQL-exact since round 5: every float step
+    (LN idf, k1/b norm, ×1e6 floor) is mirrored term-for-term in
+    SQL_BM25_RANK — the tfidf_top FLOOR(LN·1e6) doctrine; glibc log/
+    pow are correctly rounded, so numpy and DuckDB agree bit-for-bit.
+    Brute-force oracle additionally pinned in pytest
+    (test_bm25_vs_bruteforce)."""
     from rio_cogeo_ray.stages import search
 
     return search.bm25_search(_text_index_dir(sf_dir), list(SEARCH_TERMS), k=20)
+
+
+# mirror of bm25_search's arithmetic, expression for expression:
+#   idf  = LN((N - df + 0.5) / (df + 0.5) + 1.0)          [doubles]
+#   norm = (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))   [k1=1.2 b=.75]
+#   s    = FLOOR(idf · norm · 1e6 + 0.5)  per (term, doc), then Σ per doc
+# N = docs with ≥1 token (empty docs contribute no postings), dl = \S+
+# token count, avgdl = Σdl / N — all exactly as the index manifest
+# records them (search.py: build_text_index / _harvest_sentinel).
+SQL_BM25_RANK = rf"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE w IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}') GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id,
+             CAST(FLOOR(LN((n.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * ((CAST(tf.tf AS DOUBLE) * (1200000.0 / 1000000.0 + 1.0))
+                     / (CAST(tf.tf AS DOUBLE)
+                        + (1200000.0 / 1000000.0)
+                          * (1.0 - 750000.0 / 1000000.0
+                             + 750000.0 / 1000000.0
+                               * CAST(dl.dl AS DOUBLE) / n.avgdl)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df ON tf.w = df.w CROSS JOIN n)
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm FROM s GROUP BY 1
+ORDER BY score_ppm DESC, doc_id LIMIT 20
+"""
 
 
 def q_text_search(sf_dir: str):
@@ -123,6 +159,72 @@ def q_hybrid_search(sf_dir: str):
     return search.hybrid_search(
         _text_index_dir(sf_dir), list(SEARCH_TERMS), emb_ds, qvec, k=20
     )
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two EXACT lexical rankings
+    (stages/search.py: rrf_fuse — Cormack et al. SIGIR'09): the BM25
+    top-30 fused with the tf·idf top-30 over the same shard-pruned
+    inverted index, contribution of rank r = 1e9 // (60 + r). Every
+    step is integer (both legs ppm-floor per posting before their
+    exchanges; the fusion is pure integer arithmetic over two ≤30-row
+    driver lists), which is what makes a ranked FUSION SQL-mirrorable
+    at all — hybrid_search's cosine leg stays rows-only by contrast."""
+    from rio_cogeo_ray.stages import search
+
+    idx = _text_index_dir(sf_dir)
+    lex = search.bm25_search(idx, list(SEARCH_TERMS), k=30)
+    tfi = search.bm25_search(idx, list(SEARCH_TERMS), k=30, scoring="tfidf")
+    fused = search.rrf_fuse(
+        [lex.select(["doc_id"]), tfi.select(["doc_id"])], k_const=60, topk=20
+    )
+    return fused.rename_columns(["doc_id", "rrf_nano", "bm25_rank", "tfidf_rank"])
+
+
+# the two leg CTEs replicate SQL_BM25_RANK's arithmetic (bm25) and
+# SQL_TFIDF_TOP's idf (tfidf) over the same tokenization; ranks are
+# ROW_NUMBER in (score DESC, doc_id) order, fusion is pure integer //
+SQL_RRF_FUSION = rf"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE w IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}') GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+              CAST(FLOOR(LN((n.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * ((CAST(tf.tf AS DOUBLE) * (1200000.0 / 1000000.0 + 1.0))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + (1200000.0 / 1000000.0)
+                           * (1.0 - 750000.0 / 1000000.0
+                              + 750000.0 / 1000000.0
+                                * CAST(dl.dl AS DOUBLE) / n.avgdl)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s
+       FROM tf JOIN dl USING (doc_id) JOIN df ON tf.w = df.w CROSS JOIN n),
+ti AS (SELECT tf.doc_id,
+              CAST(FLOOR(LN(n.nd / df.df)
+                   * CAST(tf.tf AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS s
+       FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER
+            (ORDER BY SUM(s) DESC, doc_id) AS r
+        FROM bm GROUP BY doc_id QUALIFY r <= 30),
+tir AS (SELECT doc_id, ROW_NUMBER() OVER
+            (ORDER BY SUM(s) DESC, doc_id) AS r
+        FROM ti GROUP BY doc_id QUALIFY r <= 30),
+f AS (SELECT COALESCE(bmr.doc_id, tir.doc_id) AS doc_id,
+             COALESCE(1000000000 // (60 + bmr.r), 0)
+               + COALESCE(1000000000 // (60 + tir.r), 0) AS rrf_nano,
+             COALESCE(bmr.r, 0) AS bm25_rank,
+             COALESCE(tir.r, 0) AS tfidf_rank
+      FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id)
+SELECT doc_id, CAST(rrf_nano AS BIGINT) AS rrf_nano,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(tfidf_rank AS BIGINT) AS tfidf_rank
+FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 20
+"""
 
 
 def q_kwic(sf_dir: str):

@@ -291,6 +291,7 @@ def bm25_search(
     k: int = 10,
     k1_ppm: int = 1_200_000,
     b_ppm: int = 750_000,
+    scoring: str = "bm25",
 ):
     """BM25 ranked retrieval over the index (Robertson/Spärck Jones):
     reads ONLY the probed shards, computes idf from the df of the
@@ -307,7 +308,11 @@ def bm25_search(
     (never the corpus); df reduces to ≤|terms| driver rows; doc
     lengths ride denormalized on postings so no doc-side join exists.
     The final top-k is a driver sort over ≤ candidate-doc rows — cap
-    queries with huge posting lists upstream (stopword caveat)."""
+    queries with huge posting lists upstream (stopword caveat).
+
+    ``scoring="tfidf"`` swaps the per-posting kernel for plain
+    tf·ln(N/df) (same ×1e6 floor, same exchange) — the second exact
+    lexical leg rrf_fuse needs for an all-integer fusion."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray as _ray
@@ -347,7 +352,12 @@ def bm25_search(
     df_map = dict(zip(dft["th"].to_pylist(), dft["df"].to_pylist()))
     th_arr = np.array(th_set, dtype=np.int64)
     df_arr = np.array([df_map.get(t, 0) for t in th_set], dtype=np.float64)
-    idf_arr = np.log((n_docs - df_arr + 0.5) / (df_arr + 0.5) + 1.0)
+    if scoring == "tfidf":
+        # df==0 terms have no postings and are never looked up; keep
+        # the array finite so no spurious divide/log warnings fire
+        idf_arr = np.log(np.where(df_arr > 0, n_docs / df_arr, 1.0))
+    else:
+        idf_arr = np.log((n_docs - df_arr + 0.5) / (df_arr + 0.5) + 1.0)
     idf_ref = _ray.put((th_arr, idf_arr))
     k1 = k1_ppm / 1e6
     bb = b_ppm / 1e6
@@ -362,7 +372,10 @@ def bm25_search(
         tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["dl"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         w = idf_a[np.searchsorted(th_a, thv)]
-        norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - bb + bb * dl / avgdl))
+        if scoring == "tfidf":
+            norm = tf
+        else:
+            norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - bb + bb * dl / avgdl))
         s = np.floor(w * norm * 1e6 + 0.5).astype(np.int64)
         return pa.table(
             {

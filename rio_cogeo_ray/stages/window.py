@@ -552,6 +552,7 @@ def decayed_sum(
     value_col: str = "value",
     half_life: float = 3600.0,
     n_buckets: int = 64,
+    quantize_ppm: bool = False,
 ):
     """Per-key exponentially time-decayed activity score at the key's
     LAST event: ``score = Σ_j v_j · 2^(−(t_last − t_j)/half_life)`` —
@@ -567,6 +568,13 @@ def decayed_sum(
     (the running_total contract); inside a bucket every key computes in
     one vectorized pass (sort → segment boundaries → exp2 → reduceat).
     Returns (key, last_ts, decayed) rows, one per key.
+
+    ``quantize_ppm=True`` floors each event's contribution to int64
+    ppm BEFORE the per-key sum (the bm25/tfidf per-term doctrine):
+    integer summation is order-invariant, which makes the result
+    SQL-mirrorable — FLOOR(v · POWER(2, −Δt/hl) · 1e6 + 0.5); glibc
+    exp2/pow are correctly rounded, so numpy and DuckDB floor the same
+    doubles. Output column becomes ``decayed_ppm`` (int64).
     """
     from rio_cogeo_ray.functions.hashing import splitmix64
 
@@ -585,6 +593,9 @@ def decayed_sum(
             }
         )
 
+    out_col = "decayed_ppm" if quantize_ppm else "decayed"
+    out_type = pa.int64() if quantize_ppm else pa.float64()
+
     def _decay_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__bucket"])
         if not g.num_rows:
@@ -592,7 +603,7 @@ def decayed_sum(
                 {
                     key_col: pa.array([], pa.int64()),
                     "last_ts": pa.array([], pa.int64()),
-                    "decayed": pa.array([], pa.float64()),
+                    out_col: pa.array([], out_type),
                 }
             )
         g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
@@ -603,12 +614,16 @@ def decayed_sum(
         ends = np.r_[starts[1:], len(k)] - 1
         last_t = np.repeat(t[ends], np.diff(np.r_[starts, len(k)]))
         contrib = v * np.exp2(-(last_t - t).astype(np.float64) / float(half_life))
-        dec = np.add.reduceat(contrib, starts)
+        if quantize_ppm:
+            contrib = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
+            dec = np.add.reduceat(contrib, starts)
+        else:
+            dec = np.add.reduceat(contrib, starts)
         return pa.table(
             {
                 key_col: pa.array(k[starts], pa.int64()),
                 "last_ts": pa.array(t[ends], pa.int64()),
-                "decayed": pa.array(dec, pa.float64()),
+                out_col: pa.array(dec, out_type),
             }
         )
 

@@ -1881,6 +1881,30 @@ def test_decayed_sum_vs_pandas_oracle(ray_session):
     )
     out = window.decayed_sum(rd.from_arrow(t2), half_life=1.0).to_pandas()
     assert np.isfinite(out["decayed"]).all() and out["decayed"].iloc[0] == 3.0
+    # quantize_ppm: per-event floor to int64 ppm BEFORE the sum (the
+    # SQL-exact mode) — oracle is the same per-event floor in pandas,
+    # summed as Python ints; layout-invariant by integer associativity
+    gotq = (
+        window.decayed_sum(
+            rd.from_arrow(t).repartition(4),
+            half_life=5000.0,
+            n_buckets=8,
+            quantize_ppm=True,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    rows_q = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        last = g["ts"].iloc[-1]
+        contrib = np.floor(
+            g["value"].to_numpy() * np.exp2(-(last - g["ts"].to_numpy()) / 5000.0) * 1e6
+            + 0.5
+        ).astype(np.int64)
+        rows_q.append((uid, int(contrib.sum())))
+    assert gotq["decayed_ppm"].tolist() == [r[1] for r in rows_q]
 
 
 def test_top_rows_by_vs_pandas_oracle(ray_session):
@@ -2859,6 +2883,22 @@ def test_bm25_vs_bruteforce(ray_session, tmp_path):
                 scores[i] += int(np.floor(idf * norm * 1e6 + 0.5))
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got_pairs == exp
+    # scoring="tfidf": same exchange, tf·ln(N/df) kernel (rrf_fusion's
+    # second leg) — brute-force oracle with the same ppm floor
+    got_t = search.bm25_search(idx, terms, k=10, scoring="tfidf")
+    got_t_pairs = list(
+        zip(got_t["doc_id"].to_pylist(), got_t["score_ppm"].to_pylist())
+    )
+    scores_t = collections.defaultdict(int)
+    for term in set(terms):
+        df = sum(1 for x in toks if term in x)
+        idf = math.log(n_docs / df)
+        for i, x in enumerate(toks):
+            tf = x.count(term)
+            if tf:
+                scores_t[i] += int(np.floor(idf * tf * 1e6 + 0.5))
+    exp_t = sorted(scores_t.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got_t_pairs == exp_t
 
 
 def test_char_entropy_hand_computed(ray_session):
