@@ -141,18 +141,32 @@ def cmd_create(args) -> int:
     zoom = args.zoom
     if zoom is None and args.resolution is None:
         zoom = 7  # historical CLI default when neither knob is given
-    spec = plan(
-        zoom=zoom,
-        resolution=args.resolution,
-        zoom_level_strategy=args.zoom_level_strategy,
-        aligned_levels=args.aligned_levels,
-        overview_levels=args.overview_level,
-        tile_px=tile_px,
-        decimation_base=args.decimation_base,
-        resampling=args.overview_resampling,
-        geocode=geocode,
-        invalid_policy=args.invalid_policy,
-    )
+    tms_def = None
+    if getattr(args, "tms", None):
+        from rio_cogeo_ray.functions import tms as tms_mod
+
+        try:
+            tms_def = tms_mod.load_tms_json(args.tms)
+        except (OSError, ValueError) as e:
+            print(f"ERROR: --tms {args.tms}: {e}", file=sys.stderr)
+            return 2
+    try:
+        spec = plan(
+            zoom=zoom,
+            resolution=args.resolution,
+            zoom_level_strategy=args.zoom_level_strategy,
+            aligned_levels=args.aligned_levels,
+            overview_levels=args.overview_level,
+            tile_px=tile_px,
+            decimation_base=args.decimation_base,
+            resampling=args.overview_resampling,
+            geocode=geocode,
+            invalid_policy=args.invalid_policy,
+            tms_def=tms_def,
+        )
+    except errors.IncompatibleOptions as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 2
     # channel selection (--bidx, BdxParamType analog): band 1 is the
     # page-count channel, bands 2..k+1 the --weight-col entries.
     weight_cols = [c for c in (args.weight_col or "").split(",") if c]
@@ -411,6 +425,11 @@ def main(argv=None) -> int:
                         "under DST/band_<i>")
     c.add_argument("--source", choices=["pages", "documents", "lonlat"], default="pages",
                    help="lonlat = pre-georeferenced input (GCP analog)")
+    c.add_argument("--tms", default=None, metavar="PATH",
+                   help="user tile-matrix-set JSON (reference --tms, "
+                        "cli.py:214-218): {origin_x, origin_y, span_x, "
+                        "span_y, cols0, rows0} quad grid over (lon, lat); "
+                        "default WebMercatorQuad")
     c.add_argument("-p", "--cog-profile", dest="profile", default="deflate",
                    help="named creation profile (profiles.py analog)")
     c.add_argument("--blocksize", type=int, default=None, help="tile grid px (G)")

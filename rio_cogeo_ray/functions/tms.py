@@ -346,13 +346,9 @@ def quad_tile(
     return tx, ty
 
 
-def load_tms_json(path: str) -> dict:
-    """Load a user TMS definition from JSON (the CLI-facing hook; keys
-    as in :func:`quad_tile`, all required, spans positive)."""
-    import json
-
-    with open(path) as f:
-        tms = json.load(f)
+def validate_tms_dict(tms: dict) -> dict:
+    """Validate a quad-TMS definition dict (keys as in
+    :func:`quad_tile`, all required, spans positive). Returns it."""
     required = {"origin_x", "origin_y", "span_x", "span_y", "cols0", "rows0"}
     missing = required - set(tms)
     if missing:
@@ -362,6 +358,31 @@ def load_tms_json(path: str) -> dict:
     if int(tms["cols0"]) < 1 or int(tms["rows0"]) < 1:
         raise ValueError("TMS base grid must be at least 1×1")
     return tms
+
+
+def load_tms_json(path: str) -> dict:
+    """Load a user TMS definition from JSON (the CLI-facing hook)."""
+    import json
+
+    with open(path) as f:
+        return validate_tms_dict(json.load(f))
+
+
+def quad_tile_bounds(
+    x: ArrayLike, y: ArrayLike, z: int, tms: dict
+) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """Per-tile (west, north, span_x, span_y) under a :func:`quad_tile`
+    TMS at zoom ``z`` — the custom-grid analog of the mercator
+    ``x·span − O`` bounds the density rasterizer uses. Same float op
+    order as quad_tile so a point's tile floor and pixel floor agree to
+    the clip rule."""
+    nx = np.int64(int(tms["cols0"])) << np.int64(z)
+    ny = np.int64(int(tms["rows0"])) << np.int64(z)
+    sx = float(tms["span_x"]) / float(nx)
+    sy = float(tms["span_y"]) / float(ny)
+    west = np.asarray(x, dtype=np.float64) * sx + float(tms["origin_x"])
+    north = float(tms["origin_y"]) - np.asarray(y, dtype=np.float64) * sy
+    return west, north, sx, sy
 
 
 def ladder_step(base: int) -> int:

@@ -255,7 +255,8 @@ def create(
         ds = _read_input(src, cols)
         total_rows = ds.count()
         prepare = assign.make_prepare_fn(
-            spec.geocode, base_z, extract=extract, source=source
+            spec.geocode, base_z, extract=extract, source=source,
+            tms_def=spec.tms,
         )
         prepared = ds.map_batches(prepare, batch_format="pyarrow", batch_size=batch_size)
         if spec.tile_cover is not None:
@@ -280,7 +281,9 @@ def create(
         # tasks are abundant either way and the extra partial rows
         # (≤ distinct-tiles per batch) collapse in the bucket merge.
         partials = prepared.map_batches(
-            lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
+            lambda t: rasterize.density_partials(
+                t, spec.tile_px, weight_col, tms_def=spec.tms
+            ),
             batch_format="pyarrow",
             batch_size=max(batch_size, 16384),
         )
@@ -628,6 +631,7 @@ def spec_from_manifest(m: mani.Manifest) -> TilingSpec:
         ),
         invalid_policy=d.get("invalid_policy", "mask"),
         tile_cover=tuple(d["tile_cover"]) if d.get("tile_cover") else None,
+        tms=d.get("tms"),
     )
 
 
@@ -667,7 +671,9 @@ def append(
     cols = id_cols + ([weight_col] if weight_col else [])
     ds = _read_input(src_new, cols)
     new_rows = ds.count()
-    prepare = assign.make_prepare_fn(spec.geocode, base_z, extract=False, source=source)
+    prepare = assign.make_prepare_fn(
+        spec.geocode, base_z, extract=False, source=source, tms_def=spec.tms
+    )
     prepared = ds.map_batches(prepare, batch_format="pyarrow", batch_size=batch_size)
     if spec.tile_cover is not None:
         min_x, min_y, max_x, max_y = spec.tile_cover
@@ -683,7 +689,9 @@ def append(
 
         prepared = prepared.map_batches(_clip, batch_format="pyarrow")
     new_partials = prepared.map_batches(
-        lambda t: rasterize.density_partials(t, spec.tile_px, weight_col),
+        lambda t: rasterize.density_partials(
+            t, spec.tile_px, weight_col, tms_def=spec.tms
+        ),
         batch_format="pyarrow",
         # floor 16384: see create() — the fused chain's task granularity
         # follows this batch_size; 131072 starves a single node

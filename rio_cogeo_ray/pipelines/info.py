@@ -134,7 +134,19 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
                 int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
             )
 
-    if max_x >= min_x:
+    tms_def = spec.get("tms")
+    if max_x >= min_x and tms_def:
+        # custom quad TMS (--tms): grid coordinates ARE lon/lat-like —
+        # bounds come from the user grid, no mercator projection exists
+        w_arr, n_arr, sx, sy = tms.quad_tile_bounds(
+            np.array([min_x]), np.array([min_y]), base_z, tms_def
+        )
+        e_arr, s_arr, _, _ = tms.quad_tile_bounds(
+            np.array([max_x + 1]), np.array([max_y + 1]), base_z, tms_def
+        )
+        bounds_w = (float(w_arr[0]), float(s_arr[0]), float(e_arr[0]), float(n_arr[0]))
+        bounds_m = bounds_w
+    elif max_x >= min_x:
         west, _, _, north = tms.xy_bounds(base_z, min_x, min_y)
         _, south, east, _ = tms.xy_bounds(base_z, max_x, max_y)
         lon_w, lat_n = tms.mercator_to_lonlat(np.float64(west), np.float64(north))
@@ -184,7 +196,12 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
             WeightColumn=spec.get("weight_col"),
         ),
         GEO=Geo(
-            CRS="EPSG:3857 (WebMercatorQuad)",
+            CRS=(
+                f"custom quad TMS ({int(tms_def['cols0'])}x"
+                f"{int(tms_def['rows0'])} base grid)"
+                if tms_def
+                else "EPSG:3857 (WebMercatorQuad)"
+            ),
             BoundsWGS84=bounds_w,
             BoundsMercator=bounds_m,
             Center=center,

@@ -61,6 +61,11 @@ class TilingSpec:
     invalid_policy: str = "mask"
     #: inclusive (min_x, min_y, max_x, max_y) cover at ``zoom``; None = world.
     tile_cover: Optional[Tuple[int, int, int, int]] = None
+    #: user-defined quad TMS (functions/tms.py:quad_tile keys — the
+    #: reference's --tms custom.json axis, rio_cogeo/cli.py:214-218);
+    #: None = built-in WebMercatorQuad. When set, tile assignment and
+    #: per-tile pixel bounds use this grid over plain (lon, lat).
+    tms: Optional[dict] = None
 
     def __post_init__(self):
         if self.decimation_base < 2:
@@ -95,6 +100,28 @@ class TilingSpec:
             )
         if self.tile_px < 1 or self.tile_px & (self.tile_px - 1):
             raise errors.IncompatibleOptions("tile_px must be a power of two")
+        if self.tms is not None:
+            # key/shape validation shared with the CLI JSON loader
+            tms.validate_tms_dict(self.tms)
+            if not self.is_pow2_base:
+                # the overview parent rule (x >> step, y >> step) is a
+                # quad-split shift; non-pow2 pseudo-zoom ladders assume
+                # the square mercator world grid
+                raise errors.IncompatibleOptions(
+                    "custom tms requires a power-of-two decimation_base"
+                )
+            if self.is_conv:
+                # conv kernels need global pixel dims (level_dim), which
+                # assume the square 2^z world — not a cols0×rows0 quad
+                raise errors.IncompatibleOptions(
+                    "custom tms supports non-interpolating resampling only "
+                    "(sum/average/nearest/mode/rms)"
+                )
+            if self.aligned_levels:
+                # web-optimized alignment derives covers in mercator
+                raise errors.IncompatibleOptions(
+                    "custom tms is incompatible with aligned_levels"
+                )
 
     # ------------------------------------------------------------------
     @property
@@ -166,6 +193,7 @@ def plan(
     resampling: str = "sum",
     geocode: GeoSpec = GLOBAL_UNIFORM,
     invalid_policy: str = "mask",
+    tms_def: Optional[dict] = None,
 ) -> TilingSpec:
     """Build a TilingSpec — the planning composite of get_web_optimized_params
     (utils.py:88-147), get_zooms (utils.py:48-85) and overview-level
@@ -227,6 +255,7 @@ def plan(
         geocode=geocode,
         invalid_policy=invalid_policy,
         tile_cover=cover,
+        tms=tms_def,
     )
 
 

@@ -105,19 +105,29 @@ def geocode_lonlat(batch: pa.Table) -> pa.Table:
     return batch.append_column("geo_valid", pa.array(valid))
 
 
-def assign_tiles(batch: pa.Table, zoom: int) -> pa.Table:
+def assign_tiles(batch: pa.Table, zoom: int, tms_def=None) -> pa.Table:
     """+ (mx, my, x, y, tile_key) at ``zoom``; geo-invalid rows get nulls
     (the nodata analog, cogeo.py:276-279).
 
     Tile rule (pinned by tests + TILE_X/Y_SQL): pure floor of
     mercator / tile_span, right/bottom boundary belongs to the next
     tile, world edge clamps into [0, 2^z - 1].
+
+    ``tms_def``: user quad TMS dict (functions/tms.py:quad_tile — the
+    reference's --tms axis). Assignment then floors plain (lon, lat)
+    into the custom grid, and mx/my carry the GRID coordinates (lon,
+    lat) so the density rasterizer's pixel rule works against
+    quad_tile_bounds instead of mercator spans.
     """
     valid = batch["geo_valid"].combine_chunks().to_numpy(zero_copy_only=False)
     lon = batch["lon"].combine_chunks().fill_null(0.0).to_numpy(zero_copy_only=False)
     lat = batch["lat"].combine_chunks().fill_null(0.0).to_numpy(zero_copy_only=False)
-    mx, my = mercator_cols(lon, lat)
-    x, y = tms.mercator_tile(mx, my, zoom)
+    if tms_def is not None:
+        mx, my = lon, lat
+        x, y = tms.quad_tile(lon, lat, zoom, tms_def)
+    else:
+        mx, my = mercator_cols(lon, lat)
+        x, y = tms.mercator_tile(mx, my, zoom)
     key = tms.pack_tile_key(zoom, x, y)
     inv = ~valid
     batch = batch.append_column("mx", pa.array(mx, pa.float64(), mask=inv))
@@ -165,6 +175,7 @@ def make_prepare_fn(
     keep: Optional[Sequence[str]] = None,
     cell_level: Optional[int] = None,
     source: str = "pages",
+    tms_def=None,
 ):
     """Compose the full prepare stage as ONE stateless map_batches fn
     (single pass over the batch; html dropped before return unless kept).
@@ -178,7 +189,7 @@ def make_prepare_fn(
             batch = geocode_lonlat(batch)
         else:
             batch = geocode_documents(batch)
-        batch = assign_tiles(batch, zoom)
+        batch = assign_tiles(batch, zoom, tms_def=tms_def)
         if cell_level is not None:
             batch = add_cell(batch, cell_level)
         if keep is not None:

@@ -198,6 +198,7 @@ def density_partials(
     batch: pa.Table,
     tile_px: int,
     weight_col: Optional[str] = None,
+    tms_def=None,
 ) -> pa.Table:
     """Prepared page batch → partial tile rows (≤1 per touched tile).
 
@@ -228,12 +229,19 @@ def density_partials(
     mx = batch["mx"].combine_chunks().to_numpy(zero_copy_only=False)
     my = batch["my"].combine_chunks().to_numpy(zero_copy_only=False)
     z = int(tms.unpack_tile_key(key[:1])[0][0])
-    span = tms.tile_span(z)
-    pspan = span / G
-    west = x * span - tms.ORIGIN_SHIFT
-    north = tms.ORIGIN_SHIFT - y * span
-    px = np.clip(np.floor((mx - west) / pspan), 0, G - 1).astype(np.int64)
-    py = np.clip(np.floor((north - my) / pspan), 0, G - 1).astype(np.int64)
+    if tms_def is not None:
+        # custom quad TMS (--tms axis): mx/my carry the grid coords
+        # (lon, lat) and tile bounds come from the user grid
+        west, north, sx, sy = tms.quad_tile_bounds(x, y, z, tms_def)
+        px = np.clip(np.floor((mx - west) / (sx / G)), 0, G - 1).astype(np.int64)
+        py = np.clip(np.floor((north - my) / (sy / G)), 0, G - 1).astype(np.int64)
+    else:
+        span = tms.tile_span(z)
+        pspan = span / G
+        west = x * span - tms.ORIGIN_SHIFT
+        north = tms.ORIGIN_SHIFT - y * span
+        px = np.clip(np.floor((mx - west) / pspan), 0, G - 1).astype(np.int64)
+        py = np.clip(np.floor((north - my) / pspan), 0, G - 1).astype(np.int64)
     cell = (py * G + px).astype(np.int64)
     if weight_col is not None:
         wcol = batch[weight_col].combine_chunks()

@@ -711,3 +711,101 @@ def test_cli_shards_resumable(tmp_path):
     assert again == first
     for f in files:
         assert os.path.getmtime(f) == mtimes[f]
+
+
+@pytest.mark.slow
+def test_cli_custom_tms_end_to_end(tmp_path, ray_session):
+    """--tms custom.json (reference cli.py:214-218): create -> validate
+    -> info run a full pyramid on a user 2x1 quad grid over (lon, lat);
+    info reports the custom CRS and the grid's world bounds; the spec
+    round-trips through the manifest. Value-level pin: a lonlat source
+    with hand-placed points rasterizes into the exact custom-grid tiles
+    and pixels."""
+    import pyarrow.parquet as pq_mod
+
+    tms_path = str(tmp_path / "tms.json")
+    with open(tms_path, "w") as f:
+        json.dump(
+            {"origin_x": -180.0, "origin_y": 90.0, "span_x": 360.0,
+             "span_y": 180.0, "cols0": 2, "rows0": 1}, f,
+        )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "tms_out")
+    r = _run_cli(
+        "create", src, out, "--source", "documents", "--zoom", "3",
+        "--tms", tms_path, "--threads", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    created = json.loads(r.stdout.strip().splitlines()[-1])
+    # z=0 of a 2x1 quad grid is exactly two tiles
+    assert created["levels"][-1][0] == 0 and created["levels"][-1][1] == 2
+
+    r = _run_cli("validate", out, "--strict")
+    assert r.returncode == 0, r.stderr
+    assert "valid tile pyramid" in r.stdout
+
+    r = _run_cli("info", out, "--json")
+    assert r.returncode == 0
+    info = json.loads(r.stdout)
+    assert "custom quad TMS (2x1" in info["GEO"]["CRS"]
+    assert info["GEO"]["BoundsWGS84"] == [-180.0, -90.0, 180.0, 90.0]
+
+    # spec round-trips through the manifest
+    from rio_cogeo_ray.pipelines import create as create_mod
+    from rio_cogeo_ray.state import manifest as mani
+
+    spec2 = create_mod.spec_from_manifest(mani.load_manifest(out))
+    assert spec2.tms == {"origin_x": -180.0, "origin_y": 90.0,
+                         "span_x": 360.0, "span_y": 180.0,
+                         "cols0": 2, "rows0": 1}
+
+    # incompatible-options pins (mirror the reference's option errors)
+    from rio_cogeo_ray import errors as rerrors
+    from rio_cogeo_ray.pipelines.spec import plan
+
+    tdef = spec2.tms
+    with pytest.raises(rerrors.IncompatibleOptions, match="non-interpolating"):
+        plan(zoom=3, resampling="bilinear", tms_def=tdef)
+    with pytest.raises(rerrors.IncompatibleOptions, match="power-of-two"):
+        plan(zoom=3, decimation_base=3, tms_def=tdef)
+    with pytest.raises(rerrors.IncompatibleOptions, match="aligned_levels"):
+        plan(zoom=3, aligned_levels=1, tms_def=tdef)
+    with pytest.raises(ValueError, match="missing keys"):
+        plan(zoom=3, tms_def={"origin_x": 0})
+
+    # value-level pin: lonlat source, z=1 (4x2 grid of 45x45-degree
+    # quads at lon in [-180,180], lat [90,-90] y-down), tile_px=2 ->
+    # each tile is 2x2 pixels of 22.5 degrees. Points placed mid-pixel.
+    pts = pa.table(
+        {
+            "lon": pa.array([-170.0, -170.0, -100.0, 100.0, 100.0, 100.0]),
+            "lat": pa.array([80.0, 80.0, 80.0, -80.0, -80.0, -10.0]),
+        }
+    )
+    src2 = str(tmp_path / "pts.parquet")
+    pq_mod.write_table(pts, src2)
+    out2 = str(tmp_path / "tms_pts")
+    from rio_cogeo_ray.pipelines.spec import plan as plan2
+
+    spec3 = plan2(zoom=1, overview_levels=0, tile_px=2, tms_def=tdef)
+    create_mod.create(src2, out2, spec3, source="lonlat")
+    t = pq_mod.read_table(mani.level_dir(out2, 1))
+    got = {}
+    from rio_cogeo_ray.functions import tms as tms_mod
+
+    for row in range(t.num_rows):
+        z, x, y = (int(v[0]) for v in tms_mod.unpack_tile_key(
+            np.array([t["tile_key"][row].as_py()])))
+        cells = t["cells"][row].as_py()
+        counts = t["counts"][row].as_py()
+        got[(x, y)] = dict(zip(cells, counts))
+    # (-170, 80): x = floor((−170+180)/90) = 0, y = floor((90−80)/90) = 0
+    #   pixel: px = floor((−170 − (−180))/45) = 0, py = floor((90−80)/45)=0
+    # (-100, 80): x=0, y=0, px=1, py=0 -> cell 1
+    # (100, -80): x=3, y=1, px=0 (floor((100-90)/45)=0), py=1
+    #   (floor((0−(−80))/45) with north=0 for y=1 -> floor(80/45)=1) ->
+    #   cell py*2+px = 2
+    # (100, -10): x=3, y=1, px=0, py=0 -> cell 0
+    assert got[(0, 0)] == {0: 2, 1: 1}
+    assert got[(3, 1)] == {2: 2, 0: 1}
