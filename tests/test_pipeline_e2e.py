@@ -683,3 +683,92 @@ def test_corpus_to_shards_checkpoint_resume(ray_session, tmp_path):
         mp.setattr(text_mod, "QualityScore", boom)
         with _pytest.raises(Exception, match="killed"):
             prep.corpus_to_shards(src, w, num_shards=3, window=100)
+
+
+def _kill_worker_once(sentinel_path):
+    """Identity map stage whose FIRST claimant hard-kills its worker
+    process (os._exit — a SYSTEM failure, so Ray's task retry kicks in,
+    unlike an application exception). The O_EXCL sentinel guarantees
+    exactly one death across all workers and retries."""
+
+    def f(t):
+        import os as _os
+
+        try:
+            fd = _os.open(sentinel_path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return t
+        _os.close(fd)
+        _os._exit(1)
+
+    return f
+
+
+def _level_signature(out_dir):
+    sig = {}
+    m = mani.load_manifest(out_dir)
+    for lv in m.levels:
+        t = pq.read_table(mani.level_dir(out_dir, lv.z))
+        t = t.sort_by([("tile_key", "ascending")])
+        sig[lv.z] = (lv.tiles, lv.pages, t.to_pydict())
+    return sig
+
+
+def test_create_survives_worker_death(ray_session, tmp_path):
+    """A worker hard-killed mid-create (first claimant of the sentinel
+    exits) is retried by Ray and the pyramid comes out bit-identical to
+    an uninjected run — the idempotent-sink + task-retry claim of the
+    100x-cluster design, finally exercised against a REAL worker death
+    (the kill/restart pytests only ever killed the driver)."""
+    import ray.data as rd
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    spec = plan(zoom=4, overview_levels=2, tile_px=32)
+
+    clean = str(tmp_path / "clean")
+    create_mod.create(src, clean, spec, source="documents")
+
+    sentinel = str(tmp_path / "killed.flag")
+    injected = str(tmp_path / "injected")
+    ds = rd.read_parquet(src, columns=["doc_id"]).map_batches(
+        _kill_worker_once(sentinel), batch_format="pyarrow"
+    )
+    create_mod.create(ds, injected, spec, source="documents")
+    assert os.path.exists(sentinel), "injection never fired"
+    assert _level_signature(injected) == _level_signature(clean)
+
+
+def test_web_prep_survives_worker_death(ray_session, tmp_path, monkeypatch):
+    """Same worker-death injection through web_prep's corpus read: one
+    worker dies on its first batch, Ray retries, and the scored output
+    is bit-identical to the uninjected chain."""
+    import ray.data as rd
+
+    from rio_cogeo_ray.pipelines import prep
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    clean = (
+        prep.web_prep(src, str(tmp_path / "wp_clean"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    sentinel = str(tmp_path / "killed.flag")
+    real_read = rd.read_parquet
+
+    def wrapped_read(*args, **kwargs):
+        return real_read(*args, **kwargs).map_batches(
+            _kill_worker_once(sentinel), batch_format="pyarrow"
+        )
+
+    monkeypatch.setattr(rd, "read_parquet", wrapped_read)
+    injected = (
+        prep.web_prep(src, str(tmp_path / "wp_injected"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.undo()
+    assert os.path.exists(sentinel), "injection never fired"
+    assert injected.equals(clean)
