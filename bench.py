@@ -725,6 +725,70 @@ def bench_skipgram():
     return text_mod.skipgram_topk(ds, window=3, k=50, min_n=2).num_rows
 
 
+def bench_skew_salted():
+    """Zipf-hot-key wall-time receipt for the skew machinery
+    (stages/salt.py + join.auto_join's salted path): ~37% of the corpus
+    collapses onto 4 hot keys (the dense-urban-tile shape), the rest
+    spreads over a ~1M-key tail. Two stages, both timed: (1) exact
+    per-key counts via detect-hot → salt → (key, salt) partial →
+    per-key final; (2) auto_join against a 10k-row dim table with
+    broadcast disabled so the planner's skew probe must pick the SALTED
+    path (hot left keys split across salt buckets, hot right rows
+    replicate per salt). Plan asserted — the receipt is only valid if
+    the salted code actually ran."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rio_cogeo_ray.functions.hashing import hash_columns
+    from rio_cogeo_ray.stages import join as join_mod
+    from rio_cogeo_ray.stages import salt as salt_mod
+
+    def _keys(t: pa.Table) -> pa.Table:
+        h = hash_columns(t, ["url"])
+        hot = (h % np.uint64(16)) < np.uint64(6)  # ~37.5% of rows
+        key = np.where(
+            hot,
+            (h % np.uint64(4)).astype(np.int64),
+            1000 + (h % np.uint64(1_000_003)).astype(np.int64),
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "rid": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(PAGES_DIR, columns=["url"]).map_batches(
+        _keys, batch_format="pyarrow"
+    )
+    thr = max(1000, N_PAGES // 100)
+    n_keys = salt_mod.salted_group_counts(
+        ds, "key", hot_threshold=thr, n_salts=32
+    ).count()
+
+    dim = pa.table(
+        {
+            "key": pa.array(
+                list(range(4)) + [1000 + k for k in range(10_000)], pa.int64()
+            ),
+            "w": pa.array(list(range(10_004)), pa.int64()),
+        }
+    )
+    joined, plan = join_mod.auto_join(
+        ds,
+        rd.from_arrow(dim),
+        on="key",
+        salt_source_col="rid",
+        hot_threshold=thr,
+        broadcast_max_rows=1000,  # force past broadcast: probe must salt
+    )
+    n = joined.count()
+    assert plan["strategy"] == "salted", plan
+    return n_keys + n
+
+
 BENCHES = {
     "headline": bench_headline,
     "create_pyramid": bench_create_pyramid,
@@ -756,6 +820,7 @@ BENCHES = {
     "dup_span": bench_dup_span,
     "novelty": bench_novelty,
     "skipgram": bench_skipgram,
+    "skew_salted": bench_skew_salted,
 }
 
 
