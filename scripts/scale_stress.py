@@ -155,6 +155,108 @@ def run_corpus_to_shards() -> int:
     return q.q_corpus_to_shards(DOCS_DIR).count()
 
 
+JDOCS_DIR = f"/tmp/rcr_stress/jdocs_{N_PAGES}"
+
+
+def ensure_jdocs():
+    """Diversified corpus for the EXACT set-similarity stress: the
+    synth_pages texts are template-generated, so their distinct token
+    SETS collapse onto a handful of vocabularies and the TRUE Jaccard
+    self-join output is quadratic in corpus size — that is the
+    operator's answer, not an engine pathology, but it makes an unfit
+    stress workload. Here every doc draws 30 tokens from a 200k-word
+    hashed vocab (expected pairwise overlap ~0), and every 50th doc is
+    a near-copy of its neighbour (one token changed) — planted pairs
+    LINEAR in corpus size, so wall time measures the prefix-filter
+    machinery, not an unbounded result set. Vocabulary is the Zipf-ish
+    mixture the operator's DATA ASSUMPTION requires: 10 tokens/doc from
+    a 5k common head (high df — never in a prefix) + 20 from a rare
+    tail sized 20x the corpus (df ~ 1-2, so prefix candidate groups
+    stay tiny); a uniform small vocab would make every prefix token
+    frequent and candidate generation quadratic by design."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    done = os.path.join(JDOCS_DIR, ".done")
+    if os.path.exists(done):
+        return
+    import shutil
+
+    shutil.rmtree(JDOCS_DIR, ignore_errors=True)
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        base = np.where(ids % 50 == 1, ids - 1, ids)  # near-copy partner
+        k = np.arange(30, dtype=np.uint64)
+        h = (base[:, None].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + (k + 1) * np.uint64(0xBF58476D1CE4E5B9))
+        h ^= h >> np.uint64(31)
+        tail_v = np.uint64(20 * N_PAGES)
+        w = np.where(
+            k[None, :] < np.uint64(10),
+            (h % np.uint64(5_000)).astype(np.int64),            # common head
+            5_000 + (h % tail_v).astype(np.int64),               # rare tail
+        )
+        # the near-copy differs in exactly one RARE token (stays >= tau)
+        w[:, 10] = np.where(
+            ids % 50 == 1, 5_000 + ((w[:, 10] + 7) % int(tail_v)), w[:, 10]
+        )
+        texts = [" ".join(f"w{v}" for v in row) for row in w]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    rd.range(N_PAGES).map_batches(_gen, batch_format="pyarrow").write_parquet(
+        JDOCS_DIR
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def run_jaccard_pairs() -> int:
+    import ray.data as rd
+
+    from rio_cogeo_ray.stages import simjoin
+
+    ensure_jdocs()
+    ds = rd.read_parquet(JDOCS_DIR, columns=["doc_id", "text"])
+    return simjoin.jaccard_self_join(ds, tau_ppm=800_000).count()
+
+
+def _bench_stage(name):
+    """Reuse bench.py's pipeline verbatim at stress scale: bench reads
+    RCR_BENCH_PAGES at import, which main() pins to N_PAGES before the
+    first import, so bench.PAGES_DIR IS the stress corpus."""
+
+    def run() -> int:
+        import bench
+
+        assert bench.N_PAGES == N_PAGES, (bench.N_PAGES, N_PAGES)
+        return int(bench.BENCHES[name]() or 0)
+
+    run.__name__ = f"run_{name}"
+    return run
+
+
+STAGES = {
+    "web_prep": run_web_prep,
+    "corpus_to_shards": run_corpus_to_shards,
+    "jaccard_pairs": run_jaccard_pairs,
+    "dup_span": _bench_stage("dup_span"),
+    "bigram_surprisal": _bench_stage("bigram_surprisal"),
+    "text_index": _bench_stage("text_index"),
+    "bigram_lift": _bench_stage("bigram_lift"),
+    "ccnet_buckets": _bench_stage("ccnet_buckets"),
+    "gopher_filters": _bench_stage("gopher_filters"),
+    "skew_salted": _bench_stage("skew_salted"),
+}
+
+
 def main() -> int:
     import ray
 
@@ -168,9 +270,19 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
     ensure_corpora()
 
+    os.environ["RCR_BENCH_PAGES"] = str(N_PAGES)  # before any bench import
+    sel = [
+        n.strip()
+        for n in os.environ.get(
+            "RCR_STRESS_STAGES", "web_prep,corpus_to_shards"
+        ).split(",")
+        if n.strip()
+    ]
+    if "jaccard_pairs" in sel:
+        ensure_jdocs()  # corpus generation is setup, not timed work
     out = {"pages": N_PAGES, "num_cpus": NUM_CPUS, "stages": {}}
-    for name, fn in (("web_prep", run_web_prep),
-                     ("corpus_to_shards", run_corpus_to_shards)):
+    for name in sel:
+        fn = STAGES[name]
         s0 = spilled_mib()
         t0 = time.time()
         rows = fn()
