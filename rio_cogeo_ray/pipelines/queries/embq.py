@@ -65,6 +65,50 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
+def q_ann_exact_topk(sf_dir: str):
+    """SQL-exact similarity search (stages/ann.py:
+    knn_cosine_quantized): cosine top-10 for the vec_id=0 query over
+    INTEGER-QUANTIZED embeddings — both engines floor every float to
+    int(v·2^14 + 0.5) first, so dot/norm are exact integer sums and the
+    ranking key dot/sqrt(norm·qnorm) is the same double from the same
+    integers (the engine's promote-to-SQL-exact doctrine applied to
+    ANN; ann_cosine stays the float rows-only baseline)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrows = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()
+    if not qrows:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "dot_q": pa.array([], pa.int64()),
+                "norm_q": pa.array([], pa.int64()),
+            }
+        )
+    qvec = np.asarray(qrows[0], dtype=np.float64)
+    ds = _read(emb_path, ["vec_id", "embedding"])
+    return ann.knn_cosine_quantized(ds, qvec, k=10)
+
+
+SQL_ANN_EXACT_TOPK = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                  unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+q AS (SELECT pos, CAST(FLOOR(CAST(v AS DOUBLE) * 16384.0 + 0.5) AS BIGINT) AS qv
+      FROM e WHERE vec_id = 0),
+eq AS (SELECT vec_id, pos,
+              CAST(FLOOR(CAST(v AS DOUBLE) * 16384.0 + 0.5) AS BIGINT) AS ev
+       FROM e),
+s AS (SELECT eq.vec_id, CAST(SUM(ev * qv) AS BIGINT) AS dot_q,
+             CAST(SUM(ev * ev) AS BIGINT) AS norm_q
+      FROM eq JOIN q USING (pos) GROUP BY 1),
+qn AS (SELECT CAST(SUM(qv * qv) AS BIGINT) AS n FROM q)
+SELECT vec_id, dot_q, norm_q FROM s, qn WHERE norm_q > 0
+ORDER BY CAST(dot_q AS DOUBLE) / SQRT(CAST(norm_q AS DOUBLE) * CAST(qn.n AS DOUBLE)) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table (the
     corpus never leaves Ray: per-batch partial sums → bounded tree

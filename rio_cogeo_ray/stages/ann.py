@@ -118,6 +118,100 @@ def knn_cosine(
     return per_group_topk(local, "query_id", [("score", False), (id_col, True)], k)
 
 
+def knn_cosine_quantized(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    scale: int = 16_384,
+    batch_size: int = 4096,
+):
+    """EXACT cosine top-k over INTEGER-QUANTIZED embeddings — the
+    device that makes a similarity search SQL-mirrorable at all: both
+    engines floor every float to ``floor(v·scale + 0.5)`` int64 first,
+    so dot products and norms are exact integer sums (order-invariant),
+    and the ranking key ``dot / sqrt(norm · qnorm)`` is then the SAME
+    double computed from the SAME integers in numpy and DuckDB
+    (correctly-rounded IEEE ops). Returns the top-k
+    ``(id, dot_q, norm_q)`` rows ordered by that key (ties → id asc);
+    the float never leaves the ORDER BY, so the output hashes on
+    integers only.
+
+    vs :func:`knn_cosine`: same answer-quality family (quantization
+    error ~1/scale), but bit-reproducible across engines/parallelism —
+    the float path float-sums in matmul order and cannot be mirrored.
+
+    Scale shape: one pure-map pass (per-batch quantize + integer dot)
+    → per-batch local top-k (bounded rows ∝ #batches·k) → driver
+    final sort. Guards: |v|·scale must stay << 2^31 so the int64 dot
+    of d terms cannot wrap (checked per batch, loud)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qq = np.floor(q * float(scale) + 0.5).astype(np.int64)
+    qn = int((qq.astype(object) ** 2).sum())  # Python int — exact
+    if qn == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "dot_q": pa.array([], pa.int64()),
+                "norm_q": pa.array([], pa.int64()),
+            }
+        )
+    qq_ref = ray.put(qq)
+
+    def _score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "dot_q": pa.array([], pa.int64()),
+                "norm_q": pa.array([], pa.int64()),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        qv = ray.get(qq_ref)
+        m = _matrix(t[emb_col]).astype(np.float64)
+        e = np.floor(m * float(scale) + 0.5).astype(np.int64)
+        amax = int(np.abs(e).max()) if e.size else 0
+        d = e.shape[1]
+        if amax and int(max(amax, np.abs(qv).max())) ** 2 * d >= 2**62:
+            raise ValueError(
+                "knn_cosine_quantized: |v|·scale too large — the integer "
+                "dot would overflow int64; lower scale"
+            )
+        dot = e @ qv
+        norm = (e * e).sum(axis=1)
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = norm > 0
+        dot, norm, ids = dot[keep], norm[keep], ids[keep]
+        # per-batch local top-k on the exact ranking key (bounded rows)
+        cos = dot.astype(np.float64) / np.sqrt(
+            norm.astype(np.float64) * float(qn)
+        )
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "dot_q": pa.array(dot[order], pa.int64()),
+                "norm_q": pa.array(norm[order], pa.int64()),
+            }
+        )
+
+    local = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+    rows = [b for b in ray.get(local.to_arrow_refs()) if b.num_rows]
+    if not rows:
+        return _score(pa.table({id_col: pa.array([], pa.int64()), emb_col: pa.array([], pa.list_(pa.float32()))}))
+    t = pa.concat_tables(rows, promote_options="default").combine_chunks()
+    dot = t["dot_q"].to_numpy(zero_copy_only=False)
+    norm = t["norm_q"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    cos = dot.astype(np.float64) / np.sqrt(norm.astype(np.float64) * float(qn))
+    order = np.lexsort((ids, -cos))[:k]
+    return t.take(pa.array(order, pa.int64()))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) bucketing — the 100 TB path
 # ---------------------------------------------------------------------------

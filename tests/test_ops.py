@@ -7002,3 +7002,37 @@ def test_align_candidate_pairs_e2e(ray_session):
     got = sorted(zip(out.sent_a, out.sent_b))
     assert got == [(0, 0), (1, 1), (2, 2)]
     assert set(out.doc_a) == {1} and set(out.doc_b) == {2}
+
+
+def test_knn_cosine_quantized_vs_float(ray_session):
+    """Integer-quantized exact cosine top-k (the SQL-exact ANN
+    surface): ranking matches the float brute force on a random matrix
+    (quantization error ~2^-14 cannot flip these well-separated
+    scores), layout-invariant, and the int64-overflow guard raises on
+    absurd scales."""
+    from rio_cogeo_ray.stages import ann
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(300, 16)
+    q = rng.randn(16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    # float oracle over the SAME float32-rounded inputs
+    m32 = m.astype(np.float32).astype(np.float64)
+    cos = (m32 @ q) / (np.linalg.norm(m32, axis=1) * np.linalg.norm(q))
+    exp = np.lexsort((np.arange(300), -cos))[:10].tolist()
+    for parts in (1, 5):
+        got = ann.knn_cosine_quantized(
+            rd.from_arrow(t).repartition(parts), q, k=10, batch_size=64
+        )
+        assert got["vec_id"].to_pylist() == exp
+    # guard raises inside the Ray task — surfaces as a RayTaskError
+    # wrapping the ValueError, message preserved
+    with pytest.raises(Exception, match="overflow"):
+        ann.knn_cosine_quantized(rd.from_arrow(t), q, k=10, scale=2**40)
