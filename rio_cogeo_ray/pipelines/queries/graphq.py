@@ -299,9 +299,11 @@ def q_pagerank(sf_dir: str):
     pagerank — distributed-state iterative pattern: rank vector stays
     a Dataset; per iteration one bucketed join + one partial→final
     sum; int64 micro-units keep results bit-identical at any
-    parallelism). 10-iteration fixpoint not SQL-expressible in one
-    statement ⇒ rows-only; float-oracle + partitioning-invariance
-    pinned in pytest."""
+    parallelism). SQL-exact since round 5: the engine's arithmetic was
+    ALWAYS integer ((rank // outdeg) * 85 // 100 per edge, Σ + base),
+    and a FIXED iteration count unrolls into chained CTEs — the
+    'iterative ⇒ rows-only' claim held only for unbounded fixpoints.
+    Float-oracle + partitioning-invariance stay pinned in pytest."""
     from rio_cogeo_ray.stages import graph
 
     edges = _simgraph_edges(sf_dir, TRI_T).map_batches(
@@ -311,6 +313,40 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow",
     )
     return graph.pagerank(edges, iters=5)
+
+
+def _sql_pagerank() -> str:
+    """5 unrolled integer-exact PageRank iterations over the
+    similarity-graph edges (same CTE as SQL_TRIANGLES), mirroring
+    graph.pagerank's floor-division order exactly:
+    contribution = ((rank // outdeg) * 85) // 100 per directed edge;
+    rank' = SUM(contribution) + ((15 * (10^12 // N)) // 100)."""
+    head = rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+rk AS (SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS r FROM cnt),
+top AS (SELECT doc_id, tok FROM rk WHERE r <= {RANKJOIN_K}),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM top a JOIN top b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {TRI_T}),
+dir AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM dir GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+ed AS (SELECT d.src, d.dst, g.outdeg FROM dir d JOIN deg g USING (src)),
+r0 AS (SELECT src AS node, CAST(1000000000000 // n AS BIGINT) AS rank
+       FROM deg CROSS JOIN nn)"""
+    it = (
+        ", r{i} AS (SELECT e.dst AS node, "
+        "CAST(SUM(((r.rank // e.outdeg) * 85) // 100) "
+        "+ ((15 * (1000000000000 // nn.n)) // 100) AS BIGINT) AS rank "
+        "FROM ed e JOIN r{p} r ON r.node = e.src CROSS JOIN nn "
+        "GROUP BY e.dst, nn.n)"
+    )
+    body = "".join(it.format(i=i, p=i - 1) for i in range(1, 6))
+    return head + body + " SELECT node, rank AS rank_ppt FROM r5"
+
+
+SQL_PAGERANK = _sql_pagerank()
 
 
 def q_kcore(sf_dir: str):
