@@ -163,6 +163,7 @@ def cmd_create(args) -> int:
             geocode=geocode,
             invalid_policy=args.invalid_policy,
             tms_def=tms_def,
+            overview_blocksize=args.overview_blocksize,
         )
     except errors.IncompatibleOptions as e:
         print(f"ERROR: {e}", file=sys.stderr)
@@ -433,6 +434,11 @@ def main(argv=None) -> int:
     c.add_argument("-p", "--cog-profile", dest="profile", default="deflate",
                    help="named creation profile (profiles.py analog)")
     c.add_argument("--blocksize", type=int, default=None, help="tile grid px (G)")
+    c.add_argument("--overview-blocksize", type=int, default=None,
+                   help="per-overview grid px (GDAL_TIFF_OVR_BLOCKSIZE "
+                        "analog, reference cli.py:141-144); the engine's "
+                        "block IS the tile, so this sets overview grid "
+                        "resolution; sum/nearest/mode kernels only")
     c.add_argument("--overview-level", type=int, default=None)
     c.add_argument("--decimation-base", type=int, default=2)
     c.add_argument("--overview-resampling", default="sum",

@@ -323,7 +323,17 @@ def create(
             else None
         )
 
-        def _partials_fn(t: pa.Table, _j=j, _cov=cover_j) -> pa.Table:
+        # per-level grids (--overview-blocksize analog): overview levels
+        # store ob² cells per tile; the pixel decimation f is base·G/ob
+        # on the first ladder step and plain `base` below it (child and
+        # parent then share ob). For the default uniform grid, child_px
+        # == parent_px == G and f == base — bit-identical to before.
+        ob = spec.overview_blocksize
+        child_px = spec.tile_px if (ob is None or j == 1) else ob
+        parent_px = ob if ob is not None else spec.tile_px
+        pix_f = (base_b * child_px) // parent_px
+
+        def _partials_fn(t: pa.Table, _j=j, _cov=cover_j, _cpx=child_px, _ppx=parent_px) -> pa.Table:
             if spec.is_conv:
                 return rasterize.pyramid_partials_conv(
                     t, spec.tile_px, spec.resampling, base_b,
@@ -334,7 +344,9 @@ def create(
                 # ladder step is the ordinary additive pre-sum
                 t = rasterize.square_tile_values(t)
                 return rasterize.pyramid_partials(t, spec.tile_px, "sum", base_b)
-            return rasterize.pyramid_partials(t, spec.tile_px, spec.resampling, base_b)
+            return rasterize.pyramid_partials(
+                t, _cpx, spec.resampling, base_b, parent_px=_ppx
+            )
 
         if local_table is None:
             prev = levels_done[z + step]
@@ -345,7 +357,7 @@ def create(
         if local_table is not None:
             partials = _partials_fn(local_table)
             merged_t = rasterize._merge_bucket_table(
-                partials, merge_kernel, j, base_b, spec.tile_px
+                partials, merge_kernel, j, pix_f, parent_px
             )
             if spec.is_conv:
                 merged_t = rasterize.finalize_conv_tiles(
@@ -361,8 +373,8 @@ def create(
             child = read_level(out_dir, z + step)
             partials = child.map_batches(_partials_fn, batch_format="pyarrow")
             merged = rasterize.merge_sparse_tiles(
-                partials, merge_kernel, level=j, base=base_b,
-                tile_px=spec.tile_px, n_buckets=n_buckets,
+                partials, merge_kernel, level=j, base=pix_f,
+                tile_px=parent_px, n_buckets=n_buckets,
             )
             if spec.is_conv:
                 merged = merged.map_batches(
@@ -632,6 +644,7 @@ def spec_from_manifest(m: mani.Manifest) -> TilingSpec:
         invalid_policy=d.get("invalid_policy", "mask"),
         tile_cover=tuple(d["tile_cover"]) if d.get("tile_cover") else None,
         tms=d.get("tms"),
+        overview_blocksize=d.get("overview_blocksize"),
     )
 
 

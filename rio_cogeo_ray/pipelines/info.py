@@ -161,10 +161,13 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
     )
 
     ifds = []
+    ob = spec.get("overview_blocksize")
     for j, lv in enumerate(m.levels):
         # decimation IS the per-axis shrink for every ladder type
-        # (pow2 TMS zooms and pseudo-zoom ordinal ladders alike)
+        # (pow2 TMS zooms and pseudo-zoom ordinal ladders alike); with
+        # an --overview-blocksize grid, overview dims follow that grid
         shrink = lv.decimation
+        g_lv = G if j == 0 else int(ob or G)
         w_tiles = (max_x - min_x + 1) if max_x >= min_x else 0
         h_tiles = (max_y - min_y + 1) if max_y >= min_y else 0
         ifds.append(
@@ -175,8 +178,8 @@ def info(out_dir: str, run_validate: bool = True) -> Info:
                 Tiles=lv.tiles,
                 Pages=lv.pages,
                 Cells=lv.cells,
-                Width=max(1, (w_tiles * G) // shrink) if w_tiles else 0,
-                Height=max(1, (h_tiles * G) // shrink) if h_tiles else 0,
+                Width=max(1, (w_tiles * g_lv) // shrink) if w_tiles else 0,
+                Height=max(1, (h_tiles * g_lv) // shrink) if h_tiles else 0,
             )
         )
 

@@ -66,6 +66,13 @@ class TilingSpec:
     #: None = built-in WebMercatorQuad. When set, tile assignment and
     #: per-tile pixel bounds use this grid over plain (lon, lat).
     tms: Optional[dict] = None
+    #: per-overview grid override (GDAL_TIFF_OVR_BLOCKSIZE analog,
+    #: rio_cogeo/cli.py:141-144): overview levels store this many cells
+    #: per tile axis instead of ``tile_px``. The engine's storage block
+    #: IS the TMS tile, so — unlike GDAL, where the flag only retilés
+    #: bytes — this changes the overview grid RESOLUTION (documented
+    #: divergence). None = uniform grid.
+    overview_blocksize: Optional[int] = None
 
     def __post_init__(self):
         if self.decimation_base < 2:
@@ -100,6 +107,27 @@ class TilingSpec:
             )
         if self.tile_px < 1 or self.tile_px & (self.tile_px - 1):
             raise errors.IncompatibleOptions("tile_px must be a power of two")
+        if self.overview_blocksize is not None:
+            ob = self.overview_blocksize
+            if ob < 1 or ob & (ob - 1):
+                raise errors.IncompatibleOptions(
+                    "overview_blocksize must be a power of two"
+                )
+            if self.resampling not in ("sum", "nearest", "mode"):
+                # average/rms/conv finalizers normalize by uniform
+                # per-level footprints (base^(2·level), (Σw)², base²);
+                # a mixed-grid ladder breaks that arithmetic — refuse
+                raise errors.IncompatibleOptions(
+                    "overview_blocksize supports sum/nearest/mode "
+                    "resampling only"
+                )
+            if (self.decimation_base * self.tile_px) % ob or ob > (
+                self.decimation_base * self.tile_px
+            ):
+                raise errors.IncompatibleOptions(
+                    "overview_blocksize must evenly divide "
+                    "decimation_base*tile_px"
+                )
         if self.tms is not None:
             # key/shape validation shared with the CLI JSON loader
             tms.validate_tms_dict(self.tms)
@@ -194,6 +222,7 @@ def plan(
     geocode: GeoSpec = GLOBAL_UNIFORM,
     invalid_policy: str = "mask",
     tms_def: Optional[dict] = None,
+    overview_blocksize: Optional[int] = None,
 ) -> TilingSpec:
     """Build a TilingSpec — the planning composite of get_web_optimized_params
     (utils.py:88-147), get_zooms (utils.py:48-85) and overview-level
@@ -256,6 +285,7 @@ def plan(
         invalid_policy=invalid_policy,
         tile_cover=cover,
         tms=tms_def,
+        overview_blocksize=overview_blocksize,
     )
 
 

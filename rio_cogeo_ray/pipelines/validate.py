@@ -174,8 +174,11 @@ def validate(
 
     # ---- spot check grid payloads ---------------------------------------
     if spot_check and not errors:
-        G2 = int(spec["tile_px"]) ** 2
+        ob = spec.get("overview_blocksize")
         for lv in m.levels[:2]:
+            # overview levels may run a different grid (--overview-blocksize)
+            g_lv = int(spec["tile_px"]) if lv.z == base else int(ob or spec["tile_px"])
+            G2 = g_lv ** 2
             t = pq.read_table(mani.level_dir(out_dir, lv.z), columns=["cells", "counts"])
             cells = t["cells"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
             counts = t["counts"].combine_chunks().flatten().to_numpy(zero_copy_only=False)

@@ -423,42 +423,61 @@ def _partials_from_contribs(
 
 
 def pyramid_partials(
-    batch: pa.Table, tile_px: int, resampling: str = "sum", base: int = 2
+    batch: pa.Table,
+    tile_px: int,
+    resampling: str = "sum",
+    base: int = 2,
+    parent_px: Optional[int] = None,
 ) -> pa.Table:
     """Final tile rows at level z → partial parent rows one ladder level
     up, decimating by ``base`` (any base ≥ 2, cogeo.py:196-203).
 
     All math is GLOBAL-pixel floor division: child pixel g lands in
-    parent pixel ``g // base``, which lives in parent tile
-    ``(g // base) // G`` — for power-of-two bases this reduces exactly
-    to the former shift math (bit-identical), for other bases a child
-    tile's pixels may split across two parent tiles. Kernels:
-    sum/average pre-sum; nearest keeps child pixels with
-    ``g % base == 0`` on both axes; mode defers to the merge via
-    subpixel-expanded cells (``base²`` slots per parent pixel). Child
-    page counts are attributed to the parent tile of the child tile's
-    top-left pixel (unambiguous for aligned bases, documented rule for
-    misaligned ones).
+    parent pixel ``g // f``, which lives in parent tile
+    ``(g // f) // Gp`` — for the default uniform grid (``parent_px``
+    None ⇒ Gp = tile_px, f = base) this reduces exactly to the former
+    shift math (bit-identical), for other bases a child tile's pixels
+    may split across two parent tiles. Kernels: sum/average pre-sum;
+    nearest keeps child pixels with ``g % f == 0`` on both axes; mode
+    defers to the merge via subpixel-expanded cells (``f²`` slots per
+    parent pixel). Child page counts are attributed to the parent tile
+    of the child tile's top-left pixel (unambiguous for aligned bases,
+    documented rule for misaligned ones).
+
+    ``parent_px``: per-level grid override (the --overview-blocksize
+    axis — GDAL_TIFF_OVR_BLOCKSIZE analog, rio_cogeo/cli.py:141-144):
+    the parent level stores ``parent_px²`` cells per tile, so the
+    PIXEL decimation is ``f = base·tile_px / parent_px`` (must divide
+    evenly and be ≥ 1 — loud error otherwise).
     """
     if len(batch) == 0:
         return TILE_SCHEMA.empty_table()
     G = tile_px
+    Gp = parent_px if parent_px is not None else tile_px
+    num = base * G
+    if num % Gp or num < Gp:
+        raise ValueError(
+            f"pyramid_partials: parent grid {Gp} must evenly divide "
+            f"base·tile_px = {num} (pixel decimation must be a positive "
+            "integer)"
+        )
+    f = num // Gp
     key, x, y, pc_counts, gx, gy, vals = _load_sparse(batch, G)
     child_z = int(tms.unpack_tile_key(key[:1])[0][0])
     parent_z = _parent_z_for(child_z, base)
 
-    page_key = tms.pack_tile_key(parent_z, (x * G) // base // G, (y * G) // base // G)
+    page_key = tms.pack_tile_key(parent_z, (x * G) // f // Gp, (y * G) // f // Gp)
 
     subpix = None
     nsub2 = 0
     if resampling == "nearest":
-        keep = (gx % base == 0) & (gy % base == 0)
+        keep = (gx % f == 0) & (gy % f == 0)
         gx, gy, vals = gx[keep], gy[keep], vals[keep]
     elif resampling == "mode":
-        nsub2 = base * base
-        subpix = (gy % base) * base + (gx % base)
+        nsub2 = f * f
+        subpix = (gy % f) * f + (gx % f)
     return _partials_from_contribs(
-        G, parent_z, gx // base, gy // base, vals, page_key, pc_counts,
+        Gp, parent_z, gx // f, gy // f, vals, page_key, pc_counts,
         subpix=subpix, nsub2=nsub2,
     )
 

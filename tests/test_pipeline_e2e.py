@@ -772,3 +772,52 @@ def test_web_prep_survives_worker_death(ray_session, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert os.path.exists(sentinel), "injection never fired"
     assert injected.equals(clean)
+
+
+def test_overview_blocksize(ray_session, tmp_path):
+    """--overview-blocksize analog (GDAL_TIFF_OVR_BLOCKSIZE, reference
+    cli.py:141-144): overview levels run their own grid. Hand-computed:
+    z1 base at G=4 over 2x2 world tiles, one overview at ob=2 -> pixel
+    decimation f = 2*4/2 = 4, so each z0 cell is the sum of one full z1
+    tile quadrant. Plus the option guards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from rio_cogeo_ray import errors as rerrors
+
+    pts = pa.table(
+        {
+            "lon": pa.array([-90.0, -91.0, -92.0, 90.0, 91.0]),
+            "lat": pa.array([40.0, 41.0, 42.0, -40.0, -41.0]),
+        }
+    )
+    src = str(tmp_path / "pts.parquet")
+    pq_mod.write_table(pts, src)
+    out = str(tmp_path / "ovr")
+    spec = plan(zoom=1, overview_levels=1, tile_px=4, overview_blocksize=2)
+    create_mod.create(src, out, spec, source="lonlat")
+
+    t = pq.read_table(mani.level_dir(out, 0))
+    assert t.num_rows == 1
+    cells = dict(zip(t["cells"][0].as_py(), t["counts"][0].as_py()))
+    # NW quadrant (cell 0) holds 3 pages, SE (cell 3) holds 2
+    assert cells == {0: 3, 3: 2}
+    assert t["page_count"][0].as_py() == 5
+
+    # validate accepts the mixed-grid pyramid (per-level G spot check)
+    from rio_cogeo_ray.pipelines.validate import validate as _v
+
+    ok, errs, _ = _v(out, strict=True)
+    assert ok, errs
+
+    # round-trips through the manifest
+    spec2 = create_mod.spec_from_manifest(mani.load_manifest(out))
+    assert spec2.overview_blocksize == 2
+
+    # guards: incompatible kernel, non-divisible grid, non-pow2
+    with pytest.raises(rerrors.IncompatibleOptions, match="sum/nearest/mode"):
+        plan(zoom=1, tile_px=4, overview_blocksize=2, resampling="average")
+    with pytest.raises(rerrors.IncompatibleOptions, match="evenly divide"):
+        plan(zoom=1, tile_px=4, overview_blocksize=16)
+    with pytest.raises(rerrors.IncompatibleOptions, match="power of two"):
+        plan(zoom=1, tile_px=4, overview_blocksize=3)
