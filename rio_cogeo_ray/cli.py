@@ -399,6 +399,16 @@ def cmd_info(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rio_cogeo_ray", description=__doc__)
+    # global flags (reference scripts/cli.py:200-230 parity): --quiet
+    # silences warnings (Ray logs already run at ERROR, progress bars
+    # already off); --config K=V is the generic config passthrough (the
+    # GDAL -co/--config analog) — keys land in the environment, where
+    # every engine knob reads them (RCR_IN_MEMORY_THRESHOLD,
+    # RCR_SCALING_PAGES, RAY_*, ...).
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress warnings and non-result chatter")
+    p.add_argument("--config", action="append", default=[], metavar="K=V",
+                   help="set an engine/env config key (repeatable)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("create", help="build a tile pyramid from a pages/documents corpus")
@@ -519,6 +529,17 @@ def main(argv=None) -> int:
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    for kv in args.config:
+        if "=" not in kv:
+            print(f"ERROR: --config expects K=V, got {kv!r}", file=sys.stderr)
+            return 2
+        k, v = kv.split("=", 1)
+        os.environ[k] = v
+    if args.quiet:
+        import warnings as _warnings
+
+        _warnings.simplefilter("ignore")
+        os.environ["RCR_QUIET"] = "1"
     return args.fn(args)
 
 

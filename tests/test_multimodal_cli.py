@@ -809,3 +809,27 @@ def test_cli_custom_tms_end_to_end(tmp_path, ray_session):
     # (100, -10): x=3, y=1, px=0, py=0 -> cell 0
     assert got[(0, 0)] == {0: 2, 1: 1}
     assert got[(3, 1)] == {2: 2, 0: 1}
+
+
+def test_cli_quiet_and_config(tmp_path):
+    """Global --quiet/--config parity (reference cli.py:200-230):
+    --quiet silences the LossyCompression warning a lossy profile
+    emits; --config K=V lands in the child environment (the GDAL
+    config passthrough analog); malformed --config errors cleanly."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    out1 = str(tmp_path / "loud")
+    r = _run_cli("create", src, out1, "--source", "documents", "--zoom", "2",
+                 "-p", "jpeg", "--threads", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "lossy" in (r.stderr or "")
+
+    out2 = str(tmp_path / "quiet")
+    r = _run_cli("--quiet", "--config", "RCR_IN_MEMORY_THRESHOLD=1",
+                 "create", src, out2, "--source", "documents", "--zoom", "2",
+                 "-p", "jpeg", "--threads", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "lossy" not in (r.stderr or "")
+
+    r = _run_cli("--config", "NOT_A_PAIR", "info", out2)
+    assert r.returncode == 2 and "K=V" in r.stderr
