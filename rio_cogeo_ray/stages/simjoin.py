@@ -38,13 +38,22 @@ import pyarrow.compute as pc
 from rio_cogeo_ray.functions.hashing import hash_columns
 
 
-def _doc_token_sets(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+def _doc_token_sets(
+    batch: pa.Table, id_col: str, text_col: str, hash_tokens: bool = False
+) -> pa.Table:
     """(id, token, size) rows — the DISTINCT whitespace tokens of each
     doc with the doc's distinct-token count attached to every row.
     Tokens are the RE2 ``\\S+`` matches (same mirror as
     stages/text.py:token_value_counts). A doc lives entirely in one
     row, so both the de-dup and the size are exact map-side — no
-    shuffle."""
+    shuffle.
+
+    ``hash_tokens``: emit the 64-bit token hash instead of the string
+    (the engine's 2×64-bit token-identity doctrine): every downstream
+    exchange (df groupby, attach join, prefix order, candidate
+    buckets, verify semi join) then moves fixed-width int64 keys
+    instead of strings. Set intersections/sizes are unchanged modulo
+    the standard astronomically-unlikely hash-collision contract."""
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
@@ -67,20 +76,33 @@ def _doc_token_sets(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
         }
     )
     d = pairs.group_by([id_col, "token"]).aggregate([]).combine_chunks()
+    tok_type = pa.int64() if hash_tokens else pa.string()
     if len(d) == 0:
         return pa.table(
             {
                 id_col: pa.array([], ids.type),
-                "token": pa.array([], pa.string()),
+                "token": pa.array([], tok_type),
                 "size": pa.array([], pa.int64()),
             }
         )
     idv = d[id_col].combine_chunks().to_numpy(zero_copy_only=False)
     _, inv, counts = np.unique(idv, return_inverse=True, return_counts=True)
+    tok_col = d["token"].combine_chunks().cast(pa.string())
+    if hash_tokens:
+        import polars as pl
+
+        tok_col = pa.array(
+            pl.from_arrow(tok_col.cast(pa.large_string()))
+            .hash(seed=17)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64),
+            pa.int64(),
+        )
     return pa.table(
         {
             id_col: d[id_col].combine_chunks(),
-            "token": d["token"].combine_chunks().cast(pa.string()),
+            "token": tok_col,
             "size": pa.array(counts[inv].astype(np.int64), pa.int64()),
         }
     )
@@ -145,9 +167,17 @@ def jaccard_self_join(
     from rio_cogeo_ray.stages.agg import partial_group_agg
     from rio_cogeo_ray.stages.join import bucketed_hash_join
 
+    # MATERIALIZED: tok feeds THREE consumers (df count, the df attach
+    # join, and both verify sides) and every bucketed join additionally
+    # resolves schemas, which executes a lazy upstream chain — without
+    # this boundary the tokenize pass re-runs 4+ times and the whole
+    # pipeline goes super-linear (measured: 960k docs 124 s → 27 s).
+    # Size is corpus×distinct-tokens — the object store spills it like
+    # any shuffle input at 100 TB scale.
     tok = ds.map_batches(
-        lambda t: _doc_token_sets(t, id_col, text_col), batch_format="pyarrow"
-    )
+        lambda t: _doc_token_sets(t, id_col, text_col, hash_tokens=True),
+        batch_format="pyarrow",
+    ).materialize()
 
     # global document frequency per token (rare-first order). One row
     # per distinct token per batch leaves the combiner.
@@ -155,7 +185,7 @@ def jaccard_self_join(
         vc = pc.value_counts(t["token"].combine_chunks())
         return pa.table(
             {
-                "token": vc.field("values").cast(pa.string()),
+                "token": vc.field("values").cast(pa.int64()),
                 "dfp": vc.field("counts").cast(pa.int64()),
             }
         )
@@ -254,7 +284,10 @@ def jaccard_self_join(
         .map_groups(_cand_bucket, batch_format="pyarrow")
     )
 
-    # global pair-distinct (a pair may share several prefix tokens)
+    # global pair-distinct (a pair may share several prefix tokens).
+    # MATERIALIZED: bounded by the candidate-pair count (linear under
+    # the Zipf DATA ASSUMPTION); the verify join would otherwise
+    # re-execute the whole prefix→candidate chain for its schema pass.
     pairs = partial_group_agg(
         cand,
         keys=["id_a", "id_b"],
@@ -264,18 +297,57 @@ def jaccard_self_join(
     ).map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "size_a", "size_b"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
-    # exact verify: |A∩B| by re-joining the token sets
-    tok_a = tok.map_batches(
+    # exact verify: |A∩B| by re-joining the token sets. The candidate
+    # pair set is SMALL (bounded by the prefix filter), so its distinct
+    # doc ids broadcast via ray.put and prefilter tok MAP-SIDE — the
+    # two verify joins then exchange only candidate docs' tokens
+    # instead of the whole corpus token table (two full-table shuffles
+    # saved; the engine's broadcast-small-side doctrine).
+    import ray as _ray
+
+    _pt = pa.concat_tables(
+        [b for b in _ray.get(pairs.to_arrow_refs()) if b.num_rows]
+        or [pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})],
+        promote_options="default",
+    )
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                _pt["id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+                if _pt.num_rows
+                else np.empty(0, np.int64),
+                _pt["id_b"].combine_chunks().to_numpy(zero_copy_only=False)
+                if _pt.num_rows
+                else np.empty(0, np.int64),
+            ]
+        )
+    )
+    ids_ref = _ray.put(cand_ids)
+
+    def _only_cands(t: pa.Table) -> pa.Table:
+        ids = _ray.get(ids_ref)
+        v = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, v)
+        pos_c = np.clip(pos, 0, max(0, len(ids) - 1))
+        keep = (len(ids) > 0) & (ids[pos_c] == v) if len(ids) else np.zeros(len(v), bool)
+        return t.filter(pa.array(keep))
+
+    tok_c = tok.map_batches(_only_cands, batch_format="pyarrow")
+    tok_a = tok_c.map_batches(
         lambda t: t.select([id_col, "token"]).rename_columns(["id_a", "token"]),
         batch_format="pyarrow",
     )
-    tok_b = tok.map_batches(
+    tok_b = tok_c.map_batches(
         lambda t: t.select([id_col, "token"]).rename_columns(["id_b", "token"]),
         batch_format="pyarrow",
     )
-    expl = bucketed_hash_join(pairs, tok_a, on="id_a", n_buckets=n_buckets)
+    # MATERIALIZED: rows = pairs × tokens (the verify workload itself);
+    # the semi join's schema pass would otherwise run the expl join twice
+    expl = bucketed_hash_join(
+        pairs, tok_a, on="id_a", n_buckets=n_buckets
+    ).materialize()
     shared = bucketed_hash_join(
         expl, tok_b, on=["id_b", "token"], how="semi", n_buckets=n_buckets
     )
