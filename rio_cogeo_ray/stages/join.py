@@ -377,6 +377,17 @@ def bucketed_hash_join(
     if how in ("semi", "anti"):
         # existence filter: only right KEYS shuffle, payload never moves
         right = right.select_columns(on_cols)
+    # Schema resolution must not DOUBLE-execute a lazy side: Ray's
+    # schema(fetch_if_missing=True) runs the upstream plan and throws
+    # the blocks away, and the join then runs it again — measured 2×
+    # the whole pipeline on deep chains (the jaccard super-linearity).
+    # If the schema isn't already known, materialize once (same single
+    # execution the schema fetch would have paid, blocks KEPT; the
+    # object store spills them like any shuffle input).
+    if left.schema(fetch_if_missing=False) is None:
+        left = left.materialize()
+    if right.schema(fetch_if_missing=False) is None:
+        right = right.materialize()
     lsch, rsch = left.schema(), right.schema()
     if lsch is None or rsch is None:
         if how in ("anti", "left", "outer") and rsch is None and lsch is not None:
