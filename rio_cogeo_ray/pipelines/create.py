@@ -736,6 +736,13 @@ def append(
     zooms = spec.zooms
     levels_done = {base_z: entry}
     for j, z in enumerate(zooms[1:], start=1):
+        # per-level grids mirror create(): overview levels may run
+        # --overview-blocksize's grid (append kernels are sum/average,
+        # so only the additive path needs the f/parent_px threading)
+        ob = spec.overview_blocksize
+        child_px = spec.tile_px if (ob is None or j == 1) else ob
+        parent_px = ob if ob is not None else spec.tile_px
+        pix_f = (base_b * child_px) // parent_px
         if local_table is None:
             prev = levels_done[z + step]
             if sum(f.bytes for f in prev.files) < _DRIVER_SIDE_BYTES:
@@ -744,10 +751,11 @@ def append(
                 local_table = pq.read_table(mani.level_dir(out_dir, z + step))
         if local_table is not None:
             partials = rasterize.pyramid_partials(
-                local_table, spec.tile_px, spec.resampling, base_b
+                local_table, child_px, spec.resampling, base_b,
+                parent_px=parent_px,
             )
             merged_t = rasterize._merge_bucket_table(
-                partials, spec.resampling, j, base_b, spec.tile_px
+                partials, spec.resampling, j, pix_f, parent_px
             )
             entry = _write_level_table(
                 merged_t, out_dir, z, decimation=base_b**j, codec=codec
@@ -756,14 +764,14 @@ def append(
         else:
             child = read_level(out_dir, z + step)
             partials = child.map_batches(
-                lambda t: rasterize.pyramid_partials(
-                    t, spec.tile_px, spec.resampling, base_b
+                lambda t, _cpx=child_px, _ppx=parent_px: rasterize.pyramid_partials(
+                    t, _cpx, spec.resampling, base_b, parent_px=_ppx
                 ),
                 batch_format="pyarrow",
             )
             merged_l = rasterize.merge_sparse_tiles(
-                partials, spec.resampling, level=j, base=base_b,
-                tile_px=spec.tile_px, n_buckets=n_buckets,
+                partials, spec.resampling, level=j, base=pix_f,
+                tile_px=parent_px, n_buckets=n_buckets,
             )
             _write_level(merged_l, out_dir, z, codec=codec)
             entry = _level_stats(out_dir, z, decimation=base_b**j)

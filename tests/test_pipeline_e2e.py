@@ -821,3 +821,40 @@ def test_overview_blocksize(ray_session, tmp_path):
         plan(zoom=1, tile_px=4, overview_blocksize=16)
     with pytest.raises(rerrors.IncompatibleOptions, match="power of two"):
         plan(zoom=1, tile_px=4, overview_blocksize=3)
+
+
+def test_append_with_overview_blocksize(ray_session, tmp_path):
+    """append() onto an --overview-blocksize pyramid rebuilds the
+    overviews at the OVERRIDE grid (it previously would have used the
+    base grid): append two more NW points; the z0 quadrant sums grow
+    accordingly and validate stays green."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    pts = pa.table(
+        {
+            "lon": pa.array([-90.0, -91.0, 90.0]),
+            "lat": pa.array([40.0, 41.0, -40.0]),
+        }
+    )
+    src = str(tmp_path / "pts.parquet")
+    pq_mod.write_table(pts, src)
+    out = str(tmp_path / "ovr")
+    spec = plan(zoom=1, overview_levels=1, tile_px=4, overview_blocksize=2)
+    create_mod.create(src, out, spec, source="lonlat")
+
+    more = pa.table(
+        {"lon": pa.array([-93.0, -94.0]), "lat": pa.array([43.0, 44.0])}
+    )
+    src2 = str(tmp_path / "more.parquet")
+    pq_mod.write_table(more, src2)
+    create_mod.append(src2, out)
+
+    t = pq.read_table(mani.level_dir(out, 0))
+    assert t.num_rows == 1
+    cells = dict(zip(t["cells"][0].as_py(), t["counts"][0].as_py()))
+    assert cells == {0: 4, 3: 1}  # NW grew 2 -> 4, SE unchanged
+    from rio_cogeo_ray.pipelines.validate import validate as _v
+
+    ok, errs, _ = _v(out, strict=True)
+    assert ok, errs
