@@ -377,17 +377,15 @@ def bucketed_hash_join(
     if how in ("semi", "anti"):
         # existence filter: only right KEYS shuffle, payload never moves
         right = right.select_columns(on_cols)
-    # Schema resolution must not DOUBLE-execute a lazy side: Ray's
-    # schema(fetch_if_missing=True) runs the upstream plan and throws
-    # the blocks away, and the join then runs it again — measured 2×
-    # the whole pipeline on deep chains (the jaccard super-linearity).
-    # If the schema isn't already known, materialize once (same single
-    # execution the schema fetch would have paid, blocks KEPT; the
-    # object store spills them like any shuffle input).
-    if left.schema(fetch_if_missing=False) is None:
-        left = left.materialize()
-    if right.schema(fetch_if_missing=False) is None:
-        right = right.materialize()
+    # Schema-resolution doctrine (the jaccard super-linearity lesson):
+    # the schema fetch below PARTIALLY executes a lazy side — cheap for
+    # map-only chains (first block), but a side whose upstream contains
+    # an ALL-TO-ALL stage (groupby/partial_group_agg/another join) pays
+    # the full shuffle for the fetch and then AGAIN for the join
+    # itself. Callers must .materialize() such inputs at the callsite
+    # (see simjoin.jaccard_self_join); a blanket materialize here was
+    # measured 40× WORSE on iterative map-chain loops (k_core
+    # 12 s → 510 s), so the join does not decide for you.
     lsch, rsch = left.schema(), right.schema()
     if lsch is None or rsch is None:
         if how in ("anti", "left", "outer") and rsch is None and lsch is not None:

@@ -190,13 +190,18 @@ def jaccard_self_join(
             }
         )
 
+    # MATERIALIZED: the attach join's schema fetch would otherwise run
+    # this all-to-all aggregate once for the fetch and once for the
+    # join (the join.py schema-resolution doctrine)
     df = partial_group_agg(
         tok.map_batches(_df_partial, batch_format="pyarrow"),
         keys=["token"],
         sum_cols=["dfp"],
         count_as=None,
         n_buckets=n_buckets,
-    ).map_batches(lambda t: t.rename_columns(["token", "df"]), batch_format="pyarrow")
+    ).map_batches(
+        lambda t: t.rename_columns(["token", "df"]), batch_format="pyarrow"
+    ).materialize()
 
     with_df = bucketed_hash_join(tok, df, on="token", n_buckets=n_buckets)
 
