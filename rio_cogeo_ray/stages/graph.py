@@ -61,10 +61,12 @@ def triangle_counts(edges, n_buckets: int = 64):
 
         return _f
 
+    # materialized: the nested join's schema fetch would re-run this
+    # whole all-to-all join (join.py schema-resolution doctrine)
     da = bucketed_hash_join(
         edges, deg.map_batches(_ren("node", "a"), batch_format="pyarrow"),
         on="a", n_buckets=n_buckets,
-    ).map_batches(_ren("deg", "deg_a"), batch_format="pyarrow")
+    ).map_batches(_ren("deg", "deg_a"), batch_format="pyarrow").materialize()
     dab = bucketed_hash_join(
         da, deg.map_batches(_ren("node", "b"), batch_format="pyarrow"),
         on="b", n_buckets=n_buckets,
@@ -407,23 +409,28 @@ def degree_assortativity(edges, src_col: str = "src_host", dst_col: str = "dst_h
     from rio_cogeo_ray.stages.agg import partial_group_agg
     from rio_cogeo_ray.stages.join import bucketed_hash_join
 
+    # slim feeds THREE consumers (both degree aggregates + the join);
+    # the aggregates and the inner join are all-to-all inputs to joins
+    # — materialize per the join.py schema-resolution doctrine
     slim = edges.map_batches(
         lambda t: t.select([src_col, dst_col]), batch_format="pyarrow"
-    )
+    ).materialize()
     outd = partial_group_agg(
         slim.map_batches(lambda t: t.select([src_col]), batch_format="pyarrow"),
         keys=[src_col],
         count_as="outd",
         n_buckets=n_buckets,
-    )
+    ).materialize()
     ind = partial_group_agg(
         slim.map_batches(lambda t: t.select([dst_col]), batch_format="pyarrow"),
         keys=[dst_col],
         count_as="ind",
         n_buckets=n_buckets,
-    )
+    ).materialize()
     both = bucketed_hash_join(
-        bucketed_hash_join(slim, outd, on=src_col, n_buckets=n_buckets),
+        bucketed_hash_join(
+            slim, outd, on=src_col, n_buckets=n_buckets
+        ).materialize(),
         ind,
         on=dst_col,
         n_buckets=n_buckets,
