@@ -1103,7 +1103,10 @@ def _rejoin_and_verify(
             }
         )
 
-    probes = pairs.map_batches(_explode, batch_format="pyarrow")
+    # materialized: probes feeds the bloom build AND the verify join,
+    # and `pairs` carries an all-to-all upstream — without the boundary
+    # each consumer re-executes it (join.py schema-resolution doctrine)
+    probes = pairs.map_batches(_explode, batch_format="pyarrow").materialize()
     bloom_ref = ray.put(join_mod.build_bloom(probes, "probe", m_bits=m_bits))
     pref = corpus.map_batches(
         join_mod.BloomProbe,

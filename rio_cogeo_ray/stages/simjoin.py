@@ -171,7 +171,8 @@ def jaccard_self_join(
     # join, and both verify sides) and every bucketed join additionally
     # resolves schemas, which executes a lazy upstream chain — without
     # this boundary the tokenize pass re-runs 4+ times and the whole
-    # pipeline goes super-linear (measured: 960k docs 124 s → 27 s).
+    # pipeline goes super-linear (measured: 960k docs 124 s → 51.5 s
+    # with all four boundaries in place).
     # Size is corpus×distinct-tokens — the object store spills it like
     # any shuffle input at 100 TB scale.
     tok = ds.map_batches(
@@ -652,7 +653,7 @@ def align_candidate_pairs(
         ),
         on="doc_a",
         n_buckets=n_buckets,
-    )
+    ).materialize()  # j2's schema fetch would re-run this corpus join
     j2 = bucketed_hash_join(
         j1,
         texts.map_batches(_ren(id_col, "doc_b"), batch_format="pyarrow").map_batches(
