@@ -335,10 +335,10 @@ def jaccard_self_join(
     def _only_cands(t: pa.Table) -> pa.Table:
         ids = _ray.get(ids_ref)
         v = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ids, v)
-        pos_c = np.clip(pos, 0, max(0, len(ids) - 1))
-        keep = (len(ids) > 0) & (ids[pos_c] == v) if len(ids) else np.zeros(len(v), bool)
-        return t.filter(pa.array(keep))
+        if len(ids) == 0:
+            return t.slice(0, 0)
+        pos_c = np.clip(np.searchsorted(ids, v), 0, len(ids) - 1)
+        return t.filter(pa.array(ids[pos_c] == v))
 
     tok_c = tok.map_batches(_only_cands, batch_format="pyarrow")
     tok_a = tok_c.map_batches(
