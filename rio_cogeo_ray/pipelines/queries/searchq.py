@@ -227,6 +227,94 @@ FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 20
 """
 
 
+def q_hybrid_exact(sf_dir: str):
+    """SQL-exact HYBRID lexical+semantic retrieval — the promotion of
+    hybrid_search's shape to full exactness: the BM25 top-30 over the
+    documents index fused with the INTEGER-QUANTIZED cosine top-30
+    over the embeddings table (stages/ann.py: knn_cosine_quantized —
+    the ann_exact_topk device) by integer RRF. Embedding vec_ids share
+    the document id space by fixture contract (as in hybrid_search);
+    the float-cosine hybrid_search stays rows-only as the production
+    baseline."""
+    from rio_cogeo_ray.stages import ann as ann_mod
+    from rio_cogeo_ray.stages import search
+
+    idx = _text_index_dir(sf_dir)
+    lex = search.bm25_search(idx, list(SEARCH_TERMS), k=30)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qrows = qt.filter(pc.equal(qt["vec_id"], 0))["embedding"].to_pylist()
+    if not qrows:
+        sem = pa.table({"vec_id": pa.array([], pa.int64())})
+    else:
+        sem = ann_mod.knn_cosine_quantized(
+            _read(emb_path, ["vec_id", "embedding"]),
+            np.asarray(qrows[0], dtype=np.float64),
+            k=30,
+        )
+    sem_ids = pa.table({"doc_id": sem["vec_id"]})
+    fused = search.rrf_fuse(
+        [lex.select(["doc_id"]), sem_ids], k_const=60, topk=20
+    )
+    return fused.rename_columns(["doc_id", "rrf_nano", "bm25_rank", "cosine_rank"])
+
+
+# bm leg = SQL_BM25_RANK's CTEs; cosine leg = SQL_ANN_EXACT_TOPK's
+# quantized dot/norm ranking; fusion = SQL_RRF_FUSION's integer //
+SQL_HYBRID_EXACT = rf"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE w IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}') GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+              CAST(FLOOR(LN((n.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * ((CAST(tf.tf AS DOUBLE) * (1200000.0 / 1000000.0 + 1.0))
+                      / (CAST(tf.tf AS DOUBLE)
+                         + (1200000.0 / 1000000.0)
+                           * (1.0 - 750000.0 / 1000000.0
+                              + 750000.0 / 1000000.0
+                                * CAST(dl.dl AS DOUBLE) / n.avgdl)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS s
+       FROM tf JOIN dl USING (doc_id) JOIN df ON tf.w = df.w CROSS JOIN n),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER
+            (ORDER BY SUM(s) DESC, doc_id) AS r
+        FROM bm GROUP BY doc_id QUALIFY r <= 30),
+e AS (SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings),
+q AS (SELECT pos, CAST(FLOOR(CAST(v AS DOUBLE) * 16384.0 + 0.5) AS BIGINT) AS qv
+      FROM e WHERE vec_id = 0),
+eq AS (SELECT vec_id, pos,
+              CAST(FLOOR(CAST(v AS DOUBLE) * 16384.0 + 0.5) AS BIGINT) AS ev
+       FROM e),
+sc AS (SELECT eq.vec_id, CAST(SUM(ev * qv) AS BIGINT) AS dot_q,
+              CAST(SUM(ev * ev) AS BIGINT) AS norm_q
+       FROM eq JOIN q USING (pos) GROUP BY 1),
+qn AS (SELECT CAST(SUM(qv * qv) AS BIGINT) AS nq FROM q),
+cor AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER
+            (ORDER BY CAST(dot_q AS DOUBLE)
+                      / SQRT(CAST(norm_q AS DOUBLE) * CAST(qn.nq AS DOUBLE))
+                      DESC, vec_id) AS r
+        FROM sc CROSS JOIN qn WHERE norm_q > 0 QUALIFY r <= 30),
+f AS (SELECT COALESCE(bmr.doc_id, cor.doc_id) AS doc_id,
+             COALESCE(1000000000 // (60 + bmr.r), 0)
+               + COALESCE(1000000000 // (60 + cor.r), 0) AS rrf_nano,
+             COALESCE(bmr.r, 0) AS bm25_rank,
+             COALESCE(cor.r, 0) AS cosine_rank
+      FROM bmr FULL OUTER JOIN cor ON bmr.doc_id = cor.doc_id)
+SELECT doc_id, CAST(rrf_nano AS BIGINT) AS rrf_nano,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(cosine_rank AS BIGINT) AS cosine_rank
+FROM f ORDER BY rrf_nano DESC, doc_id LIMIT 20
+"""
+
+
 def q_kwic(sf_dir: str):
     """Keyword-in-context snippets (stages/search.py: kwic_snippets —
     search-result rendering): 1-based char position of the first
