@@ -7036,3 +7036,28 @@ def test_knn_cosine_quantized_vs_float(ray_session):
     # wrapping the ValueError, message preserved
     with pytest.raises(Exception, match="overflow"):
         ann.knn_cosine_quantized(rd.from_arrow(t), q, k=10, scale=2**40)
+
+
+def test_registry_ordering_contract():
+    """The driver grades only the FIRST 50 queries() entries: every one
+    of them must be SQL-exact (have an oracle_sql entry), rows-only
+    entries must all sit after every SQL-exact entry, and the two dicts
+    must stay consistent (every oracle key is a query; no duplicate
+    keys by construction). Breaking this silently burns graded driver
+    slots — fail fast instead."""
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    qs, oq = Q.queries(), Q.oracle_sql()
+    names = list(qs)
+    assert set(oq) <= set(names), sorted(set(oq) - set(names))
+    first50 = names[:50]
+    missing = [n for n in first50 if n not in oq]
+    assert not missing, f"first-50 window entries without an oracle: {missing}"
+    last_sql = max(i for i, n in enumerate(names) if n in oq)
+    first_rows_only = min(
+        (i for i, n in enumerate(names) if n not in oq), default=len(names)
+    )
+    assert first_rows_only > last_sql, (
+        "rows-only entries must be pinned after every SQL-exact entry: "
+        f"rows-only at {first_rows_only}, SQL-exact up to {last_sql}"
+    )
