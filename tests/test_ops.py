@@ -7061,3 +7061,33 @@ def test_registry_ordering_contract():
         "rows-only entries must be pinned after every SQL-exact entry: "
         f"rows-only at {first_rows_only}, SQL-exact up to {last_sql}"
     )
+
+
+def test_no_hugeint_oracle_outputs():
+    """The r4 pareto_customers red row: DuckDB silently widens
+    SUM(BIGINT) to HUGEINT (arrow decimal128(38,0)) and the grading
+    driver's value-hash treats it differently from the engine's int64.
+    Audit EVERY oracle's output schema at sf0.001 — any HUGEINT output
+    column means a missing outer CAST and fails here before it can
+    fail a driver round. (Small decimals are driver-green precedent —
+    price_quantiles — and stay allowed.)"""
+    import duckdb
+
+    from rio_cogeo_ray.pipelines import queries as Q
+
+    con = duckdb.connect()
+    for tbl in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{tbl}.parquet')"
+        )
+    offenders = {}
+    for name, sql in Q.oracle_sql().items():
+        schema = con.execute(sql).arrow().schema
+        huge = [f.name for f in schema if str(f.type) == "decimal128(38, 0)"]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, f"oracles emitting HUGEINT (add CAST AS BIGINT): {offenders}"
